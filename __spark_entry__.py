@@ -1,10 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` / ``oracle_sql()`` are backed by the operator registry in
+:mod:`sqawk_spark.operators` — every operator class from SURVEY.md §2
+registers a named (DataFrame builder, DuckDB oracle SQL) pair there.
 """
 
 from __future__ import annotations
@@ -13,26 +11,33 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+# Importing the operator modules populates the registry.
+import sqawk_spark.operators.relational  # noqa: F401
+from sqawk_spark.operators import registry
+
+try:  # extension operators land incrementally; keep entry importable
+    import sqawk_spark.operators.dedup  # noqa: F401
+    import sqawk_spark.operators.similarity  # noqa: F401
+    import sqawk_spark.operators.textstats  # noqa: F401
+    import sqawk_spark.streaming.windows  # noqa: F401
+except ImportError:  # pragma: no cover
+    pass
+
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from sqawk_spark.operators.relational import flagship_pricing_summary
+
+    return flagship_pricing_summary(spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return registry.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL for each oracle-checkable query."""
+    return registry.oracle_sql()

@@ -1,0 +1,1172 @@
+"""Relational operator coverage (SURVEY.md §2.B).
+
+The reference (dbohdan/sqawk) hands user SQL verbatim to SQLite
+(``lib/classes/sqawk.tcl:216``), so its query surface is the SQLite
+dialect. Each builder below re-expresses one operator class from that
+surface as an idiomatic DataFrame plan over the driver's TPC-H-ish test
+tables, with a DuckDB oracle proving value-level equivalence.
+
+Scale notes are inline per operator: which joins broadcast, where the
+shuffles are, and why the plan survives a 100× scale-up.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from sqawk_spark.operators.registry import query
+from sqawk_spark.operators.tables import load_tables
+
+# ---------------------------------------------------------------------------
+# B1-B3: scan / projection / computed scalar projection
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scan_full",
+    oracle="SELECT r_regionkey, r_name FROM region",
+)
+def scan_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1 table scan — `select * from a` (reference tests.tcl:556)."""
+    t = load_tables(spark, sf_dir, ("region",))
+    return t["region"].select("r_regionkey", "r_name")
+
+
+@query(
+    "projection",
+    oracle="SELECT c_name, c_acctbal FROM customer",
+)
+def projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2 projection — column pruning reaches the parquet scan
+    (ReadSchema carries only the two columns)."""
+    t = load_tables(spark, sf_dir, ("customer",))
+    return t["customer"].select("c_name", "c_acctbal")
+
+
+@query(
+    "projection_expr",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               round(l_extendedprice * (1 - l_discount), 4) AS revenue,
+               round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6)
+                   AS revenue_taxed
+        FROM lineitem
+    """,
+)
+def projection_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2/B3 expression projection — `sum(a1)/1024.0/1024`-style scalar
+    arithmetic (reference README.md:319). Whole-stage-codegen'd."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return t["lineitem"].select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(disc, 4).alias("revenue"),
+        F.round(disc * (1 + F.col("l_tax")), 6).alias("revenue_taxed"),
+    )
+
+
+@query(
+    "select_constant",
+    oracle="SELECT 108 AS x, 'sqawk' AS tag",
+)
+def select_constant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3 table-less select — `select 108` (reference tests.tcl:1053)."""
+    return spark.sql("SELECT 108 AS x, 'sqawk' AS tag")
+
+
+# ---------------------------------------------------------------------------
+# B4-B5: filter / DISTINCT
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "filter_predicates",
+    oracle="""
+        SELECT o_orderkey, o_totalprice, o_orderpriority
+        FROM orders
+        WHERE (o_orderstatus = 'F' OR o_totalprice > 200000.0)
+          AND o_orderpriority LIKE '1%'
+          AND o_custkey IN (1, 2, 3, 5, 8, 13, 21, 34, 55, 89)
+    """,
+)
+def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4 filter — AND/OR/LIKE/IN predicate mix (reference
+    tests.tcl:236, README.md:327). All predicates push to the scan."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    o = t["orders"]
+    return o.filter(
+        ((F.col("o_orderstatus") == "F") | (F.col("o_totalprice") > 200000.0))
+        & F.col("o_orderpriority").like("1%")
+        & F.col("o_custkey").isin(1, 2, 3, 5, 8, 13, 21, 34, 55, 89)
+    ).select("o_orderkey", "o_totalprice", "o_orderpriority")
+
+
+@query(
+    "distinct_pairs",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5 DISTINCT — `select distinct shell from passwd`
+    (reference README.md:20). Partial (map-side) distinct runs before
+    the shuffle, so the exchange carries only unique pairs."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    return t["lineitem"].select("l_returnflag", "l_linestatus").distinct()
+
+
+# ---------------------------------------------------------------------------
+# B6-B7, B20-B22: joins
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_inner",
+    oracle="""
+        SELECT o_orderkey, c_name, o_totalprice
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE o_totalprice > 250000.0
+    """,
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B6 two-way inner equi-join — `a inner join b on a2 = b2`
+    (reference tests.tcl:167, examples/hp/tryme.sh:5).
+
+    customer is the small build side; Catalyst broadcasts it below the
+    autoBroadcast threshold, else AQE picks SMJ with the filter pushed
+    below the join."""
+    t = load_tables(spark, sf_dir, ("orders", "customer"))
+    o = t["orders"].filter(F.col("o_totalprice") > 250000.0)
+    return o.join(
+        t["customer"], o.o_custkey == t["customer"].c_custkey, "inner"
+    ).select("o_orderkey", "c_name", "o_totalprice")
+
+
+@query(
+    "join_multiway",
+    oracle="""
+        SELECT c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """,
+)
+def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B7 multi-way join — 3 tables (reference tests.tcl:181,
+    examples/three-files). lineitem⋈orders shuffles on orderkey;
+    customer joins on custkey (broadcast at small SF via AQE)."""
+    t = load_tables(spark, sf_dir, ("lineitem", "orders", "customer"))
+    j = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+    )
+    return j.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_lines"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("revenue"),
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+        SELECT p_partkey, p_name,
+               CAST(count(l_orderkey) AS BIGINT) AS n_lineitems
+        FROM part LEFT JOIN lineitem ON p_partkey = l_partkey
+        GROUP BY p_partkey, p_name
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B20 LEFT OUTER join — unmatched parts keep NULL lineitem side;
+    count(col) skips NULLs in both engines."""
+    t = load_tables(spark, sf_dir, ("part", "lineitem"))
+    j = t["part"].join(
+        t["lineitem"], F.col("p_partkey") == F.col("l_partkey"), "left"
+    )
+    return j.groupBy("p_partkey", "p_name").agg(
+        F.count("l_orderkey").alias("n_lineitems")
+    )
+
+
+@query(
+    "join_right_outer",
+    oracle="""
+        SELECT p_partkey, p_retailprice, l_orderkey, l_linenumber
+        FROM lineitem RIGHT JOIN part ON l_partkey = p_partkey
+        WHERE p_retailprice > 1900.0
+    """,
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B20 RIGHT OUTER join (SQLite ≥ 3.39 dialect surface)."""
+    t = load_tables(spark, sf_dir, ("part", "lineitem"))
+    j = t["lineitem"].join(
+        t["part"], F.col("l_partkey") == F.col("p_partkey"), "right"
+    )
+    return j.filter(F.col("p_retailprice") > 1900.0).select(
+        "p_partkey", "p_retailprice", "l_orderkey", "l_linenumber"
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+        WITH big_cust AS (
+            SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 9000.0
+        ),
+        big_orders AS (
+            SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_big
+            FROM orders WHERE o_totalprice > 300000.0 GROUP BY o_custkey
+        )
+        SELECT c_custkey, c_name, o_custkey, n_big
+        FROM big_cust FULL OUTER JOIN big_orders ON c_custkey = o_custkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B20 FULL OUTER join — both sides keep unmatched rows."""
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    big_cust = (
+        t["customer"].filter(F.col("c_acctbal") > 9000.0).select("c_custkey", "c_name")
+    )
+    big_orders = (
+        t["orders"]
+        .filter(F.col("o_totalprice") > 300000.0)
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_big"))
+    )
+    return big_cust.join(
+        big_orders, big_cust.c_custkey == big_orders.o_custkey, "full"
+    ).select("c_custkey", "c_name", "o_custkey", "n_big")
+
+
+@query(
+    "join_semi",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer
+        WHERE EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey AND o_totalprice > 300000.0
+        )
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B22 semi join — EXISTS, as a native left_semi (no row
+    duplication, build side only carries the key)."""
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    big = t["orders"].filter(F.col("o_totalprice") > 300000.0)
+    return (
+        t["customer"]
+        .join(big, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        )
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B22 anti join — NOT EXISTS as native left_anti."""
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+@query(
+    "join_cross",
+    oracle="""
+        SELECT r_name, n_name FROM region CROSS JOIN nation
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B21 CROSS JOIN — both inputs are fixed-cardinality dimensions
+    (5 × 25); broadcast nested loop, safe at any SF."""
+    t = load_tables(spark, sf_dir, ("region", "nation"))
+    return t["region"].crossJoin(t["nation"]).select("r_name", "n_name")
+
+
+@query(
+    "join_theta",
+    oracle="""
+        SELECT a.n_name AS nation_a, b.n_name AS nation_b
+        FROM nation a JOIN nation b
+          ON a.n_regionkey = b.n_regionkey
+         AND a.n_nationkey < b.n_nationkey
+    """,
+)
+def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B21 theta join — non-equi ON condition. The equi part
+    (regionkey) still hashes; only the inequality is a post-filter,
+    so this is NOT a nested-loop at scale."""
+    t = load_tables(spark, sf_dir, ("nation",))
+    a = t["nation"].alias("a")
+    b = t["nation"].alias("b")
+    return a.join(
+        b,
+        (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+        & (F.col("a.n_nationkey") < F.col("b.n_nationkey")),
+    ).select(F.col("a.n_name").alias("nation_a"), F.col("b.n_name").alias("nation_b"))
+
+
+@query(
+    "join_broadcast_dim",
+    oracle="""
+        SELECT n_name, round(sum(s_acctbal), 2) AS total_bal,
+               CAST(count(*) AS BIGINT) AS n_suppliers
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+)
+def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast-hash join: nation has fixed cardinality 25 at
+    every SF, so the hint removes the shuffle on the fact side
+    entirely — the plan is a single scan + broadcast + partial agg."""
+    t = load_tables(spark, sf_dir, ("supplier", "nation"))
+    j = t["supplier"].join(
+        F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    return j.groupBy("n_name").agg(
+        F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
+        F.count("*").alias("n_suppliers"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B9-B11, B26: aggregation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "flagship_pricing_summary",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+               round(avg(l_quantity), 2) AS avg_qty,
+               round(avg(l_extendedprice), 2) AS avg_price,
+               CAST(count(*) AS BIGINT) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def flagship_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship query (TPC-H Q1 shape): B4 filter + B9 grouped agg over
+    the fact table. Hash aggregate with map-side partials — the shuffle
+    carries only (4 groups × partitions) rows. Scales linearly."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    li = t["lineitem"].filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("sum_disc_price"),
+        F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@query(
+    "groupby_agg",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(sum(o_totalprice), 2) AS sum_price,
+               round(min(o_totalprice), 2) AS min_price,
+               round(max(o_totalprice), 2) AS max_price,
+               round(avg(o_totalprice), 2) AS avg_price
+        FROM orders GROUP BY o_orderpriority
+    """,
+)
+def groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B9 grouped aggregation — `select a1, sum(a2) … group by a1`
+    (reference README.md:412)."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    return t["orders"].groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+    )
+
+
+@query(
+    "groupby_having",
+    oracle="""
+        SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY o_custkey HAVING count(*) > 5
+    """,
+)
+def groupby_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B10 HAVING — `having count(*) > 1` (reference README.md:397);
+    post-aggregation filter, runs after the final merge agg."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    return (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") > 5)
+    )
+
+
+@query(
+    "global_agg",
+    oracle="""
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               round(sum(l_quantity), 2) AS total_qty,
+               round(min(l_extendedprice), 2) AS min_price,
+               round(max(l_extendedprice), 2) AS max_price,
+               round(avg(l_discount), 4) AS avg_discount
+        FROM lineitem
+    """,
+)
+def global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B11 global aggregate — `select count(*) from a`
+    (reference README.md:323, tests.tcl:520). Single-row result via
+    partial + final agg; no groupBy shuffle of raw rows."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    return t["lineitem"].agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_discount"),
+    )
+
+
+@query(
+    "count_distinct",
+    oracle="""
+        SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+               CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM lineitem
+    """,
+)
+def count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B26 aggregate DISTINCT — Catalyst expands multi-distinct into an
+    expand + two-phase agg; exact (approx_count_distinct is the scale
+    escape hatch, kept out of the oracle-checked path)."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    return t["lineitem"].agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@query(
+    "group_concat",
+    oracle="""
+        SELECT n_regionkey,
+               string_agg(n_name, ',' ORDER BY n_name) AS nations
+        FROM nation GROUP BY n_regionkey
+    """,
+)
+def group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B11 `group_concat` (SQLite dialect) — collect_list + sort +
+    concat_ws; ordered inside the group for determinism."""
+    t = load_tables(spark, sf_dir, ("nation",))
+    return (
+        t["nation"]
+        .groupBy("n_regionkey")
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_list("n_name"))).alias("nations")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# B12-B14: order by / limit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orderby_multi",
+    oracle="""
+        SELECT s_suppkey, s_name, s_acctbal
+        FROM supplier ORDER BY s_acctbal DESC, s_suppkey
+    """,
+)
+def orderby_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B12 ORDER BY — multi-key with direction mix (reference
+    README.md:20, tests.tcl:169). Range-partitioned total sort."""
+    t = load_tables(spark, sf_dir, ("supplier",))
+    return (
+        t["supplier"]
+        .orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
+
+
+@query(
+    "topk_limit",
+    oracle="""
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def topk_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B14 LIMIT — ORDER BY + LIMIT compiles to TakeOrderedAndProject
+    (per-partition top-k, then merge of k·partitions rows — no total
+    sort, no full shuffle). Unique tie-break keeps it deterministic."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    return (
+        t["orders"]
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+@query(
+    "limit_offset",
+    oracle="""
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 10 OFFSET 5
+    """,
+)
+def limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B14 LIMIT/OFFSET — via Spark SQL (OFFSET is native in 3.4+)."""
+    load_tables(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 10 OFFSET 5
+        """
+    )
+
+
+@query("order_random", oracle=None)
+def order_random(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B13 nondeterministic shuffle — `order by random()` (reference
+    README.md:331). No oracle by nature; driver rows-only check."""
+    t = load_tables(spark, sf_dir, ("nation",))
+    return t["nation"].orderBy(F.rand()).select("n_nationkey", "n_name")
+
+
+# ---------------------------------------------------------------------------
+# B15: set operations
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "set_union_all",
+    oracle="""
+        SELECT c_nationkey AS nationkey FROM customer
+        UNION ALL
+        SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B15 UNION ALL — no shuffle at all (pure concatenation of
+    partitions)."""
+    t = load_tables(spark, sf_dir, ("customer", "supplier"))
+    a = t["customer"].select(F.col("c_nationkey").alias("nationkey"))
+    b = t["supplier"].select(F.col("s_nationkey").alias("nationkey"))
+    return a.unionAll(b)
+
+
+@query(
+    "set_union",
+    oracle="""
+        SELECT c_nationkey AS nationkey FROM customer
+        UNION
+        SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B15 UNION (distinct) — union + hash distinct."""
+    t = load_tables(spark, sf_dir, ("customer", "supplier"))
+    a = t["customer"].select(F.col("c_nationkey").alias("nationkey"))
+    b = t["supplier"].select(F.col("s_nationkey").alias("nationkey"))
+    return a.union(b).distinct()
+
+
+@query(
+    "set_intersect",
+    oracle="""
+        SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000.0
+        INTERSECT
+        SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 200000.0
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B15 INTERSECT — compiles to a left-semi over distinct inputs."""
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    a = (
+        t["customer"]
+        .filter(F.col("c_acctbal") > 5000.0)
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    b = (
+        t["orders"]
+        .filter(F.col("o_totalprice") > 200000.0)
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    return a.intersect(b)
+
+
+@query(
+    "set_except",
+    oracle="""
+        SELECT c_custkey AS custkey FROM customer
+        EXCEPT
+        SELECT o_custkey AS custkey FROM orders
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B15 EXCEPT — left-anti over distinct inputs."""
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    a = t["customer"].select(F.col("c_custkey").alias("custkey"))
+    b = t["orders"].select(F.col("o_custkey").alias("custkey"))
+    return a.subtract(b)
+
+
+# ---------------------------------------------------------------------------
+# B16-B17: subqueries / CTE
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "subquery_in",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        WHERE o_custkey IN (
+            SELECT c_custkey FROM customer WHERE c_acctbal > 9500.0
+        )
+    """,
+)
+def subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B16 IN subquery — decorrelates to a left-semi join."""
+    load_tables(spark, sf_dir, ("orders", "customer"))
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        WHERE o_custkey IN (
+            SELECT c_custkey FROM customer WHERE c_acctbal > 9500.0
+        )
+        """
+    )
+
+
+@query(
+    "subquery_scalar",
+    oracle="""
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders)
+    """,
+)
+def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B16 scalar subquery — single-row broadcast into the filter."""
+    load_tables(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders)
+        """
+    )
+
+
+@query(
+    "subquery_exists_correlated",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O'
+        ) AND c_acctbal < 0.0
+    """,
+)
+def subquery_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B16 correlated EXISTS — Catalyst decorrelates to left-semi."""
+    load_tables(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O'
+        ) AND c_acctbal < 0.0
+        """
+    )
+
+
+@query(
+    "cte_top_suppliers",
+    oracle="""
+        WITH supplier_revenue AS (
+            SELECT l_suppkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM lineitem GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, revenue
+        FROM supplier JOIN supplier_revenue ON s_suppkey = l_suppkey
+        WHERE revenue > (
+            SELECT avg(revenue) FROM supplier_revenue
+        )
+    """,
+)
+def cte_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B17 CTE + scalar subquery over it (TPC-H Q15 shape)."""
+    load_tables(spark, sf_dir, ("supplier", "lineitem"))
+    return spark.sql(
+        """
+        WITH supplier_revenue AS (
+            SELECT l_suppkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM lineitem GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, revenue
+        FROM supplier JOIN supplier_revenue ON s_suppkey = l_suppkey
+        WHERE revenue > (
+            SELECT avg(revenue) FROM supplier_revenue
+        )
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# B18, B24: scalar expression surface
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "case_cast",
+    oracle="""
+        SELECT o_orderkey,
+               CASE WHEN o_totalprice < 100000.0 THEN 'small'
+                    WHEN o_totalprice < 250000.0 THEN 'medium'
+                    ELSE 'large' END AS bucket,
+               CAST(trunc(o_totalprice) AS BIGINT) AS price_int,
+               CAST(o_orderkey AS VARCHAR) AS key_str
+        FROM orders
+    """,
+)
+def case_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B18 CASE / CAST — searched CASE and type casts.
+
+    Note: CAST(double AS BIGINT) truncates toward zero in Spark and
+    SQLite, but DuckDB *rounds* — the oracle spells trunc() out."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    return t["orders"].select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") < 100000.0, "small")
+        .when(F.col("o_totalprice") < 250000.0, "medium")
+        .otherwise("large")
+        .alias("bucket"),
+        F.col("o_totalprice").cast("long").alias("price_int"),
+        F.col("o_orderkey").cast("string").alias("key_str"),
+    )
+
+
+@query(
+    "string_funcs",
+    oracle="""
+        SELECT p_partkey,
+               CAST(length(p_name) AS INTEGER) AS name_len,
+               upper(p_brand) AS brand_upper,
+               lower(p_type) AS type_lower,
+               substr(p_name, 1, 5) AS name_head,
+               replace(p_type, ' ', '_') AS type_snake,
+               CAST(instr(p_type, 'BRUSHED') AS INTEGER) AS brushed_at,
+               trim(concat(' ', p_brand, ' ')) AS brand_trim,
+               concat(p_brand, '#', CAST(p_size AS VARCHAR)) AS brand_size
+        FROM part
+    """,
+)
+def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B24 string library — length/upper/lower/substr/replace/instr/
+    trim/concat (`printf` analog: format_string, see math_funcs).
+    Reference registers these via SQLite core (SURVEY §2.B24)."""
+    t = load_tables(spark, sf_dir, ("part",))
+    return t["part"].select(
+        "p_partkey",
+        F.length("p_name").alias("name_len"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.lower("p_type").alias("type_lower"),
+        F.substring("p_name", 1, 5).alias("name_head"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.instr("p_type", "BRUSHED").alias("brushed_at"),
+        F.trim(F.concat(F.lit(" "), F.col("p_brand"), F.lit(" "))).alias("brand_trim"),
+        F.concat(
+            F.col("p_brand"), F.lit("#"), F.col("p_size").cast("string")
+        ).alias("brand_size"),
+    )
+
+
+@query(
+    "math_funcs",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               round(abs(l_discount - 0.05), 4) AS disc_dev,
+               CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+               CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+               CAST(l_partkey % 7 AS BIGINT) AS part_mod,
+               round(sqrt(l_quantity), 4) AS qty_sqrt,
+               round(power(l_quantity, 2), 2) AS qty_sq,
+               printf('%03d', CAST(l_linenumber AS INTEGER)) AS line_padded
+        FROM lineitem
+    """,
+)
+def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B24 math library + printf (`printf("%03d", a1)` — reference
+    tests.tcl:1079 → format_string)."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    return t["lineitem"].select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.abs(F.col("l_discount") - 0.05), 4).alias("disc_dev"),
+        F.ceil("l_extendedprice").alias("price_ceil"),
+        F.floor("l_extendedprice").alias("price_floor"),
+        (F.col("l_partkey") % 7).alias("part_mod"),
+        F.round(F.sqrt("l_quantity"), 4).alias("qty_sqrt"),
+        F.round(F.pow("l_quantity", 2), 2).alias("qty_sq"),
+        F.format_string("%03d", F.col("l_linenumber")).alias("line_padded"),
+    )
+
+
+@query(
+    "date_funcs",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(year(o_orderdate) AS INTEGER) AS order_year,
+               CAST(month(o_orderdate) AS INTEGER) AS order_month,
+               CAST(day(o_orderdate) AS INTEGER) AS order_day,
+               strftime(o_orderdate, '%Y-%m') AS order_ym,
+               strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start
+        FROM orders
+    """,
+)
+def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B24 date/time — SQLite `strftime`/`date` analogs via
+    year/month/day/date_format/date_trunc (format-token translation:
+    %Y-%m ↔ yyyy-MM)."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    return t["orders"].select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_ym"),
+        F.date_format(F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM-dd").alias(
+            "month_start"
+        ),
+    )
+
+
+@query(
+    "coalesce_nullif",
+    oracle="""
+        SELECT c_custkey,
+               coalesce(o_cnt, 0) AS n_orders,
+               nullif(c_mktsegment, 'BUILDING') AS seg_or_null,
+               CASE WHEN o_cnt IS NULL THEN 'inactive' ELSE 'active' END
+                   AS activity
+        FROM customer LEFT JOIN (
+            SELECT o_custkey, CAST(count(*) AS BIGINT) AS o_cnt
+            FROM orders GROUP BY o_custkey
+        ) ON c_custkey = o_custkey
+    """,
+)
+def coalesce_nullif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B24 coalesce/ifnull/nullif/iif over outer-join NULLs."""
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    cnt = t["orders"].groupBy("o_custkey").agg(F.count("*").alias("o_cnt"))
+    j = t["customer"].join(cnt, F.col("c_custkey") == F.col("o_custkey"), "left")
+    return j.select(
+        "c_custkey",
+        F.coalesce(F.col("o_cnt"), F.lit(0).cast("long")).alias("n_orders"),
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg_or_null"),
+        F.when(F.col("o_cnt").isNull(), "inactive").otherwise("active").alias(
+            "activity"
+        ),
+    )
+
+
+@query(
+    "regex_funcs",
+    oracle="""
+        SELECT doc_id,
+               regexp_replace(lang, '^(en|es)$', 'western', 'g') AS lang_grouped,
+               regexp_extract(source, '([0-9]+)', 1) AS source_num
+        FROM documents
+        WHERE regexp_matches(text, 'join.*filter|filter.*join')
+    """,
+)
+def regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B8 custom scalar functions — the reference registers Tcl
+    `regexp`/`regsub` UDFs (sqawk-dev.tcl:199-215, tests.tcl:1129-1137);
+    natively these are rlike / regexp_replace / regexp_extract."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return (
+        t["documents"]
+        .filter(F.col("text").rlike("join.*filter|filter.*join"))
+        .select(
+            "doc_id",
+            F.regexp_replace("lang", "^(en|es)$", "western").alias("lang_grouped"),
+            F.regexp_extract("source", "([0-9]+)", 1).alias("source_num"),
+        )
+    )
+
+
+@query(
+    "glob_like",
+    oracle="""
+        SELECT p_partkey, p_name FROM part
+        WHERE p_name LIKE '%steel%' OR p_name GLOB '*metallic*'
+    """,
+)
+def glob_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B18 LIKE / GLOB — GLOB translated to an anchored regex
+    (SQLite glob: * ? [..]; case-sensitive like LIKE here)."""
+    t = load_tables(spark, sf_dir, ("part",))
+    return (
+        t["part"]
+        .filter(
+            F.col("p_name").like("%steel%")
+            | F.col("p_name").rlike("^.*metallic.*$")
+        )
+        .select("p_partkey", "p_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# B19: window functions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_rank",
+    oracle="""
+        SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+               CAST(row_number() OVER w AS INTEGER) AS rn,
+               CAST(rank() OVER w2 AS INTEGER) AS rnk,
+               CAST(dense_rank() OVER w2 AS INTEGER) AS drnk
+        FROM lineitem
+        WINDOW w AS (PARTITION BY l_returnflag
+                     ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber),
+               w2 AS (PARTITION BY l_returnflag ORDER BY l_extendedprice DESC)
+        QUALIFY rn <= 100
+    """,
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B19 ranking windows — row_number/rank/dense_rank (SQLite ≥3.25
+    dialect). Per-group top-100: the window shuffle partitions by
+    l_returnflag; rank ties are broken by unique keys for row_number."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    w = W.partitionBy("l_returnflag").orderBy(
+        F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber"
+    )
+    w2 = W.partitionBy("l_returnflag").orderBy(F.col("l_extendedprice").desc())
+    return (
+        t["lineitem"]
+        .select(
+            "l_returnflag",
+            "l_orderkey",
+            "l_linenumber",
+            "l_extendedprice",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w2).alias("rnk"),
+            F.dense_rank().over(w2).alias("drnk"),
+        )
+        .filter(F.col("rn") <= 100)
+    )
+
+
+@query(
+    "window_running_agg",
+    oracle="""
+        SELECT l_suppkey, l_orderkey, l_linenumber,
+               round(sum(l_quantity) OVER (
+                   PARTITION BY l_suppkey
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ), 2) AS running_qty,
+               round(avg(l_quantity) OVER (
+                   PARTITION BY l_suppkey
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+               ), 4) AS moving_avg_qty
+        FROM lineitem
+    """,
+)
+def window_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B19 aggregates OVER with ROWS frames — running sum + moving
+    average. Unique ORDER BY tie-break makes frames deterministic."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    order = [F.col("l_shipdate"), F.col("l_orderkey"), F.col("l_linenumber")]
+    w_run = (
+        W.partitionBy("l_suppkey").orderBy(*order).rowsBetween(W.unboundedPreceding, 0)
+    )
+    w_mov = W.partitionBy("l_suppkey").orderBy(*order).rowsBetween(-3, 0)
+    return t["lineitem"].select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sum("l_quantity").over(w_run), 2).alias("running_qty"),
+        F.round(F.avg("l_quantity").over(w_mov), 4).alias("moving_avg_qty"),
+    )
+
+
+@query(
+    "window_lead_lag",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               round(o_totalprice, 2) AS price,
+               round(lag(o_totalprice) OVER w, 2) AS prev_price,
+               round(lead(o_totalprice) OVER w, 2) AS next_price,
+               round(first_value(o_totalprice) OVER (
+                   w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+               ), 2) AS first_price,
+               round(last_value(o_totalprice) OVER (
+                   w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+               ), 2) AS last_price
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B19 analytic windows — lead/lag/first_value/last_value with an
+    explicit full frame (last_value defaults to a running frame in both
+    engines, so the frame is pinned)."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return t["orders"].select(
+        "o_custkey",
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("price"),
+        F.round(F.lag("o_totalprice").over(w), 2).alias("prev_price"),
+        F.round(F.lead("o_totalprice").over(w), 2).alias("next_price"),
+        F.round(F.first("o_totalprice").over(w_full), 2).alias("first_price"),
+        F.round(F.last("o_totalprice").over(w_full), 2).alias("last_price"),
+    )
+
+
+@query(
+    "window_ntile",
+    oracle="""
+        SELECT c_custkey,
+               CAST(ntile(4) OVER (ORDER BY c_acctbal DESC, c_custkey)
+                    AS INTEGER) AS balance_quartile
+        FROM customer
+    """,
+)
+def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B19 ntile — global quartiles (single-partition window; fine for
+    dimension-sized inputs, fact-table ntile would partition first)."""
+    t = load_tables(spark, sf_dir, ("customer",))
+    w = W.orderBy(F.col("c_acctbal").desc(), "c_custkey")
+    return t["customer"].select(
+        "c_custkey", F.ntile(4).over(w).alias("balance_quartile")
+    )
+
+
+@query(
+    "window_range_frame",
+    oracle="""
+        SELECT p_partkey, p_size,
+               CAST(count(*) OVER (
+                   ORDER BY p_size
+                   RANGE BETWEEN 2 PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS n_similar_size
+        FROM part
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B19 RANGE frame — value-based frame (deterministic even with
+    duplicate ORDER BY values, unlike ROWS)."""
+    t = load_tables(spark, sf_dir, ("part",))
+    w = W.orderBy("p_size").rangeBetween(-2, 0)
+    return t["part"].select(
+        "p_partkey", "p_size", F.count("*").over(w).alias("n_similar_size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# B23: grouping sets / rollup / cube (Spark superset; SQLite lacks these)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rollup_agg",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               CAST(count(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B23 ROLLUP — hierarchy totals (superset of the reference:
+    SQLite has no ROLLUP; Spark gets it free)."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    return (
+        t["lineitem"]
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@query(
+    "cube_agg",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority,
+               round(sum(o_totalprice), 2) AS sum_price
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B23 CUBE — all grouping-set combinations."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    return (
+        t["orders"]
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("sum_price"))
+    )
+
+
+@query(
+    "pivot_agg",
+    oracle="""
+        SELECT l_returnflag,
+               round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2)
+                   AS qty_O,
+               round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2)
+                   AS qty_F
+        FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot — Spark-native `pivot` with pinned values (single-pass;
+    equivalent to conditional aggregation in the oracle)."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+        .withColumnRenamed("O", "qty_O")
+        .withColumnRenamed("F", "qty_F")
+    )

@@ -1,0 +1,44 @@
+"""Test-table catalog: load the driver's parquet star schema.
+
+Small dimensions (region, nation, supplier, part, customer at low SF)
+stay broadcast-able; Catalyst's size estimation handles that via the
+parquet footer statistics, so no manual hints are needed here — the
+operator builders add ``F.broadcast`` only where a dimension is
+guaranteed tiny at any scale factor (region/nation: fixed cardinality).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    """Read parquet tables and register each as a temp view.
+
+    Registering views makes the same catalog available to both the
+    DataFrame builders and ``spark.sql`` queries (CTEs, subqueries).
+    """
+    out: dict[str, DataFrame] = {}
+    for name in names:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        df = spark.read.parquet(path)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
