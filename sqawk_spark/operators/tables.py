@@ -12,6 +12,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -38,7 +39,17 @@ def load_tables(
     out: dict[str, DataFrame] = {}
     for name in names:
         path = os.path.join(sf_dir, f"{name}.parquet")
-        df = spark.read.parquet(path)
+        if name == "events":
+            # events.ts is parquet TIMESTAMP(NANOS), which Spark refuses
+            # by default. Read it as raw nanos and truncate to micros —
+            # exactly what DuckDB's reader does — so both engines see
+            # identical timestamps.
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(path).withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        else:
+            df = spark.read.parquet(path)
         df.createOrReplaceTempView(name)
         out[name] = df
     return out

@@ -1,0 +1,182 @@
+"""Text analysis operators for document pipelines.
+
+All four run as pure column expressions (whole-stage codegen, no
+Python in the hot path): token counting, quality scoring, n-gram
+heuristic language ID, and content fingerprinting. Each is a single
+scan over ``documents`` — trivially linear at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sqawk_spark.operators.registry import query
+from sqawk_spark.operators.tables import load_tables
+
+# Stopword sets for the language-ID heuristic and quality scoring.
+# Tiny on purpose: at scale these ship as literals inside the codegen'd
+# expression, not as a broadcast table.
+STOP_EN = ("the", "a", "of", "and", "to", "in", "is", "it")
+STOP_ES = ("el", "la", "de", "los", "las", "y", "en", "que")
+
+
+def _tokens():
+    return F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+
+
+def _sql_list(words) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+@query(
+    "text_token_count",
+    oracle="""
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER)
+                   AS n_tokens,
+               CAST(length(text) AS INTEGER) AS n_chars_measured,
+               CAST(n_chars AS BIGINT) AS n_chars_declared
+        FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token count + char count per document."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return t["documents"].select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+        F.length("text").alias("n_chars_measured"),
+        F.col("n_chars").alias("n_chars_declared"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+        WITH s AS (
+            SELECT doc_id,
+                   regexp_split_to_array(lower(trim(text)), '\\s+') AS toks,
+                   length(text) AS nc,
+                   length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS npunct
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(toks) AS INTEGER) AS n_tokens,
+               round(npunct * 1.0 / nc, 6) AS punct_ratio,
+               round(len(list_filter(toks, x -> x IN ({_sql_list(STOP_EN)})))
+                     * 1.0 / len(toks), 6) AS stopword_ratio,
+               round(
+                   0.5 * least(len(toks), 100) / 100.0
+                   + 0.5 * (1.0 - npunct * 1.0 / nc), 6
+               ) AS quality_score
+        FROM s
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score: length credit + punctuation penalty,
+    with stopword ratio reported alongside (the classic cheap filters
+    a pretraining pipeline applies before anything model-based)."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    toks = _tokens()
+    nc = F.length("text")
+    npunct = F.length(F.regexp_replace(F.col("text"), r"[^.!?,;:]", ""))
+    stop_hits = F.size(
+        F.filter(toks, lambda x: x.isin(*STOP_EN))
+    )
+    return t["documents"].select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.round(npunct / nc, 6).alias("punct_ratio"),
+        F.round(stop_hits / F.size(toks), 6).alias("stopword_ratio"),
+        F.round(
+            0.5 * F.least(F.size(toks), F.lit(100)) / 100.0 + 0.5 * (1.0 - npunct / nc),
+            6,
+        ).alias("quality_score"),
+    )
+
+
+@query(
+    "text_langid",
+    oracle=f"""
+        WITH s AS (
+            SELECT doc_id, lang,
+                   regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+            FROM documents
+        ),
+        scored AS (
+            SELECT doc_id, lang,
+                   len(list_filter(toks, x -> x IN ({_sql_list(STOP_EN)})))
+                       AS en_hits,
+                   len(list_filter(toks, x -> x IN ({_sql_list(STOP_ES)})))
+                       AS es_hits
+            FROM s
+        )
+        SELECT doc_id, lang AS lang_declared,
+               CASE WHEN es_hits > en_hits THEN 'es'
+                    WHEN en_hits > 0 THEN 'en'
+                    ELSE 'und' END AS lang_pred,
+               CAST(en_hits AS INTEGER) AS en_hits,
+               CAST(es_hits AS INTEGER) AS es_hits
+        FROM scored
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID by stopword-hit voting — the n-gram-heuristic
+    shape (real pipelines use bigger lexicons / character n-grams;
+    the plan is identical: one scan, pure expressions)."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    toks = _tokens()
+    en_hits = F.size(F.filter(toks, lambda x: x.isin(*STOP_EN)))
+    es_hits = F.size(F.filter(toks, lambda x: x.isin(*STOP_ES)))
+    return t["documents"].select(
+        "doc_id",
+        F.col("lang").alias("lang_declared"),
+        F.when(es_hits > en_hits, "es")
+        .when(en_hits > 0, "en")
+        .otherwise("und")
+        .alias("lang_pred"),
+        en_hits.alias("en_hits"),
+        es_hits.alias("es_hits"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+        WITH s AS (
+            SELECT doc_id,
+                   lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
+            FROM documents
+        )
+        SELECT doc_id,
+               md5(norm) AS content_md5,
+               CAST(list_reduce(
+                   list_transform(regexp_split_to_array(norm, ' '),
+                                  t -> length(t)::BIGINT),
+                   (acc, x) -> (acc * 31 + x) % 1000000007
+               ) AS BIGINT) AS shape_hash
+        FROM s
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprints: md5 of normalized text plus a rolling
+    (polynomial) hash over token lengths — the structural sketch is
+    robust to word substitution, the md5 to nothing. Both computed in
+    one pass with higher-order array functions."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    d = t["documents"].select("doc_id", norm.alias("norm"))
+    token_lens = F.transform(
+        F.split(F.col("norm"), " "), lambda tok: F.length(tok).cast("long")
+    )
+    rolling = F.aggregate(
+        token_lens,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + x) % 1000000007,
+    )
+    return d.select(
+        "doc_id",
+        F.md5("norm").alias("content_md5"),
+        rolling.alias("shape_hash"),
+    )

@@ -1,0 +1,58 @@
+"""Semantic checks on the pipeline-extension operators (beyond the
+DuckDB parity harness): planted near-duplicates must be found, ANN
+variants must agree on easy neighbors, multimodal plumbing must flow
+real Arrow batches."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sqawk_spark.operators.dedup import (
+    dedup_minhash_lsh,
+    dedup_ngram_jaccard,
+    dedup_simhash,
+)
+from sqawk_spark.operators.multimodal import decode_media, extract_frames_stub
+from sqawk_spark.operators.similarity import ann_cosine_topk, ann_lsh_topk
+
+
+def test_ngram_jaccard_finds_planted_dups(spark, sf_dir):
+    pairs = dedup_ngram_jaccard(spark, sf_dir)
+    rows = pairs.collect()
+    assert len(rows) > 0  # the corpus has planted near-duplicates
+    assert all(r.jaccard >= 0.5 for r in rows)
+
+
+def test_minhash_equals_exact_jaccard(spark, sf_dir):
+    exact = {(r.doc_a, r.doc_b) for r in dedup_ngram_jaccard(spark, sf_dir).collect()}
+    lsh = {(r.doc_a, r.doc_b) for r in dedup_minhash_lsh(spark, sf_dir).collect()}
+    assert lsh == exact  # planted dups are ~0.98 jaccard: recall must be 1.0
+
+
+def test_simhash_covers_planted_dups(spark, sf_dir):
+    exact = {(r.doc_a, r.doc_b) for r in dedup_ngram_jaccard(spark, sf_dir).collect()}
+    sim = {(r.doc_a, r.doc_b) for r in dedup_simhash(spark, sf_dir).collect()}
+    # simhash at hamming<=3 is a different (weaker) notion; it must
+    # still catch a solid majority of the ~0.98-jaccard planted pairs
+    assert len(exact & sim) >= len(exact) * 0.5
+
+
+def test_ann_lsh_overlaps_brute_force(spark, sf_dir):
+    brute = ann_cosine_topk(spark, sf_dir).collect()
+    top1 = {(r.query_id, r.neighbor_id) for r in brute if r.rank == 1}
+    lsh = {(r.query_id, r.neighbor_id) for r in ann_lsh_topk(spark, sf_dir).collect()}
+    # approximate: expect at least some of the true top-1s in the
+    # LSH result (random hyperplanes on near-orthogonal vectors are
+    # noisy; this asserts the plumbing, not a recall SLA)
+    assert len(lsh) > 0
+    assert len(top1 & lsh) >= 1
+
+
+def test_multimodal_batch_flow(spark, sf_dir):
+    meta = decode_media(spark, sf_dir)
+    rows = meta.collect()
+    assert len(rows) == 500
+    assert all(r.n_bytes > 0 and 16 <= r.width < 513 for r in rows)
+    frames = extract_frames_stub(spark, sf_dir)
+    per_doc = frames.groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    assert all(r.n >= 1 for r in per_doc)

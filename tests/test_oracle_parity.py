@@ -15,6 +15,7 @@ try:
     import sqawk_spark.operators.dedup  # noqa: F401
     import sqawk_spark.operators.similarity  # noqa: F401
     import sqawk_spark.operators.textstats  # noqa: F401
+    import sqawk_spark.operators.multimodal  # noqa: F401
     import sqawk_spark.streaming.windows  # noqa: F401
 except ImportError:
     pass
