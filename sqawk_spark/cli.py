@@ -1,0 +1,290 @@
+"""pysqawk — the sqawk-compatible command line on Spark.
+
+Usage (reference sqawk-dev.tcl:217-252):
+
+    pysqawk [globaloptions] script [option=value ...] [filename ...]
+
+Global options: -FS -RS -OFS -ORS -NF -MNF -dbfile -noinput -output
+-v/-version -1. ``key=value`` arguments bind to the NEXT filename;
+no filenames → stdin unless -noinput. The script may contain several
+``;``-separated statements; all result rows flow through one
+serializer (reference tests.tcl:191-200).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+import tempfile
+
+from sqawk_spark.functions import register_udfs
+from sqawk_spark.serializers import make_serializer, render_value
+from sqawk_spark.session import get_session
+from sqawk_spark.sources import COMMON_OPTIONS, PARSER_OPTIONS, PARSERS
+from sqawk_spark.sources.base import FileSpec, TableLoader
+
+DEFAULT_TABLE_NAMES = "abcdefghijklmnopqrstuvwxyz"
+
+GLOBAL_DEFAULTS = {
+    "FS": r"[ \t]+",
+    "RS": "\n",
+    "OFS": " ",
+    "ORS": "\n",
+    "NF": "10",
+    "MNF": "expand",
+    "dbfile": "",
+    "noinput": False,
+    "output": "awk",
+    "one": False,  # -1
+}
+
+_ESCAPES = {
+    r"\n": "\n",
+    r"\t": "\t",
+    r"\r": "\r",
+    r"\\": "\\",
+    r"\a": "\a",
+    r"\b": "\b",
+    r"\f": "\f",
+    r"\v": "\v",
+    r"\0": "\0",
+}
+
+
+def substitute_escapes(s: str) -> str:
+    """Backslash escapes in -OFS/-ORS (sqawk-dev.tcl:87-93)."""
+    out = []
+    i = 0
+    while i < len(s):
+        pair = s[i : i + 2]
+        if pair in _ESCAPES:
+            out.append(_ESCAPES[pair])
+            i += 2
+        else:
+            out.append(s[i])
+            i += 1
+    return "".join(out)
+
+
+def split_statements(script: str) -> list[str]:
+    """Quote-aware split on ';' ('...;...' and "..." protected,
+    SQL '' escaping honored)."""
+    stmts: list[str] = []
+    cur: list[str] = []
+    i, n = 0, len(script)
+    quote: str | None = None
+    while i < n:
+        c = script[i]
+        if quote:
+            cur.append(c)
+            if c == quote:
+                if i + 1 < n and script[i + 1] == quote:  # '' escape
+                    cur.append(script[i + 1])
+                    i += 1
+                else:
+                    quote = None
+        elif c in ("'", '"', "`"):
+            quote = c
+            cur.append(c)
+        elif c == ";":
+            stmts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(c)
+        i += 1
+    stmts.append("".join(cur))
+    return [s.strip() for s in stmts if s.strip()]
+
+
+class UsageError(Exception):
+    pass
+
+
+def parse_args(argv: list[str]):
+    """(global options, script, file specs) — reference
+    process-options + process-file-options (sqawk-dev.tcl:43-183)."""
+    opts = dict(GLOBAL_DEFAULTS)
+    i = 0
+    flag_names = {"-FS", "-RS", "-OFS", "-ORS", "-NF", "-MNF", "-dbfile", "-output"}
+    while i < len(argv) and argv[i].startswith("-"):
+        a = argv[i]
+        if a in flag_names:
+            if i + 1 >= len(argv):
+                raise UsageError(f"option {a} requires a value")
+            opts[a.lstrip("-")] = argv[i + 1]
+            i += 2
+        elif a == "-noinput":
+            opts["noinput"] = True
+            i += 1
+        elif a == "-1":
+            opts["one"] = True
+            i += 1
+        elif a in ("-v", "-version"):
+            from sqawk_spark import __version__
+
+            print(__version__)
+            raise SystemExit(0)
+        elif a == "--":
+            i += 1
+            break
+        else:
+            raise UsageError(f"unknown option: {a}")
+    if i >= len(argv):
+        raise UsageError("expected a SQL script")
+    script = argv[i]
+    i += 1
+
+    # -1: skip field splitting entirely (sqawk-dev.tcl:81-83)
+    if opts["one"]:
+        opts["FS"] = "x^"
+    opts["OFS"] = substitute_escapes(opts["OFS"])
+    opts["ORS"] = substitute_escapes(opts["ORS"])
+
+    # per-file option accumulation: key=value binds to the NEXT filename
+    files: list[tuple[dict[str, str], str]] = []
+    pending: dict[str, str] = {}
+    for a in argv[i:]:
+        m = re.match(r"^([A-Za-z_][A-Za-z0-9_]*)=(.*)$", a, re.S)
+        if m and not os.path.exists(a):
+            pending[m.group(1)] = m.group(2)
+        else:
+            if a != "-" and not os.path.exists(a):
+                raise UsageError(f"can't find file {a!r}")
+            files.append((pending, a))
+            pending = {}
+    if pending and not files:
+        # options with no file: they apply to stdin
+        files.append((pending, "-"))
+        pending = {}
+    elif pending:
+        raise UsageError(f"dangling file options: {pending}")
+    if not files and not opts["noinput"]:
+        files.append(({}, "-"))
+    return opts, script, files
+
+
+def build_spec(global_opts, fopts: dict[str, str], index: int) -> tuple[FileSpec, str]:
+    fmt = fopts.get("format", "awk")
+    if fmt not in PARSERS:
+        raise UsageError(f"unknown format: {fmt!r}")
+    allowed = COMMON_OPTIONS | PARSER_OPTIONS[fmt] | {"FS", "RS"}
+    unknown = set(fopts) - allowed
+    if unknown:
+        raise UsageError(
+            f"invalid option(s) for format {fmt}: {sorted(unknown)}"
+        )
+    table = fopts.get("table") or DEFAULT_TABLE_NAMES[index]
+    spec = FileSpec(
+        filename="",
+        format=fmt,
+        table=table,
+        prefix=fopts.get("prefix") or table,
+        header=fopts.get("header", "0").lower() in ("1", "true", "yes", "on"),
+        columns=fopts["columns"].split(",") if "columns" in fopts else None,
+        f0=fopts.get("F0", "1").lower() in ("1", "true", "yes", "on"),
+        nf=int(fopts.get("NF", global_opts["NF"])),
+        mnf=fopts.get("MNF", global_opts["MNF"]),
+        datatypes=(
+            fopts["datatypes"].split(",") if "datatypes" in fopts else []
+        ),
+        options={
+            k: v
+            for k, v in fopts.items()
+            if k in PARSER_OPTIONS[fmt] | {"FS", "RS"}
+        },
+    )
+    # global FS/RS apply unless overridden per file
+    spec.options.setdefault("FS", global_opts["FS"])
+    spec.options.setdefault("RS", global_opts["RS"])
+    return spec, table
+
+
+def run(argv: list[str], out=None) -> int:
+    out = out or sys.stdout
+    opts, script, files = parse_args(argv)
+
+    spark = get_session(app_name="pysqawk")
+    # an externally-created session may have ANSI on (Spark 4 default);
+    # the sqawk surface needs SQLite's permissive coercion
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    register_udfs(spark)
+    loader = TableLoader(spark)
+
+    tmp_files = []
+    try:
+        seen_tables: set[str] = set()
+        for fopts, fname in files:
+            # default table names a..z indexed by the number of distinct
+            # tables so far (lib/classes/sqawk.tcl:139: dict size)
+            spec, table = build_spec(opts, fopts, len(seen_tables))
+            seen_tables.add(table)
+            path = fname
+            if fname == "-":
+                # Spark can't stream stdin: spool to a temp file
+                # (reference reads the channel directly)
+                fd, path = tempfile.mkstemp(prefix="pysqawk_stdin_")
+                with os.fdopen(fd, "w") as f:
+                    f.write(sys.stdin.read())
+                tmp_files.append(path)
+            records = PARSERS[spec.format](spark, spec, path)
+            loader.add(records, spec, table)
+        loader.finalize()
+
+        serializer_spec = opts["output"]
+        if serializer_spec.startswith("awk"):
+            # OFS/ORS come from the global flags for the awk serializer
+            # (lib/classes/sqawk.tcl:107-120)
+            name_opts = serializer_spec.split(",", 1)
+            extra = name_opts[1] if len(name_opts) > 1 else ""
+            base = f"awk,ofs={opts['OFS']},ors={opts['ORS']}"
+            serializer_spec = base + ("," + extra if extra else "")
+            ser = _make_awk(opts, extra, out)
+        else:
+            ser = make_serializer(serializer_spec, out)
+
+        try:
+            for stmt in split_statements(script):
+                df = spark.sql(stmt)
+                names = df.columns
+                for row in df.toLocalIterator():
+                    ser.row(names, [render_value(v) for v in row])
+            ser.close()
+        except BrokenPipeError:
+            pass  # EPIPE swallowed (sqawk-dev.tcl:244, tests.tcl:70-83)
+        return 0
+    finally:
+        for p in tmp_files:
+            try:
+                os.unlink(p)
+            except OSError:
+                pass
+
+
+def _make_awk(opts, extra: str, out):
+    from sqawk_spark.serializers.awk import AwkSerializer
+
+    o = {"ofs": opts["OFS"], "ors": opts["ORS"]}
+    if extra:
+        for p in extra.split(","):
+            k, v = p.split("=", 1)
+            o[k] = v
+    return AwkSerializer(out, o)
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    try:
+        return run(argv)
+    except SystemExit as e:
+        return int(e.code or 0)
+    except UsageError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+    except Exception as e:  # parity: "error: msg" on stderr, exit 1
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,181 @@
+"""The reference's registered scalar functions (SURVEY.md §2.B8,
+sqawk-dev.tcl:199-215): Tcl-list and regexp helpers exposed to SQL.
+
+``regexp``/``regsub`` have native JVM equivalents (rlike,
+regexp_replace) — the UDF forms are registered anyway for script
+compatibility, since reference scripts call them by these names.
+The Tcl-list functions (lindex, llength, lrange, dict_get,
+dict_exists) genuinely need Tcl quoting rules → Python UDFs, defined
+as closures over a vendored tokenizer so executors never import this
+package. They're interop helpers for small-side data, not the bulk
+path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+
+
+def register_udfs(spark: SparkSession) -> None:
+    # NOTE: tokenize is defined inside this function ON PURPOSE, even
+    # though sources/tcl.py has the same logic: a nested function is
+    # pickled by value into the UDF closures, while an imported one is
+    # pickled by reference and breaks on executors that don't have
+    # this repo on PYTHONPATH.
+    def tokenize(s: str) -> list[str]:
+        out: list[str] = []
+        i, n = 0, len(s)
+        while i < n:
+            while i < n and s[i] in " \t\n\r":
+                i += 1
+            if i >= n:
+                break
+            if s[i] == "{":
+                depth, j = 1, i + 1
+                while j < n and depth:
+                    if s[j] == "\\":
+                        j += 2
+                        continue
+                    if s[j] == "{":
+                        depth += 1
+                    elif s[j] == "}":
+                        depth -= 1
+                    j += 1
+                out.append(s[i + 1 : j - 1])
+                i = j
+            elif s[i] == '"':
+                j = i + 1
+                while j < n and s[j] != '"':
+                    if s[j] == "\\":
+                        j += 1
+                    j += 1
+                out.append(s[i + 1 : j])
+                i = j + 1
+            else:
+                j = i
+                while j < n and s[j] not in " \t\n\r":
+                    j += 1
+                out.append(s[i:j])
+                i = j
+        return out
+
+    def lindex(lst: str, *indices) -> str | None:
+        """Tcl lindex with nested indices (tests.tcl:1111)."""
+        cur = lst
+        for ix in indices:
+            items = tokenize(cur if cur is not None else "")
+            i = int(ix)
+            cur = items[i] if 0 <= i < len(items) else ""
+        return cur
+
+    def llength(lst: str) -> int:
+        return len(tokenize(lst or ""))
+
+    def lrange(lst: str, a: int, b: int) -> str:
+        items = tokenize(lst or "")
+        sel = items[int(a) : int(b) + 1]
+        out = []
+        for s in sel:
+            if s == "" or any(c in s for c in " \t\n{}\"\\"):
+                out.append("{" + s + "}")
+            else:
+                out.append(s)
+        return " ".join(out)
+
+    def regexp(pattern: str, s: str) -> bool:
+        import re as _re
+
+        return _re.search(pattern, s or "") is not None
+
+    def regsub(pattern: str, s: str, replacement: str) -> str:
+        import re as _re
+
+        return _re.sub(pattern, replacement, s or "")
+
+    def dict_get(d: str, *keys) -> str:
+        cur = d
+        for k in keys:
+            items = tokenize(cur if cur is not None else "")
+            m = dict(zip(items[0::2], items[1::2]))
+            if k not in m:
+                return ""
+            cur = m[k]
+        return cur
+
+    def dict_exists(d: str, *keys) -> bool:
+        cur = d
+        for k in keys:
+            items = tokenize(cur if cur is not None else "")
+            m = dict(zip(items[0::2], items[1::2]))
+            if k not in m:
+                return False
+            cur = m[k]
+        return True
+
+    def sqlite_printf(fmt: str, *args) -> str | None:
+        """SQLite printf(): NULL under %s prints empty, non-numeric
+        text under %d/%f coerces to 0 (reference relies on this —
+        tests.tcl:1008,1079). Registered UDFs shadow the Spark builtin
+        of the same name, so scripts calling printf() get SQLite
+        semantics."""
+        import re as _re
+
+        if fmt is None:
+            return None
+        out = []
+        ai = 0
+        i, n = 0, len(fmt)
+        spec_re = _re.compile(r"%([-+ #0]*)(\d*)(?:\.(\d+))?([diufeEgGxXosc%])")
+        while i < n:
+            c = fmt[i]
+            if c != "%":
+                out.append(c)
+                i += 1
+                continue
+            m = spec_re.match(fmt, i)
+            if not m:
+                out.append(c)
+                i += 1
+                continue
+            flags, width, prec, conv = m.groups()
+            i = m.end()
+            if conv == "%":
+                out.append("%")
+                continue
+            arg = args[ai] if ai < len(args) else None
+            ai += 1
+            spec = "%" + flags + width + ("." + prec if prec else "")
+            if conv in "diu":
+                try:
+                    v = int(float(arg)) if arg is not None else 0
+                except (TypeError, ValueError):
+                    v = 0
+                out.append((spec + "d") % v)
+            elif conv in "feEgG":
+                try:
+                    v = float(arg) if arg is not None else 0.0
+                except (TypeError, ValueError):
+                    v = 0.0
+                out.append((spec + conv) % v)
+            elif conv in "xXo":
+                try:
+                    v = int(float(arg)) if arg is not None else 0
+                except (TypeError, ValueError):
+                    v = 0
+                out.append((spec + conv) % v)
+            elif conv == "c":
+                s = str(arg) if arg is not None else ""
+                out.append(s[:1])
+            else:  # s
+                out.append((spec + "s") % ("" if arg is None else str(arg)))
+        return "".join(out)
+
+    spark.udf.register("printf", sqlite_printf, T.StringType())
+    spark.udf.register("lindex", lindex, T.StringType())
+    spark.udf.register("llength", llength, T.IntegerType())
+    spark.udf.register("lrange", lrange, T.StringType())
+    spark.udf.register("regexp", regexp, T.BooleanType())
+    spark.udf.register("regsub", regsub, T.StringType())
+    spark.udf.register("dict_get", dict_get, T.StringType())
+    spark.udf.register("dict_exists", dict_exists, T.BooleanType())

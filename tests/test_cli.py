@@ -1,0 +1,545 @@
+"""CLI golden tests ported from the reference's tests.tcl — same
+black-box shape: run the CLI, exact-compare stdout.
+
+Runs in-process (sqawk_spark.cli.run with a StringIO) so one Spark
+session serves all cases; the process boundary itself is exercised in
+the verify flow, not per-golden. Each test names the reference test
+it ports (tests.tcl line refs in comments).
+"""
+
+from __future__ import annotations
+
+import io
+
+import pytest
+
+import sqawk_spark.cli as cli
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _warm_session(spark):
+    # cli.run calls get_session() which reuses this active session
+    yield
+
+
+def pysqawk(*argv: str, stdin: str | None = None, monkeypatch=None) -> str:
+    out = io.StringIO()
+    if stdin is not None:
+        import sys
+
+        old = sys.stdin
+        sys.stdin = io.StringIO(stdin)
+        try:
+            rc = cli.run(list(argv), out=out)
+        finally:
+            sys.stdin = old
+    else:
+        rc = cli.run(list(argv), out=out)
+    assert rc == 0
+    # exec-style trailing-newline strip: exactly one, like tcltest
+    got = out.getvalue()
+    return got[:-1] if got.endswith("\n") else got
+
+
+def write(tmp_path, name: str, content: str) -> str:
+    p = tmp_path / name
+    p.write_text(content)
+    return str(p)
+
+
+# --- fs-* (tests.tcl:110-148) -------------------------------------------
+
+
+def test_fs_global_comma(tmp_path):
+    f = write(tmp_path, "f", "a,b\nc,d\ne,f\n")
+    assert pysqawk("-FS", ",", "select a1, a2 from a", f) == "a b\nc d\ne f"
+
+
+def test_fs_global_at(tmp_path):
+    f = write(tmp_path, "f", "a@b\nc@d\ne@f\n")
+    assert pysqawk("-FS", "@", "select a1, a2 from a", f) == "a b\nc d\ne f"
+
+
+def test_fs_pipe_distinct(tmp_path):
+    f = write(tmp_path, "f", "Yama Yama|Yamasuki\n")
+    assert (
+        pysqawk(
+            "-FS", r"\|", "select distinct a1 as title,a2 as artist from a", f
+        )
+        == "Yama Yama Yamasuki"
+    )
+
+
+def test_one_flag(tmp_path):
+    # fs-2.1: -1 keeps the whole record in a1; a2 is NULL → empty
+    f = write(tmp_path, "f", "a b\nc d\ne f\n")
+    assert (
+        pysqawk("-1", "-OFS", ",", "select a1, a2 from a", f)
+        == "a b,\nc d,\ne f,"
+    )
+
+
+def test_fs_empty_match_rejected(tmp_path):
+    # fs-3.1: FS regex matching "" would loop forever in the reference
+    f = write(tmp_path, "f", "x\n")
+    assert cli.main(["-FS", "|", "select a1 from a", f]) == 1
+
+
+# --- join (tests.tcl:164-189, examples golden files) --------------------
+
+
+def test_join_hp_examples():
+    # ORDER BY b1 leaves ties unordered in SQL; SQLite happens to emit
+    # ties in scan order. Compare exactly up to permutation of equal-
+    # key ties (the multiset and the b1 sequence must both match).
+    golden = open("/root/reference/examples/hp/results.correct").read().rstrip("\n")
+    got = pysqawk(
+        "select a1, b1, a2 from a inner join b on a2 = b2"
+        " where b1 < 10000 order by b1",
+        "/root/reference/examples/hp/MD5SUMS",
+        "/root/reference/examples/hp/du-bytes",
+    )
+    got_lines, want_lines = got.splitlines(), golden.splitlines()
+    assert sorted(got_lines) == sorted(want_lines)
+    assert [l.split()[1] for l in got_lines] == [l.split()[1] for l in want_lines]
+
+
+def test_join_three_files():
+    golden = (
+        open("/root/reference/examples/three-files/results.correct")
+        .read()
+        .rstrip("\n")
+    )
+    d = "/root/reference/examples/three-files"
+    got = pysqawk(
+        "-FS",
+        ",",
+        "select a1, a2, b2, c2 from a inner join b on a1 = b1"
+        " inner join c on a1 = c1",
+        f"{d}/1",
+        "FS=_",
+        "FS=,",
+        f"{d}/2",
+        f"{d}/3",
+    )
+    # no ORDER BY: SQL defines no row order — compare as a multiset
+    assert sorted(got.splitlines()) == sorted(golden.splitlines())
+
+
+# --- table= / prefix= (tests.tcl:191-223) -------------------------------
+
+
+def test_custom_table_names(tmp_path):
+    f1 = write(tmp_path, "f1", "foo 1\nfoo 2\nfoo 3")
+    f2 = write(tmp_path, "f2", "bar 4\nbar 5\nbar 6")
+    got = pysqawk(
+        "select foo2 from foo; select b2 from b", "table=foo", f1, f2
+    )
+    assert got == "1\n2\n3\n4\n5\n6"
+
+
+def test_custom_table_and_prefix(tmp_path):
+    f1 = write(tmp_path, "f1", "foo 1\nfoo 2\nfoo 3")
+    f2 = write(tmp_path, "f2", "bar 4\nbar 5\nbar 6")
+    got = pysqawk(
+        "select foo.x2 from foo; select baz2 from bar",
+        "table=foo",
+        "prefix=x",
+        f1,
+        "table=bar",
+        "prefix=baz",
+        f2,
+    )
+    assert got == "1\n2\n3\n4\n5\n6"
+
+
+def test_same_table_several_files(tmp_path):
+    # table-1.3: anr continues across files
+    f1 = write(tmp_path, "f1", "a\nb\nc")
+    f2 = write(tmp_path, "f2", "x\ny")
+    f3 = write(tmp_path, "f3", "z")
+    got = pysqawk(
+        "select anr, a1 from a", f1, "table=a", f2, "table=a", f3
+    )
+    assert got == "1 a\n2 b\n3 c\n4 x\n5 y\n6 z"
+
+
+# --- header (tests.tcl:225-259) -----------------------------------------
+
+
+def test_header_row(tmp_path):
+    content = (
+        "name\tposition\toffice\tphone\n"
+        "Smith\tCEO\t10\t555-1234\n"
+        "James\tHead of marketing\t11\t555-1235\n"
+        "McDonald\tDeveloper\t12\t555-1236\tGood at tables\n"
+    )
+    f = write(tmp_path, "staff", content)
+    got = pysqawk(
+        'select name, office from staff where position = "CEO"'
+        ' or staff.phone = "555-1234" or staff.a5 = "Good at tables"',
+        "FS=\t",
+        "table=staff",
+        "prefix=a",
+        "header=1",
+        f,
+    )
+    assert got == "Smith 10\nMcDonald 12"
+
+
+def test_header_with_spaces(tmp_path):
+    # header-1.2, adapted: Spark uses backticks for all quirky
+    # identifiers ("..." is a string literal, documented divergence)
+    content = (
+        'id,a column with a long name,"even worse - quotes!"\n'
+        "1,foo,!\n2,bar,%\n3,baz,$\n"
+    )
+    f = write(tmp_path, "f", content)
+    got = pysqawk(
+        "select `a column with a long name` from a;"
+        " select `\"even worse - quotes!\"` from a",
+        "FS=,",
+        "header=1",
+        f,
+    )
+    assert got == "foo\nbar\nbaz\n!\n%\n$"
+
+
+# --- datatypes / affinity (tests.tcl:1066-1106) -------------------------
+
+
+def test_affinity_integer_default(tmp_path):
+    f = write(tmp_path, "f", "001 a\n002 b\nc")
+    assert pysqawk("select a1,a2 from a", f) == "1 a\n2 b\nc "
+
+
+def test_affinity_real(tmp_path):
+    f = write(tmp_path, "f", "001 a\n002 b\nc")
+    assert (
+        pysqawk("select a1,a2 from a", "datatypes=real,text", f)
+        == "1.0 a\n2.0 b\nc "
+    )
+
+
+def test_affinity_null_blob(tmp_path):
+    f = write(tmp_path, "f", "001 a\n002 b\nc")
+    assert (
+        pysqawk("select a1,a2 from a", "datatypes=null,blob", f)
+        == "001 a\n002 b\nc "
+    )
+
+
+def test_affinity_text(tmp_path):
+    f = write(tmp_path, "f", "001 a\n002 b\nc")
+    assert (
+        pysqawk("select a1,a2 from a", "datatypes=text,text", f)
+        == "001 a\n002 b\nc "
+    )
+
+
+# --- trim (tests.tcl:946-968) -------------------------------------------
+
+
+def test_trim_none(tmp_path):
+    f = write(tmp_path, "f", "   a  \n")
+    assert pysqawk("select a1 from a", f) == ""
+
+
+def test_trim_left(tmp_path):
+    f = write(tmp_path, "f", "   a  \n")
+    assert pysqawk("select a1 from a", "trim=left", f) == "a"
+
+
+def test_trim_both(tmp_path):
+    f = write(tmp_path, "f", "   a  \n")
+    assert pysqawk("select a1 from a", "trim=both", f) == "a"
+
+
+# --- a0 / F0 (tests.tcl:970-1000) ---------------------------------------
+
+
+def test_a0_verbatim(tmp_path):
+    content = 'test:\n\ttclsh tests.tcl\n"{'
+    f = write(tmp_path, "f", content)
+    assert pysqawk("select a0 from a", f) == content
+
+
+def test_a0_disabled(tmp_path):
+    # a0-1.3: selecting a0 with F0=0 fails like SQLite "no such column"
+    f = write(tmp_path, "f", "a b\n")
+    assert cli.main(["select a0 from a", "F0=0", f]) == 1
+
+
+def test_f0_no_a0_but_fields_work(tmp_path):
+    f = write(tmp_path, "f", "a b\nc d\n")
+    assert pysqawk("select a1, a2 from a", "F0=0", f) == "a b\nc d"
+
+
+# --- empty inputs (tests.tcl:1002-1040) ---------------------------------
+
+
+def test_empty_fields(tmp_path):
+    f = write(tmp_path, "f", "0-1\n\na-b\n\nc-d\n")
+    got = pysqawk(
+        "-FS", "-", "select printf('''%s'' (%s)(%s)', a0, a1, a2) from a", f
+    )
+    assert got == "'0-1' (0)(1)\n'' ()()\n'a-b' (a)(b)\n'' ()()\n'c-d' (c)(d)"
+
+
+def test_empty_lines(tmp_path):
+    f = write(tmp_path, "f", "\n\n\n\n")
+    assert pysqawk("select a1 from a", f) == "\n\n\n"
+
+
+def test_noinput_constant():
+    assert pysqawk("-noinput", "select 108") == "108"
+
+
+# --- NF / MNF (tests.tcl:1158-1396, representative cases) ----------------
+
+
+def test_nf_expand(tmp_path):
+    f = write(tmp_path, "f", "A B\nA B C\nA B C D\n")
+    got = pysqawk("-NF", "2", "-output", "tcl", "select * from a", f)
+    assert got == (
+        "{1 2 {A B} A B {} {}} {2 3 {A B C} A B C {}} {3 4 {A B C D} A B C D}"
+    )
+
+
+def test_nf_crop(tmp_path):
+    f = write(tmp_path, "f", "A B\nA B C\nA B C D\n")
+    got = pysqawk(
+        "-NF", "2", "-MNF", "crop", "-output", "tcl", "select * from a", f
+    )
+    assert got == "{1 2 {A B} A B} {2 2 {A B C} A B} {3 2 {A B C D} A B}"
+
+
+def test_nf_error(tmp_path):
+    f = write(tmp_path, "f", "A B\nA B C\n")
+    rc = cli.main(["-NF", "2", "-MNF", "error", "select * from a", f])
+    assert rc == 1
+
+
+# --- custom functions (tests.tcl:1108-1156) ------------------------------
+
+
+def test_lindex_nested():
+    got = pysqawk(
+        "-noinput", 'select lindex("{} {foo bar} baz", 1, 1) as r'
+    )
+    assert got == "bar"
+
+
+def test_dict_get_nested():
+    got = pysqawk(
+        "-noinput",
+        'select dict_get("k1 v1 k2 v2 k3 {nes ted}", "k3") as r',
+    )
+    assert got == "nes ted"
+
+
+def test_regsub():
+    got = pysqawk("-noinput", "select regsub('o', 'foo', '0') as r")
+    assert got == "f00"
+
+
+def test_llength():
+    got = pysqawk("-noinput", "select llength('a b {c d}') as r")
+    assert got == "3"
+
+
+# --- output serializers (tests.tcl:793-944) ------------------------------
+
+
+def test_output_awk_default(tmp_path):
+    f = write(tmp_path, "f", "line 1\nline 2\nline 3")
+    assert (
+        pysqawk("-output", "awk", "select a0 from a", f)
+        == "line 1\nline 2\nline 3"
+    )
+
+
+def test_output_csv(tmp_path):
+    f = write(tmp_path, "f", "a,b\n1,2")
+    assert (
+        pysqawk("-output", "csv", "select a1 from a", f) == '"a,b"\n"1,2"'
+    )
+
+
+def test_output_tcl(tmp_path):
+    f = write(tmp_path, "f", "1\t2\tHello, World!\t ")
+    got = pysqawk(
+        "-FS", "\t", "-output", "tcl", "select a1,a2,a3,a4 from a", f
+    )
+    assert got == "{1 2 {Hello, World!} { }}"
+
+
+def test_output_tcl_kv_pretty(tmp_path):
+    f = write(tmp_path, "f", "1\t2\nHello, World!\t ")
+    got = pysqawk(
+        "-FS", "\t", "-output", "tcl,kv=1,pretty=yes", "select a1,a2 from a", f
+    )
+    assert got == "{a1 1 a2 2}\n{a1 {Hello, World!} a2 { }}"
+
+
+def test_output_table(tmp_path):
+    f = write(tmp_path, "f", "a,b,c\nd,e,f\ng,h,i")
+    got = pysqawk("-FS", ",", "-output", "table", "select a1,a2,a3 from a", f)
+    assert got == (
+        "┌─┬─┬─┐\n│a│b│c│\n├─┼─┼─┤\n│d│e│f│\n├─┼─┼─┤\n│g│h│i│\n└─┴─┴─┘"
+    )
+
+
+def test_output_table_alignments(tmp_path):
+    f = write(tmp_path, "f", "hello,space,world\nfoo,bar,baz")
+    got = pysqawk(
+        "-FS",
+        ",",
+        "-output",
+        "table,alignments=left center right",
+        "select a1,a2,a3 from a",
+        f,
+    )
+    assert got == (
+        "┌─────┬─────┬─────┐\n│hello│space│world│\n├─────┼─────┼─────┤\n"
+        "│foo  │ bar │  baz│\n└─────┴─────┴─────┘"
+    )
+
+
+def test_output_table_margins_lofi(tmp_path):
+    f = write(tmp_path, "f", "a b c\nd e f")
+    got = pysqawk(
+        "-output", "table,margins=1,style=loFi", "select a1,a2,a3 from a", f
+    )
+    assert got == (
+        "+---+---+---+\n| a | b | c |\n+---+---+---+\n| d | e | f |\n+---+---+---+"
+    )
+
+
+def test_output_json(tmp_path):
+    f = write(tmp_path, "f", "a,b,c\nd,e,f\ng,h,i")
+    got = pysqawk("-FS", ",", "-output", "json", "select a1,a2,a3 from a", f)
+    assert got == (
+        '[{"a1":"a","a2":"b","a3":"c"},'
+        '{"a1":"d","a2":"e","a3":"f"},'
+        '{"a1":"g","a2":"h","a3":"i"}]'
+    )
+
+
+def test_output_json_kv0(tmp_path):
+    f = write(tmp_path, "f", "a,b,c\nd,e,f\ng,h,i")
+    got = pysqawk(
+        "-FS", ",", "-output", "json,kv=0", "select a1,a2,a3 from a", f
+    )
+    assert got == '[["a","b","c"],["d","e","f"],["g","h","i"]]'
+
+
+def test_output_json_pretty(tmp_path):
+    f = write(tmp_path, "f", "a,b\nc,d\ne,f")
+    got = pysqawk(
+        "-FS",
+        ",",
+        "-output",
+        "json,kv=true,pretty=true",
+        "select a1,a2,a3 from a",
+        f,
+    )
+    assert got == (
+        '[{\n    "a1" : "a",\n    "a2" : "b",\n    "a3" : ""\n},'
+        '{\n    "a1" : "c",\n    "a2" : "d",\n    "a3" : ""\n},'
+        '{\n    "a1" : "e",\n    "a2" : "f",\n    "a3" : ""\n}]'
+    )
+
+
+# --- csv / json input formats (tests.tcl:527-757) ------------------------
+
+
+def test_format_csv_quoted_unicode(tmp_path):
+    f = write(tmp_path, "f", '1,2,"Hello, World!"\nΑλαμπουρνέζικα,3,4\n5,6,7\n')
+    got = pysqawk(
+        "-OFS", ";", "select a1,a2,a3 from a", "format=csv", f
+    )
+    assert got == "1;2;Hello, World!\nΑλαμπουρνέζικα;3;4\n5;6;7"
+
+
+def test_format_csv_semicolon(tmp_path):
+    f = write(tmp_path, "f", '1;2;"Hello; World!"\n3;4;5\n')
+    got = pysqawk(
+        "-OFS", ",", "select a1,a2,a3 from a", "format=csv", "csvsep=;", f
+    )
+    assert got == "1,2,Hello; World!\n3,4,5"
+
+
+def test_format_json_kv_union(tmp_path):
+    # F8: key drift — union of keys, first-object order then alpha
+    f = write(tmp_path, "f", '[{"foo":1,"bar":2},{"foo":3,"bar":4,"baz":5}]')
+    got = pysqawk(
+        "-output",
+        "json",
+        "select foo, bar, baz from a",
+        "format=json",
+        "kv=1",
+        "header=1",
+        f,
+    )
+    assert got == '[{"foo":"1","bar":"2","baz":""},{"foo":"3","bar":"4","baz":"5"}]'
+
+
+def test_format_json_arrays(tmp_path):
+    f = write(tmp_path, "f", "[[1,2,3,4,5],[6,7,8,9,10]]")
+    got = pysqawk(
+        "-OFS", "|", "select a1,a2,a3,a4,a5 from a", "format=json", "kv=0", f
+    )
+    assert got == "1|2|3|4|5\n6|7|8|9|10"
+
+
+def test_format_json_lines(tmp_path):
+    f = write(tmp_path, "f", "[100]\r\n\r\n  \t\r\n[101]\r\n \r\n")
+    got = pysqawk(
+        "select a1 from a", "format=json", "kv=0", "lines=1", f
+    )
+    assert got == "100\n101"
+
+
+# --- tcl input format (tests.tcl:1408+ format-2.*) -----------------------
+
+
+def test_format_tcl_lists(tmp_path):
+    f = write(tmp_path, "f", "{1 2 3   4   5       } {6 7 8 9 10}")
+    got = pysqawk("-OFS", "|", "select * from a", "format=tcl", f)
+    assert got == (
+        "1|5|1 2 3   4   5       |1|2|3|4|5|||||\n"
+        "2|5|6 7 8 9 10|6|7|8|9|10|||||"
+    )
+
+
+def test_format_tcl_kv_header(tmp_path):
+    f = write(tmp_path, "f", "{foo 1 bar 2} {foo 3 bar 4 baz 5}")
+    got = pysqawk(
+        "-output",
+        "json",
+        "select foo, bar, baz from a",
+        "format=tcl",
+        "kv=1",
+        "header=1",
+        f,
+    )
+    assert got == '[{"foo":"1","bar":"2","baz":""},{"foo":"3","bar":"4","baz":"5"}]'
+
+
+# --- stdin ---------------------------------------------------------------
+
+
+def test_stdin_source():
+    got = pysqawk("-FS", ",", "select a2 from a", stdin="x,1\ny,2\n")
+    assert got == "1\n2"
+
+
+# --- chunked-input scale smoke (tests.tcl:505-525) -----------------------
+
+
+def test_chunked_sum(tmp_path):
+    n = 15000
+    f = write(tmp_path, "big", "2 3\n" * n)
+    got = pysqawk("select sum(a1) as s from a", f)
+    assert got == str(2 * n)
