@@ -229,7 +229,16 @@ def run(argv: list[str], out=None) -> int:
                 tmp_files.append(path)
             records = PARSERS[spec.format](spark, spec, path)
             loader.add(records, spec, table)
-        loader.finalize()
+        tables = loader.finalize()
+
+        # -dbfile: parquet-backed persistence (the reference's on-disk
+        # SQLite database, README.md:146-150). Loaded tables append to
+        # existing data with continuous record numbers; tables already
+        # in the store become queryable views.
+        if opts["dbfile"]:
+            from sqawk_spark.dbfile import persist_and_register
+
+            persist_and_register(spark, opts["dbfile"], tables)
 
         serializer_spec = opts["output"]
         if serializer_spec.startswith("awk"):

@@ -83,12 +83,32 @@ _SHINGLE_SQL = f"""
 """
 
 
+# The filtered inverted index is reused by four downstream plans (both
+# self-join sides, the size table, and the MinHash verifier); persist
+# it per (session, sf_dir) so the text parse + explode runs once.
+# At cluster scale this is the standard persist-the-index pattern
+# (MEMORY_AND_DISK: spills instead of OOMing on big corpora).
+_INDEX_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark), sf_dir)
+    if key not in _INDEX_CACHE:
+        from pyspark import StorageLevel
+
+        grams = _shingles(spark, sf_dir)
+        df_cap = (
+            grams.groupBy("g").count().filter(F.col("count") <= MAX_DF).select("g")
+        )
+        filtered = grams.join(df_cap, "g").persist(StorageLevel.MEMORY_AND_DISK)
+        _INDEX_CACHE[key] = filtered
+    return _INDEX_CACHE[key]
+
+
 def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact near-dup pairs: inverted-index join + integer-arithmetic
     threshold (2*common >= union ⇔ jaccard >= 0.5, no float compare)."""
-    grams = _shingles(spark, sf_dir)
-    df_cap = grams.groupBy("g").count().filter(F.col("count") <= MAX_DF).select("g")
-    filtered = grams.join(df_cap, "g")  # df-capped inverted index
+    filtered = _shingle_index(spark, sf_dir)
     sizes = filtered.groupBy("doc_id").agg(F.count("*").alias("sz"))
 
     a = filtered.select(F.col("doc_id").alias("doc_a"), "g")
@@ -162,7 +182,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_perm, bands = 128, 32
     rows_per_band = n_perm // bands
 
-    grams = _shingles(spark, sf_dir)
+    grams = _shingle_index(spark, sf_dir)
     # signature: per doc, min over shingles of each seeded hash
     sig = grams.groupBy("doc_id").agg(
         *[
