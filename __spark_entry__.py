@@ -11,18 +11,10 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-# Importing the operator modules populates the registry.
-import sqawk_spark.operators.relational  # noqa: F401
+import sqawk_spark.operators as operators
 from sqawk_spark.operators import registry
 
-try:  # extension operators land incrementally; keep entry importable
-    import sqawk_spark.operators.dedup  # noqa: F401
-    import sqawk_spark.operators.similarity  # noqa: F401
-    import sqawk_spark.operators.textstats  # noqa: F401
-    import sqawk_spark.operators.multimodal  # noqa: F401
-    import sqawk_spark.streaming.windows  # noqa: F401
-except ImportError:  # pragma: no cover
-    pass
+operators.load_all()  # populate the registry
 
 SF0001 = "/root/testdata/sf0.001"
 

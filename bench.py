@@ -21,16 +21,9 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
-import sqawk_spark.operators.relational  # noqa: F401,E402
+import sqawk_spark.operators as operators  # noqa: E402
 
-try:  # extension modules are added incrementally
-    import sqawk_spark.operators.dedup  # noqa: F401,E402
-    import sqawk_spark.operators.similarity  # noqa: F401,E402
-    import sqawk_spark.operators.textstats  # noqa: F401,E402
-    import sqawk_spark.operators.multimodal  # noqa: F401,E402
-    import sqawk_spark.streaming.windows  # noqa: F401,E402
-except ImportError:
-    pass
+operators.load_all()
 
 from sqawk_spark.operators.registry import REGISTRY  # noqa: E402
 from sqawk_spark.session import get_session  # noqa: E402

@@ -12,4 +12,19 @@
 
 from sqawk_spark.operators.tables import load_tables
 
-__all__ = ["load_tables"]
+__all__ = ["load_tables", "load_all"]
+
+
+def load_all() -> None:
+    """Import every operator module so the registry is fully populated.
+
+    The single place that knows the module list — the entry contract,
+    bench harness, and parity tests all call this.
+    """
+    import sqawk_spark.operators.analytics  # noqa: F401
+    import sqawk_spark.operators.dedup  # noqa: F401
+    import sqawk_spark.operators.multimodal  # noqa: F401
+    import sqawk_spark.operators.relational  # noqa: F401
+    import sqawk_spark.operators.similarity  # noqa: F401
+    import sqawk_spark.operators.textstats  # noqa: F401
+    import sqawk_spark.streaming.windows  # noqa: F401

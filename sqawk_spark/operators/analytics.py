@@ -1,0 +1,216 @@
+"""Analytics extensions: grouping sets, JSON query functions, exact
+percentiles, value-window frames, skew-salted joins, approx sketches.
+
+These extend the reference surface (SURVEY.md §2.B23/B25/B26 mark
+grouping sets and query-time JSON as absent from SQLite, and sketches
+as scale headroom) with the operators a 100 TB pipeline leans on:
+
+- grouping sets compute multi-level totals in ONE shuffle instead of a
+  union of N aggregations;
+- `get_json_object` keeps semi-structured probing JVM-side (codegen'd
+  Jackson path eval) instead of a Python UDF;
+- `percentile` is exact (full sort per group) for the oracle;
+  `approx_percentile`/`approx_count_distinct` are the cluster-scale
+  variants — fixed-size sketches, mergeable map-side, no full sort;
+- the salted join splits one hot key across S reducers — the manual
+  fallback when AQE skew-splitting can't help (e.g. a skewed
+  broadcast-ineligible build side).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from sqawk_spark.operators.registry import query
+from sqawk_spark.operators.tables import load_tables
+
+
+@query(
+    "grouping_sets_agg",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               CAST(count(*) AS BIGINT) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B23 GROUPING SETS — three aggregation levels in one shuffle
+    (Spark expands sets map-side; a naive UNION ALL of three GROUP BYs
+    would scan the fact table three times)."""
+    load_tables(spark, sf_dir, ("lineitem",))
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               count(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@query(
+    "json_extract_props",
+    oracle="""
+        SELECT event_type,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS sum_k,
+               CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS max_k
+        FROM events GROUP BY event_type
+    """,
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B25 query-time JSON — `get_json_object` path evaluation stays in
+    whole-stage codegen (SQLite would need the json1 extension; the
+    reference only flattens JSON at parse time, lib/parsers/json.tcl)."""
+    t = load_tables(spark, sf_dir, ("events",))
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(F.sum(k).alias("sum_k"), F.max(k).alias("max_k"))
+    )
+
+
+@query(
+    "percentile_stats",
+    oracle="""
+        SELECT l_returnflag,
+               quantile_disc(l_extendedprice, 0.5) AS median_price,
+               quantile_disc(l_extendedprice, 0.95) AS p95_price
+        FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete per-group percentiles — returns actual data values, so
+    the comparison is exact (continuous interpolation differs between
+    engines by half an ULP). accuracy=1e6 makes the sketch exact at
+    test scale; at 100 TB drop accuracy to the default 10000 for a
+    fixed-memory mergeable sketch with map-side partial aggregation
+    and no per-group sort."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx(
+                "l_extendedprice", F.lit(0.5), F.lit(1_000_000)
+            ).alias("median_price"),
+            F.percentile_approx(
+                "l_extendedprice", F.lit(0.95), F.lit(1_000_000)
+            ).alias("p95_price"),
+        )
+    )
+
+
+@query(
+    "window_first_last",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               round(first_value(l_extendedprice) OVER w, 2) AS first_price,
+               round(last_value(l_extendedprice) OVER w, 2) AS last_price,
+               round(nth_value(l_extendedprice, 2) OVER w, 2) AS second_price
+        FROM lineitem
+        WINDOW w AS (PARTITION BY l_orderkey
+                     ORDER BY l_linenumber, l_extendedprice
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B19 value windows — first/last/nth over an unbounded ROWS frame
+    (the frame matters: default RANGE .. CURRENT ROW makes last_value
+    degenerate). One shuffle on l_orderkey, sort within partition.
+    l_extendedprice tie-breaks duplicate line numbers so the picked
+    values are deterministic in both engines."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    w = (
+        W.partitionBy("l_orderkey")
+        .orderBy("l_linenumber", "l_extendedprice")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return t["lineitem"].select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.first("l_extendedprice").over(w), 2).alias("first_price"),
+        F.round(F.last("l_extendedprice").over(w), 2).alias("last_price"),
+        F.round(F.nth_value("l_extendedprice", 2).over(w), 2).alias(
+            "second_price"
+        ),
+    )
+
+
+SALT_BUCKETS = 8
+
+
+@query(
+    "join_skew_salted",
+    oracle="""
+        SELECT o_orderpriority,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               CAST(count(*) AS BIGINT) AS n_items
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted shuffle join: the fact side derives a deterministic
+    salt from a non-key column; the dim side is replicated across all
+    SALT_BUCKETS. A hot l_orderkey now lands on 8 reducers instead of
+    one. This is the manual technique for when AQE's skew splitting
+    (enabled in session.py) can't apply — e.g. skew behind an
+    aggregation, or a build side too big to broadcast. Result is
+    byte-identical to the plain join (oracle proves it)."""
+    t = load_tables(spark, sf_dir, ("lineitem", "orders"))
+    fact = t["lineitem"].withColumn(
+        "salt", F.pmod(F.col("l_linenumber"), F.lit(SALT_BUCKETS))
+    )
+    dim = t["orders"].withColumn(
+        "salt",
+        F.explode(F.array([F.lit(i) for i in range(SALT_BUCKETS)])),
+    )
+    return (
+        fact.join(
+            dim,
+            (fact.l_orderkey == dim.o_orderkey) & (fact.salt == dim.salt),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@query("approx_stats", oracle=None)  # sketch values are engine-specific
+def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B26 scale path — HyperLogLog++ distinct counts and quantile
+    sketches. No oracle: HLL/t-digest estimates are engine-specific by
+    construction (DuckDB's approx_count_distinct gives different
+    estimates). The exact twins (count_distinct, percentile_stats) are
+    oracle-checked; this entry is the O(1)-memory, mergeable,
+    single-shuffle variant a 100 TB job would run. rsd=0.01 bounds the
+    HLL error at ~1%."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey", rsd=0.01).alias(
+                "approx_orders"
+            ),
+            F.round(
+                F.approx_percentile(
+                    "l_extendedprice", F.lit(0.5), F.lit(10000)
+                ),
+                2,
+            ).alias("approx_median"),
+        )
+    )

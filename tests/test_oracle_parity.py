@@ -8,17 +8,10 @@ from __future__ import annotations
 
 import pytest
 
-import sqawk_spark.operators.relational  # noqa: F401 — populate registry
+import sqawk_spark.operators as operators
 from sqawk_spark.operators.registry import REGISTRY
 
-try:
-    import sqawk_spark.operators.dedup  # noqa: F401
-    import sqawk_spark.operators.similarity  # noqa: F401
-    import sqawk_spark.operators.textstats  # noqa: F401
-    import sqawk_spark.operators.multimodal  # noqa: F401
-    import sqawk_spark.streaming.windows  # noqa: F401
-except ImportError:
-    pass
+operators.load_all()
 
 from tests.oracle_check import compare
 
