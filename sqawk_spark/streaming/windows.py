@@ -233,3 +233,162 @@ def stream_tumbling_counts(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def stream_sessionize_stateful(
+    spark: SparkSession, sf_dir: str, query_name: str = "stream_sessions"
+) -> DataFrame:
+    """Custom stateful sessionization with ``applyInPandasWithState``.
+
+    The built-in ``session_window`` covers gap sessions (see
+    events_sessionize); this is the escape hatch for session logic the
+    built-in can't express (per-session running aggregates, custom
+    close conditions). The events table is split into two time-ordered
+    files and read with ``maxFilesPerTrigger=1``, so sessions spanning
+    the split are carried across micro-batches in the GroupState —
+    a real distributed state handoff, not a single-batch simulation.
+
+    Emission is update-mode: each batch emits the latest version of
+    every session it touched; the newest version per
+    (user_id, session_start) — max n_events — is the final answer and
+    must equal the batch events_sessionize result (asserted in
+    tests/test_streaming.py).
+
+    Timestamps stay epoch-micro longs end to end: the state schema and
+    gap arithmetic are integer-exact, immune to timezone or nanos
+    quirks.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    import pandas as pd  # noqa: F401 — executors need it for the UDF
+
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = 30 * 60 * 1_000_000
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .select(
+            "user_id",
+            F.expr("ts div 1000").cast("long").alias("ts_us"),
+            "value",
+        )
+    )
+    split_ts = events.selectExpr(
+        "percentile_approx(ts_us, 0.5, 100) AS m"
+    ).first()["m"]
+
+    stream_dir = tempfile.mkdtemp(prefix="sqawk_stateful_")
+    # two time-ordered chunks => the second micro-batch extends
+    # sessions opened by the first
+    events.filter(F.col("ts_us") <= split_ts).coalesce(1).write.parquet(
+        os.path.join(stream_dir, "in"), mode="overwrite"
+    )
+    events.filter(F.col("ts_us") > split_ts).coalesce(1).write.parquet(
+        os.path.join(stream_dir, "in"), mode="append"
+    )
+    in_dir = os.path.join(stream_dir, "in")
+    for extra in os.listdir(in_dir):  # _SUCCESS etc. confuse the source
+        if not extra.endswith(".parquet"):
+            os.remove(os.path.join(in_dir, extra))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("session_start", T.LongType()),
+            T.StructField("session_last", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("session_start", T.LongType()),
+            T.StructField("session_last", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+        ]
+    )
+
+    def sessionize(key, pdf_iter, state: GroupState):
+        # closure (pickled by value) — executors don't import this repo
+        rows = []
+        for pdf in pdf_iter:
+            rows.extend(
+                zip(pdf["ts_us"].tolist(), pdf["value"].tolist())
+            )
+        rows.sort()
+        if state.exists:
+            start, last, n, tot = state.get
+        else:
+            start = last = None
+            n, tot = 0, 0.0
+        out = []
+        for ts_us, value in rows:
+            if start is not None and ts_us - last >= gap_us:
+                out.append((key[0], start, last, n, tot))
+                start = last = None
+                n, tot = 0, 0.0
+            if start is None:
+                start = ts_us
+            last = ts_us
+            n += 1
+            tot += value
+        if start is not None:
+            # update-mode emission of the still-open session; a later
+            # batch may extend it, superseding this row
+            out.append((key[0], start, last, n, tot))
+            state.update((start, last, n, tot))
+        import pandas as pd
+
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "user_id",
+                "session_start",
+                "session_last",
+                "n_events",
+                "total_value",
+            ],
+        )
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            sessionize,
+            out_schema,
+            state_schema,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(stream_dir, ignore_errors=True)
+
+    # newest version per session wins (n_events grows monotonically)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id", "session_start").orderBy(
+        F.col("n_events").desc()
+    )
+    return (
+        spark.table(query_name)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .withColumn("total_value", F.round("total_value", 2))
+    )
