@@ -157,19 +157,30 @@ def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B7 multi-way join — 3 tables (reference tests.tcl:181,
-    examples/three-files). lineitem⋈orders shuffles on orderkey;
-    customer joins on custkey (broadcast at small SF via AQE)."""
+    examples/three-files). Partial-aggregation pushdown: lineitem is
+    pre-aggregated per orderkey BEFORE the join (orderkey is the join
+    key, so the final per-segment totals are identical), shrinking the
+    shuffle-join input ~4× — the rewrite Catalyst doesn't do for you
+    and the one that matters most at 100 TB, where lineitem dwarfs
+    orders. customer then joins on custkey (broadcast at small SF via
+    AQE; shuffle join at scale)."""
     t = load_tables(spark, sf_dir, ("lineitem", "orders", "customer"))
-    j = (
+    per_order = (
         t["lineitem"]
-        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.count("*").alias("n_l"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "rev_l"
+            ),
+        )
     )
+    j = per_order.join(
+        t["orders"], F.col("l_orderkey") == F.col("o_orderkey")
+    ).join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
     return j.groupBy("c_mktsegment").agg(
-        F.count("*").alias("n_lines"),
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-        ).alias("revenue"),
+        F.sum("n_l").alias("n_lines"),
+        F.round(F.sum("rev_l"), 4).alias("revenue"),
     )
 
 
@@ -184,13 +195,22 @@ def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B20 LEFT OUTER join — unmatched parts keep NULL lineitem side;
-    count(col) skips NULLs in both engines."""
+    count(col) skips NULLs in both engines. The count is pushed below
+    the join (aggregate lineitem per partkey first): the outer join
+    then matches ~25× fewer rows, and unmatched parts surface as NULL
+    counts → coalesce(0) — same result as counting post-join, since
+    the join key IS the grouping key of the pushed-down aggregate."""
     t = load_tables(spark, sf_dir, ("part", "lineitem"))
-    j = t["part"].join(
-        t["lineitem"], F.col("p_partkey") == F.col("l_partkey"), "left"
+    per_part = (
+        t["lineitem"].groupBy("l_partkey").agg(F.count("*").alias("n"))
     )
-    return j.groupBy("p_partkey", "p_name").agg(
-        F.count("l_orderkey").alias("n_lineitems")
+    j = t["part"].join(
+        per_part, F.col("p_partkey") == F.col("l_partkey"), "left"
+    )
+    return j.select(
+        "p_partkey",
+        "p_name",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n_lineitems"),
     )
 
 
