@@ -1,0 +1,107 @@
+"""Physical-plan regression tests.
+
+Correctness tests prove the VALUES are right; these prove the PLANS
+are the ones we'd want on a 1000-executor cluster — filters reach the
+parquet scan, projections prune the read schema, tiny dims broadcast,
+aggregations combine map-side, and top-k never does a total sort.
+A future edit that silently turns a broadcast join into a shuffle join
+or un-pushes a filter fails here, not in a 100 TB production run.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import sqawk_spark.operators as operators
+from sqawk_spark.operators.registry import REGISTRY
+
+operators.load_all()
+
+
+def plan(spark, sf_dir, name: str, mode: str = "formatted") -> str:
+    df = REGISTRY[name].builder(spark, sf_dir)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    p = plan(spark, sf_dir, "filter_predicates")
+    assert "PushedFilters: [" in p
+    # the IN-list and the LIKE prefix are both pushable
+    assert "In(o_custkey" in p
+    assert "StringStartsWith(o_orderpriority,1)" in p
+
+
+def test_projection_prunes_read_schema(spark, sf_dir):
+    p = plan(spark, sf_dir, "projection")
+    # scan must read only the projected columns, not the whole table
+    scan_lines = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert scan_lines, p
+    (rs,) = scan_lines
+    assert "c_name" in rs and "c_acctbal" in rs
+    assert "c_address" not in rs and "c_custkey" not in rs
+
+
+def test_small_dim_join_broadcasts(spark, sf_dir):
+    p = plan(spark, sf_dir, "join_broadcast_dim")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_groupby_has_mapside_partial_agg(spark, sf_dir):
+    p = plan(spark, sf_dir, "groupby_agg")
+    # two HashAggregate nodes: partial (before exchange) + final
+    assert p.count("HashAggregate") >= 2
+    assert "partial_" in p
+
+
+def test_topk_avoids_total_sort(spark, sf_dir):
+    p = plan(spark, sf_dir, "topk_limit")
+    # per-partition top-k merged on the driver — no range-partitioned
+    # global sort for a LIMIT query
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange rangepartitioning" not in p
+
+
+def test_hot_paths_are_codegen(spark, sf_dir):
+    # Under AQE the codegen subtrees only exist in the FINAL plan, so
+    # execute first, then read the materialized plan: `*(n)` prefixes
+    # mark whole-stage-codegen'd nodes; their absence would mean the
+    # hot path fell back to interpreted row-at-a-time evaluation.
+    for name in ("flagship_pricing_summary", "groupby_agg", "join_multiway"):
+        df = REGISTRY[name].builder(spark, sf_dir)
+        # collect() executes the DataFrame's OWN QueryExecution (a
+        # write wraps the plan in a new one, leaving this one initial)
+        df.collect()
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain(mode="simple")
+        p = buf.getvalue()
+        assert "isFinalPlan=true" in p, name
+        assert "*(" in p, name
+
+
+def test_multiway_preaggregates_below_join(spark, sf_dir):
+    """The partial-agg pushdown must stay below the join: a
+    HashAggregate keyed on l_orderkey has to appear on the lineitem
+    side, before any join node consumes it."""
+    p = plan(spark, sf_dir, "join_multiway")
+    # formatted mode: one block per node, blank-line separated
+    agg_nodes = [
+        blk
+        for blk in p.split("\n\n")
+        if "HashAggregate" in blk and "Keys [1]: [l_orderkey" in blk
+    ]
+    assert agg_nodes, p
+
+
+def test_dedup_exact_shuffles_fingerprint_not_text(spark, sf_dir):
+    """The full document text must never cross the exchange — only the
+    32-char md5 fingerprint and the doc id."""
+    p = plan(spark, sf_dir, "dedup_exact")
+    exchange_following = p.split("Exchange", 1)
+    assert len(exchange_following) == 2
+    assert "hashpartitioning(fingerprint" in exchange_following[1]
