@@ -543,3 +543,58 @@ def test_chunked_sum(tmp_path):
     f = write(tmp_path, "big", "2 3\n" * n)
     got = pysqawk("select sum(a1) as s from a", f)
     assert got == str(2 * n)
+
+
+# --- multi-statement scripts (tests.tcl:191-200, table-1.1) ---------------
+
+
+def test_multistatement_script(tmp_path):
+    f1 = write(tmp_path, "f1", "1 2\n3 4\n")
+    f2 = write(tmp_path, "f2", "5 6\n")
+    got = pysqawk(
+        "select foo2 from foo; select b2 from b",
+        "table=foo",
+        "prefix=foo",
+        f1,
+        f2,
+    )
+    assert got == "2\n4\n6"
+
+
+def test_semicolon_inside_string_literal(tmp_path):
+    f = write(tmp_path, "f", "x y\n")
+    got = pysqawk("select ';' as s, a1 from a", f)
+    assert got == "; x"
+
+
+# --- regex RS (lib/parsers/awk.tcl: RS is a regex) ------------------------
+
+
+def test_regex_rs(tmp_path):
+    f = write(tmp_path, "f", "a b_+_c d_")
+    got = pysqawk("-RS", "_[+]?_?", "select a1, a2 from a", f)
+    assert got == "a b\nc d"
+
+
+# --- error handling (tests.tcl:85-99) ------------------------------------
+
+
+def test_error_bad_query(tmp_path, capsys):
+    f = write(tmp_path, "f", "x\n")
+    rc = cli.main(["asdf", f])
+    assert rc == 1
+    assert capsys.readouterr().err.startswith("error:")
+
+
+def test_error_missing_file(capsys):
+    rc = cli.main(["-1", "select a0 from a", "missing-file"])
+    assert rc == 1
+    err = capsys.readouterr().err
+    assert "missing-file" in err and err.startswith("error:")
+
+
+def test_error_invalid_mnf(tmp_path, capsys):
+    f = write(tmp_path, "f", "x\n")
+    rc = cli.main(["select a1 from a", "MNF=bogus", f])
+    assert rc == 1
+    assert capsys.readouterr().err.startswith("error:")
