@@ -63,9 +63,13 @@ def apply_affinity(col: Column, affinity: str) -> Column:
     if affinity in ("text", "blob"):
         return col
 
-    is_int = col.rlike(INT_RE)
-    is_real = col.rlike(REAL_RE)
-    d = col.cast("double")
+    # SQLite's "looks like a number" check ignores surrounding ASCII
+    # whitespace (' 2 ' under INTEGER affinity stores integer 2);
+    # non-numeric text keeps its whitespace verbatim
+    t = F.regexp_replace(col, r"^\s+|\s+$", "")
+    is_int = t.rlike(INT_RE)
+    is_real = t.rlike(REAL_RE)
+    d = t.cast("double")
 
     if affinity == "real":
         integral = (d == F.floor(d)) & (F.abs(d) < 1e15)
@@ -76,7 +80,7 @@ def apply_affinity(col: Column, affinity: str) -> Column:
 
     # integer / numeric: lossless-integral → integer form, else real
     integral = (d == F.floor(d)) & (F.abs(d) < 9.007199254740992e15)
-    long_form = col.try_cast("long").cast("string")
+    long_form = t.try_cast("long").cast("string")
     as_int = d.cast("long").cast("string")
     as_real = d.cast("string")
     return (
