@@ -171,6 +171,146 @@ def register_udfs(spark: SparkSession) -> None:
                 out.append((spec + "s") % ("" if arg is None else str(arg)))
         return "".join(out)
 
+    def typeof(x) -> str:
+        """SQLite typeof() over our canonicalized-string storage model:
+        the canonical form IS the storage class (affinity.py renders
+        integer-stored values as '1', real-stored as '1.0'), so
+        classify the rendered text. NULL → 'null'."""
+        import re as _re
+
+        if x is None:
+            return "null"
+        s = str(x)
+        if _re.fullmatch(r"[+-]?\d+", s):
+            return "integer"
+        if _re.fullmatch(r"[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?", s):
+            return "real"
+        return "text"
+
+    def glob(pattern: str, x: str) -> bool | None:
+        """SQLite glob(Y, X): case-sensitive *, ?, [...] (with ^ or !
+        negation). Translated to an anchored regex."""
+        import re as _re
+
+        if pattern is None or x is None:
+            return None
+        out, i, n = [], 0, len(pattern)
+        while i < n:
+            c = pattern[i]
+            if c == "*":
+                out.append(".*")
+            elif c == "?":
+                out.append(".")
+            elif c == "[":
+                j = i + 1
+                neg = j < n and pattern[j] in "^!"
+                if neg:
+                    j += 1
+                if j < n and pattern[j] == "]":
+                    j += 1
+                while j < n and pattern[j] != "]":
+                    j += 1
+                inner = pattern[i + 1 + (1 if neg else 0) : j]
+                out.append("[" + ("^" if neg else "") + inner + "]")
+                i = j
+            else:
+                out.append(_re.escape(c))
+            i += 1
+        return _re.fullmatch("".join(out), x, flags=_re.DOTALL) is not None
+
+    def _parse_timevalue(tv):
+        from datetime import datetime, timedelta, timezone
+
+        if tv is None:
+            return None
+        if isinstance(tv, datetime):
+            return tv
+        s = str(tv).strip()
+        if s == "now":
+            return datetime.now(timezone.utc).replace(tzinfo=None)
+        try:  # julian day number
+            jd = float(s)
+            return datetime(2000, 1, 1) + timedelta(days=jd - 2451544.5)
+        except ValueError:
+            pass
+        try:
+            return datetime.fromisoformat(s.replace("T", " "))
+        except ValueError:
+            return None
+
+    def strftime(fmt: str, timevalue) -> str | None:
+        """SQLite strftime() token subset (%d %f %H %j %J %m %M %s %S
+        %w %W %Y %%) over ISO-8601 / julian-day time values.
+        Modifier arguments ('+1 day', 'start of month') are not
+        supported — none of the reference's tests use them."""
+        dt = _parse_timevalue(timevalue)
+        if dt is None or fmt is None:
+            return None
+        from datetime import datetime, timezone
+
+        out, i, n = [], 0, len(fmt)
+        while i < n:
+            c = fmt[i]
+            if c != "%" or i + 1 >= n:
+                out.append(c)
+                i += 1
+                continue
+            t = fmt[i + 1]
+            i += 2
+            if t == "%":
+                out.append("%")
+            elif t == "d":
+                out.append(f"{dt.day:02d}")
+            elif t == "f":
+                out.append(f"{dt.second + dt.microsecond / 1e6:06.3f}")
+            elif t == "H":
+                out.append(f"{dt.hour:02d}")
+            elif t == "j":
+                out.append(f"{dt.timetuple().tm_yday:03d}")
+            elif t == "J":
+                epoch = datetime(2000, 1, 1)
+                jd = 2451544.5 + (dt - epoch).total_seconds() / 86400.0
+                out.append(repr(jd))
+            elif t == "m":
+                out.append(f"{dt.month:02d}")
+            elif t == "M":
+                out.append(f"{dt.minute:02d}")
+            elif t == "s":
+                out.append(
+                    str(int(dt.replace(tzinfo=timezone.utc).timestamp()))
+                )
+            elif t == "S":
+                out.append(f"{dt.second:02d}")
+            elif t == "w":
+                out.append(str((dt.weekday() + 1) % 7))
+            elif t == "W":
+                out.append(dt.strftime("%W"))
+            elif t == "Y":
+                out.append(f"{dt.year:04d}")
+            else:
+                out.append("%" + t)
+        return "".join(out)
+
+    def date_fn(tv) -> str | None:
+        return strftime("%Y-%m-%d", tv)
+
+    def time_fn(tv) -> str | None:
+        return strftime("%H:%M:%S", tv)
+
+    def datetime_fn(tv) -> str | None:
+        return strftime("%Y-%m-%d %H:%M:%S", tv)
+
+    def julianday(tv) -> float | None:
+        s = strftime("%J", tv)
+        return float(s) if s is not None else None
+
+    spark.udf.register("typeof", typeof, T.StringType())
+    spark.udf.register("glob", glob, T.BooleanType())
+    spark.udf.register("strftime", strftime, T.StringType())
+    spark.udf.register("date", date_fn, T.StringType())
+    spark.udf.register("time", time_fn, T.StringType())
+    spark.udf.register("datetime", datetime_fn, T.StringType())
+    spark.udf.register("julianday", julianday, T.DoubleType())
     spark.udf.register("printf", sqlite_printf, T.StringType())
     spark.udf.register("lindex", lindex, T.StringType())
     spark.udf.register("llength", llength, T.IntegerType())

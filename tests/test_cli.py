@@ -598,3 +598,41 @@ def test_error_invalid_mnf(tmp_path, capsys):
     rc = cli.main(["select a1 from a", "MNF=bogus", f])
     assert rc == 1
     assert capsys.readouterr().err.startswith("error:")
+
+
+# --- B24 scalar library: typeof / glob / date-time (SQLite parity) -------
+
+
+def test_typeof(tmp_path):
+    f = write(tmp_path, "f", "001 x 1.5\n")
+    got = pysqawk(
+        "select typeof(a1), typeof(a2), typeof(a3), typeof(a4) from a", f
+    )
+    # a1 canonicalized to integer 1; a4 beyond NF is NULL
+    assert got == "integer text real null"
+
+
+def test_glob_function(tmp_path):
+    f = write(tmp_path, "f", "abc adc axx\n")
+    got = pysqawk(
+        "select glob('a*c', a1), glob('a[^b]c', a2), glob('a?c', a3) from a",
+        f,
+    )
+    # booleans render as 1/0, matching SQLite's integer booleans
+    assert got == "1 1 0"
+
+
+def test_strftime_and_date_functions(tmp_path):
+    # ground truth from real SQLite:
+    #   strftime('%Y-%m-%d %H:%M:%S', ...) = '2024-03-05 07:08:09'
+    #   strftime('%j %w %W %s', ...)       = '065 2 10 1709622489'
+    #   julianday('2024-03-05')            = 2460374.5
+    f = write(tmp_path, "f", "2024-03-05T07:08:09\n")
+    got = pysqawk(
+        "select datetime(a1), date(a1), time(a1) from a", "FS=@", f
+    )
+    assert got == "2024-03-05 07:08:09 2024-03-05 07:08:09"
+    got = pysqawk("select strftime('%j %w %W %s', a1) from a", "FS=@", f)
+    assert got == "065 2 10 1709622489"
+    got = pysqawk("select julianday('2024-03-05') as j from a", "FS=@", f)
+    assert got == "2460374.5"
