@@ -29,23 +29,38 @@ def _sql_list(words) -> str:
     return ", ".join(f"'{w}'" for w in words)
 
 
+# GPT-2-style pre-tokenizer pattern, minus the lookahead (RE2 — the
+# DuckDB oracle's engine — has none): contractions, space-prefixed
+# letter runs, digit runs, punctuation runs, residual whitespace.
+BPE_PAT = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+_BPE_SQL = BPE_PAT.replace("'", "''")
+
+
 @query(
     "text_token_count",
-    oracle="""
+    oracle=f"""
         SELECT doc_id,
                CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER)
                    AS n_tokens,
+               CAST(len(regexp_extract_all(text, '{_BPE_SQL}')) AS INTEGER)
+                   AS n_bpe_tokens,
                CAST(length(text) AS INTEGER) AS n_chars_measured,
                CAST(n_chars AS BIGINT) AS n_chars_declared
         FROM documents
     """,
 )
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whitespace token count + char count per document."""
+    """Token counts per document: whitespace tokens plus a BPE-ish
+    pre-tokenizer count (the GPT-2 split pattern) — the cheap proxy
+    for "how many LLM tokens is this corpus" that runs as a codegen'd
+    regex scan, no tokenizer library on the executors."""
     t = load_tables(spark, sf_dir, ("documents",))
     return t["documents"].select(
         "doc_id",
         F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_PAT), 0)).alias(
+            "n_bpe_tokens"
+        ),
         F.length("text").alias("n_chars_measured"),
         F.col("n_chars").alias("n_chars_declared"),
     )
