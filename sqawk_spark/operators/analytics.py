@@ -214,3 +214,46 @@ def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("approx_median"),
         )
     )
+
+
+@query(
+    "udtf_tokenize",
+    oracle="""
+        WITH s AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(text), '\\s+') AS toks
+            FROM documents WHERE doc_id < 50
+        )
+        SELECT doc_id,
+               CAST(unnest(range(len(toks))) AS INTEGER) AS pos,
+               unnest(toks) AS token
+        FROM s
+    """,
+)
+def udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B29 UDTF surface — the reference exposes only scalar Tcl
+    functions (sqawk-dev.tcl:199-215); Spark 4 adds Python table
+    functions, demonstrated here as a LATERAL tokenizer. The UDTF is
+    Arrow-batched per input row partition; at scale this is the shape
+    for fan-out transforms whose output cardinality varies per row
+    (tokenization, n-gram expansion, citation extraction). The class
+    is defined in-function so cloudpickle ships it by value — import-
+    by-reference would break on executors without this repo installed.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, token string")
+    class Tokenize:
+        def eval(self, text: str):
+            for i, tok in enumerate((text or "").split()):
+                yield i, tok
+
+    spark.udtf.register("regex_tokens", Tokenize)
+    load_tables(spark, sf_dir, ("documents",))
+    return spark.sql(
+        """
+        SELECT doc_id, t.pos, t.token
+        FROM documents, LATERAL regex_tokens(text) AS t
+        WHERE doc_id < 50
+        """
+    )

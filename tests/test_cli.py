@@ -636,3 +636,16 @@ def test_strftime_and_date_functions(tmp_path):
     assert got == "065 2 10 1709622489"
     got = pysqawk("select julianday('2024-03-05') as j from a", "FS=@", f)
     assert got == "2460374.5"
+
+
+def test_output_table_cjk_width(tmp_path):
+    """Wide CJK chars count as 2 columns (reference lib/tabulate.tcl:
+    8-158): every rendered line must have the same display width."""
+    from sqawk_spark.serializers.table import display_width
+
+    f = write(tmp_path, "f", "汉字 ab\nx y\n")
+    got = pysqawk("-output", "table", "select a1, a2 from a", f)
+    lines = got.splitlines()
+    widths = {display_width(ln) for ln in lines}
+    assert len(widths) == 1, lines
+    assert any("汉字" in ln for ln in lines)
