@@ -19,6 +19,8 @@ as scale headroom) with the operators a 100 TB pipeline leans on:
 
 from __future__ import annotations
 
+import pandas as pd  # module-scope: pandas_udf type hints resolve here
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -256,4 +258,52 @@ def udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents, LATERAL regex_tokens(text) AS t
         WHERE doc_id < 50
         """
+    )
+
+
+@query(
+    "udaf_geomean",
+    oracle="""
+        SELECT l_returnflag,
+               round(exp(avg(ln(l_quantity))), 6) AS geomean_qty,
+               CAST(count(*) AS BIGINT) AS n
+        FROM lineitem WHERE l_quantity > 0
+        GROUP BY l_returnflag
+    """,
+)
+def udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B29 UDAF surface — a Pandas grouped-aggregate UDF (geometric
+    mean), the escape hatch for aggregations Spark lacks natively.
+    Arrow ships each group's column as one numpy vector; log-domain
+    averaging keeps it overflow-free. The reference has no UDAF
+    mechanism at all (only scalar Tcl functions). Defined in-function
+    so cloudpickle ships it by value. At 100 TB note the caveat: a
+    GROUPED_AGG pandas UDF has NO partial aggregation — every group's
+    values ship to one executor — so keys must have bounded group
+    sizes; for algebraic aggregates like this one, the pure-SQL
+    exp(avg(ln x)) form (the oracle) is preferred at scale because it
+    DOES combine map-side."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def geomean(v: pd.Series) -> float:
+        import numpy as np
+
+        return float(np.exp(np.log(v.to_numpy()).mean()))
+
+    # Spark disallows mixing grouped-agg pandas UDFs with JVM
+    # aggregates in one agg(), so the row count is a pandas UDF too
+    @pandas_udf("long")
+    def n_rows(v: pd.Series) -> int:
+        return len(v)
+
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    return (
+        t["lineitem"]
+        .filter(F.col("l_quantity") > 0)
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(geomean("l_quantity"), 6).alias("geomean_qty"),
+            n_rows("l_quantity").alias("n"),
+        )
     )
