@@ -105,3 +105,17 @@ def test_dedup_exact_shuffles_fingerprint_not_text(spark, sf_dir):
     exchange_following = p.split("Exchange", 1)
     assert len(exchange_following) == 2
     assert "hashpartitioning(fingerprint" in exchange_following[1]
+
+
+def test_bucketed_join_has_no_exchange_on_keys(spark, sf_dir):
+    """Both sides are bucketed+sorted on the join key: the sort-merge
+    join must consume buckets directly — no hash-partitioning exchange
+    on the key columns anywhere in the plan."""
+    df = REGISTRY["join_bucketed"].builder(spark, sf_dir)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode="formatted")
+    p = buf.getvalue()
+    assert "Bucketed: true" in p, p
+    assert "hashpartitioning(l_orderkey" not in p
+    assert "hashpartitioning(o_orderkey" not in p
