@@ -13,6 +13,8 @@ path.
 
 from __future__ import annotations
 
+import pandas as pd  # module-scope: pandas_udf type hints resolve here
+
 from pyspark.sql import SparkSession
 from pyspark.sql import types as T
 
@@ -303,6 +305,49 @@ def register_udfs(spark: SparkSession) -> None:
     def julianday(tv) -> float | None:
         s = strftime("%J", tv)
         return float(s) if s is not None else None
+
+    def unicode_fn(s: str) -> int | None:
+        return ord(s[0]) if s else None
+
+    def sqlite_version() -> str:
+        # honest emulation marker: the affinity layer is property-
+        # tested against this exact library version
+        import sqlite3 as _sq
+
+        return _sq.sqlite_version
+
+    spark.udf.register("unicode", unicode_fn, T.IntegerType())
+    spark.udf.register("sqlite_version", sqlite_version, T.StringType())
+
+    # iif: SQL scalar function (CASE sugar). String-typed to match the
+    # engine's canonicalized-string storage model.
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION iif(c BOOLEAN, a STRING, b STRING)
+        RETURNS STRING RETURN CASE WHEN c THEN a ELSE b END
+        """
+    )
+
+    # SQLite aggregate names: total() (sum with 0.0 for empty/all-NULL)
+    # and group_concat() — Arrow-batched grouped-agg UDFs. Caveat
+    # (shared with any GROUPED_AGG pandas UDF): they cannot be mixed
+    # with JVM aggregates in one SELECT, and have no partial
+    # aggregation — fine for sqawk-sized scripts; at scale use
+    # coalesce(sum(x),0.0) / concat_ws(',', collect_list(x)).
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def total_agg(v: pd.Series) -> float:
+        s = v.dropna().astype("float64").sum()
+        return float(s)
+
+    @pandas_udf("string")
+    def group_concat_agg(v: pd.Series) -> str | None:
+        vals = [str(x) for x in v.dropna()]
+        return ",".join(vals) if vals else None
+
+    spark.udf.register("total", total_agg)
+    spark.udf.register("group_concat", group_concat_agg)
 
     spark.udf.register("typeof", typeof, T.StringType())
     spark.udf.register("glob", glob, T.BooleanType())

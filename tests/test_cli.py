@@ -649,3 +649,20 @@ def test_output_table_cjk_width(tmp_path):
     widths = {display_width(ln) for ln in lines}
     assert len(widths) == 1, lines
     assert any("汉字" in ln for ln in lines)
+
+
+def test_sqlite_aggregate_names(tmp_path):
+    f = write(tmp_path, "f", "1 x\n2 y\n3 z\n")
+    # integral floats render as integers (serializers.render_value's
+    # documented divergence), so total()'s REAL result prints bare
+    assert pysqawk("select total(a1) as t from a", f) == "6"
+    assert pysqawk("select group_concat(a2) as g from a", f) == "x,y,z"
+    assert pysqawk("select total(a3) as t from a", f) == "0"
+
+
+def test_iif_unicode_version(tmp_path):
+    f = write(tmp_path, "f", "5 A\n")
+    assert pysqawk("select iif(a1 > 3, 'big', 'small') from a", f) == "big"
+    assert pysqawk("select unicode(a2) from a", f) == "65"
+    out = pysqawk("select sqlite_version() from a", f)
+    assert out.count(".") == 2
