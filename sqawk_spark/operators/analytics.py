@@ -169,8 +169,11 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation, or a build side too big to broadcast. Result is
     byte-identical to the plain join (oracle proves it)."""
     t = load_tables(spark, sf_dir, ("lineitem", "orders"))
+    # hash-derived salt: uniform across all buckets (l_linenumber alone
+    # is 1..7, which would leave one replicated bucket unmatched)
     fact = t["lineitem"].withColumn(
-        "salt", F.pmod(F.col("l_linenumber"), F.lit(SALT_BUCKETS))
+        "salt",
+        F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(SALT_BUCKETS)),
     )
     dim = t["orders"].withColumn(
         "salt",
