@@ -45,3 +45,64 @@ def test_stateful_sessionize_equals_batch(spark, sf_dir):
         assert s["session_last"] == b["session_last"], k
         assert s["n_events"] == b["n_events"], k
         assert abs(s["total_value"] - b["total_value"]) <= 0.01, k
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Append-mode tumbling aggregation with a 1-hour watermark: an
+    event arriving after the watermark has passed its window must NOT
+    resurrect that window. This pins the state-bounding behavior
+    SCALE.md relies on: state size is O(active windows), late
+    stragglers are dropped, not buffered forever.
+
+    Watermark mechanics (verified empirically): batch N's late filter
+    uses the watermark committed after batch N-1 — one batch of lag —
+    so the late row arrives in batch 3, after a buffer batch has
+    activated the 10:55 watermark derived from batch 1's max (11:55).
+    """
+    import os
+    import time
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    base = "2024-01-01 "
+
+    def mk(*ts):
+        return pd.DataFrame(
+            {"ts": pd.to_datetime([base + t for t in ts])}
+        ).astype({"ts": "datetime64[us]"})
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    # the file source orders batches by modification time — pin it
+    mk("10:00:00", "10:05:00", "11:55:00").to_parquet(str(in_dir / "b1.parquet"))
+    mk("11:56:00").to_parquet(str(in_dir / "b2.parquet"))
+    # 09:00 is far beyond the active 10:55 watermark => dropped
+    mk("09:00:00").to_parquet(str(in_dir / "b3.parquet"))
+    now = time.time()
+    for i, name in enumerate(("b1", "b2", "b3")):
+        os.utime(str(in_dir / f"{name}.parquet"), (now - 300 + i * 60,) * 2)
+
+    schema = "ts timestamp"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(in_dir))
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").cast("string").alias("ws"), "n")
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_late_drop")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {r["ws"]: r["n"] for r in spark.table("t_late_drop").collect()}
+    # on-time windows finalized below the final watermark (10:55) emit;
+    # the 09:00 late window must not appear
+    assert rows.get("2024-01-01 10:00:00") == 2
+    assert "2024-01-01 09:00:00" not in rows
