@@ -666,3 +666,20 @@ def test_iif_unicode_version(tmp_path):
     assert pysqawk("select unicode(a2) from a", f) == "65"
     out = pysqawk("select sqlite_version() from a", f)
     assert out.count(".") == 2
+
+
+def test_format_csv_unicode_golden(tmp_path):
+    # format-1.1 (tests.tcl:527-538)
+    f = write(tmp_path, "f", '1,2,"Hello, World!"\nΑλαμπουρνέζικα,3,4\n5,6,7')
+    got = pysqawk("-OFS", "-", "select a1, a2, a3 from a", "format=csv", f)
+    assert got == "1-2-Hello, World!\nΑλαμπουρνέζικα-3-4\n5-6-7"
+
+
+def test_format_csvalt_semicolon_golden(tmp_path):
+    # format-1.2 (tests.tcl:540-550)
+    f = write(tmp_path, "f", '1;2;"Hello, World!"\nΑλαμπουρνέζικα;3;4\n5;6;7')
+    got = pysqawk(
+        "-OFS", "-", "select a1, a2, a3 from a",
+        "format=csvalt", "csvsep=;", f,
+    )
+    assert got == "1-2-Hello, World!\nΑλαμπουρνέζικα-3-4\n5-6-7"
