@@ -41,13 +41,15 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = t["documents"].select(
         "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("t")
     )
-    # word n-grams via a sequence of start offsets (JVM-side, no UDF)
+    # word n-grams via a sequence of start offsets (JVM-side, no UDF).
+    # Grams are hashed to 8-byte ids BEFORE the distinct, so the
+    # dedup shuffle moves longs, never the gram strings.
     grams = toks.select(
         "doc_id",
         F.explode(
             F.expr(
                 f"transform(sequence(0, size(t) - {NGRAM}),"
-                f" i -> concat_ws(' ', slice(t, i + 1, {NGRAM})))"
+                f" i -> xxhash64(concat_ws(' ', slice(t, i + 1, {NGRAM}))))"
             )
         ).alias("g"),
     ).distinct()
@@ -96,15 +98,13 @@ def _shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     if key not in _INDEX_CACHE:
         from pyspark import StorageLevel
 
-        # Shingle strings (~25 bytes) are replaced by xxhash64 ids in
-        # the index: the df-cap aggregation, the cache, and every
-        # downstream shuffle move 8-byte longs instead of strings.
+        # The index holds xxhash64 gram ids (hashed inside _shingles):
+        # the df-cap aggregation, the cache, and every downstream
+        # shuffle move 8-byte longs instead of ~25-byte strings.
         # A 64-bit collision merges two grams (P ≈ n²/2⁶⁵ — for a
         # billion-gram corpus ~3%... of ONE pair being perturbed, not
         # of a wrong dedup verdict, since verification sums many grams).
-        grams = _shingles(spark, sf_dir).select(
-            "doc_id", F.xxhash64("g").alias("g")
-        )
+        grams = _shingles(spark, sf_dir)
         df_cap = (
             grams.groupBy("g").count().filter(F.col("count") <= MAX_DF).select("g")
         )
@@ -192,20 +192,23 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-dup pairs, verified with exact Jaccard.
 
-    128 permutations approximated by xxhash64(shingle || '#' || i);
-    32 bands × 4 rows → candidate capture probability at j=0.9 is
-    1-(1-0.9⁴)³² ≈ 1-1e-6, so the verified output equals the exact
+    64 permutations approximated by seeded xxhash64(gram_id, i);
+    16 bands × 4 rows → candidate capture probability at j=0.9 is
+    1-(1-0.9⁴)¹⁶ ≈ 1-6e-8, so the verified output equals the exact
     Jaccard join (the oracle) for any well-separated corpus; the LSH
-    stage exists to keep the candidate set linear at scale.
+    stage exists to keep the candidate set linear at scale. (128/32
+    doubles signature cost for capture headroom nothing here needs.)
     """
-    n_perm, bands = 128, 32
+    n_perm, bands = 64, 16
     rows_per_band = n_perm // bands
 
     grams = _shingle_index(spark, sf_dir)
-    # signature: per doc, min over shingles of each seeded hash
+    # signature: per doc, min over shingles of each seeded hash —
+    # two-arg xxhash64(gram_id, seed) stays integer end to end (the
+    # old concat(g, '#i') form forced 128 string builds per index row)
     sig = grams.groupBy("doc_id").agg(
         *[
-            F.min(F.xxhash64(F.concat(F.col("g"), F.lit(f"#{i}")))).alias(f"h{i}")
+            F.min(F.xxhash64(F.col("g"), F.lit(i))).alias(f"h{i}")
             for i in range(n_perm)
         ]
     )
