@@ -147,7 +147,7 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SALT_BUCKETS = 8
+SALT_BUCKETS = 4  # demo scale; size to observed hot-key skew in production
 
 
 @query(
@@ -163,8 +163,8 @@ SALT_BUCKETS = 8
 def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-salted shuffle join: the fact side derives a deterministic
     salt from a non-key column; the dim side is replicated across all
-    SALT_BUCKETS. A hot l_orderkey now lands on 8 reducers instead of
-    one. This is the manual technique for when AQE's skew splitting
+    SALT_BUCKETS. A hot l_orderkey now lands on SALT_BUCKETS reducers
+    instead of one. This is the manual technique for when AQE's skew splitting
     (enabled in session.py) can't apply — e.g. skew behind an
     aggregation, or a build side too big to broadcast. Result is
     byte-identical to the plain join (oracle proves it)."""

@@ -22,7 +22,12 @@ from pyspark.sql import types as T
 from sqawk_spark.sources.base import FileSpec
 
 
-def _make_split_udf(sep: str, quote: str, alt_mode: bool):
+def _make_split_udf(sep: str, quote: str, alt_mode: bool):  # noqa: ARG001
+    # alt_mode (csv2/csvalt, tcllib's Excel "alternate mode") needs no
+    # separate code path: Python csv with doublequote=True already
+    # implements the Excel quoting dialect both modes converge on for
+    # line-based input (reference lib/parsers/csv.tcl:9-13; golden
+    # format-1.2 passes through this same parser).
     """Closure (pickled by value — executors don't import this repo).
 
     No type hints on the inner function: this module uses
