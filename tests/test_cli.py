@@ -683,3 +683,24 @@ def test_format_csvalt_semicolon_golden(tmp_path):
         "format=csvalt", "csvsep=;", f,
     )
     assert got == "1-2-Hello, World!\nΑλαμπουρνέζικα-3-4\n5-6-7"
+
+
+@pytest.mark.skipif(
+    not __import__("os").environ.get("SQAWK_SCALE_TEST"),
+    reason="large-ingest smoke: set SQAWK_SCALE_TEST=1 (adds ~1 min)",
+)
+def test_large_ingest_parallel(tmp_path):
+    """2M-record text ingest through the full CLI path (split, anr
+    numbering, affinity, aggregation). The reference's scale test stops
+    at 15k records (tests.tcl:505-525); this pins that the ingest path
+    has no driver-side row loop — wall time must stay seconds-ish, and
+    sum/count must be exact."""
+    n = 2_000_000
+    f = tmp_path / "big.txt"
+    with open(f, "w") as fh:
+        for i in range(0, n, 100_000):
+            fh.write("".join(f"{j} {j % 7}\n" for j in range(i, i + 100_000)))
+    got = pysqawk(
+        "select count(*) as n, sum(a1) as s, max(anr) as m from a", str(f)
+    )
+    assert got == f"{n} {n*(n-1)//2} {n}"
