@@ -253,8 +253,10 @@ def run(argv: list[str], out=None) -> int:
             ser = make_serializer(serializer_spec, out)
 
         try:
+            from sqawk_spark.dialect import rewrite_statement
+
             for stmt in split_statements(script):
-                df = spark.sql(stmt)
+                df = spark.sql(rewrite_statement(stmt))
                 names = df.columns
                 for row in df.toLocalIterator():
                     ser.row(names, [render_value(v) for v in row])

@@ -346,8 +346,24 @@ def register_udfs(spark: SparkSession) -> None:
         vals = [str(x) for x in v.dropna()]
         return ",".join(vals) if vals else None
 
+    @pandas_udf("string")
+    def group_concat2_agg(v: pd.Series, sep: pd.Series) -> str | None:
+        """group_concat(X, Y): SQLite emits Y from the CURRENT row as
+        the separator preceding each value after the first. Reached via
+        the dialect rewrite (dialect.py) since one UDF name cannot
+        carry two arities in Spark."""
+        mask = v.notna()
+        vals = [str(x) for x in v[mask]]
+        seps = ["" if x is None else str(x) for x in sep[mask]]
+        if not vals:
+            return None
+        return vals[0] + "".join(
+            seps[i] + vals[i] for i in range(1, len(vals))
+        )
+
     spark.udf.register("total", total_agg)
     spark.udf.register("group_concat", group_concat_agg)
+    spark.udf.register("group_concat2", group_concat2_agg)
 
     spark.udf.register("typeof", typeof, T.StringType())
     spark.udf.register("glob", glob, T.BooleanType())

@@ -685,6 +685,31 @@ def test_format_csvalt_semicolon_golden(tmp_path):
     assert got == "1-2-Hello, World!\nΑλαμπουρνέζικα-3-4\n5-6-7"
 
 
+def test_infix_glob(tmp_path):
+    """SQLite's infix GLOB operator, rewritten to the glob() UDF by
+    the dialect layer (dialect.py). Case-sensitive, unlike LIKE."""
+    f = write(tmp_path, "f", "file.txt\nFILE.TXT\nnotes.md\nfile2.txt\n")
+    assert (
+        pysqawk("select a1 from a where a1 GLOB '*.txt'", f)
+        == "file.txt\nfile2.txt"
+    )
+    assert (
+        pysqawk("select a1 from a where a1 NOT GLOB '*.txt' order by anr", f)
+        == "FILE.TXT\nnotes.md"
+    )
+
+
+def test_group_concat_two_arg(tmp_path):
+    """group_concat(X, SEP) — 2-arg SQLite form via the dialect
+    rewrite onto the fixed-arity group_concat2 UDF."""
+    f = write(tmp_path, "f", "x 1\nx 2\ny 3\n")
+    got = pysqawk(
+        "select a1, group_concat(a2, '-') as g from a group by a1 order by a1",
+        f,
+    )
+    assert got == "x 1-2\ny 3"
+
+
 @pytest.mark.skipif(
     not __import__("os").environ.get("SQAWK_SCALE_TEST"),
     reason="large-ingest smoke: set SQAWK_SCALE_TEST=1 (adds ~1 min)",

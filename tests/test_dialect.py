@@ -1,0 +1,124 @@
+"""The SQLite-dialect rewriter (sqawk_spark/dialect.py): pure string
+rewrites, checked (a) unit-style on the rewrite output and (b) for
+semantic parity against the real SQLite library, which is the
+reference's actual query engine (lib/classes/sqawk.tcl:216)."""
+
+from __future__ import annotations
+
+import sqlite3
+
+import pytest
+
+from sqawk_spark.dialect import rewrite_statement
+
+
+@pytest.mark.parametrize(
+    "src,expected",
+    [
+        # infix GLOB — SQLite expr grammar, X GLOB Y == glob(Y, X)
+        (
+            "select a1 from a where a1 GLOB '*.txt'",
+            "select a1 from a where glob('*.txt', a1)",
+        ),
+        (
+            "select a1 from a where a1 NOT GLOB 'x[0-9]'",
+            "select a1 from a where NOT glob('x[0-9]', a1)",
+        ),
+        (
+            "select a1 from a where lower(a1) glob 'abc*'",
+            "select a1 from a where glob('abc*', lower(a1))",
+        ),
+        # function-call form untouched, incl. after NOT and in args
+        ("select glob('a*', a1) from a", "select glob('a*', a1) from a"),
+        ("where not glob('p', a1)", "where not glob('p', a1)"),
+        (
+            "select f(x, glob('a', a1)) from a",
+            "select f(x, glob('a', a1)) from a",
+        ),
+        # quoted text untouched
+        ("select 'a GLOB b' from a", "select 'a GLOB b' from a"),
+        # parenthesized operands on either side
+        ("select (a1) GLOB a2 from a", "select glob(a2, (a1)) from a"),
+        (
+            "select max(a1, a2) GLOB '1*' from a",
+            "select glob('1*', max(a1, a2)) from a",
+        ),
+        # several operators in one predicate
+        (
+            "where a1 GLOB 'p' or a2 GLOB 'q'",
+            "where glob('p', a1) or glob('q', a2)",
+        ),
+        # group_concat arity dispatch
+        (
+            "select group_concat(a1) from a",
+            "select group_concat(a1) from a",
+        ),
+        (
+            "select group_concat(a1, '-') from a",
+            "select group_concat2(a1, '-') from a",
+        ),
+        (
+            "select group_concat(coalesce(a1, 'x'), ';'), group_concat(a2) from a",
+            "select group_concat2(coalesce(a1, 'x'), ';'), group_concat(a2) from a",
+        ),
+        (
+            "select 'group_concat(a,b)' from a",
+            "select 'group_concat(a,b)' from a",
+        ),
+    ],
+)
+def test_rewrite(src, expected):
+    assert rewrite_statement(src) == expected
+
+
+def _sqlite(sql: str, rows):
+    con = sqlite3.connect(":memory:")
+    con.execute("create table a (a1 text, a2 text)")
+    con.executemany("insert into a values (?, ?)", rows)
+    return [tuple(r) for r in con.execute(sql)]
+
+
+def test_glob_semantics_match_sqlite():
+    """The rewrite target glob(Y, X) must agree with SQLite's infix
+    GLOB on representative patterns (case sensitivity, classes,
+    negated classes)."""
+    rows = [
+        ("file.txt", "x"), ("FILE.TXT", "y"), ("a1z", "z"),
+        ("abz", "w"), ("b2", "v"), ("", "u"),
+    ]
+    pats = ["*.txt", "a[0-9]z", "a[^0-9]z", "?2", "*", ""]
+    # reference behavior straight from SQLite
+    for p in pats:
+        want = _sqlite(f"select a1 from a where a1 GLOB '{p}'", rows)
+        got = _sqlite(f"select a1 from a where glob('{p}', a1)", rows)
+        assert got == want, p
+
+
+def test_group_concat_two_arg_semantics_match_sqlite():
+    """SQLite: separator precedes each value after the first and is
+    taken from the current row's second argument."""
+    con = sqlite3.connect(":memory:")
+    con.execute("create table t (g int, x text, s text)")
+    con.executemany(
+        "insert into t values (?, ?, ?)",
+        [(1, "a", "-"), (1, "b", "+"), (1, None, "*"), (1, "c", "/"),
+         (2, None, "-")],
+    )
+    want = {
+        g: v
+        for g, v in con.execute(
+            "select g, group_concat(x, s) from t group by g"
+        )
+    }
+    # mirror of functions/__init__.py group_concat2_agg logic
+    def py_group_concat2(pairs):
+        vals = [str(x) for x, _ in pairs if x is not None]
+        seps = [str(s) for x, s in pairs if x is not None]
+        if not vals:
+            return None
+        return vals[0] + "".join(
+            seps[i] + vals[i] for i in range(1, len(vals))
+        )
+
+    assert py_group_concat2([("a", "-"), ("b", "+"), (None, "*"), ("c", "/")]) == want[1]
+    assert py_group_concat2([(None, "-")]) == want[2]
