@@ -230,23 +230,28 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("ann_ivf_topk", oracle=None)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF (inverted-file) ANN: partition the corpus into K clusters,
-    probe only the NPROBE clusters nearest each query.
+    """IVF (inverted-file) ANN: partition the corpus into K clusters
+    with Lloyd's k-means, probe only the NPROBE clusters nearest each
+    query.
 
     The 100 TB shape: the centroid "model" is K×D doubles (tiny,
     driver-resident, broadcast into closures) while the corpus is only
-    ever scanned — assignment is one Arrow-batched numpy pass, the
-    Lloyd refinement is one groupBy over (cluster, dim), and the probe
-    join keys on cluster id, so each query touches ~NPROBE/K of the
-    data instead of all of it. On a real cluster the assignment output
-    would be written bucketed by cluster id, making the probe join a
-    pruned scan with zero shuffle.
+    ever scanned. Each k-means iteration is ONE Arrow-batched numpy
+    pass that emits per-batch partial sums — K rows of D doubles per
+    batch (map-side combine in the classic sense), so what crosses to
+    the driver per iteration is K×num_batches tiny rows, independent
+    of corpus size; there is no wide shuffle anywhere in the fit. The
+    probe join keys on cluster id, so each query touches ~NPROBE/K of
+    the data instead of all of it. On a real cluster the assignment
+    output would be written bucketed by cluster id, making the probe
+    join a pruned scan with zero shuffle.
 
     Deterministic: seeds are the K lowest corpus vec_ids outside the
-    query set; no random state anywhere. Approximate by design →
+    query set; ties in assignment break toward the lower cluster id
+    (numpy argmax); no random state anywhere. Approximate by design →
     rows-only check; recall vs the exact baseline is asserted in
     tests/test_extensions.py."""
-    n_clusters, n_probe = 16, 4
+    n_clusters, n_probe, n_iters = 16, 4, 3
     t = load_tables(spark, sf_dir, ("embeddings",))
     emb = t["embeddings"].select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
@@ -282,29 +287,56 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         return assign
 
     schema = "vec_id bigint, cluster int"
-    first = emb.mapInPandas(assigner(seeds), schema=schema)
 
-    # one Lloyd step: per-(cluster, dim) mean → refined centroids.
-    # K×D rows cross the shuffle — independent of corpus size.
-    refined_rows = (
-        emb.join(first, "vec_id")
-        .select("cluster", F.posexplode("v").alias("dim", "x"))
-        .groupBy("cluster", "dim")
-        .agg(F.avg("x").alias("m"))
-        .groupBy("cluster")
-        .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("ms"))
-        .select("cluster", F.col("ms.m").alias("centroid"))
-        .collect()
-    )
-    refined = seeds[:]
-    for r in refined_rows:
-        refined[r["cluster"]] = list(r["centroid"])
+    def partial_summer(centroids):
+        # assign + per-batch partial sums in one pass: the iteration's
+        # entire executor→driver traffic is K rows per Arrow batch
+        def run(batches):
+            import numpy as np
+            import pandas as _pd
+
+            cm = np.array(centroids, dtype=np.float64)  # (K, D)
+            cn = np.sqrt((cm * cm).sum(axis=1))
+            k, d = cm.shape
+            sums = np.zeros((k, d))
+            counts = np.zeros(k, dtype=np.int64)
+            for pdf in batches:
+                vm = np.array(list(pdf["v"]), dtype=np.float64)
+                vn = np.sqrt((vm * vm).sum(axis=1))
+                sims = (vm @ cm.T) / (vn[:, None] * cn[None, :])
+                a = sims.argmax(axis=1)
+                np.add.at(sums, a, vm)
+                counts += np.bincount(a, minlength=k)
+            yield _pd.DataFrame(
+                {
+                    "cluster": np.arange(k, dtype=np.int32),
+                    "s": list(sums),
+                    "n": counts,
+                }
+            )
+
+        return run
+
+    import numpy as _np
+
+    refined = [list(s) for s in seeds]
+    for _ in range(n_iters):
+        parts = emb.mapInPandas(
+            partial_summer(refined),
+            schema="cluster int, s array<double>, n bigint",
+        ).collect()
+        sums = _np.zeros((n_clusters, len(refined[0])))
+        counts = _np.zeros(n_clusters, dtype=_np.int64)
+        for r in parts:
+            sums[r["cluster"]] += _np.array(r["s"])
+            counts[r["cluster"]] += r["n"]
+        for c in range(n_clusters):
+            if counts[c] > 0:  # empty cluster keeps its old centroid
+                refined[c] = list(sums[c] / counts[c])
 
     assigned = emb.mapInPandas(assigner(refined), schema=schema)
 
     # probe table: for each query, its NPROBE nearest refined centroids
-    import numpy as _np
-
     q_rows = emb.filter(F.col("vec_id") < N_QUERIES).collect()
     cm = _np.array(refined)
     cn = _np.sqrt((cm * cm).sum(axis=1))

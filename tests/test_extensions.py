@@ -62,8 +62,9 @@ def test_ann_ivf_recall_vs_brute_force(spark, sf_dir):
     """IVF probes 4 of 16 clusters (25% of the corpus). On this
     near-orthogonal synthetic corpus cluster structure is weak, so
     the floor is modest — the assertion pins the plumbing end to end
-    (assignment, Lloyd step, probe join, rerank) plus a recall floor,
-    not a production SLA."""
+    (assignment, 3 Lloyd iterations, probe join, rerank) plus a
+    recall floor, not a production SLA. Measured recall is ~0.5 at
+    sf0.001 and sf0.01 (deterministic seeds → stable per SF)."""
     from sqawk_spark.operators.similarity import ann_ivf_topk
 
     exact = {
@@ -75,4 +76,4 @@ def test_ann_ivf_recall_vs_brute_force(spark, sf_dir):
     assert len(ivf) > 0
     # every returned neighbor's cosine must be exact (rerank is exact)
     assert all(-1.0 <= r.cosine <= 1.0 for r in ivf_rows)
-    assert len(exact & ivf) / len(exact) >= 0.15
+    assert len(exact & ivf) / len(exact) >= 0.4
