@@ -255,8 +255,18 @@ def run(argv: list[str], out=None) -> int:
         try:
             from sqawk_spark.dialect import rewrite_statement
 
+            # known column names let the rewriter reproduce SQLite's
+            # double-quoted-identifier fallback (quirks.html#dblquote);
+            # from the catalog so -dbfile-registered views count too
+            known_cols = {
+                c
+                for t in spark.catalog.listTables()
+                if t.isTemporary
+                for c in spark.table(t.name).columns
+            }
+
             for stmt in split_statements(script):
-                df = spark.sql(rewrite_statement(stmt))
+                df = spark.sql(rewrite_statement(stmt, known_cols))
                 names = df.columns
                 for row in df.toLocalIterator():
                     ser.row(names, [render_value(v) for v in row])

@@ -12,6 +12,10 @@ of it is valid Spark SQL too; the gaps this module closes:
   fixed-arity, so the one-arg form is registered as ``group_concat``
   and the two-arg form as ``group_concat2``; this rewrite maps call
   sites with two top-level arguments onto the latter.
+- double-quoted identifiers: SQLite resolves ``"name"`` as a column
+  when it exists, else a string literal (quirks.html#dblquote, relied
+  on by reference test header-1.2); with the loaded schemas in hand
+  the same fallback is applied here.
 
 Both rewrites are quote-aware (single/double/backtick quoting with
 SQL '' escaping) and operate on token boundaries only. The GLOB
@@ -240,5 +244,39 @@ def rewrite_group_concat(stmt: str) -> str:
     return "".join(out)
 
 
-def rewrite_statement(stmt: str) -> str:
-    return rewrite_group_concat(rewrite_glob(stmt))
+def rewrite_double_quoted_idents(stmt: str, columns: set[str]) -> str:
+    """SQLite's misfeature, reproduced deliberately: a double-quoted
+    token is an identifier when it resolves to a column, else a string
+    literal (www.sqlite.org/quirks.html#dblquote; the reference's
+    header-1.2 test depends on it). Spark with ANSI off always reads
+    ``"..."`` as a literal, so rewrite resolvable ones to backtick
+    quoting. Only exact matches against loaded-table column names flip
+    — anything else stays a literal, same as SQLite."""
+    out = []
+    i, n = 0, len(stmt)
+    while i < n:
+        c = stmt[i]
+        if c in "'`":
+            j = _scan_string(stmt, i)
+            out.append(stmt[i:j])
+            i = j
+            continue
+        if c == '"':
+            j = _scan_string(stmt, i)
+            inner = stmt[i + 1 : j - 1].replace('""', '"')
+            if inner in columns:
+                out.append("`" + inner + "`")
+            else:
+                out.append(stmt[i:j])
+            i = j
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def rewrite_statement(stmt: str, columns: set[str] | None = None) -> str:
+    stmt = rewrite_group_concat(rewrite_glob(stmt))
+    if columns:
+        stmt = rewrite_double_quoted_idents(stmt, columns)
+    return stmt

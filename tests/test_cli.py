@@ -188,8 +188,8 @@ def test_header_row(tmp_path):
 
 
 def test_header_with_spaces(tmp_path):
-    # header-1.2, adapted: Spark uses backticks for all quirky
-    # identifiers ("..." is a string literal, documented divergence)
+    # header-1.2 via backtick quoting; the reference's double-quoted
+    # form is covered by test_header_double_quoted_identifiers
     content = (
         'id,a column with a long name,"even worse - quotes!"\n'
         "1,foo,!\n2,bar,%\n3,baz,$\n"
@@ -683,6 +683,101 @@ def test_format_csvalt_semicolon_golden(tmp_path):
         "format=csvalt", "csvsep=;", f,
     )
     assert got == "1-2-Hello, World!\nΑλαμπουρνέζικα-3-4\n5-6-7"
+
+
+def test_header_double_quoted_identifiers(tmp_path):
+    """header-1.2 (tests.tcl:244-259): SQLite resolves a double-quoted
+    string as an identifier when it names a column — the dialect layer
+    reproduces this against the loaded schemas."""
+    f = write(
+        tmp_path,
+        "f",
+        'id,a column with a long name,"even worse - quotes!"\n'
+        "1,foo,!\n2,bar,%\n3,baz,$\n",
+    )
+    got = pysqawk(
+        'select "a column with a long name" from a;'
+        ' select `"even worse - quotes!"` from a',
+        "FS=,",
+        "header=1",
+        f,
+    )
+    assert got == "foo\nbar\nbaz\n!\n%\n$"
+
+
+def test_double_quoted_non_column_stays_literal(tmp_path):
+    # the other half of the SQLite quirk: unresolvable "..." is a
+    # string literal
+    f = write(tmp_path, "f", "x\ny\n")
+    assert (
+        pysqawk('select "not a column" from a', f)
+        == "not a column\nnot a column"
+    )
+
+
+# --- header-3.* "columns" per-file option (tests.tcl:261-327) -----------
+
+
+def test_columns_partial(tmp_path):
+    # header-3.1: one name, rest keep auto names
+    f = write(tmp_path, "f", "001 a\n002 b\n003 c\n")
+    assert (
+        pysqawk("select hello, a2 from a", "columns=hello", f)
+        == "1 a\n2 b\n3 c"
+    )
+
+
+def test_columns_empty_entries_fall_through(tmp_path):
+    # header-3.2: empty entries keep default names
+    f = write(tmp_path, "f", "001 a\n002 b\n003 c\n")
+    assert (
+        pysqawk("select a1, a2 from a", "columns=,,world", f)
+        == "1 a\n2 b\n3 c"
+    )
+
+
+def test_columns_name_with_space(tmp_path):
+    # header-3.3 (reference uses "..." — SQLite resolves double-quoted
+    # strings as identifiers; Spark needs backticks, see dialect note)
+    f = write(tmp_path, "f", "001 a\n002 b\n003 c\n")
+    assert (
+        pysqawk("select `hello world` from a", "columns=hello world", f)
+        == "1\n2\n3"
+    )
+
+
+def test_columns_two_names(tmp_path):
+    # header-3.4 / 3.5: extra names beyond NF are ignored
+    f = write(tmp_path, "f", "001 a\n002 b\n003 c\n")
+    assert pysqawk("select world from a", "columns=hello,world", f) == "a\nb\nc"
+    assert (
+        pysqawk("select world from a", "columns=hello,world,of,tables", f)
+        == "a\nb\nc"
+    )
+
+
+def test_columns_override_header(tmp_path):
+    # header-3.6: columns= wins over header names
+    f = write(tmp_path, "f", "001 a\n002 b\n003 c\n")
+    assert (
+        pysqawk("select hello from a", "header=1", "columns=hello,world", f)
+        == "2\n3"
+    )
+
+
+def test_columns_tail_from_header(tmp_path):
+    # header-3.7: unnamed tail takes header names
+    f = write(tmp_path, "f", "001 a\n002 b\n003 c\n")
+    assert (
+        pysqawk("select hello, a from a", "header=1", "columns=hello", f)
+        == "2 b\n3 c"
+    )
+
+
+def test_columns_empty_with_header(tmp_path):
+    # header-3.8: columns= empty → all names from the header
+    f = write(tmp_path, "f", "001 a\n002 b\n003 c\n")
+    assert pysqawk("select a from a", "header=1", "columns=", f) == "b\nc"
 
 
 def test_infix_glob(tmp_path):

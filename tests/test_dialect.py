@@ -71,6 +71,22 @@ def test_rewrite(src, expected):
     assert rewrite_statement(src) == expected
 
 
+def test_double_quoted_identifier_fallback():
+    from sqawk_spark.dialect import rewrite_double_quoted_idents as rw
+
+    cols = {"a1", "a column with a long name"}
+    assert (
+        rw('select "a column with a long name" from a', cols)
+        == "select `a column with a long name` from a"
+    )
+    # unresolvable stays a literal
+    assert rw('select "nope" from a', cols) == 'select "nope" from a'
+    # inside single quotes untouched
+    assert rw("select '\"a1\"' from a", cols) == "select '\"a1\"' from a"
+    # doubled-quote escape resolves against the unescaped name
+    assert rw('select "a""b" from a', {'a"b'}) == "select `a\"b` from a"
+
+
 def _sqlite(sql: str, rows):
     con = sqlite3.connect(":memory:")
     con.execute("create table a (a1 text, a2 text)")
