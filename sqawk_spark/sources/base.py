@@ -164,11 +164,13 @@ def build_table(
     elif spec.mnf == "error":
         over = records.filter(F.size("fields") > nf).limit(1).count()
         if over:
+            # message parity with lib/classes/table.tcl MNF=error
+            # (reference test nf-4.1)
             raise ValueError(
-                f"table {table} has {nf} columns but a record has more fields"
+                f"table {table} has no column named {prefix}{nf + 1}"
             )
     elif spec.mnf != "crop":
-        raise ValueError(f"invalid MNF value: {spec.mnf!r}")
+        raise ValueError(f"invalid MNF value: {spec.mnf}")
 
     names = _resolve_names(header_fields, spec, prefix, nf)
 

@@ -320,6 +320,76 @@ def test_nf_error(tmp_path):
     assert rc == 1
 
 
+def test_nf_zero_crop(tmp_path):
+    # nf-1.1: NF=0 leaves only anr/anf/a0; anf counts kept fields
+    f = write(tmp_path, "f", "A B\nA B C\nA B C D\n")
+    got = pysqawk(
+        "-NF", "0", "-MNF", "crop", "-output", "tcl", "select * from a", f
+    )
+    assert got == "{1 0 {A B}} {2 0 {A B C}} {3 0 {A B C D}}"
+
+
+def test_nf_zero_crop_no_f0(tmp_path):
+    # nf-1.5
+    f = write(tmp_path, "f", "A B\nA B C\nA B C D\n")
+    got = pysqawk(
+        "-NF", "0", "-MNF", "crop", "-output", "tcl",
+        "select * from a", "F0=false", f,
+    )
+    assert got == "{1 0} {2 0} {3 0}"
+
+
+def test_nf_crop_pads_short_records(tmp_path):
+    # nf-1.4: NF=3 — short records pad with NULL ({}), long ones crop
+    # and anf reflects the CROPPED count
+    f = write(tmp_path, "f", "A B\nA B C\nA B C D\n")
+    got = pysqawk(
+        "-NF", "3", "-MNF", "crop", "-output", "tcl", "select * from a", f
+    )
+    assert got == (
+        "{1 2 {A B} A B {}} {2 3 {A B C} A B C} {3 3 {A B C D} A B C}"
+    )
+
+
+def test_nf_crop_no_f0_pads(tmp_path):
+    # nf-1.8
+    f = write(tmp_path, "f", "A B\nA B C\nA B C D\n")
+    got = pysqawk(
+        "-NF", "3", "-MNF", "crop", "-output", "tcl",
+        "select * from a", "F0=false", f,
+    )
+    assert got == "{1 2 A B {}} {2 3 A B C} {3 3 A B C}"
+
+
+def test_nf_crop_descending_widths(tmp_path):
+    # nf-2.3: NF=4 with widths 4,3,2 — trailing NULLs per record
+    f = write(tmp_path, "f", "A B C D\nA B C\nA B\n")
+    got = pysqawk(
+        "-NF", "4", "-MNF", "crop", "-output", "tcl", "select * from a", f
+    )
+    assert got == (
+        "{1 4 {A B C D} A B C D} {2 3 {A B C} A B C {}} {3 2 {A B} A B {} {}}"
+    )
+
+
+def test_nf_error_message(tmp_path, capsys):
+    # nf-4.1: message parity "table a has no column named a3"
+    f = write(tmp_path, "f", "A B\nA B C\n")
+    rc = cli.main(
+        ["-NF", "2", "-MNF", "error", "-output", "tcl", "select * from a", f]
+    )
+    assert rc == 1
+    assert "table a has no column named a3" in capsys.readouterr().err
+
+
+def test_invalid_mnf_message(tmp_path, capsys):
+    # nf-5.1: "invalid MNF value: foo"
+    f = write(tmp_path, "f", "A B\n")
+    rc = cli.main(["-MNF", "foo", "select * from a", f])
+    assert rc == 1
+    assert "invalid MNF value: foo" in capsys.readouterr().err
+
+
 # --- custom functions (tests.tcl:1108-1156) ------------------------------
 
 
