@@ -23,8 +23,6 @@ one distributed aggregation over map_keys.
 
 from __future__ import annotations
 
-import json as _json
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -33,18 +31,6 @@ from sqawk_spark.sources.base import FileSpec
 
 _MAP = T.MapType(T.StringType(), T.StringType())
 _ARR = T.ArrayType(T.StringType())
-
-
-def _flatten(v) -> str:
-    """Reference value flattening: scalars verbatim, bools as
-    true/false, null as empty, nested as compact JSON text."""
-    if v is None:
-        return ""
-    if isinstance(v, bool):
-        return "true" if v else "false"
-    if isinstance(v, (dict, list)):
-        return _json.dumps(v, separators=(",", ":"))
-    return str(v)
 
 
 def _value_lines(spark: SparkSession, spec: FileSpec, path: str) -> DataFrame:
@@ -66,13 +52,43 @@ def _value_lines(spark: SparkSession, spec: FileSpec, path: str) -> DataFrame:
     return elems
 
 
+def _tcl_quote_col(c):
+    """Tcl canonical list-element quoting as a column expression:
+    empty → {}, whitespace/specials → {braced}, else verbatim. The
+    reference's a0 for JSON input is the record converted to a Tcl
+    value, so its text is Tcl's list representation (json.tcl via
+    huddle → Tcl list), not the raw JSON."""
+    return (
+        F.when(c == "", F.lit("{}"))
+        .when(
+            c.rlike(r'[ \t\n{}"\\\[\]$;]'),
+            F.concat(F.lit("{"), c, F.lit("}")),
+        )
+        .otherwise(c)
+    )
+
+
+def _tcl_quote_py(s: str) -> str:
+    if s == "":
+        return "{}"
+    if any(ch in s for ch in ' \t\n{}"\\[]$;'):
+        return "{" + s + "}"
+    return s
+
+
 def records(spark: SparkSession, spec: FileSpec, path: str) -> DataFrame:
     kv = bool(int(spec.options.get("kv", "1")))
     vals = _value_lines(spark, spec, path)
 
     if not kv:
-        parsed = vals.select(
-            F.col("v").alias("a0"), F.from_json(F.col("v"), _ARR).alias("fields")
+        arr = F.from_json(F.col("v"), _ARR)
+        # a0 = the fields as a Tcl list (whitespace-normalized), not
+        # the raw JSON text — format-3.1 expects "1 2 3 4 5"
+        parsed = vals.select(arr.alias("fields")).select(
+            F.concat_ws(
+                " ", F.transform(F.col("fields"), _tcl_quote_col)
+            ).alias("a0"),
+            "fields",
         )
         return parsed
 
@@ -90,9 +106,12 @@ def records(spark: SparkSession, spec: FileSpec, path: str) -> DataFrame:
     keys = first_keys + extra
 
     # header record first (key names), then one record per object with
-    # missing keys as empty strings (lib/parsers/json.tcl:99-102)
+    # missing keys as empty strings (lib/parsers/json.tcl:99-102).
+    # a0 of the header = the key list; a0 of a record = its OWN
+    # present pairs flattened "k v ..." in document order (format-3.3)
     header = spark.createDataFrame(
-        [(_json.dumps(dict.fromkeys(keys, "")), keys)], schema="a0 string, fields array<string>"
+        [(" ".join(_tcl_quote_py(k) for k in keys), keys)],
+        schema="a0 string, fields array<string>",
     )
     field_cols = F.array(
         *[
@@ -100,7 +119,14 @@ def records(spark: SparkSession, spec: FileSpec, path: str) -> DataFrame:
             for k in keys
         ]
     ) if keys else F.array().cast(_ARR)
-    body = maps.select(F.col("v").alias("a0"), field_cols.alias("fields"))
+    pairs = F.flatten(
+        F.transform(
+            F.map_entries(F.col("m")),
+            lambda e: F.array(e["key"], e["value"]),
+        )
+    )
+    a0 = F.concat_ws(" ", F.transform(pairs, _tcl_quote_col))
+    body = maps.select(a0.alias("a0"), field_cols.alias("fields"))
     return header.unionAll(body)
 
 

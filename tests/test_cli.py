@@ -571,7 +571,38 @@ def test_format_json_lines(tmp_path):
     assert got == "100\n101"
 
 
+def test_format_json_kv_header_row_inserted(tmp_path):
+    # format-3.3 (tests.tcl:682-690): WITHOUT header=1 the key-union
+    # header becomes record 1; missing keys render as empty fields.
+    # a0 of a kv record is the flattened "k v" dict text.
+    f = write(tmp_path, "f", '[{"b":  2}, {"a":   1   }]')
+    got = pysqawk(
+        "-OFS", "|", "-NF", "3", "select * from a", "format=json", f
+    )
+    assert got == "1|2|b a|b|a|\n2|2|b 2|2||\n3|2|a 1||1|"
+
+
+def test_format_json_empty_input(tmp_path):
+    # format-3.8: empty input, empty output, no error
+    f = write(tmp_path, "f", "")
+    got = pysqawk(
+        "-OFS", "|", "-NF", "2",
+        "select * from a", "format=json", "kv=0", "lines=1", f,
+    )
+    assert got == ""
+
+
 # --- tcl input format (tests.tcl:1408+ format-2.*) -----------------------
+
+
+def test_format_tcl_kv_header_row_inserted(tmp_path):
+    # format-2.3 (tests.tcl:573-581): Tcl-dict twin of format-3.3 —
+    # key union in first-record order, whitespace-normalized a0
+    f = write(tmp_path, "f", "{ b  2} {a   1  }")
+    got = pysqawk(
+        "-OFS", "|", "-NF", "3", "select * from a", "format=tcl", "kv=1", f
+    )
+    assert got == "1|2|b a|b|a|\n2|2| b  2|2||\n3|2|a   1  ||1|"
 
 
 def test_format_tcl_lists(tmp_path):
