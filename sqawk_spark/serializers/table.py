@@ -71,7 +71,12 @@ class TableSerializer:
                 f"table serializer does not accept options: {sorted(unknown)}"
             )
         if "align" in options and "alignments" in options:
-            raise ValueError("can't use the flags -alignments -align together")
+            # message parity with lib/serializers/table.tcl
+            # (reference test output-4.5)
+            raise ValueError(
+                'can\'t use synonym options "align" and "alignments"'
+                " together"
+            )
         self.out = out
         align_spec = options.get("align", options.get("alignments", ""))
         self.aligns = [

@@ -444,6 +444,31 @@ def test_output_tcl(tmp_path):
     assert got == "{1 2 {Hello, World!} { }}"
 
 
+def test_output_tcl_kv(tmp_path):
+    # output-3.2 (tests.tcl:809-818)
+    f = write(tmp_path, "f", "1\t2\tHello, World!\t ")
+    got = pysqawk(
+        "-FS", "\t", "-output", "tcl,kv=1", "select a1,a2,a3,a4 from a", f
+    )
+    assert got == "{a1 1 a2 2 a3 {Hello, World!} a4 { }}"
+
+
+def test_output_table_align_conflict(tmp_path, capsys):
+    # output-4.5 (tests.tcl:883-895): align and alignments are
+    # synonyms and may not be combined
+    f = write(tmp_path, "f", "a,b\nc,d\n")
+    rc = cli.main(
+        [
+            "-FS", ",",
+            "-output", "table,align=l c,alignments=l c",
+            "select a1,a2 from a", f,
+        ]
+    )
+    assert rc == 1
+    err = capsys.readouterr().err
+    assert 'can\'t use synonym options "align" and "alignments"' in err
+
+
 def test_output_tcl_kv_pretty(tmp_path):
     f = write(tmp_path, "f", "1\t2\nHello, World!\t ")
     got = pysqawk(
