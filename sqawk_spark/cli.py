@@ -101,6 +101,23 @@ class UsageError(Exception):
     pass
 
 
+USAGE = """usage: pysqawk [options] script [[setting=value ...] filename ...]
+
+options:
+ -FS value        Input field separator for the default parser (regexp)
+ -RS value        Input record separator for the default parser (regexp)
+ -OFS value       Output field separator
+ -ORS value       Output record separator
+ -NF value        Maximum number of fields in table
+ -MNF value       Handling of records over maximum NF (crop/expand/error)
+ -dbfile value    Database file to use instead of :memory:
+ -noinput         Do not read from stdin when no filenames are given
+ -output value    Output format
+ -v               Print version
+ -1               One field only, do not split records
+ -help            Print this message"""
+
+
 def parse_args(argv: list[str]):
     """(global options, script, file specs) — reference
     process-options + process-file-options (sqawk-dev.tcl:43-183)."""
@@ -125,13 +142,21 @@ def parse_args(argv: list[str]):
 
             print(__version__)
             raise SystemExit(0)
+        elif a in ("-h", "-help", "--help"):
+            # tcllib cmdline prints usage and exits non-zero
+            # (reference test empty-script-1.1)
+            print(USAGE, file=sys.stderr)
+            raise SystemExit(1)
         elif a == "--":
             i += 1
             break
         else:
             raise UsageError(f"unknown option: {a}")
     if i >= len(argv):
-        raise UsageError("expected a SQL script")
+        # bare invocation prints usage like the reference
+        # (empty-script-1.1)
+        print(USAGE, file=sys.stderr)
+        raise SystemExit(1)
     script = argv[i]
     i += 1
 
@@ -208,6 +233,11 @@ def run(argv: list[str], out=None) -> int:
     # an externally-created session may have ANSI on (Spark 4 default);
     # the sqawk surface needs SQLite's permissive coercion
     spark.conf.set("spark.sql.ansi.enabled", "false")
+    # each run sees a fresh database, like a fresh sqawk process —
+    # drop temp views leaked by earlier runs in this session
+    for t in spark.catalog.listTables():
+        if t.isTemporary and t.namespace == []:
+            spark.catalog.dropTempView(t.name)
     register_udfs(spark)
     loader = TableLoader(spark)
 
@@ -293,6 +323,27 @@ def _make_awk(opts, extra: str, out):
     return AwkSerializer(out, o)
 
 
+def _sqlite_style_message(e: Exception) -> str:
+    """Translate the common Spark analysis errors into SQLite's
+    wording, which reference scripts/tests match against
+    (noinput-1.2 expects "no such table: a")."""
+    try:
+        from pyspark.errors import AnalysisException
+
+        if isinstance(e, AnalysisException):
+            cls = e.getCondition() or ""
+            params = e.getMessageParameters() or {}
+            if cls == "TABLE_OR_VIEW_NOT_FOUND":
+                name = params.get("relationName", "").strip("`")
+                return f"no such table: {name}"
+            if cls.startswith("UNRESOLVED_COLUMN"):
+                name = params.get("objectName", "").strip("`")
+                return f"no such column: {name}"
+    except Exception:
+        pass
+    return str(e)
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     try:
@@ -303,7 +354,7 @@ def main(argv: list[str] | None = None) -> int:
         print(f"error: {e}", file=sys.stderr)
         return 1
     except Exception as e:  # parity: "error: msg" on stderr, exit 1
-        print(f"error: {e}", file=sys.stderr)
+        print(f"error: {_sqlite_style_message(e)}", file=sys.stderr)
         return 1
 
 

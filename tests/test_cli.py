@@ -906,6 +906,21 @@ def test_columns_empty_with_header(tmp_path):
     assert pysqawk("select a from a", "header=1", "columns=", f) == "b\nc"
 
 
+def test_empty_invocation_prints_usage(capsys):
+    # empty-script-1.1 (tests.tcl:1042-1049)
+    rc = cli.main([])
+    assert rc == 1
+    err = capsys.readouterr().err
+    assert "-help" in err and "Print this message" in err
+
+
+def test_noinput_missing_table_message(capsys):
+    # noinput-1.2 (tests.tcl:1058-1064): SQLite wording
+    rc = cli.main(["-noinput", "select * from a"])
+    assert rc == 1
+    assert "no such table: a" in capsys.readouterr().err
+
+
 def test_infix_glob(tmp_path):
     """SQLite's infix GLOB operator, rewritten to the glob() UDF by
     the dialect layer (dialect.py). Case-sensitive, unlike LIKE."""
