@@ -56,8 +56,10 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grams
 
 
-_SHINGLE_SQL = f"""
-    WITH toks AS (
+# CTE chain shared by the pair oracle and the cluster oracle (which
+# appends a recursive closure on top of `near_dups`)
+_SHINGLE_CTES = f"""
+    toks AS (
         SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
         FROM documents
     ),
@@ -74,14 +76,21 @@ _SHINGLE_SQL = f"""
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
         FROM filtered a JOIN filtered b ON a.g = b.g AND a.doc_id < b.doc_id
         GROUP BY 1, 2
+    ),
+    near_dups AS (
+        SELECT doc_a, doc_b,
+               CAST(n_common AS BIGINT) AS n_common,
+               round(n_common * 1.0 / (sa.sz + sb.sz - n_common), 6) AS jaccard
+        FROM pairs
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE 2 * n_common >= sa.sz + sb.sz - n_common
     )
-    SELECT doc_a, doc_b,
-           CAST(n_common AS BIGINT) AS n_common,
-           round(n_common * 1.0 / (sa.sz + sb.sz - n_common), 6) AS jaccard
-    FROM pairs
-    JOIN sizes sa ON doc_a = sa.doc_id
-    JOIN sizes sb ON doc_b = sb.doc_id
-    WHERE 2 * n_common >= sa.sz + sb.sz - n_common
+"""
+
+_SHINGLE_SQL = f"""
+    WITH {_SHINGLE_CTES}
+    SELECT doc_a, doc_b, n_common, jaccard FROM near_dups
 """
 
 
@@ -377,3 +386,98 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_raw") >= 0.4)
         .select("vec_a", "vec_b", F.round("cos_raw", 4).alias("cosine"))
     )
+
+
+_CLUSTER_SQL = f"""
+    WITH RECURSIVE {_SHINGLE_CTES},
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM near_dups
+        UNION
+        SELECT doc_b, doc_a FROM near_dups
+    ),
+    reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    closure AS (
+        SELECT src, dst FROM reach
+        UNION
+        SELECT DISTINCT src, src FROM edges
+    ),
+    comp AS (
+        SELECT src AS doc_id, min(dst) AS canon FROM closure GROUP BY src
+    )
+    SELECT c.doc_id,
+           CAST(c.canon AS BIGINT) AS canonical_doc_id,
+           CAST(s.n AS BIGINT) AS cluster_size
+    FROM comp c
+    JOIN (SELECT canon, count(*) AS n FROM comp GROUP BY canon) s
+      ON c.canon = s.canon
+"""
+
+
+@query("dedup_clusters", oracle=_CLUSTER_SQL)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: connected components over the
+    near-dup pair graph, canonical doc = the cluster's minimum doc_id.
+    This is the step a training pipeline runs AFTER pair generation —
+    transitive near-dups (A~B, B~C, A!~C) must land in one cluster or
+    the kept set still contains duplicates.
+
+    Min-label propagation (the simplified large-star iteration):
+    every node starts labeled with its own id; each round takes the
+    min of its label and its neighbors' labels; converged when no
+    label changes. Rounds needed = graph diameter ≤ O(log n) with
+    doubling — near-dup clusters are tiny cliques, so 2-3 rounds in
+    practice. Each round is ONE shuffle join keyed on node id over the
+    (sparse, MAX_DF-capped) edge list; labels never leave the
+    executors, the driver sees only the changed-row count. The oracle
+    computes the same components as a recursive-CTE transitive
+    closure — feasible for DuckDB at test SF, quadratic at scale,
+    which is exactly why the Spark side iterates instead."""
+    pairs = _jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).persist()
+
+    labels = (
+        edges.select(F.col("doc_a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+
+    for _ in range(20):
+        neighbor_min = (
+            edges.join(labels, edges["doc_b"] == labels["node"])
+            .groupBy(F.col("doc_a").alias("node2"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(
+                neighbor_min, labels["node"] == neighbor_min["node2"], "left"
+            )
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+                (F.col("nbr_label") < F.col("label")).alias("changed"),
+            )
+        ).persist()
+        changed = new_labels.filter(F.col("changed")).limit(1).count()
+        labels.unpersist()
+        labels = new_labels.select("node", "label").persist()
+        new_labels.unpersist()
+        if changed == 0:
+            break
+
+    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    out = labels.join(sizes, "label").select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("canonical_doc_id"),
+        "cluster_size",
+    )
+    edges.unpersist()
+    return out

@@ -58,6 +58,31 @@ def test_multimodal_batch_flow(spark, sf_dir):
     assert all(r.n >= 1 for r in per_doc)
 
 
+def test_dedup_clusters_invariants(spark, sf_dir):
+    """Structural invariants of connected-component dedup: the
+    canonical id is the cluster min and a member; transitive pairs
+    share a cluster; only docs that appear in some near-dup pair are
+    emitted (cluster_size >= 2). Value-level equality with the
+    recursive-CTE oracle is covered by the parity sweep."""
+    from sqawk_spark.operators.dedup import dedup_clusters, _jaccard_pairs
+
+    rows = dedup_clusters(spark, sf_dir).collect()
+    assert rows, "synthetic corpus contains near-dups"
+    by_canon: dict[int, set[int]] = {}
+    for r in rows:
+        assert r.canonical_doc_id <= r.doc_id
+        by_canon.setdefault(r.canonical_doc_id, set()).add(r.doc_id)
+    for canon, members in by_canon.items():
+        assert canon in members  # canonical is a member
+        assert len(members) >= 2
+        sizes = {r.cluster_size for r in rows if r.canonical_doc_id == canon}
+        assert sizes == {len(members)}
+    # every near-dup pair landed in one cluster
+    label = {r.doc_id: r.canonical_doc_id for r in rows}
+    for p in _jaccard_pairs(spark, sf_dir).collect():
+        assert label[p.doc_a] == label[p.doc_b]
+
+
 def test_ann_ivf_recall_vs_brute_force(spark, sf_dir):
     """IVF probes 4 of 16 clusters (25% of the corpus). On this
     near-orthogonal synthetic corpus cluster structure is weak, so
