@@ -1,0 +1,115 @@
+"""Deterministic sampling and dataset splitting for training
+pipelines.
+
+Everything here is hash-bucketed, never ``rand()``: a split decided by
+``md5(key)`` is reproducible across reruns, engines, executor counts,
+and partitionings — re-ingesting the corpus next month puts every
+document in the same split, which is what makes held-out sets valid.
+Both operators share the bucketing expression with their DuckDB
+oracles (md5 is md5 in both engines), so the assignment is checked
+value-for-value, not just statistically.
+
+Scale: both are single-scan map-side expressions; the stratified
+variant adds one tiny per-stratum aggregate that broadcasts. No
+operator here shuffles the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sqawk_spark.operators.registry import query
+from sqawk_spark.operators.tables import load_tables
+
+# 16 bits of the md5 → bucket. The modulo is negligibly biased
+# (65536 % N buckets are 1/65536 heavier); the SAME bias exists in
+# both engines so parity is exact, and no split boundary cares.
+_N_BUCKETS = 100
+_N_BUCKETS_FINE = 10000
+
+
+def _bucket_col(key, n: int):
+    """Spark side: first 4 hex chars of md5(key) as an int, mod n."""
+    return (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % n
+    )
+
+
+def _bucket_sql(key: str, n: int) -> str:
+    """DuckDB side of the same expression."""
+    return (
+        f"CAST(concat('0x', substr(md5(CAST({key} AS VARCHAR)), 1, 4))"
+        f" AS INTEGER) % {n}"
+    )
+
+
+@query(
+    "sample_split",
+    oracle=f"""
+        SELECT doc_id,
+               CASE WHEN {_bucket_sql('doc_id', _N_BUCKETS)} < 90 THEN 'train'
+                    WHEN {_bucket_sql('doc_id', _N_BUCKETS)} < 95 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    """,
+)
+def sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """90/5/5 train/val/test split, decided per document by hashing
+    its id. One scan, no shuffle, no random state; adding documents
+    never moves existing ones between splits."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    b = _bucket_col(F.col("doc_id"), _N_BUCKETS)
+    return t["documents"].select(
+        "doc_id",
+        F.when(b < 90, "train").when(b < 95, "val").otherwise("test")
+        .alias("split"),
+    )
+
+
+@query(
+    "sample_stratified_balanced",
+    oracle=f"""
+        WITH counts AS (
+            SELECT source, count(*) AS cnt FROM documents GROUP BY source
+        ),
+        target AS (SELECT min(cnt) AS tgt FROM counts)
+        SELECT d.doc_id, d.source
+        FROM documents d
+        JOIN counts c ON d.source = c.source
+        CROSS JOIN target
+        WHERE {_bucket_sql('d.doc_id', _N_BUCKETS_FINE)}
+              < (tgt * {_N_BUCKETS_FINE}) // c.cnt
+    """,
+)
+def sample_stratified_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced downsampling: per-stratum (source) keep-rate =
+    rarest-stratum size / stratum size, applied as an integer bucket
+    threshold on the document hash. The common corpus-rebalancing
+    step before training, made deterministic.
+
+    Plan shape: one aggregate over the strata (a handful of rows,
+    broadcast back), then a single filtered scan. The corpus itself
+    is never shuffled, and the kept set is stable under reruns and
+    repartitioning. Keep-rates are approximate within 1/10000
+    (integer threshold), exact in expectation."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    counts = docs.groupBy("source").agg(F.count("*").alias("cnt"))
+    target = counts.agg(F.min("cnt").alias("tgt"))
+    b = _bucket_col(F.col("doc_id"), _N_BUCKETS_FINE)
+    return (
+        docs.join(F.broadcast(counts), "source")
+        .join(F.broadcast(target))
+        .filter(
+            # floor division matches the oracle's `//` exactly
+            b
+            < F.floor(
+                (F.col("tgt") * _N_BUCKETS_FINE).cast("long")
+                / F.col("cnt").cast("long")
+            )
+        )
+        .select("doc_id", "source")
+    )
