@@ -48,6 +48,8 @@ HEADLINE = [
     "join_skew_salted",
     "dedup_exact",
     "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "sample_stratified_balanced",
     "ann_cosine_topk",
     "text_quality_score",
     "events_tumbling_window",

@@ -81,6 +81,15 @@ def test_dedup_clusters_invariants(spark, sf_dir):
     label = {r.doc_id: r.canonical_doc_id for r in rows}
     for p in _jaccard_pairs(spark, sf_dir).collect():
         assert label[p.doc_a] == label[p.doc_b]
+    # the distributed label-propagation path (forced by driver_limit=0)
+    # must agree with the driver-side union-find exactly
+    dist = {
+        (r.doc_id, r.canonical_doc_id, r.cluster_size)
+        for r in dedup_clusters(spark, sf_dir, driver_limit=0).collect()
+    }
+    assert dist == {
+        (r.doc_id, r.canonical_doc_id, r.cluster_size) for r in rows
+    }
 
 
 def test_ann_ivf_recall_vs_brute_force(spark, sf_dir):
