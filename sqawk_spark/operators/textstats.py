@@ -1,9 +1,11 @@
 """Text analysis operators for document pipelines.
 
-All four run as pure column expressions (whole-stage codegen, no
-Python in the hot path): token counting, quality scoring, n-gram
-heuristic language ID, and content fingerprinting. Each is a single
-scan over ``documents`` — trivially linear at any scale.
+Token counting, quality scoring, n-gram heuristic language ID, and
+content fingerprinting run as pure column expressions (whole-stage
+codegen, no Python in the hot path) — single scans over
+``documents``, trivially linear at any scale. tf-idf top-terms adds
+the canonical two-pass shape: a vocabulary-sized document-frequency
+aggregate joined back into the per-document scores.
 """
 
 from __future__ import annotations
@@ -195,3 +197,75 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("norm").alias("content_md5"),
         rolling.alias("shape_hash"),
     )
+
+
+_TFIDF_K = 5
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(
+                regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, term, count(*) AS tf
+            FROM toks GROUP BY doc_id, term
+        ),
+        df AS (
+            SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term
+        ),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.term,
+                   round(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0),
+                         6) AS tfidf
+            FROM tf JOIN df USING (term) CROSS JOIN n
+        )
+        SELECT doc_id, term, tfidf,
+               CAST(row_number() OVER (
+                   PARTITION BY doc_id ORDER BY tfidf DESC, term
+               ) AS INTEGER) AS rank
+        FROM scored
+        QUALIFY rank <= {_TFIDF_K}
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 characteristic terms per document by smoothed tf-idf
+    (idf = ln((N+1)/(df+1)) + 1, sklearn's formulation).
+
+    The canonical two-pass text statistic: pass 1 aggregates document
+    frequencies (output rows = vocabulary size, far smaller than the
+    corpus — AQE broadcasts it back into the per-doc join when it
+    fits); pass 2 scores and takes a per-doc top-k window. All
+    JVM-side; the shuffles are keyed on term (df agg) and doc_id
+    (window) — both well-distributed, no driver collection. Ranking
+    is on the ROUNDED score with the term as tie-break, so rank order
+    is engine-independent."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    toks = docs.select(
+        "doc_id", F.explode(_tokens()).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = toks.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    n_docs = docs.count()
+    scored = tf.join(df, "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf")
+            * (F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0),
+            6,
+        ).alias("tfidf"),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return scored.select(
+        "doc_id", "term", "tfidf", F.row_number().over(w).alias("rank")
+    ).filter(F.col("rank") <= _TFIDF_K)
