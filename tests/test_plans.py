@@ -119,3 +119,27 @@ def test_bucketed_join_has_no_exchange_on_keys(spark, sf_dir):
     assert "Bucketed: true" in p, p
     assert "hashpartitioning(l_orderkey" not in p
     assert "hashpartitioning(o_orderkey" not in p
+
+
+def test_sample_split_is_pure_map(spark, sf_dir):
+    # the split is a scan + project: any Exchange means the corpus is
+    # being shuffled to decide per-row hashes, which is wrong
+    p = plan(spark, sf_dir, "sample_split")
+    assert "Exchange" not in p
+    assert "ReadSchema" in p
+
+
+def test_stratified_sampling_broadcasts_strata(spark, sf_dir):
+    # per-stratum counts are a handful of rows: they must come back as
+    # broadcasts, never a shuffle join against the corpus
+    p = plan(spark, sf_dir, "sample_stratified_balanced")
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_tfidf_has_partial_aggs(spark, sf_dir):
+    # both the tf and df aggregations must combine map-side before
+    # their exchanges
+    p = plan(spark, sf_dir, "text_tfidf_top_terms")
+    assert "partial_" in p
+    assert p.count("HashAggregate") >= 4
