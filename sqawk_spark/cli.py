@@ -122,6 +122,16 @@ def parse_args(argv: list[str]):
     """(global options, script, file specs) — reference
     process-options + process-file-options (sqawk-dev.tcl:43-183)."""
     opts = dict(GLOBAL_DEFAULTS)
+    # usage only for a COMPLETELY empty argv (exit 1) or help flags
+    # (exit 0) — sqawk-dev.tcl:61-64; flags without a script mean an
+    # EMPTY script: zero statements, but files still load (relied on
+    # by dbfile-2.1)
+    if not argv:
+        print(USAGE, file=sys.stderr)
+        raise SystemExit(1)
+    if argv[0] in ("-h", "-help", "--help", "-?", "/?") and len(argv) == 1:
+        print(USAGE, file=sys.stderr)
+        raise SystemExit(0)
     i = 0
     flag_names = {"-FS", "-RS", "-OFS", "-ORS", "-NF", "-MNF", "-dbfile", "-output"}
     while i < len(argv) and argv[i].startswith("-"):
@@ -142,23 +152,16 @@ def parse_args(argv: list[str]):
 
             print(__version__)
             raise SystemExit(0)
-        elif a in ("-h", "-help", "--help"):
-            # tcllib cmdline prints usage and exits non-zero
-            # (reference test empty-script-1.1)
-            print(USAGE, file=sys.stderr)
-            raise SystemExit(1)
         elif a == "--":
             i += 1
             break
         else:
             raise UsageError(f"unknown option: {a}")
-    if i >= len(argv):
-        # bare invocation prints usage like the reference
-        # (empty-script-1.1)
-        print(USAGE, file=sys.stderr)
-        raise SystemExit(1)
-    script = argv[i]
-    i += 1
+    if i < len(argv):
+        script = argv[i]
+        i += 1
+    else:
+        script = ""  # flags but no script: load files, run nothing
 
     # -1: skip field splitting entirely (sqawk-dev.tcl:81-83)
     if opts["one"]:

@@ -25,3 +25,13 @@ def test_dbfile_append_continues_anr(tmp_path):
         "-dbfile", db, "select anr, a1 from a order by anr", f2
     )
     assert got == "1 a\n2 b\n3 c\n4 d"
+
+
+def test_dbfile_scriptless_load(tmp_path):
+    """dbfile-2.1 (tests.tcl:1452-1458): flags with no script = empty
+    script — files load into the store, nothing runs or prints."""
+    db = str(tmp_path / "db")
+    got = pysqawk("-dbfile", db, stdin="hello world\n")
+    assert got == ""
+    got = pysqawk("-dbfile", db, "-noinput", "select a1, a2 from a")
+    assert got == "hello world"
