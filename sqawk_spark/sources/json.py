@@ -80,8 +80,15 @@ def records(spark: SparkSession, spec: FileSpec, path: str) -> DataFrame:
     kv = bool(int(spec.options.get("kv", "1")))
     vals = _value_lines(spark, spec, path)
 
+    # JSON null → the STRING "null": the reference parses through a
+    # Tcl JSON lib with no null concept (format-3.4 expects the field
+    # to read "null"). Must happen HERE, before NF padding — padding
+    # NULLs for short records still render empty.
     if not kv:
-        arr = F.from_json(F.col("v"), _ARR)
+        arr = F.transform(
+            F.from_json(F.col("v"), _ARR),
+            lambda x: F.coalesce(x, F.lit("null")),
+        )
         # a0 = the fields as a Tcl list (whitespace-normalized), not
         # the raw JSON text — format-3.1 expects "1 2 3 4 5"
         parsed = vals.select(arr.alias("fields")).select(
@@ -93,8 +100,16 @@ def records(spark: SparkSession, spec: FileSpec, path: str) -> DataFrame:
         return parsed
 
     # kv mode: compute the ordered key union — first record's order,
-    # then the rest alphabetically (lib/parsers/json.tcl:76-93)
-    maps = vals.select(F.col("v"), F.from_json(F.col("v"), _MAP).alias("m"))
+    # then the rest alphabetically (lib/parsers/json.tcl:76-93).
+    # Null values become the string "null" here too (same Tcl-lib
+    # rationale as above).
+    maps = vals.select(
+        F.col("v"),
+        F.transform_values(
+            F.from_json(F.col("v"), _MAP),
+            lambda k, x: F.coalesce(x, F.lit("null")),
+        ).alias("m"),
+    )
     first = maps.select("m").first()
     first_keys = list(first["m"].keys()) if first and first["m"] else []
     all_keys_rows = (

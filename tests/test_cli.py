@@ -607,6 +607,21 @@ def test_format_json_kv_header_row_inserted(tmp_path):
     assert got == "1|2|b a|b|a|\n2|2|b 2|2||\n3|2|a 1||1|"
 
 
+def test_format_json_scalar_flattening(tmp_path):
+    # format-3.4 (tests.tcl:705-717): booleans render as true/false,
+    # JSON null becomes the STRING "null" (the reference's Tcl JSON
+    # lib has no null); missing trailing fields still render empty
+    f = write(tmp_path, "f", '[1,2,3]\n["a","b"]\n[true,false,null]\n')
+    got = pysqawk(
+        "-OFS", "|", "select anr, anf, a0, a1, a2, a3 from a",
+        "format=json", "kv=0", "lines=1", f,
+    )
+    assert got == (
+        "1|3|1 2 3|1|2|3\n2|2|a b|a|b|\n"
+        "3|3|true false null|true|false|null"
+    )
+
+
 def test_format_json_empty_input(tmp_path):
     # format-3.8: empty input, empty output, no error
     f = write(tmp_path, "f", "")
