@@ -668,6 +668,18 @@ def test_format_tcl_kv_header(tmp_path):
     assert got == '[{"foo":"1","bar":"2","baz":""},{"foo":"3","bar":"4","baz":"5"}]'
 
 
+def test_format_tcl_kv_lines_header(tmp_path):
+    # format-2.5 (tests.tcl:596-607): kv lines mode skips blank and
+    # whitespace-only lines; header row consumed; anf counts header
+    # width for short records
+    f = write(tmp_path, "f", "k1 1 k2 2 k3 3\n  \n\nk1 a k2 b\n")
+    got = pysqawk(
+        "-OFS", "|", "select anr, anf, a0, k1, k2, k3 from a",
+        "format=tcl", "kv=1", "lines=1", "header=1", f,
+    )
+    assert got == "1|3|k1 1 k2 2 k3 3|1|2|3\n2|3|k1 a k2 b|a|b|"
+
+
 # --- stdin ---------------------------------------------------------------
 
 
