@@ -87,6 +87,40 @@ def test_double_quoted_identifier_fallback():
     assert rw('select "a""b" from a', {'a"b'}) == "select `a\"b` from a"
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _sql_texts = st.text(
+        alphabet=st.sampled_from(
+            list("abcdefgXYZ0123456789 _.,*=<>()'\"`%+-|;\n\t")
+        ),
+        max_size=60,
+    )
+
+    @given(_sql_texts)
+    @settings(max_examples=300, deadline=None)
+    def test_rewrite_identity_without_dialect_tokens(s):
+        """Statements that never mention GLOB or group_concat must
+        pass through byte-identical — the rewriter may not disturb
+        arbitrary SQL, quoting included."""
+        if "glob" in s.lower() or "group_concat" in s.lower():
+            return
+        assert rewrite_statement(s) == s
+
+    @given(_sql_texts, st.sampled_from([" GLOB ", " NOT GLOB "]))
+    @settings(max_examples=300, deadline=None)
+    def test_rewrite_is_idempotent(prefix, op):
+        """Rewriting twice equals rewriting once (the function-call
+        forms produced by pass one must not be re-rewritten)."""
+        s = f"select a1 from a where a1{op}'{prefix.replace(chr(39), '')}*'"
+        once = rewrite_statement(s)
+        assert rewrite_statement(once) == once
+
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
+
+
 def _sqlite(sql: str, rows):
     con = sqlite3.connect(":memory:")
     con.execute("create table a (a1 text, a2 text)")
