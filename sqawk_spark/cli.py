@@ -299,7 +299,7 @@ def run(argv: list[str], out=None) -> int:
             }
 
             for stmt in split_statements(script):
-                df = spark.sql(rewrite_statement(stmt, known_cols))
+                df = _run_statement(spark, stmt, known_cols)
                 names = df.columns
                 for row in df.toLocalIterator():
                     ser.row(names, [render_value(v) for v in row])
@@ -313,6 +313,32 @@ def run(argv: list[str], out=None) -> int:
                 os.unlink(p)
             except OSError:
                 pass
+
+
+def _run_statement(spark, stmt: str, known_cols: set[str]):
+    """spark.sql with SQLite's per-statement double-quote resolution.
+
+    The rewriter flips ``"name"`` to an identifier whenever *any*
+    loaded table has that column, but SQLite resolves the fallback in
+    the statement's own scope (quirks.html#dblquote): with tables a
+    and b loaded, ``SELECT "b1" FROM a`` is a string literal. Rather
+    than re-implementing name resolution, let Spark's analyzer decide:
+    on UNRESOLVED_COLUMN, drop that name from the candidate set and
+    re-plan, converging to exactly the columns visible in scope."""
+    from sqawk_spark.dialect import rewrite_statement
+
+    cols = set(known_cols)
+    while True:
+        try:
+            return spark.sql(rewrite_statement(stmt, cols))
+        except Exception as e:  # AnalysisException; avoid hard import
+            msg = str(e)
+            if "UNRESOLVED_COLUMN" not in msg:
+                raise
+            m = re.search(r"`([^`]+)`", msg)
+            if m is None or m.group(1) not in cols:
+                raise
+            cols.discard(m.group(1))
 
 
 def _make_awk(opts, extra: str, out):

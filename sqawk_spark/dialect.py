@@ -97,6 +97,22 @@ def _operand_fwd(s: str, i: int) -> int:
     return j
 
 
+def _string_spans(s: str) -> list[tuple[int, int]]:
+    """(start, end) spans of every quoted token, found by a single
+    forward scan — the only direction in which SQL's doubled-quote
+    escaping ('it''s') is unambiguous."""
+    spans = []
+    i, n = 0, len(s)
+    while i < n:
+        if s[i] in "'\"`":
+            j = _scan_string(s, i)
+            spans.append((i, j))
+            i = j
+        else:
+            i += 1
+    return spans
+
+
 def _operand_back(s: str, i: int) -> int:
     """Start index of one primary expression ending just before s[i]
     (exclusive end). Returns the start index."""
@@ -107,12 +123,12 @@ def _operand_back(s: str, i: int) -> int:
         return 0
     c = s[j]
     if c in "'\"`":
-        # scan back to the opening quote (no robust reverse handling of
-        # doubled quotes; adequate for literal patterns)
-        k = j - 1
-        while k >= 0 and s[k] != c:
-            k -= 1
-        return max(k, 0)
+        # locate the literal via a forward tokenization pass so the
+        # doubled-quote escape ('it''s') resolves correctly
+        for start, end in _string_spans(s):
+            if end == j + 1:
+                return start
+        return max(j, 0)
     if c == ")":
         depth = 0
         k = j
@@ -154,43 +170,61 @@ _KEYWORDS = {
 }
 
 
+# operator characters that mean the matched operand is a fragment of a
+# compound expression (``a || b GLOB p``): SQLite gives || and the
+# arithmetic/bitwise operators tighter precedence than GLOB, so a naive
+# single-primary rewrite would silently change the grouping. Such
+# statements are left unrewritten — Spark's hard parse error beats a
+# silent wrong answer.
+_COMPOUND_OPS = "|&+-*/%~<>="
+
+
+def _compound_context(s: str, lstart: int, rend: int) -> bool:
+    j = lstart - 1
+    while j >= 0 and s[j].isspace():
+        j -= 1
+    if j >= 0 and s[j] in _COMPOUND_OPS:
+        return True
+    k = _skip_ws(s, rend)
+    if k < len(s) and s[k] in _COMPOUND_OPS:
+        return True
+    return False
+
+
 def rewrite_glob(stmt: str) -> str:
     """``X GLOB Y`` → ``glob(Y, X)``; ``X NOT GLOB Y`` → ``NOT
     glob(Y, X)`` (SQLite expr grammar; the glob() UDF applies SQLite's
     case-sensitive * ? [...] matching). Infix vs function call is
     decided by the LEFT context: a real operand (identifier, literal,
     closed paren) means infix; a keyword, comma, or nothing means the
-    registered glob() function, left alone."""
-    while True:
-        m = None
-        repl_range = None
-        for cand in _GLOB_RE.finditer(stmt):
-            if _in_quotes(stmt, cand.start()):
-                continue
-            # NOT between left operand and GLOB belongs to the operator
-            lstart = _operand_back(stmt, cand.start())
-            inner = stmt[lstart : cand.start()].strip()
-            negate = inner.lower() == "not"
-            if negate:
-                lstart = _operand_back(stmt, lstart)
-                inner = re.sub(
-                    r"\bnot\s*$", "", stmt[lstart : cand.start()],
-                    flags=re.IGNORECASE,
-                ).strip()
-            if not inner or inner.lower() in _KEYWORDS:
-                continue  # function-call position
-            m = cand
-            repl_range = (lstart, inner, negate)
-            break
-        if m is None:
-            return stmt
-        lstart, left, negate = repl_range
+    registered glob() function, left alone. Candidates whose operands
+    sit inside a compound expression are skipped (see
+    ``_compound_context``). Single right-to-left pass, so replacements
+    never shift the positions of candidates still to be processed."""
+    cands = [
+        m for m in _GLOB_RE.finditer(stmt) if not _in_quotes(stmt, m.start())
+    ]
+    for m in reversed(cands):
+        lstart = _operand_back(stmt, m.start())
+        inner = stmt[lstart : m.start()].strip()
+        negate = inner.lower() == "not"
+        if negate:
+            lstart = _operand_back(stmt, lstart)
+            inner = re.sub(
+                r"\bnot\s*$", "", stmt[lstart : m.start()],
+                flags=re.IGNORECASE,
+            ).strip()
+        if not inner or inner.lower() in _KEYWORDS:
+            continue  # function-call position
         rend = _operand_fwd(stmt, m.end())
+        if _compound_context(stmt, lstart, rend):
+            continue
         right = stmt[m.end() : rend].strip()
-        repl = f"glob({right}, {left})"
+        repl = f"glob({right}, {inner})"
         if negate:
             repl = "NOT " + repl
         stmt = stmt[:lstart] + repl + stmt[rend:]
+    return stmt
 
 
 def _in_quotes(s: str, pos: int) -> bool:
@@ -244,6 +278,156 @@ def rewrite_group_concat(stmt: str) -> str:
     return "".join(out)
 
 
+def _split_call_args(stmt: str, open_paren: int) -> list[str] | None:
+    """Top-level argument texts of the call whose ``(`` is at
+    ``open_paren``; None when the parens never close."""
+    close = _match_paren_fwd(stmt, open_paren)
+    if close > len(stmt) or stmt[close - 1] != ")":
+        return None
+    args: list[str] = []
+    depth = 0
+    i = open_paren
+    last = open_paren + 1
+    while i < close:
+        c = stmt[i]
+        if c in "'\"`":
+            i = _scan_string(stmt, i)
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                args.append(stmt[last:i].strip())
+        elif c == "," and depth == 1:
+            args.append(stmt[last:i].strip())
+            last = i + 1
+        i += 1
+    return args
+
+
+def _sql_literal_text(arg: str) -> str | None:
+    """The unescaped text of a single-quoted SQL string literal, or
+    None when ``arg`` is any other expression."""
+    a = arg.strip()
+    if len(a) >= 2 and a[0] == "'" and _scan_string(a, 0) == len(a):
+        return a[1:-1].replace("''", "'")
+    return None
+
+
+def _quote_sql(text: str) -> str:
+    return "'" + text.replace("'", "''") + "'"
+
+
+# regex constructs whose meaning differs between the Python ``re``
+# fallback UDF and Java's java.util.regex (which RLIKE compiles):
+# Python-only named groups/comments, ``\Z`` (Python = absolute end,
+# Java = before final terminator), POSIX bracket classes.
+_REGEX_DIALECT_RISK = ("(?P", "(?#", "\\Z", "[[:")
+
+
+def _java_safe_regex(pattern: str) -> bool:
+    return not any(tok in pattern for tok in _REGEX_DIALECT_RISK)
+
+
+def glob_to_regex(pattern: str) -> str:
+    """SQLite GLOB pattern → anchored Java/Python regex (same
+    translation as the glob() UDF in functions/__init__.py; ``(?s)``
+    mirrors its re.DOTALL)."""
+    out, i, n = [], 0, len(pattern)
+    while i < n:
+        c = pattern[i]
+        if c == "*":
+            out.append(".*")
+        elif c == "?":
+            out.append(".")
+        elif c == "[":
+            j = i + 1
+            neg = j < n and pattern[j] in "^!"
+            if neg:
+                j += 1
+            if j < n and pattern[j] == "]":
+                j += 1
+            while j < n and pattern[j] != "]":
+                j += 1
+            inner = pattern[i + 1 + (1 if neg else 0) : j]
+            # backslash is literal inside SQLite's [...]; escape it (and
+            # a literal ^ that re would misread) for the regex class
+            inner = inner.replace("\\", "\\\\").replace("^", "\\^")
+            out.append("[" + ("^" if neg else "") + inner + "]")
+            i = j
+        else:
+            out.append(re.escape(c))
+        i += 1
+    return "(?s)^(?:" + "".join(out) + ")$"
+
+
+_CALL_RES = {
+    name: re.compile(rf"\b{name}\s*\(", re.IGNORECASE)
+    for name in ("regexp", "regsub", "glob")
+}
+
+# regsub replacement metacharacters: Java uses $1/\, Tcl uses \1/&,
+# Python uses \1 — only plain literals mean the same thing everywhere
+_REPL_META = ("\\", "$", "&")
+
+
+def rewrite_regex_calls(stmt: str) -> str:
+    """Rewrite ``regexp``/``regsub``/``glob`` calls with *literal*
+    patterns onto Spark's JVM expressions, keeping the registered
+    Python UDFs as the fallback for dynamic patterns and regex
+    constructs whose dialect differs (VERDICT r1 #2 — the UDF forms
+    are the one row-at-a-time wall in the CLI query path):
+
+    - ``regexp(P, X)``  → ``(coalesce(X, '') RLIKE P)``
+    - ``regsub(P, X, R)`` → ``regexp_replace(coalesce(X, ''), P, R)``
+      (only when R is a literal free of replacement metacharacters)
+    - ``glob(P, X)``    → ``(X RLIKE '<anchored translation of P>')``
+
+    ``coalesce(X, '')`` preserves the reference's NULL handling for
+    regexp/regsub — Tcl procs receive SQLite NULL as the empty string
+    (sqawk-dev.tcl:199-215). SQLite's glob() returns NULL on NULL
+    input, which RLIKE already does, so glob keeps X bare."""
+    for name, call_re in _CALL_RES.items():
+        cands = [
+            m
+            for m in call_re.finditer(stmt)
+            if not _in_quotes(stmt, m.start())
+            and not (m.start() > 0 and _IDENT.match(stmt[m.start() - 1]))
+        ]
+        for m in reversed(cands):  # right-to-left: stable positions
+            open_paren = m.end() - 1
+            close = _match_paren_fwd(stmt, open_paren)
+            args = _split_call_args(stmt, open_paren)
+            if args is None:
+                continue
+            pat = _sql_literal_text(args[0]) if args else None
+            if pat is None:
+                continue
+            if name == "glob":
+                if len(args) != 2:
+                    continue
+                repl = (
+                    f"({args[1]} RLIKE {_quote_sql(glob_to_regex(pat))})"
+                )
+            elif name == "regexp":
+                if len(args) != 2 or not _java_safe_regex(pat):
+                    continue
+                repl = f"(coalesce({args[1]}, '') RLIKE {args[0].strip()})"
+            else:  # regsub
+                if len(args) != 3 or not _java_safe_regex(pat):
+                    continue
+                rep = _sql_literal_text(args[2])
+                if rep is None or any(t in rep for t in _REPL_META):
+                    continue
+                repl = (
+                    f"regexp_replace(coalesce({args[1]}, ''), "
+                    f"{args[0].strip()}, {args[2].strip()})"
+                )
+            stmt = stmt[: m.start()] + repl + stmt[close:]
+    return stmt
+
+
 def rewrite_double_quoted_idents(stmt: str, columns: set[str]) -> str:
     """SQLite's misfeature, reproduced deliberately: a double-quoted
     token is an identifier when it resolves to a column, else a string
@@ -276,7 +460,9 @@ def rewrite_double_quoted_idents(stmt: str, columns: set[str]) -> str:
 
 
 def rewrite_statement(stmt: str, columns: set[str] | None = None) -> str:
-    stmt = rewrite_group_concat(rewrite_glob(stmt))
+    # glob first: infix GLOB lowers to glob() calls, which the regex-
+    # call pass can then lift onto RLIKE when the pattern is literal
+    stmt = rewrite_group_concat(rewrite_regex_calls(rewrite_glob(stmt)))
     if columns:
         stmt = rewrite_double_quoted_idents(stmt, columns)
     return stmt

@@ -213,6 +213,9 @@ def register_udfs(spark: SparkSession) -> None:
                 while j < n and pattern[j] != "]":
                     j += 1
                 inner = pattern[i + 1 + (1 if neg else 0) : j]
+                # SQLite treats backslash literally inside [...]; a raw
+                # one would escape the next char (or error) in re
+                inner = inner.replace("\\", "\\\\").replace("^", "\\^")
                 out.append("[" + ("^" if neg else "") + inner + "]")
                 i = j
             else:
@@ -230,11 +233,14 @@ def register_udfs(spark: SparkSession) -> None:
         s = str(tv).strip()
         if s == "now":
             return datetime.now(timezone.utc).replace(tzinfo=None)
-        try:  # julian day number
+        try:  # julian day number; inf/nan/out-of-range → NULL like
+            # SQLite's strftime, not a UDF-aborting exception
             jd = float(s)
             return datetime(2000, 1, 1) + timedelta(days=jd - 2451544.5)
         except ValueError:
             pass
+        except (OverflowError, OSError):
+            return None
         try:
             return datetime.fromisoformat(s.replace("T", " "))
         except ValueError:

@@ -544,6 +544,16 @@ def dedup_clusters(
         labels = new_labels.select("node", "label")
         if changed == 0:
             break
+    else:
+        # a component with diameter > 20 (long near-dup chain) would
+        # otherwise silently yield split clusters and wrong canonical
+        # ids; min-label propagation needs diameter rounds to settle
+        edges.unpersist()
+        raise RuntimeError(
+            "dedup_clusters: label propagation did not converge in 20 "
+            "rounds (component diameter exceeds the round budget); "
+            "raise the round count or lower the pair threshold"
+        )
 
     sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
     out = labels.join(sizes, "label").select(

@@ -775,6 +775,31 @@ def test_glob_function(tmp_path):
     assert got == "1 1 0"
 
 
+def test_glob_udf_backslash_class(tmp_path):
+    """SQLite treats backslash literally inside [...]; the dynamic-
+    pattern UDF path must match '\\' or 'd' for '[\\d]', not digits
+    (ADVICE r1: previously translated to a regex \\d escape)."""
+    f = write(
+        tmp_path,
+        "f",
+        "a\\z a[\\d]z\nadz a[\\d]z\naxz a[\\d]z\na1z a[\\d]z\n",
+    )
+    got = pysqawk("select a1 from a where glob(a2, a1)", f)
+    assert got == "a\\z\nadz"
+
+
+def test_strftime_nonfinite_timevalue_is_null(tmp_path):
+    """SQLite's strftime returns NULL for unusable time values; 'inf'
+    or out-of-range julian days must not abort the UDF (ADVICE r1)."""
+    got = pysqawk(
+        "-noinput",
+        "select coalesce(strftime('%Y', 'inf'), 'NULL'),"
+        " coalesce(strftime('%Y', '1e300'), 'NULL'),"
+        " coalesce(date('nan'), 'NULL')",
+    )
+    assert got == "NULL NULL NULL"
+
+
 def test_strftime_and_date_functions(tmp_path):
     # ground truth from real SQLite:
     #   strftime('%Y-%m-%d %H:%M:%S', ...) = '2024-03-05 07:08:09'
@@ -866,6 +891,18 @@ def test_double_quoted_non_column_stays_literal(tmp_path):
         pysqawk('select "not a column" from a', f)
         == "not a column\nnot a column"
     )
+
+
+def test_double_quoted_scoped_per_statement(tmp_path):
+    """SQLite resolves the "name"-as-column fallback in the statement's
+    own scope: with tables a and b both loaded, "b1" in a statement
+    that only references table a is a string literal (ADVICE r1 —
+    previously the rewrite used the union of all loaded columns and
+    produced 'no such column: b1')."""
+    fa = write(tmp_path, "fa", "x\ny\n")
+    fb = write(tmp_path, "fb", "p q\n")
+    got = pysqawk('select "b1" from a; select "b1" from b', fa, fb)
+    assert got == "b1\nb1\np"
 
 
 # --- header-3.* "columns" per-file option (tests.tcl:261-327) -----------

@@ -9,7 +9,19 @@ import sqlite3
 
 import pytest
 
-from sqawk_spark.dialect import rewrite_statement
+from sqawk_spark.dialect import (
+    glob_to_regex,
+    rewrite_glob,
+    rewrite_group_concat,
+    rewrite_regex_calls,
+    rewrite_statement,
+)
+
+
+def _lower_only(stmt: str) -> str:
+    """The GLOB/group_concat lowering passes without the JVM regex-call
+    lift — what rewrite_statement did before the RLIKE fast path."""
+    return rewrite_group_concat(rewrite_glob(stmt))
 
 
 @pytest.mark.parametrize(
@@ -68,7 +80,99 @@ from sqawk_spark.dialect import rewrite_statement
     ],
 )
 def test_rewrite(src, expected):
+    assert _lower_only(src) == expected
+
+
+@pytest.mark.parametrize(
+    "src,expected",
+    [
+        # literal-pattern regexp → JVM RLIKE (NULL-as-empty preserved)
+        (
+            "select * from a where regexp('^a', a1)",
+            "select * from a where (coalesce(a1, '') RLIKE '^a')",
+        ),
+        (
+            "select * from a where NOT REGEXP('x$', lower(a1))",
+            "select * from a where NOT (coalesce(lower(a1), '') RLIKE 'x$')",
+        ),
+        # literal regsub with a plain replacement → regexp_replace
+        (
+            "select regsub('a+', a1, 'X') from a",
+            "select regexp_replace(coalesce(a1, ''), 'a+', 'X') from a",
+        ),
+        # replacement metacharacters → dialect differs, keep the UDF
+        (
+            r"select regsub('(a)', a1, '\1') from a",
+            r"select regsub('(a)', a1, '\1') from a",
+        ),
+        ("select regsub('a', a1, '&') from a", "select regsub('a', a1, '&') from a"),
+        # dynamic pattern → keep the UDF
+        ("select regexp(a2, a1) from a", "select regexp(a2, a1) from a"),
+        # Python-only regex constructs → keep the UDF
+        (
+            "select regexp('(?P<g>a)', a1) from a",
+            "select regexp('(?P<g>a)', a1) from a",
+        ),
+        # glob() with a literal pattern → translated anchored RLIKE
+        (
+            "select glob('a*', a1) from a",
+            "select (a1 RLIKE '(?s)^(?:a.*)$') from a",
+        ),
+        # glob() with a dynamic pattern stays a UDF call
+        ("select glob(a2, a1) from a", "select glob(a2, a1) from a"),
+        # names inside quotes / longer identifiers untouched
+        ("select 'regexp(a, b)' from a", "select 'regexp(a, b)' from a"),
+        ("select my_regexp('p', a1) from a", "select my_regexp('p', a1) from a"),
+    ],
+)
+def test_rewrite_regex_calls(src, expected):
+    assert rewrite_regex_calls(src) == expected
+
+
+@pytest.mark.parametrize(
+    "src,expected",
+    [
+        # full pipeline: infix GLOB lowers to glob() then lifts to RLIKE
+        (
+            "select a1 from a where a1 GLOB 'a?z'",
+            "select a1 from a where (a1 RLIKE '(?s)^(?:a.z)$')",
+        ),
+        # doubled-quote escape in the left operand scans correctly
+        (
+            "select 'it''s' GLOB 'it*' from a",
+            "select ('it''s' RLIKE '(?s)^(?:it.*)$') from a",
+        ),
+        # compound operands (|| binds tighter than GLOB in SQLite):
+        # left unrewritten rather than silently regrouped
+        (
+            "select a1 || a2 GLOB 'p' from a",
+            "select a1 || a2 GLOB 'p' from a",
+        ),
+        (
+            "where a1 GLOB 'p' || 'q'",
+            "where a1 GLOB 'p' || 'q'",
+        ),
+    ],
+)
+def test_rewrite_statement_pipeline(src, expected):
     assert rewrite_statement(src) == expected
+
+
+def test_glob_to_regex_matches_sqlite():
+    """The compile-time GLOB→regex translation must agree with
+    SQLite's infix GLOB, including literal backslash inside [...]."""
+    import re as _re
+
+    rows = ["file.txt", "FILE.TXT", "a1z", "abz", "a\\z", "adz", "b2", ""]
+    pats = ["*.txt", "a[0-9]z", "a[^0-9]z", "?2", "*", "", "a[\\d]z"]
+    con = sqlite3.connect(":memory:")
+    con.execute("create table g (x text)")
+    con.executemany("insert into g values (?)", [(r,) for r in rows])
+    for p in pats:
+        want = [r[0] for r in con.execute("select x from g where x GLOB ?", (p,))]
+        rx = _re.compile(glob_to_regex(p))
+        got = [r for r in rows if rx.search(r)]
+        assert got == want, p
 
 
 def test_double_quoted_identifier_fallback():

@@ -143,3 +143,33 @@ def test_tfidf_has_partial_aggs(spark, sf_dir):
     p = plan(spark, sf_dir, "text_tfidf_top_terms")
     assert "partial_" in p
     assert p.count("HashAggregate") >= 4
+
+
+def test_rewritten_regex_calls_stay_jvm_side(spark, sf_dir):
+    """Literal-pattern regexp/regsub/glob script calls must lower to
+    RLIKE / regexp_replace (VERDICT r1 #2): a BatchEvalPython node
+    means the per-row Python UDF fallback leaked into the hot path."""
+    import io
+    from contextlib import redirect_stdout
+
+    from sqawk_spark.dialect import rewrite_statement
+    from sqawk_spark.functions import register_udfs
+    from sqawk_spark.operators.tables import load_tables
+
+    register_udfs(spark)
+    load_tables(spark, sf_dir, ("part",))["part"].createOrReplaceTempView(
+        "part_rx"
+    )
+    stmt = rewrite_statement(
+        "select regsub(' +', p_name, '_') as n from part_rx "
+        "where regexp('^bla', p_name) and p_name GLOB '*steel*'"
+    )
+    df = spark.sql(stmt)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode="formatted")
+    p = buf.getvalue()
+    assert "BatchEvalPython" not in p, p
+    assert "PythonUDF" not in p, p
+    # and the filters must still push into the parquet scan
+    df.collect()  # sanity: the rewritten statement actually runs
