@@ -111,3 +111,54 @@ def test_ann_ivf_recall_vs_brute_force(spark, sf_dir):
     # every returned neighbor's cosine must be exact (rerank is exact)
     assert all(-1.0 <= r.cosine <= 1.0 for r in ivf_rows)
     assert len(exact & ivf) / len(exact) >= 0.4
+
+
+def test_embedding_lsh_equals_brute_force(spark, sf_dir):
+    """The registered entry (threshold 0.4 → blocked-GEMM path) must
+    reproduce the all-pairs result exactly, including cosines."""
+    from sqawk_spark.operators.dedup import (
+        dedup_embedding_cosine,
+        dedup_embedding_lsh,
+    )
+
+    brute = {tuple(r) for r in dedup_embedding_cosine(spark, sf_dir).collect()}
+    fast = {tuple(r) for r in dedup_embedding_lsh(spark, sf_dir).collect()}
+    assert fast == brute
+    assert len(fast) > 0
+
+
+def test_embedding_lsh_path_full_recall_on_planted_dups(spark, sf_dir):
+    """Above the threshold gate the LSH banding path engages; with
+    planted ~0.99-cosine duplicates its table count (derived from the
+    threshold) must give recall 1.0 vs the exact blocked path."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from sqawk_spark.operators.dedup import (
+        LSH_EMBED_MIN_THRESHOLD,
+        _embedding_pairs_blocked,
+        _embedding_pairs_lsh,
+    )
+    from sqawk_spark.operators.tables import load_tables
+
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    base = t["embeddings"].limit(200).collect()
+    rng = np.random.RandomState(7)
+    rows = []
+    for r in base:
+        v = np.array(list(r["embedding"]), dtype=np.float64)
+        rows.append((int(r["vec_id"]), [float(x) for x in v]))
+        if r["vec_id"] % 4 == 0:  # plant a near-dup: cosine ~0.99
+            noisy = v + rng.normal(0, 0.015 * np.abs(v).mean() * 8, v.shape)
+            rows.append((int(r["vec_id"]) + 100_000, [float(x) for x in noisy]))
+    e = spark.createDataFrame(rows, "vec_id bigint, v array<double>")
+
+    th = 0.95
+    assert th >= LSH_EMBED_MIN_THRESHOLD
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in _embedding_pairs_blocked(e, th).collect()
+    }
+    lsh = {(r.vec_a, r.vec_b) for r in _embedding_pairs_lsh(e, th).collect()}
+    assert len(exact) >= 25  # the plants actually exceeded the threshold
+    assert lsh == exact

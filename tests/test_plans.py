@@ -173,3 +173,13 @@ def test_rewritten_regex_calls_stay_jvm_side(spark, sf_dir):
     assert "PythonUDF" not in p, p
     # and the filters must still push into the parquet scan
     df.collect()  # sanity: the rewritten statement actually runs
+
+
+def test_embedding_dedup_is_never_a_nested_loop(spark, sf_dir):
+    """The headline embedding-dedup entry must take the block-pair
+    GEMM (applyInPandas) or LSH path — a BroadcastNestedLoopJoin
+    means the all-pairs theta join leaked back in (VERDICT r1 #3)."""
+    p = plan(spark, sf_dir, "dedup_embedding_lsh")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "FlatMapGroupsInPandas" in p  # the per-block-pair GEMM
