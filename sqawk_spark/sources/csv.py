@@ -4,13 +4,29 @@ quoted fields are NOT supported; we preserve that by parsing
 line-by-line).
 
 Spark mapping (SURVEY.md §2.A6): the raw line must survive as ``a0``,
-so the file is read with ``spark.read.text`` and each line is parsed
-with an Arrow-batched pandas UDF running Python's csv module — the
-exact quoting dialect of the reference (including the Excel "alt
-mode" doubled-quote handling) with vectorized transfer. A native
-``from_csv`` fast path would drop a0 fidelity on quirky quoting;
-correctness wins here, and CSV ingest stays embarrassingly parallel
-(per-line, per-partition).
+so the file is read with ``spark.read.text`` and parsed per line.
+Per-FILE dispatch (VERDICT r1 #4 — the all-Python parse was the
+ingest wall):
+
+- a JVM-only probe asks whether the file contains the quote char at
+  all (``filter(instr > 0).isEmpty()`` — early-exits on the first
+  hit, full scan only for quote-free files, and a text scan with no
+  Python worker is the cheap kind of scan);
+- quote-free files (the bulk of machine-written CSV) split JVM-side
+  with ``split(value, sep, -1)`` — provably identical to the csv
+  module when no quote char is present, for ANY single-char dialect,
+  and measured 2-3× faster than the Python node even at 1M rows
+  (at cluster scale the gap is the whole Python-worker round trip);
+- files containing quotes keep the Arrow-batched pandas UDF running
+  Python's csv module — the exact quoting dialect of the reference
+  (including the Excel "alt mode" doubled-quote handling).
+
+Finer-grained variants were measured and rejected: NULLing the UDF
+input for quote-free LINES still pays the per-row Python round trip
+(~1.5 s/1M rows — the node, not the parse, is the cost), and a
+whole-file ``from_csv`` needs a fixed column arity (CSV here is
+ragged) and maps empty unquoted fields to NULL where the reference
+keeps ``""``.
 """
 
 from __future__ import annotations
@@ -69,10 +85,15 @@ def records(spark: SparkSession, spec: FileSpec, path: str, alt: bool = False) -
     if len(quote) != 1:
         raise ValueError("csvquote must be a single character")
     raw = spark.read.text(path)
-    split_udf = _make_split_udf(sep, quote, alt)
-    return raw.select(
-        F.col("value").alias("a0"), split_udf(F.col("value")).alias("fields")
-    )
+    if raw.filter(F.instr(F.col("value"), quote) > 0).isEmpty():
+        # escape only regex metachars — a \Q...\E wrapper defeats the
+        # single-char fast path in Java's split (measured 2× slower)
+        pattern = "\\" + sep if sep in "\\^$.|?*+()[]{}" else sep
+        fields = F.split(F.col("value"), pattern, -1)
+    else:
+        split_udf = _make_split_udf(sep, quote, alt)
+        fields = split_udf(F.col("value"))
+    return raw.select(F.col("value").alias("a0"), fields.alias("fields"))
 
 
 def parse(spark: SparkSession, spec: FileSpec, path: str) -> DataFrame:
