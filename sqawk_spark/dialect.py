@@ -428,6 +428,114 @@ def rewrite_regex_calls(stmt: str) -> str:
     return stmt
 
 
+_OVER_RE = re.compile(r"\bover\s*\(", re.IGNORECASE)
+_GROUPS_KW_RE = re.compile(r"\bgroups\b", re.IGNORECASE)
+_ORDER_BY_RE = re.compile(r"\border\s+by\b", re.IGNORECASE)
+_FROM_RE = re.compile(r"\bfrom\b", re.IGNORECASE)
+
+
+def rewrite_groups_frames(stmt: str) -> str:
+    """Emulate SQLite's GROUPS window frames (≥ 3.28; reachable in the
+    reference because scripts are evaled verbatim — lib/classes/
+    sqawk.tcl:216), which Spark lacks.
+
+    A GROUPS frame counts *peer groups* — runs of rows tied on the
+    full ORDER BY tuple. ``dense_rank()`` over the same window numbers
+    exactly those groups consecutively, so
+
+        f(x) OVER (PARTITION BY p ORDER BY k GROUPS <frame>)
+     ≡  f(x) OVER (PARTITION BY p ORDER BY g RANGE <frame>)
+        over (SELECT *, dense_rank() OVER (PARTITION BY p ORDER BY k)
+              AS g FROM t)
+
+    because a RANGE frame of width n over the gap-free integer g spans
+    precisely n peer groups on either side. Verified against real
+    SQLite in tests/test_cli.py.
+
+    Scope: statements whose top-level FROM is a single bare table (the
+    shape sqawk scripts take). Anything else — joins, subqueries in
+    FROM, EXCLUDE clauses — is left unrewritten so Spark raises a hard
+    parse error instead of a silent wrong answer."""
+    windows: list[tuple[int, int, str]] = []  # (start, end, replacement)
+    drs: list[str] = []
+    for m in _OVER_RE.finditer(stmt):
+        if _in_quotes(stmt, m.start()):
+            continue
+        open_p = m.end() - 1
+        close = _match_paren_fwd(stmt, open_p)  # one past ')'
+        win = stmt[open_p + 1 : close - 1]
+        gm = next(
+            (
+                g
+                for g in _GROUPS_KW_RE.finditer(win)
+                if not _in_quotes(win, g.start())
+            ),
+            None,
+        )
+        if gm is None:
+            continue
+        if re.search(r"\bexclude\b", win, re.IGNORECASE):
+            return stmt  # EXCLUDE has no RANGE equivalent — bail
+        om = _ORDER_BY_RE.search(win)
+        if om is None or om.start() > gm.start():
+            return stmt  # GROUPS without ORDER BY is an SQLite error
+        partition = win[: om.start()].strip()
+        order = win[om.start() : gm.start()].strip()
+        alias = f"__grp{len(drs)}"
+        drs.append(
+            f"dense_rank() over ({partition}{' ' if partition else ''}"
+            f"{order}) as {alias}"
+        )
+        frame = "range" + win[gm.end() :]
+        new_win = (
+            f"{partition}{' ' if partition else ''}order by {alias} {frame}"
+        )
+        windows.append((open_p + 1, close - 1, new_win))
+    if not windows:
+        return stmt
+
+    # top-level FROM: single bare table identifier only
+    depth = 0
+    i = 0
+    from_m = None
+    while i < len(stmt):
+        c = stmt[i]
+        if c in "'\"`":
+            i = _scan_string(stmt, i)
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0:
+            fm = _FROM_RE.match(stmt, i)
+            if fm:
+                if from_m is not None:
+                    return stmt  # two top-level FROMs — not a shape we handle
+                from_m = fm
+                i = fm.end()
+                continue
+        i += 1
+    if from_m is None:
+        return stmt
+    tstart = _skip_ws(stmt, from_m.end())
+    tend = tstart
+    while tend < len(stmt) and _IDENT.match(stmt[tend]):
+        tend += 1
+    table = stmt[tstart:tend]
+    if not table or not table[0].isalpha():
+        return stmt
+    nxt = _skip_ws(stmt, tend)
+    if nxt < len(stmt) and (stmt[nxt] == "," or re.match(r"(?i)join\b|as\b", stmt[nxt:])):
+        return stmt  # joins / aliases — bail rather than misparse
+
+    sub = f"(select *, {', '.join(drs)} from {table})"
+    edits = sorted(windows + [(tstart, tend, sub)], reverse=True)
+    for start, end, repl in edits:
+        stmt = stmt[:start] + repl + stmt[end:]
+    return stmt
+
+
 def rewrite_double_quoted_idents(stmt: str, columns: set[str]) -> str:
     """SQLite's misfeature, reproduced deliberately: a double-quoted
     token is an identifier when it resolves to a column, else a string
@@ -463,6 +571,7 @@ def rewrite_statement(stmt: str, columns: set[str] | None = None) -> str:
     # glob first: infix GLOB lowers to glob() calls, which the regex-
     # call pass can then lift onto RLIKE when the pattern is literal
     stmt = rewrite_group_concat(rewrite_regex_calls(rewrite_glob(stmt)))
+    stmt = rewrite_groups_frames(stmt)
     if columns:
         stmt = rewrite_double_quoted_idents(stmt, columns)
     return stmt

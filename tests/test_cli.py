@@ -1029,3 +1029,34 @@ def test_large_ingest_parallel(tmp_path):
         "select count(*) as n, sum(a1) as s, max(anr) as m from a", str(f)
     )
     assert got == f"{n} {n*(n-1)//2} {n}"
+
+
+# --- GROUPS window frames (SQLite >= 3.28; emulated via dense_rank) -----
+
+
+def test_groups_frame_matches_sqlite(tmp_path):
+    """GROUPS frames count peer groups, not rows or value distance;
+    ground truth computed from the system SQLite on the same data
+    (duplicate a1 values AND value gaps so GROUPS differs from both
+    ROWS and RANGE)."""
+    import sqlite3 as _sq
+
+    rows = [
+        (1, 10, "x"), (5, 20, "y"), (5, 30, "x"), (20, 40, "y"),
+        (21, 50, "x"), (21, 60, "y"), (100, 70, "x"),
+    ]
+    con = _sq.connect(":memory:")
+    con.execute("create table a (a1 int, a2 int, a3 text)")
+    con.executemany("insert into a values (?,?,?)", rows)
+    queries = [
+        "select a1, sum(a2) over (order by a1 groups between 1 preceding"
+        " and current row) as s from a order by a1, a2",
+        "select a1, sum(a2) over (partition by a3 order by a1 desc groups"
+        " between 1 preceding and 1 following) as s from a order by a1, a2",
+    ]
+    f = write(tmp_path, "f", "".join(f"{r[0]} {r[1]} {r[2]}\n" for r in rows))
+    for q in queries:
+        want = "\n".join(
+            " ".join(str(v) for v in r) for r in con.execute(q)
+        )
+        assert pysqawk(q, f) == want
