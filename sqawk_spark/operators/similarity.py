@@ -136,22 +136,36 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure-column formulation (48 interpreted zip_with lambdas per row)
     was measured ~15× slower at sf0.01. Only (vec_id, tbl, sig) rows
     enter the bucket join; vectors rejoin afterwards for exact
-    rescoring of the (small) candidate set. 6-bit signatures × 8
-    tables — tuned for this corpus's near-orthogonal vectors (top-1
-    cosine ≈ 0.45 → per-bit agreement ≈ 0.65, per-table capture
-    ≈ 0.075, overall ≈ 0.46); denser corpora (real near-dups) allow
-    more bits and a smaller probe fraction. Approximate by design →
+    rescoring of the candidate set. 6-bit signatures × 12 tables with
+    hamming-1 MULTI-PROBE on the query side (each query also probes
+    the 6 buckets one bit-flip away — the standard multi-probe trick:
+    more recall per table instead of more tables). Tuned for this
+    corpus's near-orthogonal vectors (top-1 cosine ≈ 0.45 → per-bit
+    agreement ≈ 0.65): measured recall ≥ 0.90 vs the exact baseline
+    at sf0.001/0.01/0.1 (asserted ≥ 0.8 in tests/test_extensions.py)
+    at a ~0.74 candidate fraction — an isotropic corpus is ANN's
+    worst case; clustered production embeddings hit the same recall
+    at far smaller probe fractions. Approximate by design →
     rows-only check; the exactness oracle is ann_cosine_topk."""
     import hashlib
 
     import numpy as _np
 
-    n_planes, n_tables = 6, 8
+    n_planes, n_tables = 6, 12
     t = load_tables(spark, sf_dir, ("embeddings",))
     emb = t["embeddings"].select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    dim = len(emb.select("v").first()["v"])
+    # the query set is tiny and fixed: collect it once, derive BOTH
+    # the rescore matrix and the probe signatures driver-side so the
+    # corpus-wide signature pass below runs exactly once (both sides
+    # of the bucket join deriving from it doubled the corpus matmul)
+    q_rows = (
+        emb.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "v").collect()
+    )
+    q_ids = [r["vec_id"] for r in q_rows]
+    q_vecs = [list(r["v"]) for r in q_rows]
+    dim = len(q_vecs[0])
 
     hmat = _np.array(
         [
@@ -190,37 +204,57 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     stacked = emb.mapInPandas(
         sign_batches, schema="vec_id bigint, tbl int, sig bigint"
     )
-    q = stacked.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), "tbl", "sig"
+    # multi-probe, computed driver-side from the collected queries:
+    # each query probes its own bucket plus the n_planes buckets one
+    # bit-flip away, per table — 10 × 12 × 7 = 840 tiny rows,
+    # broadcast against the single corpus signature pass
+    qm_sig = _np.array(q_vecs, dtype=_np.float64)
+    qbits = (qm_sig @ hmat.T > 0).reshape(len(q_ids), n_tables, n_planes)
+    qsigs = (qbits * (1 << _np.arange(n_planes, dtype=_np.int64))).sum(axis=2)
+    probe_rows = [
+        (int(qid), int(tb), int(sig) ^ flip)
+        for i, qid in enumerate(q_ids)
+        for tb, sig in enumerate(qsigs[i])
+        for flip in [0] + [1 << b for b in range(n_planes)]
+    ]
+    probes = spark.createDataFrame(
+        probe_rows, "query_id bigint, tbl int, sig bigint"
     )
     c = stacked.select(F.col("vec_id").alias("neighbor_id"), "tbl", "sig")
     cand = (
-        q.join(c, ["tbl", "sig"])
+        c.join(F.broadcast(probes), ["tbl", "sig"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    n = _normed(spark, sf_dir)
-    qn = n.select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("nrm").alias("qn"),
-    )
-    cn = n.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("v").alias("cv"),
-        F.col("nrm").alias("cn"),
-    )
-    sims = (
-        cand.join(qn, "query_id")
-        .join(cn, "neighbor_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(_dot("qv", "cv") / (F.col("qn") * F.col("cn")), 6).alias(
-                "cosine"
-            ),
-        )
+
+    # exact rescoring: join candidate ids with the NEIGHBOR vectors
+    # only; the 10-query matrix rides the closure and each Arrow batch
+    # scores in one vectorized pass (an interpreted zip_with fold per
+    # pair was measured ~10× slower on the ~10⁶-pair candidate set)
+    def rescore(batches):
+        import numpy as np
+        import pandas as pd
+
+        qm = np.array(q_vecs, dtype=np.float64)
+        qm = qm / np.sqrt((qm * qm).sum(axis=1))[:, None]
+        qpos = {qid: i for i, qid in enumerate(q_ids)}
+        for pdf in batches:
+            vm = np.array(list(pdf["v"]), dtype=np.float64)
+            vm = vm / np.sqrt((vm * vm).sum(axis=1))[:, None]
+            qi = pdf["query_id"].map(qpos).to_numpy(np.int64)
+            cos = (qm[qi] * vm).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "neighbor_id": pdf["neighbor_id"],
+                    "cosine": np.round(cos, 6),
+                }
+            )
+
+    cv = emb.select(F.col("vec_id").alias("neighbor_id"), "v")
+    sims = cand.join(cv, "neighbor_id").mapInPandas(
+        rescore, schema="query_id bigint, neighbor_id bigint, cosine double"
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
     return sims.select(
@@ -248,10 +282,20 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Deterministic: seeds are the K lowest corpus vec_ids outside the
     query set; ties in assignment break toward the lower cluster id
-    (numpy argmax); no random state anywhere. Approximate by design →
-    rows-only check; recall vs the exact baseline is asserted in
-    tests/test_extensions.py."""
-    n_clusters, n_probe, n_iters = 16, 4, 3
+    (numpy argmax); no random state anywhere.
+
+    Recall comes from two knobs: queries probe their ``n_probe``
+    nearest clusters AND each corpus vector is indexed under its
+    ``n_assign`` nearest clusters (multi-assignment — the IVF analog
+    of multi-probe: boundary vectors appear in the neighboring cell
+    too, so near-boundary neighbors aren't lost). K=16 / probe 6 /
+    assign 2 / 5 Lloyd iterations measures recall 0.86-0.94 vs the
+    exact baseline across sf0.001/0.01/0.1 (asserted ≥ 0.8 in
+    tests/test_extensions.py) at a ~0.6 probe fraction — isotropic
+    vectors are the worst case; clustered production embeddings get
+    the same recall probing far less. Approximate by design →
+    rows-only check."""
+    n_clusters, n_probe, n_iters, n_assign = 16, 6, 5, 2
     t = load_tables(spark, sf_dir, ("embeddings",))
     emb = t["embeddings"].select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
@@ -265,8 +309,9 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     seeds = [list(r["v"]) for r in seed_rows]
 
-    def assigner(centroids):
-        # closure-captured centroid matrix: the executor-side "model"
+    def assigner(centroids, top):
+        # closure-captured centroid matrix: the executor-side "model";
+        # emits each vector under its `top` nearest clusters
         def assign(batches):
             import numpy as np
             import pandas as _pd
@@ -277,10 +322,11 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 vm = np.array(list(pdf["v"]), dtype=np.float64)
                 vn = np.sqrt((vm * vm).sum(axis=1))
                 sims = (vm @ cm.T) / (vn[:, None] * cn[None, :])
+                near = np.argsort(-sims, axis=1)[:, :top]  # (B, top)
                 yield _pd.DataFrame(
                     {
-                        "vec_id": pdf["vec_id"].to_numpy(),
-                        "cluster": sims.argmax(axis=1).astype("int32"),
+                        "vec_id": np.repeat(pdf["vec_id"].to_numpy(), top),
+                        "cluster": near.astype("int32").ravel(),
                     }
                 )
 
@@ -334,7 +380,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             if counts[c] > 0:  # empty cluster keeps its old centroid
                 refined[c] = list(sums[c] / counts[c])
 
-    assigned = emb.mapInPandas(assigner(refined), schema=schema)
+    assigned = emb.mapInPandas(assigner(refined, n_assign), schema=schema)
 
     # probe table: for each query, its NPROBE nearest refined centroids
     q_rows = emb.filter(F.col("vec_id") < N_QUERIES).collect()
@@ -354,9 +400,16 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("qv"),
         F.col("nrm").alias("qn"),
     )
-    cand = (
+    # multi-assignment means a (query, vector) pair can surface from
+    # several probed cells — dedupe on the narrow id pair BEFORE the
+    # vectors join so each candidate is rescored once
+    cand_ids = (
         assigned.join(F.broadcast(probes), "cluster")
-        .join(
+        .select("query_id", "vec_id")
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    cand = (
+        cand_ids.join(
             qn.select(
                 F.col("vec_id").alias("neighbor_id"),
                 F.col("v").alias("cv"),

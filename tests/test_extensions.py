@@ -37,15 +37,20 @@ def test_simhash_covers_planted_dups(spark, sf_dir):
     assert len(exact & sim) >= len(exact) * 0.5
 
 
-def test_ann_lsh_overlaps_brute_force(spark, sf_dir):
-    brute = ann_cosine_topk(spark, sf_dir).collect()
-    top1 = {(r.query_id, r.neighbor_id) for r in brute if r.rank == 1}
-    lsh = {(r.query_id, r.neighbor_id) for r in ann_lsh_topk(spark, sf_dir).collect()}
-    # approximate: expect at least some of the true top-1s in the
-    # LSH result (random hyperplanes on near-orthogonal vectors are
-    # noisy; this asserts the plumbing, not a recall SLA)
-    assert len(lsh) > 0
-    assert len(top1 & lsh) >= 1
+def test_ann_lsh_recall_vs_brute_force(spark, sf_dir):
+    """Multi-probe LSH (6 bits × 12 tables, hamming-1 probes) must
+    recall ≥ 0.8 of the exact top-k on this worst-case isotropic
+    corpus (measured 0.90 at sf0.001, 1.0 at sf0.01 — deterministic
+    hyperplanes → stable per SF)."""
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_cosine_topk(spark, sf_dir).collect()
+    }
+    lsh = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_lsh_topk(spark, sf_dir).collect()
+    }
+    assert len(lsh & brute) / len(brute) >= 0.8
 
 
 def test_multimodal_batch_flow(spark, sf_dir):
@@ -93,12 +98,11 @@ def test_dedup_clusters_invariants(spark, sf_dir):
 
 
 def test_ann_ivf_recall_vs_brute_force(spark, sf_dir):
-    """IVF probes 4 of 16 clusters (25% of the corpus). On this
-    near-orthogonal synthetic corpus cluster structure is weak, so
-    the floor is modest — the assertion pins the plumbing end to end
-    (assignment, 3 Lloyd iterations, probe join, rerank) plus a
-    recall floor, not a production SLA. Measured recall is ~0.5 at
-    sf0.001 and sf0.01 (deterministic seeds → stable per SF)."""
+    """IVF with query-side probing (6 of 16 cells) AND corpus-side
+    multi-assignment (each vector indexed under its 2 nearest cells)
+    must recall ≥ 0.8 of the exact top-k even on this worst-case
+    isotropic corpus (measured 0.86 at sf0.001, 0.88 at sf0.01 —
+    deterministic seeds → stable per SF)."""
     from sqawk_spark.operators.similarity import ann_ivf_topk
 
     exact = {
@@ -107,10 +111,9 @@ def test_ann_ivf_recall_vs_brute_force(spark, sf_dir):
     }
     ivf_rows = ann_ivf_topk(spark, sf_dir).collect()
     ivf = {(r.query_id, r.neighbor_id) for r in ivf_rows}
-    assert len(ivf) > 0
     # every returned neighbor's cosine must be exact (rerank is exact)
     assert all(-1.0 <= r.cosine <= 1.0 for r in ivf_rows)
-    assert len(exact & ivf) / len(exact) >= 0.4
+    assert len(exact & ivf) / len(exact) >= 0.8
 
 
 def test_embedding_lsh_equals_brute_force(spark, sf_dir):
