@@ -106,3 +106,25 @@ def test_watermark_drops_late_events(spark, tmp_path):
     # the 09:00 late window must not appear
     assert rows.get("2024-01-01 10:00:00") == 2
     assert "2024-01-01 09:00:00" not in rows
+
+
+def test_late_drop_batch_twin_equals_streaming(spark, sf_dir):
+    """events_late_drop (the oracle-checked batch construction) must
+    reproduce a REAL streaming run of the same arrival schedule:
+    per-chunk micro-batches, 1-hour watermark, update-mode emission.
+    This pins the whole claim — the batch twin IS what Structured
+    Streaming computes, including the one-batch watermark lag."""
+    from sqawk_spark.streaming.windows import (
+        events_late_drop,
+        stream_late_drop,
+    )
+
+    batch = {
+        (r.window_start, r.n_events, r.total_value)
+        for r in events_late_drop(spark, sf_dir).collect()
+    }
+    streamed = {
+        (r.window_start, r.n_events, r.total_value)
+        for r in stream_late_drop(spark, sf_dir).collect()
+    }
+    assert batch == streamed
