@@ -1,0 +1,211 @@
+"""Training-pipeline assembly operators: sequence packing and
+eval-set contamination checking.
+
+Both are the steps a pretraining data pipeline runs AFTER cleaning
+and dedup (reference scope ends at query/serialize — these extend the
+engine the way SURVEY.md §6 describes):
+
+- sequence packing assigns every document its byte..er, token offsets
+  in the deterministic concatenated token stream and the fixed-size
+  training sequence ("pack") that stream position falls into — the
+  GPT-style concat-and-chunk layout;
+- contamination checking joins the corpus against a held-out eval
+  split on shared n-grams, surfacing corpus documents that would leak
+  eval content into training.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from sqawk_spark.operators.dedup import MAX_DF, NGRAM, _shingle_index
+from sqawk_spark.operators.registry import query
+from sqawk_spark.operators.tables import load_tables
+
+PACK_TOKENS = 512  # training sequence length (tokens per pack)
+_PACK_BUCKETS = 32  # distributed prefix-sum fan-out
+
+# Contamination: a corpus doc is flagged when it contains at least
+# this share of an eval document's distinct n-grams.
+CONTAM_CONTAINMENT = 0.5
+_EVAL_BUCKETS = 20  # md5 bucket 0 of 20 → ~5% eval split
+
+
+def _hash_key():
+    """Deterministic shuffle order for packing: first 4 hex chars of
+    md5(doc_id) as an int (same cross-engine idiom as sampling.py).
+    Re-ingesting the corpus reproduces the same order — and therefore
+    byte-identical packs — on any engine or partitioning."""
+    return F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("int")
+
+
+@query(
+    "pack_sequences",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id,
+                   CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                       1, 4)) AS INTEGER) AS h,
+                   len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+            FROM documents
+        ),
+        o AS (
+            SELECT doc_id, n_tokens,
+                   sum(n_tokens) OVER (ORDER BY h, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS prev
+            FROM t
+        )
+        SELECT doc_id,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(coalesce(prev, 0) AS BIGINT) AS start_offset,
+               CAST(coalesce(prev, 0) // {PACK_TOKENS} AS BIGINT) AS pack_id,
+               CAST(coalesce(prev, 0) % {PACK_TOKENS} AS BIGINT)
+                   AS offset_in_pack
+        FROM o
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (VERDICT r1 #8): documents
+    are laid out in a deterministic md5-shuffled order, token counts
+    accumulate into a global offset, and ``pack_id = offset //
+    {PACK_TOKENS}`` names the fixed-length training sequence each
+    document starts in (documents may straddle packs — the standard
+    GPT pretraining layout, no padding waste).
+
+    The cumulative sum is a DISTRIBUTED prefix sum, not a global
+    ordered window (which would move the corpus to one partition —
+    the WindowExec warning at 100 TB): docs bucket by the top bits of
+    the same hash key (buckets partition the global order), each
+    bucket cumsums in parallel, and the ≤{_PACK_BUCKETS}-row table of
+    per-bucket totals turns into broadcast bucket base offsets. The
+    oracle states the same thing as one flat window, which DuckDB can
+    afford at test SF.
+    """
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"].select(
+        "doc_id",
+        _hash_key().alias("h"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+    )
+    # bucket = top bits of the order key → buckets partition the order
+    docs = docs.withColumn("bkt", (F.col("h") / (65536 // _PACK_BUCKETS)).cast("int"))
+
+    totals = docs.groupBy("bkt").agg(F.sum("n_tokens").alias("tot"))
+    wb = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
+    bases = totals.select(
+        "bkt", F.coalesce(F.sum("tot").over(wb), F.lit(0)).alias("base")
+    )
+
+    win = W.partitionBy("bkt").orderBy("h", "doc_id").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    local = docs.withColumn(
+        "local_prev", F.coalesce(F.sum("n_tokens").over(win), F.lit(0))
+    )
+    start = (F.col("base") + F.col("local_prev")).alias("start_offset")
+    return (
+        local.join(F.broadcast(bases), "bkt")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            start,
+            F.floor((F.col("base") + F.col("local_prev")) / PACK_TOKENS)
+            .cast("long")
+            .alias("pack_id"),
+            ((F.col("base") + F.col("local_prev")) % PACK_TOKENS)
+            .cast("long")
+            .alias("offset_in_pack"),
+        )
+    )
+
+
+@query(
+    "contamination_check",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   regexp_split_to_array(lower(trim(text)), '\\s+') AS t,
+                   CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                       1, 4)) AS INTEGER) % {_EVAL_BUCKETS} = 0 AS is_eval
+            FROM documents
+        ),
+        grams AS (
+            SELECT DISTINCT doc_id, is_eval,
+                   t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+            FROM toks, UNNEST(generate_series(1, len(t) - {NGRAM - 1}))
+                 AS u(i)
+        ),
+        keep AS (
+            SELECT g FROM grams GROUP BY g HAVING count(*) <= {MAX_DF}
+        ),
+        filtered AS (
+            SELECT doc_id, is_eval, g FROM grams
+            WHERE g IN (SELECT g FROM keep)
+        ),
+        eval_sizes AS (
+            SELECT doc_id, count(*) AS sz FROM filtered
+            WHERE is_eval GROUP BY doc_id
+        ),
+        overlap AS (
+            SELECT c.doc_id AS corpus_doc_id, e.doc_id AS eval_doc_id,
+                   count(*) AS n_common
+            FROM filtered c JOIN filtered e ON c.g = e.g
+            WHERE NOT c.is_eval AND e.is_eval
+            GROUP BY 1, 2
+        )
+        SELECT corpus_doc_id, eval_doc_id,
+               CAST(n_common AS BIGINT) AS n_common,
+               round(n_common * 1.0 / sz, 6) AS containment
+        FROM overlap JOIN eval_sizes ON eval_doc_id = eval_sizes.doc_id
+        WHERE n_common * 1.0 / sz >= {CONTAM_CONTAINMENT}
+    """,
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination scan (VERDICT r1 #8): which corpus
+    documents contain ≥{CONTAM_CONTAINMENT:.0%} of some eval
+    document's distinct {NGRAM}-grams? (The planted near-duplicates
+    make this non-vacuous: an eval doc's near-twin in the corpus is
+    exactly the leak this catches.)
+
+    Reuses the persisted inverted shingle index from dedup (grams
+    hashed to 8-byte longs, MAX_DF stop-shingle cap): the overlap
+    join is corpus-side index × eval-side index on gram id — the
+    eval side is ~1/{_EVAL_BUCKETS} of the corpus, so the join is a
+    pruned index lookup, never corpus × corpus. The md5-bucket eval
+    split is the same deterministic assignment sampling.py uses, so
+    the split itself is reproducible at any scale."""
+    idx = _shingle_index(spark, sf_dir)
+    is_eval = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % _EVAL_BUCKETS
+        == 0
+    )
+    tagged = idx.withColumn("is_eval", is_eval)
+    ev = tagged.filter("is_eval").select(
+        F.col("doc_id").alias("eval_doc_id"), "g"
+    )
+    corpus = tagged.filter(~F.col("is_eval")).select(
+        F.col("doc_id").alias("corpus_doc_id"), "g"
+    )
+    eval_sizes = ev.groupBy("eval_doc_id").agg(F.count("*").alias("sz"))
+    overlap = (
+        corpus.join(ev, "g")
+        .groupBy("corpus_doc_id", "eval_doc_id")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        overlap.join(F.broadcast(eval_sizes), "eval_doc_id")
+        .filter(F.col("n_common") / F.col("sz") >= CONTAM_CONTAINMENT)
+        .select(
+            "corpus_doc_id",
+            "eval_doc_id",
+            F.col("n_common").cast("long").alias("n_common"),
+            F.round(F.col("n_common") / F.col("sz"), 6).alias("containment"),
+        )
+    )

@@ -183,3 +183,23 @@ def test_embedding_dedup_is_never_a_nested_loop(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
     assert "FlatMapGroupsInPandas" in p  # the per-block-pair GEMM
+
+
+def test_pack_sequences_prefix_sum_is_partitioned(spark, sf_dir):
+    """The corpus-wide cumulative sum must be the bucketed two-phase
+    prefix sum: a window PARTITIONED by bucket over the corpus (the
+    only unpartitioned window is the <=32-row bucket-totals table)
+    and a broadcast of the bucket base offsets."""
+    p = plan(spark, sf_dir, "pack_sequences")
+    assert "windowspecdefinition(bkt" in p  # corpus window keyed by bucket
+    assert "BroadcastHashJoin" in p  # tiny base-offset table broadcasts
+    assert "CartesianProduct" not in p
+
+
+def test_contamination_join_is_index_lookup(spark, sf_dir):
+    """Corpus x eval overlap must join on gram id with the eval sizes
+    broadcast; never a corpus x corpus product."""
+    p = plan(spark, sf_dir, "contamination_check")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
