@@ -298,7 +298,17 @@ def run(argv: list[str], out=None) -> int:
                 for c in spark.table(t.name).columns
             }
 
+            from sqawk_spark.dml import maybe_run_dml
+
             for stmt in split_statements(script):
+                # DML/DDL mutates the loaded views and emits no rows
+                # (SURVEY §2.B27; the reference feeds these to SQLite)
+                if maybe_run_dml(
+                    spark,
+                    stmt,
+                    lambda sql: _run_statement(spark, sql, known_cols),
+                ):
+                    continue
                 df = _run_statement(spark, stmt, known_cols)
                 names = df.columns
                 for row in df.toLocalIterator():

@@ -1060,3 +1060,92 @@ def test_groups_frame_matches_sqlite(tmp_path):
             " ".join(str(v) for v in r) for r in con.execute(q)
         )
         assert pysqawk(q, f) == want
+
+
+# --- DML/DDL in scripts (SURVEY 2.B27; scripts are evaled verbatim in
+# the reference, so this surface is reachable there) -------------------
+
+
+def test_dml_insert_values_and_select(tmp_path):
+    f = write(tmp_path, "f", "1 10\n2 20\n")
+    got = pysqawk(
+        "insert into a (a1, a2) values (3, 30), (4, 40);"
+        " select a1, a2 from a order by a1",
+        f,
+    )
+    assert got == "1 10\n2 20\n3 30\n4 40"
+
+
+def test_dml_insert_select_doubles_rows(tmp_path):
+    f = write(tmp_path, "f", "1 10\n2 20\n")
+    got = pysqawk(
+        "insert into a select * from a; select count(*) from a", f
+    )
+    assert got == "4"
+
+
+def test_dml_update_where_matches_sqlite(tmp_path):
+    import sqlite3 as _sq
+
+    rows = [(1, 10), (2, 20), (3, 30)]
+    con = _sq.connect(":memory:")
+    con.execute("create table a (a1 integer, a2 integer)")
+    con.executemany("insert into a values (?,?)", rows)
+    con.execute("update a set a2 = a2 * 2 where a1 >= 2")
+    con.execute("delete from a where a2 > 50")
+    want = "\n".join(
+        " ".join(map(str, r))
+        for r in con.execute("select a1, a2 from a order by a1")
+    )
+    f = write(tmp_path, "f", "".join(f"{x} {y}\n" for x, y in rows))
+    got = pysqawk(
+        "update a set a2 = a2 * 2 where a1 >= 2;"
+        " delete from a where a2 > 50;"
+        " select a1, a2 from a order by a1",
+        f,
+    )
+    assert got == want
+
+
+def test_dml_delete_keeps_null_predicate_rows(tmp_path):
+    # SQLite deletes only rows where the predicate is TRUE; a NULL
+    # comparison (empty field -> NULL-ish arithmetic) must survive
+    f = write(tmp_path, "f", "1 5\n2 50\n3 7\n")
+    got = pysqawk(
+        "delete from a where a2 > 10; select a1 from a order by a1", f
+    )
+    assert got == "1\n3"
+
+
+def test_dml_create_table_as_and_drop(tmp_path):
+    f = write(tmp_path, "f", "1 x\n2 y\n")
+    got = pysqawk(
+        "create table big as select a1 * 100 as v from a;"
+        " select v from big order by v",
+        f,
+    )
+    assert got == "100\n200"
+
+
+def test_dml_drop_then_query_errors(tmp_path, capsys):
+    f = write(tmp_path, "f", "1 x\n")
+    rc = cli.main(["drop table a; select 1 from a", f])
+    assert rc == 1
+    err = capsys.readouterr().err
+    assert "no such table" in err or "TABLE_OR_VIEW_NOT_FOUND" in err
+
+
+def test_dml_drop_if_exists_is_silent(tmp_path):
+    f = write(tmp_path, "f", "1\n")
+    got = pysqawk("drop table if exists nosuch; select a1 from a", f)
+    assert got == "1"
+
+
+def test_dml_create_empty_table_with_affinity(tmp_path):
+    got = pysqawk(
+        "-noinput",
+        "create table t (name TEXT, n INTEGER, x REAL);"
+        " insert into t values ('a', 1, 1.5);"
+        " select name, n, x from t",
+    )
+    assert got == "a 1 1.5"
