@@ -271,7 +271,12 @@ def run(argv: list[str], out=None) -> int:
         if opts["dbfile"]:
             from sqawk_spark.dbfile import persist_and_register
 
-            persist_and_register(spark, opts["dbfile"], tables)
+            persist_and_register(
+                spark,
+                opts["dbfile"],
+                tables,
+                {t: s.nf for t, s in loader.specs.items()},
+            )
 
         serializer_spec = opts["output"]
         if serializer_spec.startswith("awk"):

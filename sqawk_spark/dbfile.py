@@ -2,12 +2,24 @@
 
 The reference opens an on-disk SQLite database instead of :memory:,
 which makes loaded tables persist across runs and lets them exceed
-RAM. The Spark analog is a directory of parquet tables — the same two
-properties (durability, larger-than-memory) via the storage layer
-Spark already scales on. `CREATE TABLE IF NOT EXISTS` append
-semantics carry over: loading into an existing table appends with
-record numbers continuing after the current maximum
-(lib/classes/table.tcl:69, tests.tcl:1398-1458).
+RAM. Two formats here, chosen by the path:
+
+- a ``.db`` / ``.sqlite`` / ``.sqlite3`` path (or an existing regular
+  file) is a REAL SQLite database — byte-level reference fidelity:
+  the same CREATE TABLE layout (``<p>nr INTEGER PRIMARY KEY``,
+  initial columns in the create statement, expanded columns via
+  ALTER, so even ``.dump`` output matches tests.tcl:1398-1474's
+  expectations), the same append-with-continuing-record-numbers
+  semantics. Rows stream driver-side through ``toLocalIterator`` in
+  batches — bounded memory, but inherently single-writer: this is
+  the CLI-fidelity format.
+- anything else is a DIRECTORY OF PARQUET tables — durability and
+  larger-than-memory via the storage layer Spark scales on; the
+  format to use at 100 TB.
+
+`CREATE TABLE IF NOT EXISTS` append semantics carry over to both:
+loading into an existing table appends with record numbers continuing
+after the current maximum (lib/classes/table.tcl:69).
 """
 
 from __future__ import annotations
@@ -17,6 +29,19 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+_SQLITE_EXTS = (".db", ".sqlite", ".sqlite3")
+
+_TO_SQLITE = {"bigint": "INTEGER", "int": "INTEGER", "double": "REAL"}
+_FROM_SQLITE = {"INTEGER": "long", "REAL": "double"}
+
+
+def _is_sqlite_path(path: str) -> bool:
+    if os.path.isdir(path):
+        return False
+    if os.path.isfile(path):
+        return True
+    return os.path.splitext(path)[1].lower() in _SQLITE_EXTS
+
 
 def _nr_column(df: DataFrame) -> str:
     """The record-number column is the first one, `<prefix>nr`."""
@@ -24,8 +49,14 @@ def _nr_column(df: DataFrame) -> str:
 
 
 def persist_and_register(
-    spark: SparkSession, dbdir: str, loaded: dict[str, DataFrame]
+    spark: SparkSession,
+    dbdir: str,
+    loaded: dict[str, DataFrame],
+    nf_by_table: dict[str, int] | None = None,
 ) -> None:
+    if _is_sqlite_path(dbdir):
+        _persist_sqlite(spark, dbdir, loaded, nf_by_table or {})
+        return
     os.makedirs(dbdir, exist_ok=True)
 
     for name, df in loaded.items():
@@ -48,3 +79,98 @@ def persist_and_register(
         path = os.path.join(dbdir, entry)
         if entry not in loaded and os.path.isdir(path):
             spark.read.parquet(path).createOrReplaceTempView(entry)
+
+
+def _persist_sqlite(
+    spark: SparkSession,
+    path: str,
+    loaded: dict[str, DataFrame],
+    nf_by_table: dict[str, int],
+) -> None:
+    """Reference-fidelity SQLite persistence (tests.tcl dbfile-*)."""
+    import sqlite3
+
+    con = sqlite3.connect(path)
+    try:
+        for name, df in loaded.items():
+            cols = df.columns
+            dtypes = dict(df.dtypes)
+            prefix = cols[0][: -len("nr")]
+            exists = con.execute(
+                "SELECT 1 FROM sqlite_master WHERE type='table' AND name=?",
+                (name,),
+            ).fetchone()
+            if not exists:
+                nf = nf_by_table.get(name, len(cols) - 3)
+                initial, expanded = [], []
+                for c in cols[2:]:
+                    suffix = c[len(prefix) :]
+                    target = (
+                        initial
+                        if suffix.isdigit() and int(suffix) <= nf
+                        else expanded
+                    )
+                    target.append(f"{c} {_TO_SQLITE.get(dtypes[c], 'TEXT')}")
+                # the reference's exact create layout (table.tcl:69-75);
+                # expanded columns ALTER in afterwards, so .dump shows
+                # them inline just like the reference's MNF-expand path
+                head = [
+                    f"{prefix}nr INTEGER PRIMARY KEY",
+                    f"{prefix}nf INTEGER",
+                ]
+                con.execute(
+                    f"CREATE TABLE IF NOT EXISTS {name} (\n    "
+                    + ",\n    ".join(head + initial)
+                    + ")"
+                )
+                for coldef in expanded:
+                    con.execute(f"ALTER TABLE {name} ADD COLUMN {coldef}")
+            else:
+                have = {
+                    r[1] for r in con.execute(f"PRAGMA table_info({name})")
+                }
+                for c in cols:
+                    if c not in have:
+                        con.execute(
+                            f"ALTER TABLE {name} ADD COLUMN {c} "
+                            f"{_TO_SQLITE.get(dtypes[c], 'TEXT')}"
+                        )
+            offset = (
+                con.execute(f"SELECT max({prefix}nr) FROM {name}").fetchone()[0]
+                or 0
+            )
+            ins = (
+                f"INSERT INTO {name} ({', '.join(cols)}) "
+                f"VALUES ({','.join('?' * len(cols))})"
+            )
+            # stream in batches: O(batch) driver memory at any table size
+            batch: list[list] = []
+            for row in df.toLocalIterator():
+                vals = list(row)
+                vals[0] += offset
+                batch.append(vals)
+                if len(batch) >= 10_000:
+                    con.executemany(ins, batch)
+                    batch = []
+            if batch:
+                con.executemany(ins, batch)
+            con.commit()
+
+        # every table in the file becomes queryable this run (including
+        # ones from previous runs — dbfile-2.1's -noinput flow)
+        names = [
+            r[0]
+            for r in con.execute(
+                "SELECT name FROM sqlite_master WHERE type='table'"
+            )
+        ]
+        for name in names:
+            info = con.execute(f"PRAGMA table_info({name})").fetchall()
+            schema = ", ".join(
+                f"{r[1]} {_FROM_SQLITE.get((r[2] or '').upper(), 'string')}"
+                for r in info
+            )
+            rows = [tuple(r) for r in con.execute(f"SELECT * FROM {name}")]
+            spark.createDataFrame(rows, schema).createOrReplaceTempView(name)
+    finally:
+        con.close()

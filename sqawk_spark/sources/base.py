@@ -76,6 +76,7 @@ class TableLoader:
         self._streams: dict[str, list[tuple[DataFrame, FileSpec]]] = {}
         self._order: list[str] = []
         self.tables: dict[str, DataFrame] = {}
+        self.specs: dict[str, FileSpec] = {}
 
     def add(self, records: DataFrame, spec: FileSpec, table: str) -> None:
         self._streams.setdefault(table, [])
@@ -96,6 +97,7 @@ class TableLoader:
             shaped = build_table(self.spark, records, spec, table)
             shaped.createOrReplaceTempView(table)
             self.tables[table] = shaped
+            self.specs[table] = spec
         return self.tables
 
 
