@@ -1141,6 +1141,56 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "window_groups_frame",
+    oracle="""
+        WITH r AS (
+            SELECT p_partkey, p_size, p_brand,
+                   CAST(round(p_retailprice * 100) AS BIGINT) AS cents,
+                   dense_rank() OVER (
+                       PARTITION BY p_brand ORDER BY p_size
+                   ) AS grp
+            FROM part
+        )
+        SELECT p_partkey, p_size,
+               CAST(sum(cents) OVER (
+                   PARTITION BY p_brand ORDER BY grp
+                   RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING
+               ) AS BIGINT) AS grp_cents
+        FROM r
+    """,
+)
+def window_groups_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B19 GROUPS frame (SQLite ≥ 3.28) — frames counted in PEER
+    GROUPS (distinct ORDER BY values), which Spark lacks natively
+    (and DuckDB also rejects: "GROUPS mode ... not implemented yet").
+
+    Emulated exactly the way the dialect rewriter lowers it for CLI
+    scripts (dialect.py:rewrite_groups_frames): ``dense_rank()`` over
+    the same window numbers the peer groups consecutively, so a RANGE
+    frame of the same bounds over the rank spans precisely the peer
+    groups a GROUPS frame would. The oracle runs the same
+    construction in DuckDB (value-level cross-engine check); the
+    GROUPS *semantics* are proven against real SQLite by the CLI
+    golden test_groups_frame_matches_sqlite. Sum in integer cents:
+    partial-agg order then can't produce float drift."""
+    t = load_tables(spark, sf_dir, ("part",))
+    wr = W.partitionBy("p_brand").orderBy("p_size")
+    ranked = t["part"].select(
+        "p_partkey",
+        "p_size",
+        "p_brand",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("cents"),
+        F.dense_rank().over(wr).alias("grp"),
+    )
+    wf = W.partitionBy("p_brand").orderBy("grp").rangeBetween(-1, 1)
+    return ranked.select(
+        "p_partkey",
+        "p_size",
+        F.sum("cents").over(wf).alias("grp_cents"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # B23: grouping sets / rollup / cube (Spark superset; SQLite lacks these)
 # ---------------------------------------------------------------------------

@@ -30,3 +30,39 @@ def test_rows_only_runs(spark, sf_dir, name):
     df = REGISTRY[name].builder(spark, sf_dir)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+def test_groups_frame_emulation_matches_native_sqlite(spark, sf_dir):
+    """window_groups_frame emulates GROUPS via dense_rank + RANGE
+    (neither Spark nor DuckDB implements GROUPS); real SQLite does —
+    assert value equality against its NATIVE GROUPS frame."""
+    import sqlite3
+
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT p_partkey, p_size, p_brand,"
+        " CAST(round(p_retailprice*100) AS BIGINT)"
+        f" FROM '{sf_dir}/part.parquet'"
+    ).fetchall()
+    sq = sqlite3.connect(":memory:")
+    sq.execute(
+        "create table part (p_partkey int, p_size int, p_brand text,"
+        " cents int)"
+    )
+    sq.executemany("insert into part values (?,?,?,?)", rows)
+    want = sorted(
+        sq.execute(
+            """
+            select p_partkey, p_size, sum(cents) over (
+                partition by p_brand order by p_size
+                groups between 1 preceding and 1 following) from part
+            """
+        ).fetchall()
+    )
+    got = sorted(
+        tuple(r)
+        for r in REGISTRY["window_groups_frame"].builder(spark, sf_dir).collect()
+    )
+    assert got == want
