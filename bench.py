@@ -49,11 +49,15 @@ HEADLINE = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_clusters",
+    "dedup_embedding_lsh",
     "sample_stratified_balanced",
     "ann_cosine_topk",
     "text_quality_score",
     "events_tumbling_window",
     "events_sessionize",
+    "events_late_drop",
+    "pack_sequences",
+    "contamination_check",
 ]
 
 
