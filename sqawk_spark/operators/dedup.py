@@ -456,23 +456,28 @@ def _embedding_pairs_blocked(
             lo, hi, cs = lo[keep2], hi[keep2], cs[keep2]
         return pd.DataFrame({"vec_a": lo, "vec_b": hi, "cos_raw": cs})
 
-    spark = e.sparkSession
-    pairs_df = spark.createDataFrame(pairs, "ba int, bb int")
+    del pairs  # membership is generated per row below, JVM-side
     blocked = e.withColumn(
         "blk", F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks)).cast("int")
     )
-    lhs = blocked.join(
-        F.broadcast(pairs_df), blocked["blk"] == pairs_df["ba"]
-    ).select("ba", "bb", F.lit(0).alias("side"), "vec_id", "v")
-    rhs = (
-        blocked.join(F.broadcast(pairs_df), blocked["blk"] == pairs_df["bb"])
-        .filter(F.col("ba") != F.col("bb"))
-        .select("ba", "bb", F.lit(1).alias("side"), "vec_id", "v")
+    # ONE corpus scan: each vector expands to its n_blocks block-pair
+    # memberships with a codegen'd sequence/transform (as side a of
+    # (blk, j≥blk), as side b of (i<blk, blk)) — no join, no second
+    # scan, replication factor exactly n_blocks
+    memberships = F.expr(
+        f"""concat(
+            transform(sequence(blk, {n_blocks - 1}),
+                      j -> struct(blk AS ba, j AS bb, 0 AS side)),
+            transform(CASE WHEN blk = 0 THEN array()
+                           ELSE sequence(0, blk - 1) END,
+                      i -> struct(i AS ba, blk AS bb, 1 AS side))
+        )"""
     )
-    return (
-        lhs.unionAll(rhs)
-        .groupBy("ba", "bb")
-        .applyInPandas(score, schema="vec_a bigint, vec_b bigint, cos_raw double")
+    exploded = blocked.select(
+        "vec_id", "v", F.explode(memberships).alias("m")
+    ).select("m.ba", "m.bb", "m.side", "vec_id", "v")
+    return exploded.groupBy("ba", "bb").applyInPandas(
+        score, schema="vec_a bigint, vec_b bigint, cos_raw double"
     )
 
 
