@@ -12,7 +12,7 @@ Registry mirrors the reference's parser namespace discovery
 
 from __future__ import annotations
 
-from sqawk_spark.sources import awk, csv, json, tcl
+from sqawk_spark.sources import awk, csv, json, parquet, tcl
 from sqawk_spark.sources.base import FileSpec, load_file, TableLoader
 
 PARSERS = {
@@ -21,6 +21,7 @@ PARSERS = {
     "csv2": csv.parse_alt,
     "csvalt": csv.parse_alt,
     "json": json.parse,
+    "parquet": parquet.parse,
     "tcl": tcl.parse,
 }
 
@@ -32,6 +33,7 @@ PARSER_OPTIONS = {
     "csv2": {"csvsep", "csvquote"},
     "csvalt": {"csvsep", "csvquote"},
     "json": {"kv", "lines"},
+    "parquet": set(),
     "tcl": {"kv", "lines"},
 }
 

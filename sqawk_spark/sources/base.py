@@ -94,7 +94,12 @@ class TableLoader:
             records = parts[0][0]
             for df, _ in parts[1:]:
                 records = records.unionAll(df)
-            shaped = build_table(self.spark, records, spec, table)
+            if spec.format == "parquet":
+                from sqawk_spark.sources.parquet import shape_typed_table
+
+                shaped = shape_typed_table(records, spec, table)
+            else:
+                shaped = build_table(self.spark, records, spec, table)
             shaped.createOrReplaceTempView(table)
             self.tables[table] = shaped
             self.specs[table] = spec

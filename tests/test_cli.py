@@ -1149,3 +1149,43 @@ def test_dml_create_empty_table_with_affinity(tmp_path):
         " select name, n, x from t",
     )
     assert got == "a 1 1.5"
+
+
+# --- format=parquet (engine-native extension) ---------------------------
+
+
+def test_parquet_format_real_and_positional_names():
+    got = pysqawk(
+        "-output", "awk",
+        "select anr, a1, l_partkey from a where anr <= 2 order by anr",
+        "format=parquet", "/root/testdata/sf0.001/lineitem.parquet",
+    )
+    rows = [line.split() for line in got.split("\n")]
+    assert rows[0][0] == "1" and rows[1][0] == "2"
+    # a1 is the positional alias of l_orderkey; l_partkey is the real name
+    assert all(len(r) == 3 for r in rows)
+
+
+def test_parquet_format_matches_duckdb():
+    import duckdb
+
+    want = duckdb.connect().execute(
+        "select count(*), round(sum(l_quantity), 2)"
+        " from '/root/testdata/sf0.001/lineitem.parquet'"
+    ).fetchone()
+    got = pysqawk(
+        "select count(*) as n, round(sum(l_quantity), 2) as s from a",
+        "format=parquet", "/root/testdata/sf0.001/lineitem.parquet",
+    )
+    n, s = got.split()
+    assert (int(n), float(s)) == (want[0], float(want[1]))
+
+
+def test_parquet_format_keeps_types():
+    # typed join between a parquet table and itself: numeric comparison
+    # must behave numerically, not lexically (no text round trip)
+    got = pysqawk(
+        "select max(l_quantity) from a where l_quantity < 10",
+        "format=parquet", "/root/testdata/sf0.001/lineitem.parquet",
+    )
+    assert float(got) < 10
