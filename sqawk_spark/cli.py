@@ -279,6 +279,12 @@ def run(argv: list[str], out=None) -> int:
             )
 
         serializer_spec = opts["output"]
+        if serializer_spec.split(",", 1)[0] == "parquet":
+            # engine-native extension: write results DISTRIBUTED —
+            # every text serializer necessarily streams rows through
+            # the driver (toLocalIterator); a big result belongs in
+            # columnar files written by the executors instead
+            return _run_parquet_output(spark, serializer_spec, script)
         if serializer_spec.startswith("awk"):
             # OFS/ORS come from the global flags for the awk serializer
             # (lib/classes/sqawk.tcl:107-120)
@@ -328,6 +334,41 @@ def run(argv: list[str], out=None) -> int:
                 os.unlink(p)
             except OSError:
                 pass
+
+
+def _run_parquet_output(spark, serializer_spec: str, script: str) -> int:
+    """``-output parquet,dir=D[,mode=overwrite]``: each SELECT's result
+    is written by the executors as parquet — no driver row streaming.
+    One statement writes to D itself; several write to D/s1, D/s2, …
+    (DML statements execute but write nothing, like the text path)."""
+    from sqawk_spark.dml import maybe_run_dml
+
+    parts = dict(
+        p.split("=", 1) for p in serializer_spec.split(",")[1:] if "=" in p
+    )
+    target = parts.get("dir")
+    if not target:
+        raise UsageError("-output parquet requires dir=PATH")
+    mode = parts.get("mode", "errorifexists")
+
+    known_cols = {
+        c
+        for t in spark.catalog.listTables()
+        if t.isTemporary
+        for c in spark.table(t.name).columns
+    }
+    stmts = split_statements(script)
+    selects = []
+    for stmt in stmts:
+        if maybe_run_dml(
+            spark, stmt, lambda sql: _run_statement(spark, sql, known_cols)
+        ):
+            continue
+        selects.append(_run_statement(spark, stmt, known_cols))
+    for i, df in enumerate(selects, start=1):
+        dest = target if len(selects) == 1 else os.path.join(target, f"s{i}")
+        df.write.mode(mode).parquet(dest)
+    return 0
 
 
 def _run_statement(spark, stmt: str, known_cols: set[str]):

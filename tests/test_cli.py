@@ -1189,3 +1189,45 @@ def test_parquet_format_keeps_types():
         "format=parquet", "/root/testdata/sf0.001/lineitem.parquet",
     )
     assert float(got) < 10
+
+
+# --- -output parquet (engine-native distributed write) ------------------
+
+
+def test_output_parquet_single_statement(tmp_path):
+    import duckdb
+
+    f = write(tmp_path, "f", "1 10\n2 20\n3 30\n")
+    dest = str(tmp_path / "out")
+    got = pysqawk(
+        "-output", f"parquet,dir={dest}",
+        "select a1, a2 * 2 as dbl from a", f,
+    )
+    assert got == ""
+    rows = duckdb.connect().execute(
+        f"select a1, dbl from '{dest}/*.parquet' order by a1"
+    ).fetchall()
+    assert rows == [(1, 20), (2, 40), (3, 60)]
+
+
+def test_output_parquet_multi_statement_and_dml(tmp_path):
+    import duckdb
+
+    f = write(tmp_path, "f", "1\n2\n")
+    dest = str(tmp_path / "out")
+    pysqawk(
+        "-output", f"parquet,dir={dest}",
+        "insert into a (a1) values (3);"
+        " select a1 from a; select count(*) as n from a",
+        f,
+    )
+    con = duckdb.connect()
+    assert sorted(
+        r[0]
+        for r in con.execute(
+            f"select a1 from '{dest}/s1/*.parquet'"
+        ).fetchall()
+    ) == [1, 2, 3]
+    assert con.execute(
+        f"select n from '{dest}/s2/*.parquet'"
+    ).fetchone()[0] == 3
