@@ -203,3 +203,14 @@ def test_contamination_join_is_index_lookup(spark, sf_dir):
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_late_drop_watermark_is_broadcast(spark, sf_dir):
+    """The per-batch watermark table (<=11 rows) must broadcast back to
+    the corpus; the only window in the plan is over that tiny table
+    (ordered by arrival batch), never a corpus-wide global sort."""
+    p = plan(spark, sf_dir, "events_late_drop")
+    assert "BroadcastHashJoin" in p
+    # exactly one window node, keyed on the arrival-batch column
+    assert p.count("windowspecdefinition") == 1
+    assert "windowspecdefinition(arrival" in p
