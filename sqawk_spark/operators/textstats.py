@@ -269,3 +269,101 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select(
         "doc_id", "term", "tfidf", F.row_number().over(w).alias("rank")
     ).filter(F.col("rank") <= _TFIDF_K)
+
+
+@query(
+    "text_repetition_stats",
+    oracle="""
+        WITH s AS (
+            SELECT doc_id,
+                   regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+            FROM documents
+        ),
+        b AS (
+            SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+            FROM s, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+        ),
+        bc AS (SELECT doc_id, g, count(*) AS c FROM b GROUP BY 1, 2),
+        btop AS (SELECT doc_id, max(c) AS mc FROM bc GROUP BY 1),
+        tri AS (
+            SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+            FROM s, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+        ),
+        tc AS (
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS tot,
+                   CAST(count(DISTINCT g) AS BIGINT) AS uni
+            FROM tri GROUP BY 1
+        )
+        SELECT s.doc_id,
+               CAST(len(t) AS BIGINT) AS n_tokens,
+               round(2.0 * mc / len(t), 6) AS top_bigram_frac,
+               round((tot - uni) * 1.0 / tot, 6) AS dup_trigram_frac
+        FROM s
+        JOIN btop USING (doc_id)
+        JOIN tc USING (doc_id)
+    """,
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition signals for pretraining quality filtering (the
+    Gopher-rules family): the fraction of tokens covered by the most
+    common bigram's occurrences, and the fraction of trigram
+    occurrences that are duplicates. High values mark boilerplate /
+    template / stutter documents that length and punctuation ratios
+    (text_quality_score) miss.
+
+    All JVM: grams come from a codegen'd sequence/slice transform
+    (same idiom as the dedup shingler), the per-doc top count and
+    distinct count are plain aggregates keyed by doc_id — two scans
+    of the corpus, shuffles keyed on (doc_id[, gram]), nothing wider.
+    """
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"].select(
+        "doc_id",
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("t"),
+    )
+    base = docs.select("doc_id", F.size("t").alias("n_tokens"), "t")
+
+    b = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> concat_ws(' ', slice(t, i, 2)))"
+            )
+        ).alias("g"),
+    )
+    btop = (
+        b.groupBy("doc_id", "g")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("mc"))
+    )
+    tri = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 2),"
+                " i -> concat_ws(' ', slice(t, i, 3)))"
+            )
+        ).alias("g"),
+    )
+    tc = tri.groupBy("doc_id").agg(
+        F.count("*").alias("tot"),
+        F.countDistinct("g").alias("uni"),
+    )
+    return (
+        base.select("doc_id", "n_tokens")
+        .join(btop, "doc_id")
+        .join(tc, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.round(2.0 * F.col("mc") / F.col("n_tokens"), 6).alias(
+                "top_bigram_frac"
+            ),
+            F.round(
+                (F.col("tot") - F.col("uni")) / F.col("tot"), 6
+            ).alias("dup_trigram_frac"),
+        )
+    )
