@@ -37,35 +37,80 @@ def fake_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def decode_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+def decode_table(media: DataFrame) -> DataFrame:
     """The decode operator: binary column → metadata via mapInPandas.
 
-    The stub is a closure (pickled by value) rather than a module-level
-    function: executor Python workers don't necessarily have this repo
-    on their PYTHONPATH, and a by-reference pickle would make them try
-    to import it. A real implementation would call PIL/av/soundfile on
-    each ``payload``; the Arrow batch flow, schema contract, and
-    partition behavior are identical."""
+    REAL container-header parsing for the standard formats — PNG
+    (IHDR), GIF (logical screen), JPEG (SOF scan), WAV (RIFF fmt
+    chunk: width=sample rate, height=channels) — needs no media
+    library, just the published byte layouts. Payloads that match no
+    magic number fall back to the deterministic stub (a full pixel/
+    sample decode would need PIL/soundfile, absent in this container);
+    the Arrow batch flow, schema contract, and partition behavior are
+    identical either way.
 
-    def decode_stub(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    The parser is a closure (pickled by value) rather than a
+    module-level function: executor Python workers don't necessarily
+    have this repo on their PYTHONPATH, and a by-reference pickle
+    would make them try to import it."""
+
+    def sniff(b: bytes):
+        import struct
+
+        if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24:
+            w, h = struct.unpack(">II", b[16:24])
+            return w, h, "image/png"
+        if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+            w, h = struct.unpack("<HH", b[6:10])
+            return w, h, "image/gif"
+        if b[:2] == b"\xff\xd8":
+            i = 2
+            while i + 9 < len(b) and b[i] == 0xFF:
+                marker, seglen = b[i + 1], int.from_bytes(b[i + 2 : i + 4], "big")
+                if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2
+                    h = int.from_bytes(b[i + 5 : i + 7], "big")
+                    w = int.from_bytes(b[i + 7 : i + 9], "big")
+                    return w, h, "image/jpeg"
+                i += 2 + seglen
+            return None
+        if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+            i = 12
+            while i + 8 <= len(b):
+                cid, clen = b[i : i + 4], int.from_bytes(b[i + 4 : i + 8], "little")
+                if cid == b"fmt " and i + 16 <= len(b):
+                    channels = int.from_bytes(b[i + 10 : i + 12], "little")
+                    rate = int.from_bytes(b[i + 12 : i + 16], "little")
+                    return rate, channels, "audio/wav"
+                i += 8 + clen + (clen & 1)
+        return None
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pandas as _pd
 
         for pdf in batches:
-            n_bytes = pdf["payload"].map(len)
-            yield _pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "n_bytes": n_bytes,
-                    # deterministic fake dimensions from the payload
-                    "width": 16 + (n_bytes % 497),
-                    "height": 16 + (pdf["doc_id"] * 31) % 497,
-                    "fmt": "fake/raw",
-                }
-            )
+            out = {"doc_id": [], "n_bytes": [], "width": [], "height": [], "fmt": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                meta = sniff(b)
+                if meta is None:
+                    # deterministic fake for unknown containers
+                    meta = (
+                        16 + (len(b) % 497),
+                        16 + (doc_id * 31) % 497,
+                        "fake/raw",
+                    )
+                out["doc_id"].append(doc_id)
+                out["n_bytes"].append(len(b))
+                out["width"].append(meta[0])
+                out["height"].append(meta[1])
+                out["fmt"].append(meta[2])
+            yield _pd.DataFrame(out)
 
-    return fake_media_table(spark, sf_dir).mapInPandas(
-        decode_stub, schema=DECODE_SCHEMA
-    )
+    return media.mapInPandas(decode, schema=DECODE_SCHEMA)
+
+
+def decode_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return decode_table(fake_media_table(spark, sf_dir))
 
 
 def extract_frames_stub(spark: SparkSession, sf_dir: str, every_n_bytes: int = 64) -> DataFrame:

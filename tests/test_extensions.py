@@ -165,3 +165,35 @@ def test_embedding_lsh_path_full_recall_on_planted_dups(spark, sf_dir):
     lsh = {(r.vec_a, r.vec_b) for r in _embedding_pairs_lsh(e, th).collect()}
     assert len(exact) >= 25  # the plants actually exceeded the threshold
     assert lsh == exact
+
+
+def test_multimodal_sniffs_real_container_headers(spark):
+    """Handcrafted PNG/GIF/JPEG/WAV headers (the published byte
+    layouts, no media libs) must decode to their real dimensions;
+    unknown payloads keep the deterministic stub."""
+    import struct
+
+    from sqawk_spark.operators.multimodal import decode_table
+
+    png = b"\x89PNG\r\n\x1a\n" + b"\0\0\0\rIHDR" + struct.pack(">II", 640, 480) + b"\x08\x02"
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 4
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 9
+        + b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
+        + (1080).to_bytes(2, "big") + (1920).to_bytes(2, "big") + b"\x03" + b"\x00" * 10
+    )
+    wav = (
+        b"RIFF" + (36).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (2).to_bytes(2, "little")
+        + (44100).to_bytes(4, "little") + b"\x00" * 8
+    )
+    rows = [(1, png), (2, gif), (3, jpeg), (4, wav), (5, b"plain text")]
+    media = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    got = {r.doc_id: (r.width, r.height, r.fmt) for r in decode_table(media).collect()}
+    assert got[1] == (640, 480, "image/png")
+    assert got[2] == (320, 200, "image/gif")
+    assert got[3] == (1920, 1080, "image/jpeg")
+    assert got[4] == (44100, 2, "audio/wav")
+    assert got[5][2] == "fake/raw"
