@@ -28,5 +28,6 @@ def load_all() -> None:
     import sqawk_spark.operators.relational  # noqa: F401
     import sqawk_spark.operators.sampling  # noqa: F401
     import sqawk_spark.operators.similarity  # noqa: F401
+    import sqawk_spark.operators.temporal  # noqa: F401
     import sqawk_spark.operators.textstats  # noqa: F401
     import sqawk_spark.streaming.windows  # noqa: F401

@@ -1,0 +1,161 @@
+"""Temporal joins Spark lacks natively: as-of and range.
+
+Both are standard analytics operators (kdb's ``aj``, DuckDB's ``ASOF
+JOIN``, range joins in every time-series engine) that Catalyst has no
+physical operator for — a naive translation becomes a
+BroadcastNestedLoopJoin over an inequality. The re-expressions here
+are the two canonical scalable shapes:
+
+- **as-of** = one window pass: partition by the equality key, order by
+  time, ``last(..., ignorenulls)`` over a frame ending just before the
+  current row. One shuffle on the key, no join at all.
+- **range** = bucket join: quantize time to buckets the width of the
+  range, replicate the probe side to its 3 candidate buckets
+  (JVM-side explode), equi-join on bucket, then apply the exact
+  predicate. Turns the inequality join into an equi-join whose
+  fan-out is bounded by bucket occupancy.
+
+The events table has no duplicate (user_id, ts) pairs at any SF
+(verified), so both operators are fully deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from sqawk_spark.operators.registry import query
+from sqawk_spark.operators.tables import load_tables
+
+RANGE_US = 300_000_000  # ±5 minutes
+
+
+@query(
+    "events_asof_join",
+    oracle="""
+        SELECT c.event_id, c.user_id,
+               epoch_us(c.ts) AS ts_us,
+               c.value AS click_value,
+               p.event_id AS purchase_event_id,
+               p.value AS purchase_value
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        ASOF LEFT JOIN
+             (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id AND c.ts > p.ts
+    """,
+)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click gets the user's most recent STRICTLY
+    earlier purchase (or NULLs if none). Oracle: DuckDB's native ASOF
+    LEFT JOIN — an independent implementation of the same semantics.
+
+    Spark shape: no join at all. One window partitioned by user_id,
+    ordered by ts, frame ending at the previous row; non-purchase rows
+    contribute NULL so ``last(..., ignorenulls=True)`` carries the
+    latest purchase forward. One shuffle on user_id — the equality
+    key — so it scales exactly like any keyed aggregation; kdb calls
+    this operator ``aj``, and this is its textbook Spark lowering."""
+    t = load_tables(spark, sf_dir, ("events",))
+    ev = t["events"]
+    is_p = F.col("event_type") == "purchase"
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    enriched = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        "event_type",
+        F.last(F.when(is_p, F.col("event_id")), ignorenulls=True)
+        .over(w)
+        .alias("purchase_event_id"),
+        F.last(F.when(is_p, F.col("value")), ignorenulls=True)
+        .over(w)
+        .alias("purchase_value"),
+    )
+    return enriched.filter(F.col("event_type") == "click").select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("value").alias("click_value"),
+        "purchase_event_id",
+        "purchase_value",
+    )
+
+
+@query(
+    "events_range_join",
+    oracle=f"""
+        SELECT e.event_id,
+               epoch_us(e.ts) AS ts_us,
+               CAST(count(o.event_id) AS BIGINT) AS n_nearby,
+               round(sum(o.value), 2) AS nearby_value
+        FROM (SELECT * FROM events WHERE event_type = 'error') e
+        LEFT JOIN events o
+          ON o.ts BETWEEN e.ts - INTERVAL '5 minutes'
+                      AND e.ts + INTERVAL '5 minutes'
+         AND o.event_id <> e.event_id
+        GROUP BY 1, 2
+    """,
+)
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: each error event counts and sums all events within
+    ±5 minutes (any user, excluding itself). The oracle states it as
+    the naive inequality join — fine for DuckDB at test SF, a
+    nested-loop disaster at scale.
+
+    Spark shape: quantize ts to 5-minute buckets; an error in bucket b
+    can only match events in buckets {{b-1, b, b+1}}, so the error
+    side explodes to those 3 probe buckets (tiny side replicated,
+    JVM-side) and the match becomes an EQUI-join on bucket + the
+    exact |Δts| filter. Candidate volume is bounded by 3× bucket
+    occupancy — linear in data, no nested loop (pinned in
+    tests/test_plans.py). Zero-match errors come back via the final
+    left join against the error set."""
+    t = load_tables(spark, sf_dir, ("events",))
+    ev = t["events"].select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "value",
+        "event_type",
+    )
+    bucket = (F.col("ts_us") / RANGE_US).cast("long")
+    others = ev.select("event_id", "ts_us", "value", bucket.alias("bkt"))
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        F.col("ts_us").alias("err_ts"),
+        bucket.alias("b"),
+    )
+    probes = errors.select(
+        "err_id",
+        "err_ts",
+        F.explode(
+            F.array(F.col("b") - 1, F.col("b"), F.col("b") + 1)
+        ).alias("bkt"),
+    )
+    cand = (
+        probes.join(others, "bkt")
+        .filter(
+            (F.abs(F.col("ts_us") - F.col("err_ts")) <= RANGE_US)
+            & (F.col("event_id") != F.col("err_id"))
+        )
+        .groupBy("err_id")
+        .agg(
+            F.count("*").alias("n_nearby"),
+            F.round(F.sum("value"), 2).alias("nearby_value"),
+        )
+    )
+    return (
+        errors.join(cand, "err_id", "left")
+        .select(
+            F.col("err_id").alias("event_id"),
+            F.col("err_ts").alias("ts_us"),
+            F.coalesce(F.col("n_nearby"), F.lit(0)).alias("n_nearby"),
+            "nearby_value",
+        )
+    )

@@ -214,3 +214,20 @@ def test_late_drop_watermark_is_broadcast(spark, sf_dir):
     # exactly one window node, keyed on the arrival-batch column
     assert p.count("windowspecdefinition") == 1
     assert "windowspecdefinition(arrival" in p
+
+
+def test_asof_join_is_a_window_not_a_join(spark, sf_dir):
+    """The as-of lowering must be one keyed window pass — no join
+    operator of any kind in the plan."""
+    p = plan(spark, sf_dir, "events_asof_join")
+    assert "Join" not in p  # no SortMergeJoin/BroadcastHashJoin/BNLJ
+    assert "windowspecdefinition(user_id" in p
+
+
+def test_range_join_is_bucketed_equi_join(spark, sf_dir):
+    """The range join must run as a bucket equi-join + exact filter,
+    never the nested-loop inequality join the oracle states."""
+    p = plan(spark, sf_dir, "events_range_join")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p
