@@ -159,3 +159,69 @@ def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nearby_value",
         )
     )
+
+
+@query(
+    "events_multires_rollup",
+    oracle="""
+        WITH b AS (
+            SELECT event_type, value,
+                   epoch_us(time_bucket(INTERVAL '1 minute', ts)) AS m,
+                   epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS h,
+                   epoch_us(time_bucket(INTERVAL '1 day', ts)) AS d
+            FROM events
+        )
+        SELECT CASE WHEN GROUPING(m) = 0 THEN 'minute'
+                    WHEN GROUPING(h) = 0 THEN 'hour'
+                    ELSE 'day' END AS resolution,
+               coalesce(m, h, d) AS bucket_us,
+               event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM b
+        GROUP BY GROUPING SETS ((m, event_type), (h, event_type),
+                                (d, event_type))
+    """,
+)
+def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: the same events
+    aggregated at minute, hour, and day resolution in ONE scan and ONE
+    shuffle — GROUPING SETS expands the three levels map-side, so the
+    fact table is never re-read per resolution (a UNION of three
+    aggregations would scan it three times; at 100 TB that is the
+    whole cost). This is the batch shape of a timeseries engine's
+    multi-resolution rollup; the streaming variant is the same
+    expression behind three windowed sinks."""
+    t = load_tables(spark, sf_dir, ("events",))
+    b = t["events"].select(
+        "event_type",
+        "value",
+        F.unix_micros(F.date_trunc("minute", F.col("ts"))).alias("m"),
+        F.unix_micros(F.date_trunc("hour", F.col("ts"))).alias("h"),
+        F.unix_micros(F.date_trunc("day", F.col("ts"))).alias("d"),
+    )
+    g = b.groupingSets(
+        [["m", "event_type"], ["h", "event_type"], ["d", "event_type"]],
+        "m",
+        "h",
+        "d",
+        "event_type",
+    )
+    # grouping() is only legal inside the aggregate list — carry the
+    # level flags out of the agg, then derive the resolution label
+    agged = g.agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.grouping("m").alias("gm"),
+        F.grouping("h").alias("gh"),
+    )
+    return agged.select(
+        F.when(F.col("gm") == 0, "minute")
+        .when(F.col("gh") == 0, "hour")
+        .otherwise("day")
+        .alias("resolution"),
+        F.coalesce("m", "h", "d").alias("bucket_us"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )

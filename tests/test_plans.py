@@ -231,3 +231,18 @@ def test_range_join_is_bucketed_equi_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
     assert "BroadcastHashJoin" in p or "SortMergeJoin" in p
+
+
+def test_multires_rollup_is_one_scan(spark, sf_dir):
+    """All three resolutions must come from ONE scan + ONE shuffle
+    via the grouping-sets Expand — a UNION of per-resolution
+    aggregations would re-scan the fact table three times."""
+    import re
+
+    p = plan(spark, sf_dir, "events_multires_rollup")
+    # one scan NODE (the name appears once in the tree sketch and once
+    # in the node details — count tree entries, which carry an id)
+    assert len(re.findall(r"Scan parquet\s+\(\d+\)", p)) == 1
+    assert "Union" not in p
+    assert "Expand" in p
+    assert "partial_count" in p  # map-side partial agg survives
