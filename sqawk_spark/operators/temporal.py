@@ -225,3 +225,47 @@ def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "total_value",
     )
+
+
+@query(
+    "events_rolling_stats",
+    oracle="""
+        SELECT event_id, user_id,
+               epoch_us(ts) AS ts_us,
+               CAST(count(*) OVER w AS BIGINT) AS n_last_hour,
+               round(sum(value) OVER w, 2) AS value_last_hour
+        FROM events
+        WINDOW w AS (
+            PARTITION BY user_id ORDER BY ts
+            RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW
+        )
+    """,
+)
+def events_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trailing-hour activity features (the classic
+    time-series feature-engineering shape): for every event, how many
+    events and how much value the same user produced in the preceding
+    hour, inclusive. An event-time RANGE frame — the frame is defined
+    by VALUE distance on the (microsecond) timestamp, so sparse and
+    bursty users get correct windows where a ROWS frame would not.
+
+    One shuffle on user_id, sort within partition; per-user row counts
+    are bounded (~activity per user), so no window partition can
+    outgrow an executor — the same scaling argument as every keyed
+    window here."""
+    t = load_tables(spark, sf_dir, ("events",))
+    ev = t["events"].select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "value"
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.count("*").over(w).alias("n_last_hour"),
+        F.round(F.sum("value").over(w), 2).alias("value_last_hour"),
+    )
