@@ -774,3 +774,103 @@ def dedup_clusters(
     )
     edges.unpersist()
     return out
+
+
+# The incremental-ingest split: documents in md5 bucket 0 of 10 play
+# the "newly arrived batch"; the other ~90% are the existing corpus.
+_INCR_BUCKETS = 10
+
+
+@query(
+    "dedup_incremental",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   regexp_split_to_array(lower(trim(text)), '\\s+') AS t,
+                   CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                       1, 4)) AS INTEGER) % {_INCR_BUCKETS} = 0 AS is_new
+            FROM documents
+        ),
+        grams AS (
+            SELECT DISTINCT doc_id, is_new,
+                   t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+            FROM toks, UNNEST(generate_series(1, len(t) - {NGRAM - 1}))
+                 AS u(i)
+        ),
+        keep AS (
+            SELECT g FROM grams GROUP BY g HAVING count(*) <= {MAX_DF}
+        ),
+        filtered AS (
+            SELECT doc_id, is_new, g FROM grams
+            WHERE g IN (SELECT g FROM keep)
+        ),
+        sizes AS (
+            SELECT doc_id, count(*) AS sz FROM filtered GROUP BY doc_id
+        ),
+        pairs AS (
+            SELECT n.doc_id AS new_doc_id, e.doc_id AS existing_doc_id,
+                   count(*) AS n_common
+            FROM filtered n JOIN filtered e ON n.g = e.g
+            WHERE n.is_new AND NOT e.is_new
+            GROUP BY 1, 2
+        )
+        SELECT new_doc_id, existing_doc_id,
+               CAST(n_common AS BIGINT) AS n_common,
+               round(n_common * 1.0 /
+                     (sn.sz + se.sz - n_common), 6) AS jaccard
+        FROM pairs
+        JOIN sizes sn ON new_doc_id = sn.doc_id
+        JOIN sizes se ON existing_doc_id = se.doc_id
+        WHERE 2 * n_common >= sn.sz + se.sz - n_common
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: which documents of a NEWLY ARRIVED
+    batch are near-duplicates of the EXISTING corpus? This is the
+    shape production pipelines actually run daily — the batch is a
+    small fraction of the corpus, so the pair join is directional
+    (new × existing through the inverted index), never corpus ×
+    corpus, and the existing side's index is exactly the persisted
+    structure a resident engine keeps warm between ingests
+    (_shingle_index's cache plays that role here).
+
+    The "new batch" is a deterministic md5 bucket (~10%) so the
+    operator is oracle-checkable; swap the flag for an ingest-date
+    predicate in production. Same integer-arithmetic Jaccard
+    threshold as dedup_ngram_jaccard (2·common ≥ union ⇔ j ≥ 0.5)."""
+    idx = _shingle_index(spark, sf_dir)
+    is_new = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % _INCR_BUCKETS
+        == 0
+    )
+    tagged = idx.withColumn("is_new", is_new)
+    sizes = tagged.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    new = tagged.filter("is_new").select(
+        F.col("doc_id").alias("new_doc_id"), "g"
+    )
+    existing = tagged.filter(~F.col("is_new")).select(
+        F.col("doc_id").alias("existing_doc_id"), "g"
+    )
+    pairs = (
+        new.join(existing, "g")
+        .groupBy("new_doc_id", "existing_doc_id")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sn = sizes.select(F.col("doc_id").alias("new_doc_id"), F.col("sz").alias("sn"))
+    se = sizes.select(
+        F.col("doc_id").alias("existing_doc_id"), F.col("sz").alias("se")
+    )
+    union_sz = F.col("sn") + F.col("se") - F.col("n_common")
+    return (
+        pairs.join(sn, "new_doc_id")
+        .join(se, "existing_doc_id")
+        .filter(2 * F.col("n_common") >= union_sz)
+        .select(
+            "new_doc_id",
+            "existing_doc_id",
+            F.col("n_common").cast("long").alias("n_common"),
+            F.round(F.col("n_common") / union_sz, 6).alias("jaccard"),
+        )
+    )
