@@ -269,3 +269,72 @@ def events_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).alias("n_last_hour"),
         F.round(F.sum("value").over(w), 2).alias("value_last_hour"),
     )
+
+
+@query(
+    "events_funnel",
+    oracle="""
+        WITH s AS (
+            SELECT user_id, min(ts) AS s_ts FROM events
+            WHERE event_type = 'signup' GROUP BY 1
+        ),
+        c AS (
+            SELECT e.user_id, min(e.ts) AS c_ts
+            FROM events e JOIN s ON e.user_id = s.user_id
+            WHERE e.event_type = 'click' AND e.ts > s.s_ts
+            GROUP BY 1
+        ),
+        p AS (
+            SELECT e.user_id, min(e.ts) AS p_ts
+            FROM events e JOIN c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+            GROUP BY 1
+        )
+        SELECT s.user_id,
+               epoch_us(s.s_ts) AS signup_us,
+               epoch_us(c.c_ts) AS click_us,
+               epoch_us(p.p_ts) AS purchase_us
+        FROM s
+        LEFT JOIN c ON s.user_id = c.user_id
+        LEFT JOIN p ON c.user_id = p.user_id
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel per user: first signup, first click
+    AFTER that signup, first purchase AFTER that click (NULL where the
+    user never advances). The ordering constraint is what makes this a
+    funnel rather than three independent mins — each stage's timestamp
+    must strictly follow the previous stage's.
+
+    Shape: three keyed min-aggregations chained by user_id joins —
+    every shuffle is on user_id, stage outputs are one row per
+    qualifying user, so each join's build side only shrinks. No
+    windows, no sort of the full event stream."""
+    t = load_tables(spark, sf_dir, ("events",))
+    ev = t["events"].select(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("signup_us"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .filter(F.col("ts_us") > F.col("signup_us"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("click_us"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts_us") > F.col("click_us"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("purchase_us"))
+    )
+    return (
+        s.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select("user_id", "signup_us", "click_us", "purchase_us")
+    )
