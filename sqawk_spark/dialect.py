@@ -322,8 +322,15 @@ def _quote_sql(text: str) -> str:
 # regex constructs whose meaning differs between the Python ``re``
 # fallback UDF and Java's java.util.regex (which RLIKE compiles):
 # Python-only named groups/comments, ``\Z`` (Python = absolute end,
-# Java = before final terminator), POSIX bracket classes.
-_REGEX_DIALECT_RISK = ("(?P", "(?#", "\\Z", "[[:")
+# Java = before final terminator), POSIX bracket classes, shorthand
+# classes \d/\w/\s/\b and their negations (Unicode-aware in Python re,
+# ASCII-only in Java — different matches on non-ASCII data), and
+# Python-only inline flags (?a)/(?u)/(?L) (hard errors in Java).
+_REGEX_DIALECT_RISK = (
+    "(?P", "(?#", "\\Z", "[[:",
+    "\\d", "\\D", "\\w", "\\W", "\\s", "\\S", "\\b", "\\B",
+    "(?a", "(?u", "(?L",
+)
 
 
 def _java_safe_regex(pattern: str) -> bool:
@@ -433,6 +440,63 @@ _GROUPS_KW_RE = re.compile(r"\bgroups\b", re.IGNORECASE)
 _ORDER_BY_RE = re.compile(r"\border\s+by\b", re.IGNORECASE)
 _FROM_RE = re.compile(r"\bfrom\b", re.IGNORECASE)
 
+# Top-level clause keywords, tried in order at each identifier start.
+# ``order by`` inside window specs sits at paren depth > 0, so the
+# depth-0 scan never confuses it with the statement-level clause.
+_CLAUSE_RES: tuple[tuple[str, re.Pattern[str]], ...] = (
+    ("from", re.compile(r"from\b", re.IGNORECASE)),
+    ("where", re.compile(r"where\b", re.IGNORECASE)),
+    ("group_by", re.compile(r"group\s+by\b", re.IGNORECASE)),
+    ("having", re.compile(r"having\b", re.IGNORECASE)),
+    ("window", re.compile(r"window\b", re.IGNORECASE)),
+    ("order_by", re.compile(r"order\s+by\b", re.IGNORECASE)),
+    ("limit", re.compile(r"limit\b", re.IGNORECASE)),
+    ("setop", re.compile(r"(?:union|intersect|except)\b", re.IGNORECASE)),
+)
+
+
+def _top_level_clauses(stmt: str) -> list[tuple[str, int, int]]:
+    """Depth-0, outside-strings occurrences of statement clause
+    keywords, as ``(name, kw_start, kw_end)`` in source order."""
+    found: list[tuple[str, int, int]] = []
+    depth = 0
+    i = 0
+    n = len(stmt)
+    while i < n:
+        c = stmt[i]
+        if c in "'\"`":
+            i = _scan_string(stmt, i)
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0 and (c.isalpha() or c == "_"):
+            if i == 0 or not _IDENT.match(stmt[i - 1]):
+                for name, rex in _CLAUSE_RES:
+                    m = rex.match(stmt, i)
+                    if m:
+                        found.append((name, m.start(), m.end()))
+                        i = m.end()
+                        break
+                else:
+                    while i < n and _IDENT.match(stmt[i]):
+                        i += 1
+                continue
+        i += 1
+    return found
+
+
+# A second trailing identifier that is actually join syntax, not an
+# alias — ``from t join u`` must not parse as table t aliased "join".
+_NOT_ALIAS = frozenset(
+    {"join", "inner", "left", "right", "full", "cross", "natural", "on", "using"}
+)
+_SIMPLE_FROM_RE = re.compile(
+    r"^\s*([A-Za-z_][A-Za-z_0-9$]*)(?:\s+(?:as\s+)?([A-Za-z_][A-Za-z_0-9$]*))?\s*$",
+    re.IGNORECASE,
+)
+
 
 def rewrite_groups_frames(stmt: str) -> str:
     """Emulate SQLite's GROUPS window frames (≥ 3.28; reachable in the
@@ -452,8 +516,16 @@ def rewrite_groups_frames(stmt: str) -> str:
     precisely n peer groups on either side. Verified against real
     SQLite in tests/test_cli.py.
 
-    Scope: statements whose top-level FROM is a single bare table (the
-    shape sqawk scripts take). Anything else — joins, subqueries in
+    SQLite evaluates window frames over the rowset AFTER WHERE, so the
+    dense_rank subquery absorbs the statement's top-level WHERE — ranks
+    are computed on the filtered rows, and filtering out a whole peer
+    group cannot leave a gap that makes a RANGE frame skip neighbors.
+    The inner subquery is aliased with the FROM table's (alias) name so
+    qualified column references in the outer select keep resolving.
+
+    Scope: one top-level FROM whose source is a single table with an
+    optional alias, no top-level GROUP BY / HAVING / named WINDOW
+    clause, no set operators. Anything else — joins, subqueries in
     FROM, EXCLUDE clauses — is left unrewritten so Spark raises a hard
     parse error instead of a silent wrong answer."""
     windows: list[tuple[int, int, str]] = []  # (start, end, replacement)
@@ -494,44 +566,55 @@ def rewrite_groups_frames(stmt: str) -> str:
     if not windows:
         return stmt
 
-    # top-level FROM: single bare table identifier only
-    depth = 0
-    i = 0
-    from_m = None
-    while i < len(stmt):
-        c = stmt[i]
-        if c in "'\"`":
-            i = _scan_string(stmt, i)
-            continue
-        if c == "(":
-            depth += 1
-        elif c == ")":
-            depth -= 1
-        elif depth == 0:
-            fm = _FROM_RE.match(stmt, i)
-            if fm:
-                if from_m is not None:
-                    return stmt  # two top-level FROMs — not a shape we handle
-                from_m = fm
-                i = fm.end()
-                continue
-        i += 1
-    if from_m is None:
+    clauses = _top_level_clauses(stmt)
+    names = [c[0] for c in clauses]
+    if names.count("from") != 1:
+        return stmt  # zero or several FROMs — not a shape we handle
+    if any(n in ("group_by", "having", "window", "setop") for n in names):
+        # Windows over grouped output rank a different rowset than the
+        # base table; named WINDOW and set ops need real clause parsing.
+        # Bail → Spark raises a hard error on the GROUPS keyword.
         return stmt
-    tstart = _skip_ws(stmt, from_m.end())
-    tend = tstart
-    while tend < len(stmt) and _IDENT.match(stmt[tend]):
-        tend += 1
-    table = stmt[tstart:tend]
-    if not table or not table[0].isalpha():
+    if names.count("where") > 1:
         return stmt
-    nxt = _skip_ws(stmt, tend)
-    if nxt < len(stmt) and (stmt[nxt] == "," or re.match(r"(?i)join\b|as\b", stmt[nxt:])):
-        return stmt  # joins / aliases — bail rather than misparse
 
-    sub = f"(select *, {', '.join(drs)} from {table})"
-    edits = sorted(windows + [(tstart, tend, sub)], reverse=True)
-    for start, end, repl in edits:
+    idx_from = names.index("from")
+    _, fkw_start, fkw_end = clauses[idx_from]
+    # FROM source runs to the next top-level clause (or end of stmt)
+    from_end = clauses[idx_from + 1][1] if idx_from + 1 < len(clauses) else len(stmt)
+    fstart = _skip_ws(stmt, fkw_end)
+    from_src = stmt[fstart:from_end].strip()
+    if not from_src:
+        return stmt
+
+    where_edit: tuple[int, int, str] | None = None
+    pred = None
+    if "where" in names:
+        idx_w = names.index("where")
+        if idx_w < idx_from:
+            return stmt  # WHERE before FROM — malformed; don't touch
+        _, wkw_start, wkw_end = clauses[idx_w]
+        w_end = clauses[idx_w + 1][1] if idx_w + 1 < len(clauses) else len(stmt)
+        pred = stmt[wkw_end:w_end].strip()
+        if not pred:
+            return stmt
+        where_edit = (wkw_start, w_end, " ")
+
+    sm = _SIMPLE_FROM_RE.match(from_src)
+    if sm is None or (sm.group(2) or "").lower() in _NOT_ALIAS:
+        return stmt  # joins / comma lists / subqueries in FROM — bail
+    effective_alias = sm.group(2) or sm.group(1)
+
+    sub = f"(select *, {', '.join(drs)} from {from_src}"
+    if pred is not None:
+        sub += f" where {pred}"
+    # trailing space: the replaced region [fstart, from_end) includes the
+    # whitespace that separated the FROM source from the next clause
+    sub += f") as {effective_alias} "
+    edits = windows + [(fstart, from_end, sub)]
+    if where_edit is not None:
+        edits.append(where_edit)
+    for start, end, repl in sorted(edits, reverse=True):
         stmt = stmt[:start] + repl + stmt[end:]
     return stmt
 

@@ -565,6 +565,33 @@ def test_format_csv_semicolon(tmp_path):
     assert got == "1,2,Hello; World!\n3,4,5"
 
 
+def test_format_csv_quoted_wellformed_stays_jvm(tmp_path, spark):
+    """Well-formed quoted CSV must tokenize JVM-side (VERDICT r02 #3):
+    no Python eval stage in the plan, and field values identical to
+    the Python csv module. Malformed quoting (bare quote mid-field)
+    falls back to the Python UDF for its non-strict recovery."""
+    import csv as _csv
+    import io as _io
+
+    from sqawk_spark.sources.base import FileSpec
+    from sqawk_spark.sources.csv import records
+
+    wf_lines = ['a,"b,c",d', '"a""b",c', 'a,,b', '"",x', 'a,', '""""']
+    f = write(tmp_path, "wf.csv", "\n".join(wf_lines) + "\n")
+    df = records(spark, FileSpec(filename=f, format="csv"), f)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    got = {r["a0"]: list(r["fields"]) for r in df.collect()}
+    for ln in wf_lines:
+        want = next(_csv.reader(_io.StringIO(ln), doublequote=True))
+        assert got[ln] == want, f"{ln!r}: {got[ln]} != {want}"
+
+    mal = write(tmp_path, "mal.csv", 'a"b,c\n"a"tail,d\n')
+    df2 = records(spark, FileSpec(filename=mal, format="csv"), mal)
+    plan2 = df2._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" in plan2
+
+
 def test_format_json_kv_union(tmp_path):
     # F8: key drift — union of keys, first-object order then alpha
     f = write(tmp_path, "f", '[{"foo":1,"bar":2},{"foo":3,"bar":4,"baz":5}]')
@@ -1053,6 +1080,36 @@ def test_groups_frame_matches_sqlite(tmp_path):
         " and current row) as s from a order by a1, a2",
         "select a1, sum(a2) over (partition by a3 order by a1 desc groups"
         " between 1 preceding and 1 following) as s from a order by a1, a2",
+    ]
+    f = write(tmp_path, "f", "".join(f"{r[0]} {r[1]} {r[2]}\n" for r in rows))
+    for q in queries:
+        want = "\n".join(
+            " ".join(str(v) for v in r) for r in con.execute(q)
+        )
+        assert pysqawk(q, f) == want
+
+
+def test_groups_frame_after_where_matches_sqlite(tmp_path):
+    """SQLite evaluates window frames AFTER WHERE: filtering out an
+    entire peer group must not leave a rank gap that makes the RANGE
+    emulation skip adjacent groups (ADVICE r03 high finding — with
+    rows 1,5,20 and a1 <> 5, the frame for 20 must reach back to 1).
+    Also covers an aliased FROM with qualified column references."""
+    import sqlite3 as _sq
+
+    rows = [
+        (1, 10, "x"), (5, 20, "y"), (5, 30, "x"), (20, 40, "y"),
+        (21, 50, "x"), (21, 60, "y"), (100, 70, "x"),
+    ]
+    con = _sq.connect(":memory:")
+    con.execute("create table a (a1 int, a2 int, a3 text)")
+    con.executemany("insert into a values (?,?,?)", rows)
+    queries = [
+        "select a1, sum(a2) over (order by a1 groups between 1 preceding"
+        " and current row) as s from a where a1 <> 5 order by a1, a2",
+        "select t.a1, sum(t.a2) over (partition by t.a3 order by t.a1"
+        " groups between 1 preceding and 1 following) as s from a as t"
+        " where t.a1 < 100 order by t.a1, t.a2",
     ]
     f = write(tmp_path, "f", "".join(f"{r[0]} {r[1]} {r[2]}\n" for r in rows))
     for q in queries:
