@@ -13,6 +13,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 TABLES = (
     "region",
@@ -40,14 +41,21 @@ def load_tables(
     for name in names:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if name == "events":
-            # events.ts is parquet TIMESTAMP(NANOS), which Spark refuses
-            # by default. Read it as raw nanos and truncate to micros —
-            # exactly what DuckDB's reader does — so both engines see
-            # identical timestamps.
+            # Normalize events.ts to TIMESTAMP (LTZ; session tz is
+            # pinned to UTC) regardless of how the data generation
+            # wrote it. TIMESTAMP(NANOS) parquet, which Spark refuses
+            # by default, is read as raw nanos and truncated to micros
+            # — exactly what DuckDB's reader does; TIMESTAMP(MICROS)
+            # arrives as TIMESTAMP_NTZ and is reinterpreted in UTC.
+            # Either way both engines see identical timestamps.
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-            df = spark.read.parquet(path).withColumn(
-                "ts", F.timestamp_micros(F.expr("ts div 1000"))
-            )
+            df = spark.read.parquet(path)
+            if isinstance(df.schema["ts"].dataType, T.LongType):
+                df = df.withColumn(
+                    "ts", F.timestamp_micros(F.expr("ts div 1000"))
+                )
+            elif isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         else:
             df = spark.read.parquet(path)
         df.createOrReplaceTempView(name)

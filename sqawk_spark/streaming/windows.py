@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from sqawk_spark.operators.registry import query
 from sqawk_spark.operators.tables import load_tables
@@ -197,21 +198,27 @@ def stream_tumbling_counts(
     import os
     import tempfile
 
-    # same nanos→micros normalization as the batch loader
+    # same nanos→micros normalization as the batch loader (no-op when
+    # the data generation already wrote TIMESTAMP(MICROS))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     src = os.path.join(sf_dir, "events.parquet")
     batch = spark.read.parquet(src)
+    ts_is_long = isinstance(batch.schema["ts"].dataType, T.LongType)
     # the streaming file source wants a directory; expose the single
     # parquet file through a symlink dir (testdata is read-only)
     stream_dir = tempfile.mkdtemp(prefix="sqawk_stream_")
     link = os.path.join(stream_dir, "events.parquet")
     if not os.path.exists(link):
         os.symlink(src, link)
+    stream = spark.readStream.schema(batch.schema).parquet(stream_dir)
+    if ts_is_long:
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    elif isinstance(batch.schema["ts"].dataType, T.TimestampNTZType):
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     stream = (
-        spark.readStream.schema(batch.schema)
-        .parquet(stream_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        .withWatermark("ts", "1 hour")
+        stream.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
@@ -264,19 +271,22 @@ def stream_sessionize_stateful(
 
     import pandas as pd  # noqa: F401 — executors need it for the UDF
 
-    from pyspark.sql import types as T
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     gap_us = 30 * 60 * 1_000_000
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    events = (
-        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        .select(
-            "user_id",
-            F.expr("ts div 1000").cast("long").alias("ts_us"),
-            "value",
-        )
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    # raw-nanos generations need div 1000; timestamp ones need
+    # unix_micros — both yield the same epoch-microsecond long (the
+    # cast makes TIMESTAMP_NTZ acceptable and is a no-op on LTZ)
+    ts_us = (
+        F.expr("ts div 1000")
+        if isinstance(raw.schema["ts"].dataType, T.LongType)
+        else F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    events = raw.select(
+        "user_id", ts_us.cast("long").alias("ts_us"), "value"
     )
     split_ts = events.selectExpr(
         "percentile_approx(ts_us, 0.5, 100) AS m"
