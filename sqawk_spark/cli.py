@@ -334,6 +334,15 @@ def run(argv: list[str], out=None) -> int:
                 os.unlink(p)
             except OSError:
                 pass
+        # a resident session must not accumulate executor storage
+        # across unrelated CLI runs (dedup index/pair caches persist
+        # DataFrames keyed by session)
+        try:
+            from sqawk_spark.operators.dedup import clear_caches
+
+            clear_caches(spark)
+        except Exception:
+            pass
 
 
 def _run_parquet_output(spark, serializer_spec: str, script: str) -> int:

@@ -184,6 +184,13 @@ def test_embedding_dedup_is_never_a_nested_loop(spark, sf_dir):
     assert "CartesianProduct" not in p
     assert "FlatMapGroupsInPandas" in p  # the per-block-pair GEMM
 
+    # the exact oracle twin must use the same blocked layout — no
+    # registered query may run an all-pairs BNL (VERDICT r02 #4/#5)
+    p2 = plan(spark, sf_dir, "dedup_embedding_cosine")
+    assert "BroadcastNestedLoopJoin" not in p2
+    assert "CartesianProduct" not in p2
+    assert "FlatMapGroupsInPandas" in p2
+
 
 def test_pack_sequences_prefix_sum_is_partitioned(spark, sf_dir):
     """The corpus-wide cumulative sum must be the bucketed two-phase
