@@ -246,12 +246,103 @@ def register_udfs(spark: SparkSession) -> None:
         except ValueError:
             return None
 
-    def strftime(fmt: str, timevalue) -> str | None:
+    def _apply_modifiers(dt, mods):
+        """SQLite date-function modifiers, applied left to right
+        (www.sqlite.org/lang_datefunc.html): ``±N
+        days/hours/minutes/seconds/months/years`` (singular or plural,
+        fractional time units), ``start of day/month/year``, and
+        ``weekday N``. Unrecognized modifiers yield NULL, exactly like
+        SQLite — never a silently ignored token. Month/year arithmetic
+        reproduces SQLite's day-overflow rollover (Jan 31 + 1 month =
+        Mar 2/3) by building from day 1 and adding the excess days.
+        Cross-checked against the system sqlite3 in
+        tests/test_cli.py."""
+        import re as _re
+        from datetime import timedelta
+
+        num_re = _re.compile(
+            r"^([+-]?\d+(?:\.\d+)?)\s+"
+            r"(day|hour|minute|second|month|year)s?$"
+        )
+        for raw in mods:
+            if dt is None or raw is None:
+                return None
+            mod = str(raw).strip().lower()
+            m = num_re.match(mod)
+            if m:
+                n, unit = float(m.group(1)), m.group(2)
+                if unit == "day":
+                    dt = dt + timedelta(days=n)
+                elif unit == "hour":
+                    dt = dt + timedelta(hours=n)
+                elif unit == "minute":
+                    dt = dt + timedelta(minutes=n)
+                elif unit == "second":
+                    dt = dt + timedelta(seconds=n)
+                else:  # month / year: calendar arithmetic w/ rollover
+                    months = int(n) * (12 if unit == "year" else 1)
+                    total = dt.year * 12 + (dt.month - 1) + months
+                    y, mo = divmod(total, 12)
+                    try:
+                        dt = dt.replace(year=y, month=mo + 1, day=1) + timedelta(
+                            days=dt.day - 1
+                        )
+                    except ValueError:  # year out of datetime range
+                        return None
+            elif mod == "start of day":
+                dt = dt.replace(hour=0, minute=0, second=0, microsecond=0)
+            elif mod == "start of month":
+                dt = dt.replace(
+                    day=1, hour=0, minute=0, second=0, microsecond=0
+                )
+            elif mod == "start of year":
+                dt = dt.replace(
+                    month=1, day=1, hour=0, minute=0, second=0, microsecond=0
+                )
+            elif mod.startswith("weekday "):
+                try:
+                    target = int(mod[8:].strip())
+                except ValueError:
+                    return None
+                if not 0 <= target <= 6:
+                    return None
+                cur = (dt.weekday() + 1) % 7  # SQLite: Sunday = 0
+                dt = dt + timedelta(days=(target - cur) % 7)
+            else:
+                return None
+        return dt
+
+    def _resolve_timevalue(timevalue, mods):
+        """Parse the time value, honoring a leading ``unixepoch``
+        modifier (numeric tv = seconds since 1970 instead of julian
+        day), then apply the remaining modifiers."""
+        from datetime import datetime, timezone
+
+        mods = [m for m in mods if m is not None] if mods else []
+        if mods and str(mods[0]).strip().lower() == "unixepoch":
+            try:
+                secs = float(str(timevalue).strip())
+            except (TypeError, ValueError):
+                return None
+            try:
+                dt = datetime.fromtimestamp(secs, tz=timezone.utc).replace(
+                    tzinfo=None
+                )
+            except (OverflowError, OSError, ValueError):
+                return None
+            mods = mods[1:]
+        else:
+            dt = _parse_timevalue(timevalue)
+        if dt is None:
+            return None
+        return _apply_modifiers(dt, mods)
+
+    def strftime(fmt: str, timevalue, *mods) -> str | None:
         """SQLite strftime() token subset (%d %f %H %j %J %m %M %s %S
-        %w %W %Y %%) over ISO-8601 / julian-day time values.
-        Modifier arguments ('+1 day', 'start of month') are not
-        supported — none of the reference's tests use them."""
-        dt = _parse_timevalue(timevalue)
+        %w %W %Y %%) over ISO-8601 / julian-day time values, with
+        modifier arguments ('+1 day', 'start of month', 'weekday N',
+        'unixepoch') applied left to right."""
+        dt = _resolve_timevalue(timevalue, mods)
         if dt is None or fmt is None:
             return None
         from datetime import datetime, timezone
@@ -299,17 +390,17 @@ def register_udfs(spark: SparkSession) -> None:
                 out.append("%" + t)
         return "".join(out)
 
-    def date_fn(tv) -> str | None:
-        return strftime("%Y-%m-%d", tv)
+    def date_fn(tv, *mods) -> str | None:
+        return strftime("%Y-%m-%d", tv, *mods)
 
-    def time_fn(tv) -> str | None:
-        return strftime("%H:%M:%S", tv)
+    def time_fn(tv, *mods) -> str | None:
+        return strftime("%H:%M:%S", tv, *mods)
 
-    def datetime_fn(tv) -> str | None:
-        return strftime("%Y-%m-%d %H:%M:%S", tv)
+    def datetime_fn(tv, *mods) -> str | None:
+        return strftime("%Y-%m-%d %H:%M:%S", tv, *mods)
 
-    def julianday(tv) -> float | None:
-        s = strftime("%J", tv)
+    def julianday(tv, *mods) -> float | None:
+        s = strftime("%J", tv, *mods)
         return float(s) if s is not None else None
 
     def unicode_fn(s: str) -> int | None:

@@ -843,6 +843,48 @@ def test_strftime_and_date_functions(tmp_path):
     assert got == "2460374.5"
 
 
+def test_strftime_modifiers_match_sqlite(tmp_path):
+    """Date-function modifier arguments ('+N days', 'start of month',
+    'weekday N', 'unixepoch'), applied left to right — every expected
+    value checked live against the system SQLite (VERDICT r02
+    next-round #6), including the day-overflow rollover for month
+    arithmetic (Jan 31 + 1 month = Mar 2/3)."""
+    import sqlite3 as _sq
+
+    exprs = [
+        "date(a1, '+1 day')",
+        "date(a1, '-45 days')",
+        "datetime(a1, '+3 hours', '+30 minutes')",
+        "date(a1, 'start of month')",
+        "date(a1, 'start of year')",
+        "datetime(a1, 'start of day')",
+        "date(a1, '+1 month')",
+        "date('2024-01-31', '+1 month')",
+        "date('2023-01-31', '+1 month')",
+        "date('2024-02-29', '+1 year')",
+        "date(a1, 'weekday 0')",
+        "date(a1, 'weekday 2')",
+        "datetime('1709622489', 'unixepoch')",
+        "datetime(a1, 'start of month', '+1 month', '-1 day')",
+        "julianday(a1, '+1 day')",
+        "strftime('%Y-%m-%d', a1, '+10 days')",
+        "coalesce(date(a1, 'no such modifier'), 'NULL')",
+    ]
+    con = _sq.connect(":memory:")
+    tv = "2024-03-05 07:08:09"
+    want = [
+        str(con.execute(f"select {e}", ()).fetchone()[0])
+        for e in [e.replace("a1", f"'{tv}'") for e in exprs]
+    ]
+    f = write(tmp_path, "f", tv + "\n")
+    # field-by-field compare (datetime values contain spaces → use a
+    # distinctive OFS)
+    got_fields = pysqawk(
+        "-OFS", "\t", "select " + ", ".join(exprs) + " from a", "FS=@", f
+    ).split("\t")
+    assert got_fields == want
+
+
 def test_output_table_cjk_width(tmp_path):
     """Wide CJK chars count as 2 columns (reference lib/tabulate.tcl:
     8-158): every rendered line must have the same display width."""
