@@ -284,7 +284,9 @@ def run(argv: list[str], out=None) -> int:
             # every text serializer necessarily streams rows through
             # the driver (toLocalIterator); a big result belongs in
             # columnar files written by the executors instead
-            return _run_parquet_output(spark, serializer_spec, script)
+            return _run_parquet_output(
+                spark, serializer_spec, script, dbfile=opts["dbfile"]
+            )
         if serializer_spec.startswith("awk"):
             # OFS/ORS come from the global flags for the awk serializer
             # (lib/classes/sqawk.tcl:107-120)
@@ -296,6 +298,7 @@ def run(argv: list[str], out=None) -> int:
         else:
             ser = make_serializer(serializer_spec, out)
 
+        mutated: list[str] = []
         try:
             from sqawk_spark.dialect import rewrite_statement
 
@@ -310,15 +313,16 @@ def run(argv: list[str], out=None) -> int:
             }
 
             from sqawk_spark.dml import maybe_run_dml
-
             for stmt in split_statements(script):
                 # DML/DDL mutates the loaded views and emits no rows
                 # (SURVEY §2.B27; the reference feeds these to SQLite)
-                if maybe_run_dml(
+                target = maybe_run_dml(
                     spark,
                     stmt,
                     lambda sql: _run_statement(spark, sql, known_cols),
-                ):
+                )
+                if target:
+                    mutated.append(target)
                     continue
                 df = _run_statement(spark, stmt, known_cols)
                 names = df.columns
@@ -327,6 +331,13 @@ def run(argv: list[str], out=None) -> int:
             ser.close()
         except BrokenPipeError:
             pass  # EPIPE swallowed (sqawk-dev.tcl:244, tests.tcl:70-83)
+        # the reference evals scripts against the on-disk database, so
+        # DML mutations persist there; mirror that by writing mutated
+        # views back to the -dbfile store after the statement loop
+        if opts["dbfile"] and mutated:
+            from sqawk_spark.dbfile import persist_mutations
+
+            persist_mutations(spark, opts["dbfile"], mutated)
         return 0
     finally:
         for p in tmp_files:
@@ -345,7 +356,9 @@ def run(argv: list[str], out=None) -> int:
             pass
 
 
-def _run_parquet_output(spark, serializer_spec: str, script: str) -> int:
+def _run_parquet_output(
+    spark, serializer_spec: str, script: str, dbfile: str | None = None
+) -> int:
     """``-output parquet,dir=D[,mode=overwrite]``: each SELECT's result
     is written by the executors as parquet — no driver row streaming.
     One statement writes to D itself; several write to D/s1, D/s2, …
@@ -368,15 +381,22 @@ def _run_parquet_output(spark, serializer_spec: str, script: str) -> int:
     }
     stmts = split_statements(script)
     selects = []
+    mutated: list[str] = []
     for stmt in stmts:
-        if maybe_run_dml(
+        t = maybe_run_dml(
             spark, stmt, lambda sql: _run_statement(spark, sql, known_cols)
-        ):
+        )
+        if t:
+            mutated.append(t)
             continue
         selects.append(_run_statement(spark, stmt, known_cols))
     for i, df in enumerate(selects, start=1):
         dest = target if len(selects) == 1 else os.path.join(target, f"s{i}")
         df.write.mode(mode).parquet(dest)
+    if dbfile and mutated:
+        from sqawk_spark.dbfile import persist_mutations
+
+        persist_mutations(spark, dbfile, mutated)
     return 0
 
 

@@ -81,6 +81,92 @@ def persist_and_register(
             spark.read.parquet(path).createOrReplaceTempView(entry)
 
 
+def persist_mutations(
+    spark: SparkSession, dbdir: str, names: list[str]
+) -> None:
+    """Write the final state of DML-mutated views back to the store.
+
+    The reference evals scripts directly against the on-disk SQLite
+    database, so INSERT/UPDATE/DELETE/CREATE/DROP persist naturally;
+    here the statement loop mutates temp views, and this runs after it
+    (ADVICE r03 medium: persist_and_register only snapshots load-time
+    state). A view that no longer exists in the catalog was dropped —
+    the stored table is removed.
+    """
+    live = {t.name for t in spark.catalog.listTables() if t.isTemporary}
+    if _is_sqlite_path(dbdir):
+        _persist_mutations_sqlite(spark, dbdir, names, live)
+        return
+    import shutil
+
+    for name in dict.fromkeys(names):
+        path = os.path.join(dbdir, name)
+        if name not in live:
+            if os.path.isdir(path):
+                shutil.rmtree(path)
+            continue
+        # the view's plan reads from the same parquet dir it must now
+        # overwrite — localCheckpoint materializes the rows first so
+        # the write doesn't race its own input
+        df = spark.table(name).localCheckpoint(eager=True)
+        df.write.mode("overwrite").parquet(path)
+        spark.read.parquet(path).createOrReplaceTempView(name)
+
+
+def _persist_mutations_sqlite(
+    spark: SparkSession, path: str, names: list[str], live: set[str]
+) -> None:
+    """DELETE-and-reinsert keeps each table's original CREATE layout
+    (the .dump-fidelity property the load path establishes); only
+    DML-created tables get a fresh CREATE from the view's dtypes."""
+    import sqlite3
+
+    con = sqlite3.connect(path)
+    try:
+        for name in dict.fromkeys(names):
+            if name not in live:
+                con.execute(f"DROP TABLE IF EXISTS {name}")
+                continue
+            df = spark.table(name)
+            dtypes = dict(df.dtypes)
+            exists = con.execute(
+                "SELECT 1 FROM sqlite_master WHERE type='table' AND name=?",
+                (name,),
+            ).fetchone()
+            if exists:
+                have = {
+                    r[1] for r in con.execute(f"PRAGMA table_info({name})")
+                }
+                for c in df.columns:
+                    if c not in have:
+                        con.execute(
+                            f"ALTER TABLE {name} ADD COLUMN {c} "
+                            f"{_TO_SQLITE.get(dtypes[c], 'TEXT')}"
+                        )
+                con.execute(f"DELETE FROM {name}")
+            else:
+                cols = ", ".join(
+                    f"{c} {_TO_SQLITE.get(dtypes[c], 'TEXT')}"
+                    for c in df.columns
+                )
+                con.execute(f"CREATE TABLE {name} ({cols})")
+            ins = (
+                f"INSERT INTO {name} ({', '.join(df.columns)}) "
+                f"VALUES ({','.join('?' * len(df.columns))})"
+            )
+            batch: list[list] = []
+            for row in df.toLocalIterator():
+                batch.append(list(row))
+                if len(batch) >= 10_000:
+                    con.executemany(ins, batch)
+                    batch = []
+            if batch:
+                con.executemany(ins, batch)
+        con.commit()
+    finally:
+        con.close()
+
+
 def _persist_sqlite(
     spark: SparkSession,
     path: str,
@@ -170,7 +256,40 @@ def _persist_sqlite(
                 f"{r[1]} {_FROM_SQLITE.get((r[2] or '').upper(), 'string')}"
                 for r in info
             )
-            rows = [tuple(r) for r in con.execute(f"SELECT * FROM {name}")]
-            spark.createDataFrame(rows, schema).createOrReplaceTempView(name)
+            _register_sqlite_table(spark, con, name, schema)
     finally:
         con.close()
+
+
+_READBACK_BATCH = 50_000
+
+
+def _register_sqlite_table(spark, con, name: str, schema: str) -> None:
+    """Register an existing SQLite table as a temp view with bounded
+    driver memory: small tables (the CLI norm) become one local
+    relation; anything larger spills through per-batch parquet appends
+    so the driver never holds more than one fetchmany batch (a single
+    big createDataFrame — or a union of them — pins the whole table in
+    the driver plan)."""
+    cur = con.execute(f"SELECT * FROM {name}")
+    first = cur.fetchmany(_READBACK_BATCH)
+    rest = cur.fetchmany(_READBACK_BATCH)
+    if not rest:
+        spark.createDataFrame(
+            [tuple(r) for r in first], schema
+        ).createOrReplaceTempView(name)
+        return
+    import tempfile
+
+    spill = tempfile.mkdtemp(prefix=f"sqawk_dbfile_{name}_")
+
+    def write(batch):
+        spark.createDataFrame([tuple(r) for r in batch], schema).write.mode(
+            "append"
+        ).parquet(spill)
+
+    write(first)
+    while rest:
+        write(rest)
+        rest = cur.fetchmany(_READBACK_BATCH)
+    spark.read.parquet(spill).createOrReplaceTempView(name)

@@ -107,9 +107,11 @@ def _split_top_commas(s: str) -> list[str]:
 
 def maybe_run_dml(
     spark: SparkSession, stmt: str, run_sql
-) -> bool:
-    """Execute ``stmt`` if it is a DML/DDL statement; return whether
-    it was one. ``run_sql(sql) -> DataFrame`` is the CLI's statement
+) -> str | None:
+    """Execute ``stmt`` if it is a DML/DDL statement; return the name
+    of the mutated table (truthy — callers branch on it, and the CLI
+    uses it to write mutated views back to ``-dbfile``), or None for
+    non-DML. ``run_sql(sql) -> DataFrame`` is the CLI's statement
     runner (dialect rewrites + double-quote resolution applied)."""
     s = stmt.strip().rstrip(";").strip()
 
@@ -117,9 +119,9 @@ def maybe_run_dml(
     if m:
         if_exists, name = m.group(1), m.group(2)
         if spark.catalog.dropTempView(name):
-            return True
+            return name
         if if_exists:
-            return True
+            return name
         raise ValueError(f"no such table: {name}")
 
     m = _CREATE_AS_RE.match(s)
@@ -127,7 +129,7 @@ def maybe_run_dml(
         name = m.group(1)
         df = run_sql(s[m.end() :])
         df.createOrReplaceTempView(name)
-        return True
+        return name
 
     m = _CREATE_COLS_RE.match(s)
     if m:
@@ -151,7 +153,7 @@ def maybe_run_dml(
             fields.append(f"{toks[0]} {typ}")
         df = spark.createDataFrame([], ", ".join(fields))
         df.createOrReplaceTempView(name)
-        return True
+        return name
 
     m = _INSERT_RE.match(s)
     if m:
@@ -171,6 +173,15 @@ def maybe_run_dml(
         else:
             raise ValueError(f"cannot parse INSERT statement: {stmt!r}")
         names = cols if cols is not None else target.columns
+        if cols is not None:
+            # SQLite errors on a column list naming an absent column;
+            # without this, the misnamed column's values would vanish
+            # silently in the target-schema alignment below
+            for c in cols:
+                if c not in target.columns:
+                    raise ValueError(
+                        f"table {name} has no column named {c}"
+                    )
         if len(new.columns) != len(names):
             raise ValueError(
                 f"table {name} has {len(names)} columns but "
@@ -189,7 +200,7 @@ def maybe_run_dml(
             ]
         )
         target.unionByName(aligned).createOrReplaceTempView(name)
-        return True
+        return name
 
     m = _UPDATE_RE.match(s)
     if m:
@@ -219,7 +230,7 @@ def maybe_run_dml(
         run_sql(f"SELECT {', '.join(sel)} FROM {name}").createOrReplaceTempView(
             name
         )
-        return True
+        return name
 
     m = _DELETE_RE.match(s)
     if m:
@@ -236,9 +247,9 @@ def maybe_run_dml(
         else:
             raise ValueError(f"cannot parse DELETE statement: {stmt!r}")
         new.createOrReplaceTempView(name)
-        return True
+        return name
 
-    return False
+    return None
 
 
 def _find_top_keyword(s: str, kw: str) -> int | None:

@@ -118,3 +118,93 @@ def test_sqlite_dbfile_noinput_roundtrip(tmp_path):
     assert got == ""
     got = pysqawk("-dbfile", db, "-noinput", "select a1, a2 from a")
     assert got == "hello world"
+
+
+# --- DML mutations persist to the store (ADVICE r03 medium) -------------
+
+
+def test_dml_mutations_persist_to_parquet_dbfile(tmp_path):
+    db = str(tmp_path / "db")
+    f = write(tmp_path, "f", "1 10\n2 20\n")
+    got = pysqawk(
+        "-dbfile",
+        db,
+        "insert into a (a1, a2) values (3, 30);"
+        " update a set a2 = 99 where a1 = 1;"
+        " select a1, a2 from a order by a1",
+        f,
+    )
+    assert got == "1 99\n2 20\n3 30"
+    # run 2: the mutations survived in the store
+    got = pysqawk(
+        "-dbfile", db, "-noinput", "select a1, a2 from a order by a1"
+    )
+    assert got == "1 99\n2 20\n3 30"
+
+
+def test_dml_mutations_persist_to_sqlite_dbfile(tmp_path):
+    import sqlite3
+
+    db = str(tmp_path / "store.db")
+    f = write(tmp_path, "f", "1 10\n2 20\n")
+    pysqawk(
+        "-dbfile",
+        db,
+        "insert into a (a1, a2) values (3, 30);"
+        " delete from a where a1 = 2;"
+        " select a1 from a",
+        f,
+    )
+    con = sqlite3.connect(db)
+    rows = con.execute("select a1, a2 from a order by a1").fetchall()
+    con.close()
+    assert rows == [(1, 10), (3, 30)]
+    # and the next run sees the same state
+    got = pysqawk(
+        "-dbfile", db, "-noinput", "select a1, a2 from a order by a1"
+    )
+    assert got == "1 10\n3 30"
+
+
+def test_dml_drop_table_removes_from_store(tmp_path):
+    import sqlite3
+
+    db = str(tmp_path / "store.db")
+    f = write(tmp_path, "f", "1\n")
+    pysqawk("-dbfile", db, "drop table a; select 0", f)
+    con = sqlite3.connect(db)
+    names = [
+        r[0]
+        for r in con.execute(
+            "select name from sqlite_master where type='table'"
+        )
+    ]
+    con.close()
+    assert "a" not in names
+
+
+def test_dml_create_table_as_persists(tmp_path):
+    db = str(tmp_path / "db")
+    f = write(tmp_path, "f", "1 10\n2 20\n")
+    pysqawk(
+        "-dbfile",
+        db,
+        "create table b as select a1, a2 + 1 as a2x from a; select 0",
+        f,
+    )
+    got = pysqawk(
+        "-dbfile", db, "-noinput", "select a1, a2x from b order by a1"
+    )
+    assert got == "1 11\n2 21"
+
+
+def test_insert_unknown_column_errors(tmp_path):
+    """SQLite: 'table a has no column named nope' — previously the
+    misnamed column's values vanished silently (ADVICE r03 low)."""
+    import pytest
+
+    f = write(tmp_path, "f", "1 10\n")
+    with pytest.raises(ValueError, match="no column named"):
+        pysqawk(
+            "insert into a (a1, nope) values (9, 9); select a1 from a", f
+        )
