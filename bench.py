@@ -53,6 +53,8 @@ HEADLINE = [
     "sample_stratified_balanced",
     "ann_cosine_topk",
     "text_quality_score",
+    "text_pii_redact",
+    "quality_filter_chain",
     "events_tumbling_window",
     "events_sessionize",
     "events_late_drop",

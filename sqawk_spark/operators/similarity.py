@@ -124,6 +124,79 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("rank") <= TOP_K)
 
 
+RANGE_THRESHOLD = 0.35
+
+
+@query(
+    "ann_range_search",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        n AS (
+            SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e
+        ),
+        sims AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   round(list_inner_product(q.v, c.v) / (q.nrm * c.nrm), 6)
+                       AS cosine
+            FROM n q JOIN n c ON q.vec_id < {N_QUERIES}
+                             AND q.vec_id <> c.vec_id
+        )
+        SELECT query_id, neighbor_id, cosine
+        FROM sims WHERE cosine >= {RANGE_THRESHOLD}
+    """,
+)
+def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range search: every corpus vector with cosine >= threshold of
+    each query — the retrieval primitive behind "find all documents
+    similar enough to X" (dedup sweeps, semantic recall audits), where
+    top-k's fixed k is the wrong contract.
+
+    Same single-scan Arrow/BLAS shape as ann_cosine_topk: queries ride
+    in the closure, the corpus is scanned once, no join, no shuffle at
+    all (the threshold filter happens inside the Arrow batch, so only
+    true matches ever leave the worker). The filter compares the
+    ROUNDED similarity so the >= boundary is engine-independent."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"]
+
+    q_rows = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    q_ids = [r["vec_id"] for r in q_rows]
+    q_vecs = [list(r["embedding"]) for r in q_rows]
+    threshold = RANGE_THRESHOLD
+
+    def score(batches):
+        import numpy as np
+        import pandas as _pd
+
+        qm = np.array(q_vecs, dtype=np.float64)
+        qn = np.sqrt((qm * qm).sum(axis=1))
+        qid = np.array(q_ids, dtype=np.int64)
+        for pdf in batches:
+            cm = np.array(list(pdf["embedding"]), dtype=np.float64)
+            cn = np.sqrt((cm * cm).sum(axis=1))
+            sims = np.round((qm @ cm.T) / (qn[:, None] * cn[None, :]), 6)
+            qi, ci = np.nonzero(sims >= threshold)
+            cid = pdf["vec_id"].to_numpy(np.int64)
+            yield _pd.DataFrame(
+                {
+                    "query_id": qid[qi],
+                    "neighbor_id": cid[ci],
+                    "cosine": sims[qi, ci],
+                }
+            )
+
+    sims = emb.select("vec_id", "embedding").mapInPandas(
+        score, schema="query_id bigint, neighbor_id bigint, cosine double"
+    )
+    return sims.filter(F.col("query_id") != F.col("neighbor_id"))
+
+
 @query("ann_lsh_topk", oracle=None)
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN: random-hyperplane signatures → bucket join →

@@ -367,3 +367,212 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_trigram_frac"),
         )
     )
+
+
+# --- PII redaction ------------------------------------------------------
+
+# Patterns valid (and identical in meaning) under both Java regex
+# (Spark) and RE2 (DuckDB): explicit [0-9] classes, no shorthand \d,
+# no lookaround. Order of application: EMAIL first (it contains dots
+# and digits the later patterns could nibble), then SSN, PHONE, IP.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_SSN = r"[0-9]{3}-[0-9]{2}-[0-9]{4}"
+PII_PHONE = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
+PII_IP = r"([0-9]{1,3}\.){3}[0-9]{1,3}"
+
+# The synthetic corpus contains no PII, so both engines append the
+# same deterministic contact block per document — the redaction then
+# has real matches to find, and the md5 comparison proves the
+# replacements happened identically.
+_AUG_SQL = (
+    "text || ' contact user' || doc_id || '@mail.example.com ip 10.' "
+    "|| (doc_id % 200) || '.0.7 call 555-' "
+    "|| lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' "
+    "|| lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ssn 123-45-6789'"
+)
+
+
+@query(
+    "text_pii_redact",
+    oracle=f"""
+        WITH aug AS (SELECT doc_id, {_AUG_SQL} AS t FROM documents)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(t, '{PII_EMAIL}')) AS INTEGER)
+                   AS n_emails,
+               CAST(len(regexp_extract_all(t, '{PII_SSN}')) AS INTEGER)
+                   AS n_ssns,
+               CAST(len(regexp_extract_all(t, '{PII_PHONE}')) AS INTEGER)
+                   AS n_phones,
+               CAST(len(regexp_extract_all(t, '{PII_IP}')) AS INTEGER)
+                   AS n_ips,
+               md5(regexp_replace(regexp_replace(regexp_replace(
+                   regexp_replace(t, '{PII_EMAIL}', '<EMAIL>', 'g'),
+                   '{PII_SSN}', '<SSN>', 'g'),
+                   '{PII_PHONE}', '<PHONE>', 'g'),
+                   '{PII_IP}', '<IP>', 'g')) AS redacted_md5
+        FROM aug
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: count and redact emails / SSNs / phone numbers /
+    IPv4 addresses with sequential regexp_replace — the standard
+    pre-training scrub pass, as one codegen'd single-scan column
+    expression (no Python, no shuffle; linear at any corpus size).
+
+    Patterns are chosen to mean the same thing in Java regex and RE2
+    so the DuckDB oracle checks the exact replacement behavior;
+    category counts are measured independently on the original text,
+    so they are order-free."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id"),
+        F.lit("@mail.example.com ip 10."),
+        F.col("doc_id") % 200,
+        F.lit(".0.7 call 555-"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" ssn 123-45-6789"),
+    )
+    d = t["documents"].select("doc_id", aug.alias("t"))
+
+    def count(pat):
+        return F.size(F.regexp_extract_all(F.col("t"), F.lit(pat), F.lit(0)))
+
+    redacted = F.col("t")
+    for pat, token in (
+        (PII_EMAIL, "<EMAIL>"),
+        (PII_SSN, "<SSN>"),
+        (PII_PHONE, "<PHONE>"),
+        (PII_IP, "<IP>"),
+    ):
+        redacted = F.regexp_replace(redacted, pat, token)
+    return d.select(
+        "doc_id",
+        count(PII_EMAIL).alias("n_emails"),
+        count(PII_SSN).alias("n_ssns"),
+        count(PII_PHONE).alias("n_phones"),
+        count(PII_IP).alias("n_ips"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+# --- corpus n-gram statistics -------------------------------------------
+
+_NGRAM_K = 20
+
+
+@query(
+    "text_ngram_top",
+    oracle=f"""
+        WITH t AS (
+            SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+            FROM documents
+        ),
+        b AS (
+            SELECT unnest(list_transform(
+                generate_series(1, len(tk) - 1),
+                i -> tk[i] || ' ' || tk[i + 1])) AS bigram
+            FROM t WHERE len(tk) >= 2
+        )
+        SELECT bigram, CAST(count(*) AS BIGINT) AS cnt
+        FROM b GROUP BY bigram
+        ORDER BY cnt DESC, bigram
+        LIMIT {_NGRAM_K}
+    """,
+)
+def text_ngram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-20 bigrams — the vocabulary/phrase frequency
+    table every corpus analysis starts from. One scan + one hashed
+    aggregation on the bigram string; the final top-k is a
+    TakeOrderedAndProject over the aggregated (vocabulary-sized)
+    output, never a total sort of the corpus."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    d = t["documents"].select(_tokens().alias("t")).filter(F.size("t") >= 2)
+    bigrams = F.zip_with(
+        F.slice(F.col("t"), 1, F.size("t") - 1),
+        F.slice(F.col("t"), 2, F.size("t") - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("bigram"))
+        .limit(_NGRAM_K)
+    )
+
+
+# --- quality filter chain -----------------------------------------------
+
+
+@query(
+    "quality_filter_chain",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, lang,
+                   regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+            FROM documents
+        ),
+        m AS (
+            SELECT doc_id, lang,
+                   len(tk) AS n,
+                   len(list_filter(tk,
+                       x -> list_contains([{_sql_list(STOP_EN)}], x)))
+                       AS stop_cnt,
+                   len(list_distinct(tk)) AS n_distinct
+            FROM t
+        )
+        SELECT doc_id,
+               CASE
+                   WHEN n < 20 THEN 'too_short'
+                   WHEN lang NOT IN ('en', 'es') THEN 'lang_filtered'
+                   WHEN stop_cnt * 100 < n THEN 'low_stopword'
+                   WHEN n_distinct * 5 < n * 2 THEN 'repetitious'
+                   ELSE 'keep'
+               END AS reason,
+               CASE
+                   WHEN n < 20 THEN FALSE
+                   WHEN lang NOT IN ('en', 'es') THEN FALSE
+                   WHEN stop_cnt * 100 < n THEN FALSE
+                   WHEN n_distinct * 5 < n * 2 THEN FALSE
+                   ELSE TRUE
+               END AS keep
+        FROM m
+    """,
+)
+def quality_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The assembled keep/drop decision a pretraining pipeline applies
+    before tokenization: length gate, language gate, stopword-density
+    gate, repetition gate — first failing rule wins, exactly one
+    reason per document.
+
+    Every ratio threshold is evaluated as a cross-multiplied integer
+    comparison (stop_cnt*100 < n, n_distinct*5 < 2n), so the oracle
+    comparison has no float-tie ambiguity, and the whole operator is
+    one codegen'd scan."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    tk = _tokens()
+    m = t["documents"].select(
+        "doc_id",
+        "lang",
+        F.size(tk).alias("n"),
+        F.size(
+            F.filter(tk, lambda x: x.isin(*STOP_EN))
+        ).alias("stop_cnt"),
+        F.size(F.array_distinct(tk)).alias("n_distinct"),
+    )
+    reason = (
+        F.when(F.col("n") < 20, "too_short")
+        .when(~F.col("lang").isin("en", "es"), "lang_filtered")
+        .when(F.col("stop_cnt") * 100 < F.col("n"), "low_stopword")
+        .when(F.col("n_distinct") * 5 < F.col("n") * 2, "repetitious")
+        .otherwise("keep")
+    )
+    return m.select(
+        "doc_id",
+        reason.alias("reason"),
+        (reason == "keep").alias("keep"),
+    )
