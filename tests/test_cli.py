@@ -592,6 +592,53 @@ def test_format_csv_quoted_wellformed_stays_jvm(tmp_path, spark):
     assert "EvalPython" in plan2
 
 
+def test_csv_jvm_tokenizer_roundtrip_property(tmp_path, spark):
+    """Seeded writer-roundtrip property: csv.writer output (always
+    well-formed) must tokenize JVM-side to exactly what csv.reader
+    yields, across dialects — including a '-' separator (the char-
+    class edge) and a single-quote quote char."""
+    import csv as _csv
+    import io as _io
+    import random as _random
+
+    from sqawk_spark.sources.base import FileSpec
+    from sqawk_spark.sources.csv import records
+
+    rng = _random.Random(42)
+    for sep, quote in ((",", '"'), (";", "'"), ("-", '"')):
+        alphabet = "ab c" + quote + sep + "é"
+        rows = [
+            [
+                "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 8)))
+                for _ in range(rng.randint(1, 5))
+            ]
+            for _ in range(120)
+        ]
+        buf = _io.StringIO()
+        w = _csv.writer(
+            buf, delimiter=sep, quotechar=quote, doublequote=True,
+            lineterminator="\n",
+        )
+        w.writerows(rows)
+        f = write(tmp_path, f"prop_{ord(sep)}.csv", buf.getvalue())
+        spec = FileSpec(
+            filename=f, format="csv",
+            options={"csvsep": sep, "csvquote": quote},
+        )
+        df = records(spark, spec, f)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan, f"sep={sep!r} fell back to Python"
+        got = {r["a0"]: list(r["fields"]) for r in df.collect()}
+        for line in buf.getvalue().splitlines():
+            want = next(
+                _csv.reader(
+                    _io.StringIO(line), delimiter=sep, quotechar=quote,
+                    doublequote=True,
+                )
+            ) if line else [""]
+            assert got[line] == want, f"{line!r}: {got[line]} != {want}"
+
+
 def test_format_json_kv_union(tmp_path):
     # F8: key drift — union of keys, first-object order then alpha
     f = write(tmp_path, "f", '[{"foo":1,"bar":2},{"foo":3,"bar":4,"baz":5}]')
