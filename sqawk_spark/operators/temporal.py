@@ -338,3 +338,63 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(p, "user_id", "left")
         .select("user_id", "signup_us", "click_us", "purchase_us")
     )
+
+
+@query(
+    "events_user_features",
+    oracle="""
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_purchases,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_clicks,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_errors,
+               round(CAST(sum(CASE WHEN event_type = 'purchase' THEN value
+                                   ELSE 0 END) AS DOUBLE), 2)
+                   AS purchase_value,
+               CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT)
+                   AS active_days,
+               epoch_us(min(ts)) AS first_seen_us,
+               epoch_us(max(ts)) - epoch_us(min(ts)) AS tenure_us
+        FROM events
+        GROUP BY user_id
+    """,
+)
+def events_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user feature row — the aggregate a training pipeline joins
+    onto interaction data: event counts by type, purchase revenue,
+    distinct active days, first-seen timestamp, tenure.
+
+    One hash aggregation keyed on user_id: conditional counts are
+    map-side-combined sums; the single COUNT(DISTINCT date) rides the
+    same shuffle via Spark's expand (a bounded ×2 of the input rows,
+    the standard cost of one exact distinct alongside plain aggs).
+    No second scan, no join, no window."""
+    t = load_tables(spark, sf_dir, ("events",))
+
+    def flag(tp):
+        return F.sum(
+            F.when(F.col("event_type") == tp, 1).otherwise(0)
+        ).cast("long")
+
+    return t["events"].groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        flag("purchase").alias("n_purchases"),
+        flag("click").alias("n_clicks"),
+        flag("error").alias("n_errors"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase", F.col("value")
+                ).otherwise(0.0)
+            ),
+            2,
+        ).alias("purchase_value"),
+        F.countDistinct(F.to_date("ts")).cast("long").alias("active_days"),
+        F.unix_micros(F.min("ts")).alias("first_seen_us"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias(
+            "tenure_us"
+        ),
+    )
