@@ -683,6 +683,17 @@ def dedup_clusters(
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
     pairs = _PAIRS_CACHE[key]
+    return _connected_components(spark, pairs, driver_limit)
+
+
+def _connected_components(
+    spark: SparkSession, pairs: DataFrame, driver_limit: int
+) -> DataFrame:
+    """Resolve a (doc_a, doc_b) edge list into connected components:
+    (doc_id, canonical_doc_id, cluster_size), canonical = component
+    minimum. The adaptive strategy documented on dedup_clusters lives
+    here so any pair generator (shingle, MinHash, embedding) can share
+    it."""
     n_pairs = pairs.count()
 
     if n_pairs <= driver_limit:
@@ -875,4 +886,71 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_common").cast("long").alias("n_common"),
             F.round(F.col("n_common") / union_sz, 6).alias("jaccard"),
         )
+    )
+
+
+_SEMANTIC_CLUSTER_SQL = """
+    WITH RECURSIVE e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e
+    ),
+    nd AS (
+        SELECT a.vec_id AS a, b.vec_id AS b
+        FROM n a JOIN n b ON a.vec_id < b.vec_id
+        WHERE list_inner_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
+    ),
+    edges AS (
+        SELECT a AS src, b AS dst FROM nd
+        UNION
+        SELECT b, a FROM nd
+    ),
+    reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src
+    ),
+    closure AS (
+        SELECT src, dst FROM reach
+        UNION
+        SELECT DISTINCT src, src FROM edges
+    ),
+    comp AS (
+        SELECT src AS vec_id, min(dst) AS canon FROM closure GROUP BY src
+    )
+    SELECT c.vec_id,
+           CAST(c.canon AS BIGINT) AS canonical_vec_id,
+           CAST(s.n AS BIGINT) AS cluster_size
+    FROM comp c
+    JOIN (SELECT canon, count(*) AS n FROM comp GROUP BY canon) s
+      ON c.canon = s.canon
+"""
+
+
+@query("dedup_semantic_clusters", oracle=_SEMANTIC_CLUSTER_SQL)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup end-to-end: embedding near-dup pairs (exact
+    blocked-GEMM cosine >= 0.4) resolved into connected components,
+    canonical vector = the component minimum — the "keep one document
+    per meaning-cluster" step that follows any embedding-based dedup.
+
+    Composition of two scale-audited pieces: the sqrt-replicated
+    block-pair BLAS pair generator and the adaptive component solver
+    (driver union-find under 5M edges, distributed min-label
+    propagation above). The oracle replays the same graph as a
+    recursive-CTE transitive closure — feasible for DuckDB at test
+    SF, quadratic at scale, which is exactly why the engine side
+    doesn't."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    e = t["embeddings"].select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    pairs = _embedding_pairs_blocked(e, 0.4).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    return _connected_components(spark, pairs, _DRIVER_PAIR_LIMIT).select(
+        F.col("doc_id").alias("vec_id"),
+        F.col("canonical_doc_id").alias("canonical_vec_id"),
+        "cluster_size",
     )
