@@ -253,3 +253,42 @@ def test_multires_rollup_is_one_scan(spark, sf_dir):
     assert "Union" not in p
     assert "Expand" in p
     assert "partial_count" in p  # map-side partial agg survives
+
+
+def test_pii_redact_and_filter_chain_are_pure_scans(spark, sf_dir):
+    """The scrub and the keep/drop chain are single-scan column
+    expressions: no Python eval node, no exchange — at 100 TB they
+    ride the reader's partitioning untouched."""
+    for name in ("text_pii_redact", "quality_filter_chain"):
+        p = plan(spark, sf_dir, name)
+        assert "EvalPython" not in p, name
+        assert "Exchange" not in p, name
+
+
+def test_ngram_top_aggregates_before_take(spark, sf_dir):
+    """Corpus bigram top-k: map-side partial aggregation collapses
+    per-partition duplicates, and the final k comes from
+    TakeOrderedAndProject over vocabulary-sized output — never a
+    total sort of the corpus."""
+    p = plan(spark, sf_dir, "text_ngram_top")
+    assert "partial_count" in p or "partial count" in p.lower()
+    assert "TakeOrderedAndProject" in p
+    assert "EvalPython" not in p
+
+
+def test_range_search_is_scan_not_join(spark, sf_dir):
+    """Range search must be the single-scan Arrow kernel — queries in
+    the closure, no join or cartesian against the corpus."""
+    p = plan(spark, sf_dir, "ann_range_search")
+    assert "MapInPandas" in p
+    assert "Join" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_user_features_single_aggregation(spark, sf_dir):
+    """Per-user features: exactly one shuffle keyed on user_id (the
+    expand for COUNT DISTINCT rides it); no join, no window."""
+    p = plan(spark, sf_dir, "events_user_features")
+    assert "Join" not in p
+    assert "Window" not in p
+    assert p.count("Exchange hashpartitioning") <= 2  # agg + distinct expand
