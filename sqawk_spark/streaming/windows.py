@@ -599,3 +599,51 @@ def stream_late_drop(
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+def stream_dedup_exact(
+    spark: SparkSession, sf_dir: str, query_name: str = "stream_dedup"
+) -> DataFrame:
+    """Streaming exact dedup: the ingest-time variant of dedup_exact —
+    documents arrive as a stream, fingerprints aggregate continuously,
+    and the canonical choice (min doc_id per fingerprint) is stable
+    under any arrival order, which is what makes the streaming result
+    provably equal to the batch twin (asserted in
+    tests/test_streaming.py).
+
+    Uses a complete-mode grouped aggregation rather than
+    dropDuplicates: dropDuplicates keeps the first-SEEN row, an
+    arrival-order artifact, while min() is order-free — the difference
+    between a pipeline that re-derives the same canon set on replay
+    and one that doesn't."""
+    import os
+    import tempfile
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    batch = spark.read.parquet(src)
+    stream_dir = tempfile.mkdtemp(prefix="sqawk_stream_dedup_")
+    link = os.path.join(stream_dir, "documents.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    fingerprint = F.md5(
+        F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    )
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .parquet(stream_dir)
+        .select("doc_id", fingerprint.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)

@@ -128,3 +128,24 @@ def test_late_drop_batch_twin_equals_streaming(spark, sf_dir):
         for r in stream_late_drop(spark, sf_dir).collect()
     }
     assert batch == streamed
+
+
+def test_stream_dedup_equals_batch(spark, sf_dir):
+    """Streaming exact dedup (complete-mode grouped agg) must produce
+    the identical fingerprint → (canonical, copies) map as the batch
+    dedup_exact query — min() canon is arrival-order-free."""
+    import sqawk_spark.operators as operators
+    from sqawk_spark.operators.registry import REGISTRY
+    from sqawk_spark.streaming.windows import stream_dedup_exact
+
+    operators.load_all()
+
+    batch = {
+        r["fingerprint"]: (r["canonical_doc_id"], r["n_copies"])
+        for r in REGISTRY["dedup_exact"].builder(spark, sf_dir).collect()
+    }
+    streamed = {
+        r["fingerprint"]: (r["canonical_doc_id"], r["n_copies"])
+        for r in stream_dedup_exact(spark, sf_dir, "t_stream_dedup").collect()
+    }
+    assert batch == streamed
