@@ -398,3 +398,46 @@ def events_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tenure_us"
         ),
     )
+
+
+@query(
+    "events_retention",
+    oracle="""
+        WITH cohort AS (
+            SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+            FROM events GROUP BY user_id
+        ),
+        activity AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS active_day
+            FROM events
+        )
+        SELECT c.cohort_day,
+               CAST(date_diff('day', c.cohort_day, a.active_day) AS INTEGER)
+                   AS day_offset,
+               CAST(count(*) AS BIGINT) AS n_active_users
+        FROM activity a JOIN cohort c USING (user_id)
+        GROUP BY 1, 2
+    """,
+)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-active day,
+    counted on each later active day — the engagement table behind
+    every retention curve.
+
+    Three user-keyed stages that all shuffle on the same key
+    (first-seen aggregate, distinct active days, cohort join), so at
+    scale one exchange's partitioning is reused; the final matrix is
+    days × offsets — tiny. The (user, day) distinct happens BEFORE the
+    join, so the join input is already collapsed."""
+    t = load_tables(spark, sf_dir, ("events",))
+    ev = t["events"].select("user_id", F.to_date("ts").alias("d"))
+    cohort = ev.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    activity = ev.distinct().withColumnRenamed("d", "active_day")
+    return (
+        activity.join(cohort, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff("active_day", "cohort_day").alias("day_offset"),
+        )
+        .agg(F.count("*").alias("n_active_users"))
+    )
