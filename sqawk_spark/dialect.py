@@ -523,11 +523,12 @@ def rewrite_groups_frames(stmt: str) -> str:
     The inner subquery is aliased with the FROM table's (alias) name so
     qualified column references in the outer select keep resolving.
 
-    Scope: one top-level FROM whose source is a single table with an
-    optional alias, no top-level GROUP BY / HAVING / named WINDOW
-    clause, no set operators. Anything else — joins, subqueries in
-    FROM, EXCLUDE clauses — is left unrewritten so Spark raises a hard
-    parse error instead of a silent wrong answer."""
+    Scope: one top-level FROM (single table with optional alias, or a
+    join/comma list — sqawk's per-table column prefixes keep the inner
+    SELECT * unambiguous), no top-level GROUP BY / HAVING / named
+    WINDOW clause, no set operators. Out-of-scope shapes — EXCLUDE
+    clauses, grouped windows — are left unrewritten so Spark raises a
+    hard parse error instead of a silent wrong answer."""
     windows: list[tuple[int, int, str]] = []  # (start, end, replacement)
     drs: list[str] = []
     for m in _OVER_RE.finditer(stmt):
@@ -600,17 +601,22 @@ def rewrite_groups_frames(stmt: str) -> str:
             return stmt
         where_edit = (wkw_start, w_end, " ")
 
-    sm = _SIMPLE_FROM_RE.match(from_src)
-    if sm is None or (sm.group(2) or "").lower() in _NOT_ALIAS:
-        return stmt  # joins / comma lists / subqueries in FROM — bail
-    effective_alias = sm.group(2) or sm.group(1)
-
     sub = f"(select *, {', '.join(drs)} from {from_src}"
     if pred is not None:
         sub += f" where {pred}"
+    sub += ")"
+    sm = _SIMPLE_FROM_RE.match(from_src)
+    if sm is not None and (sm.group(2) or "").lower() not in _NOT_ALIAS:
+        # single table [AS alias]: alias the subquery with the same
+        # name so qualified references in the outer select keep
+        # resolving. Joins/comma lists stay unaliased — sqawk's
+        # per-table column prefixes (anr/a1…, bnr/b1…) make the inner
+        # SELECT * unambiguous, and any outer qualified reference
+        # fails hard in the analyzer rather than silently.
+        sub += f" as {sm.group(2) or sm.group(1)}"
     # trailing space: the replaced region [fstart, from_end) includes the
     # whitespace that separated the FROM source from the next clause
-    sub += f") as {effective_alias} "
+    sub += " "
     edits = windows + [(fstart, from_end, sub)]
     if where_edit is not None:
         edits.append(where_edit)

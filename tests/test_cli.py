@@ -1208,6 +1208,37 @@ def test_groups_frame_after_where_matches_sqlite(tmp_path):
         assert pysqawk(q, f) == want
 
 
+def test_groups_frame_over_join_matches_sqlite(tmp_path):
+    """GROUPS frames over a joined FROM (VERDICT r02 next-round #7):
+    the dense_rank subquery wraps the whole join source, ranks are
+    computed on the joined-and-filtered rowset, and sqawk's per-table
+    column prefixes keep the inner SELECT * unambiguous."""
+    import sqlite3 as _sq
+
+    a_rows = [(1, 10), (5, 20), (20, 40), (21, 50)]
+    b_rows = [(1, "x"), (5, "y"), (20, "x"), (21, "y"), (99, "z")]
+    con = _sq.connect(":memory:")
+    con.execute("create table a (a1 int, a2 int)")
+    con.execute("create table b (b1 int, b2 text)")
+    con.executemany("insert into a values (?,?)", a_rows)
+    con.executemany("insert into b values (?,?)", b_rows)
+    queries = [
+        "select a1, b2, sum(a2) over (order by a1 groups between 1"
+        " preceding and current row) as s from a join b on a1 = b1"
+        " order by a1",
+        "select a1, sum(a2) over (partition by b2 order by a1 groups"
+        " between 1 preceding and 1 following) as s from a, b"
+        " where a1 = b1 and a1 <> 5 order by a1",
+    ]
+    fa = write(tmp_path, "fa", "".join(f"{r[0]} {r[1]}\n" for r in a_rows))
+    fb = write(tmp_path, "fb", "".join(f"{r[0]} {r[1]}\n" for r in b_rows))
+    for q in queries:
+        want = "\n".join(
+            " ".join(str(v) for v in r) for r in con.execute(q)
+        )
+        assert pysqawk(q, fa, fb) == want
+
+
 # --- DML/DDL in scripts (SURVEY 2.B27; scripts are evaled verbatim in
 # the reference, so this surface is reachable there) -------------------
 
