@@ -197,3 +197,32 @@ def test_multimodal_sniffs_real_container_headers(spark):
     assert got[3] == (1920, 1080, "image/jpeg")
     assert got[4] == (44100, 2, "audio/wav")
     assert got[5][2] == "fake/raw"
+
+
+def test_audio_features_match_signal_analysis(spark, sf_dir):
+    """The WAV decode is real byte-level PCM: a pure sine of amplitude
+    A has per-frame RMS = A/sqrt(2), and 2·freq·frame_seconds zero
+    crossings per 20 ms frame (±1 for phase at the frame edges)."""
+    import math
+
+    from sqawk_spark.operators.multimodal import (
+        AUDIO_AMP,
+        AUDIO_FRAME,
+        AUDIO_SR,
+        multimodal_audio_features,
+    )
+
+    rows = multimodal_audio_features(spark, sf_dir).collect()
+    assert rows
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    expected_rms = AUDIO_AMP / 32768.0 / math.sqrt(2)
+    frame_seconds = AUDIO_FRAME / AUDIO_SR
+    for doc_id, frames in per_doc.items():
+        assert len(frames) == 5  # 100 ms clip / 20 ms frames
+        freq = 100 * (1 + doc_id % 8)
+        want_zcr = 2 * freq * frame_seconds
+        for r in frames:
+            assert abs(r["rms"] - expected_rms) / expected_rms < 0.02, r
+            assert abs(r["zcr"] - want_zcr) <= 1, (r, want_zcr)
