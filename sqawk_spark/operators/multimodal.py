@@ -229,3 +229,101 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ids.mapInPandas(
         run, schema="doc_id bigint, frame_idx int, rms double, zcr int"
     )
+
+
+IMG_W, IMG_H = 16, 16
+
+
+@query("multimodal_image_stats", oracle=None)
+def multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, stdlib-only: PNG is chunked zlib — synthesis
+    writes genuine 16×16 RGB PNGs (IHDR/IDAT/IEND with CRCs, filter
+    type 0 scanlines), and the decoder walks the chunks, inflates the
+    IDAT stream, strips the filter bytes, and reduces the pixel matrix
+    to per-channel mean/std — the brightness/contrast features an
+    image-quality filter starts from.
+
+    Per-document pixels are a deterministic gradient keyed by doc_id,
+    so the channel means have closed-form ground truth (asserted in
+    tests/test_extensions.py). Rows-only registry entry: byte-level
+    inflate has no SQL oracle. Same scale shape as the audio pass: one
+    Arrow-batched mapInPandas stream per partition, no shuffle."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    ids = t["documents"].select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+        import zlib
+
+        import numpy as np
+
+        w, h = IMG_W, IMG_H
+
+        def chunk(tag: bytes, body: bytes) -> bytes:
+            crc = zlib.crc32(tag + body) & 0xFFFFFFFF
+            return struct.pack(">I", len(body)) + tag + body + struct.pack(">I", crc)
+
+        def synth_png(doc_id: int) -> bytes:
+            base = doc_id % 200
+            # R: horizontal gradient, G: vertical gradient, B: constant
+            xs = np.arange(w, dtype=np.uint16)
+            ys = np.arange(h, dtype=np.uint16)
+            r = np.broadcast_to((base + xs) % 256, (h, w))
+            g = np.broadcast_to(((base + ys) % 256)[:, None], (h, w))
+            b = np.full((h, w), doc_id % 256)
+            px = np.stack([r, g, b], axis=2).astype(np.uint8)
+            raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+            ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+            return (
+                b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(raw))
+                + chunk(b"IEND", b"")
+            )
+
+        def decode_png(png: bytes):
+            assert png[:8] == b"\x89PNG\r\n\x1a\n"
+            i = 8
+            width = height = None
+            idat = b""
+            while i + 8 <= len(png):
+                (clen,) = struct.unpack(">I", png[i : i + 4])
+                tag = png[i + 4 : i + 8]
+                body = png[i + 8 : i + 8 + clen]
+                if tag == b"IHDR":
+                    width, height = struct.unpack(">II", body[:8])
+                elif tag == b"IDAT":
+                    idat += body
+                i += 12 + clen
+            raw = zlib.decompress(idat)
+            stride = width * 3 + 1
+            rows = [
+                np.frombuffer(raw[y * stride + 1 : (y + 1) * stride], np.uint8)
+                for y in range(height)
+            ]
+            assert all(raw[y * stride] == 0 for y in range(height))
+            return np.stack(rows).reshape(height, width, 3)
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "width": [], "height": [],
+                "mean_r": [], "mean_g": [], "mean_b": [], "std_all": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                px = decode_png(synth_png(int(doc_id))).astype(np.float64)
+                out["doc_id"].append(int(doc_id))
+                out["height"].append(px.shape[0])
+                out["width"].append(px.shape[1])
+                out["mean_r"].append(round(px[:, :, 0].mean(), 6))
+                out["mean_g"].append(round(px[:, :, 1].mean(), 6))
+                out["mean_b"].append(round(px[:, :, 2].mean(), 6))
+                out["std_all"].append(round(px.std(), 6))
+            yield pd.DataFrame(out)
+
+    return ids.mapInPandas(
+        run,
+        schema=(
+            "doc_id bigint, width int, height int, "
+            "mean_r double, mean_g double, mean_b double, std_all double"
+        ),
+    )

@@ -226,3 +226,23 @@ def test_audio_features_match_signal_analysis(spark, sf_dir):
         for r in frames:
             assert abs(r["rms"] - expected_rms) / expected_rms < 0.02, r
             assert abs(r["zcr"] - want_zcr) <= 1, (r, want_zcr)
+
+
+def test_image_stats_match_closed_form(spark, sf_dir):
+    """The PNG decode is real chunk-walking + inflate: the synthesized
+    gradient has closed-form channel means — R = mean of
+    (base+x) % 256 over x in [0,16), G likewise over y, B constant."""
+    from sqawk_spark.operators.multimodal import (
+        IMG_W,
+        multimodal_image_stats,
+    )
+
+    rows = multimodal_image_stats(spark, sf_dir).collect()
+    assert rows
+    for r in rows[:50]:
+        base = r["doc_id"] % 200
+        want_r = sum((base + x) % 256 for x in range(IMG_W)) / IMG_W
+        assert abs(r["mean_r"] - want_r) < 1e-9, r
+        assert abs(r["mean_g"] - want_r) < 1e-9, r  # same arithmetic over y
+        assert r["mean_b"] == r["doc_id"] % 256
+        assert (r["width"], r["height"]) == (16, 16)
