@@ -113,3 +113,46 @@ def sample_stratified_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "source")
     )
+
+
+_SHUFFLE_SALT = ":shuffle:42"
+
+
+@query(
+    "sample_shuffle_deterministic",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(row_number() OVER (
+                   ORDER BY md5(CAST(doc_id AS VARCHAR) || '{_SHUFFLE_SALT}'),
+                            doc_id
+               ) AS BIGINT) AS shuffle_pos
+        FROM documents
+    """,
+)
+def sample_shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle: every document gets a
+    stable global position ordered by a salted hash — reproducible
+    across reruns, engines, and executor counts, unlike ORDER BY
+    random().
+
+    The scalable layout, not a global window: range-partition on the
+    hash (the shuffle a distributed sort needs anyway), sort within
+    partitions, then assign global positions with the same
+    partition-offset numbering the ingest layer uses — one tiny
+    per-partition count job + broadcast base offsets. The oracle is
+    the single-node formulation (row_number over the same order);
+    equality proves the two-phase numbering IS the global rank."""
+    from sqawk_spark.sources.base import with_record_numbers
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    hashed = t["documents"].select(
+        "doc_id",
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(_SHUFFLE_SALT)))
+        .alias("h"),
+    )
+    arranged = hashed.repartitionByRange(32, "h", "doc_id").sortWithinPartitions(
+        "h", "doc_id"
+    )
+    return with_record_numbers(arranged).select(
+        "doc_id", F.col("anr").alias("shuffle_pos")
+    )

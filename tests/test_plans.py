@@ -292,3 +292,12 @@ def test_user_features_single_aggregation(spark, sf_dir):
     assert "Join" not in p
     assert "Window" not in p
     assert p.count("Exchange hashpartitioning") <= 2  # agg + distinct expand
+
+
+def test_deterministic_shuffle_has_no_global_window(spark, sf_dir):
+    """The global shuffle position must come from range partitioning +
+    partition-offset numbering — a Window with no PARTITION BY (all
+    rows to one partition) would be the non-scalable formulation."""
+    p = plan(spark, sf_dir, "sample_shuffle_deterministic")
+    assert "rangepartitioning(" in p
+    assert "Window" not in p
