@@ -32,6 +32,41 @@ _PACK_BUCKETS = 32  # distributed prefix-sum fan-out
 CONTAM_CONTAINMENT = 0.5
 _EVAL_BUCKETS = 20  # md5 bucket 0 of 20 → ~5% eval split
 
+# CTE chain shared by the contamination-scan oracle and the
+# decontaminated-corpus oracle (which anti-joins `overlap` instead of
+# reporting it)
+_CONTAM_CTES = f"""toks AS (
+            SELECT doc_id,
+                   regexp_split_to_array(lower(trim(text)), '\\s+') AS t,
+                   CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                       1, 4)) AS INTEGER) % {_EVAL_BUCKETS} = 0 AS is_eval
+            FROM documents
+        ),
+        grams AS (
+            SELECT DISTINCT doc_id, is_eval,
+                   t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+            FROM toks, UNNEST(generate_series(1, len(t) - {NGRAM - 1}))
+                 AS u(i)
+        ),
+        keep AS (
+            SELECT g FROM grams GROUP BY g HAVING count(*) <= {MAX_DF}
+        ),
+        filtered AS (
+            SELECT doc_id, is_eval, g FROM grams
+            WHERE g IN (SELECT g FROM keep)
+        ),
+        eval_sizes AS (
+            SELECT doc_id, count(*) AS sz FROM filtered
+            WHERE is_eval GROUP BY doc_id
+        ),
+        overlap AS (
+            SELECT c.doc_id AS corpus_doc_id, e.doc_id AS eval_doc_id,
+                   count(*) AS n_common
+            FROM filtered c JOIN filtered e ON c.g = e.g
+            WHERE NOT c.is_eval AND e.is_eval
+            GROUP BY 1, 2
+        )"""
+
 
 def _hash_key():
     """Deterministic shuffle order for packing: first 4 hex chars of
@@ -127,37 +162,7 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "contamination_check",
     oracle=f"""
-        WITH toks AS (
-            SELECT doc_id,
-                   regexp_split_to_array(lower(trim(text)), '\\s+') AS t,
-                   CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
-                       1, 4)) AS INTEGER) % {_EVAL_BUCKETS} = 0 AS is_eval
-            FROM documents
-        ),
-        grams AS (
-            SELECT DISTINCT doc_id, is_eval,
-                   t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
-            FROM toks, UNNEST(generate_series(1, len(t) - {NGRAM - 1}))
-                 AS u(i)
-        ),
-        keep AS (
-            SELECT g FROM grams GROUP BY g HAVING count(*) <= {MAX_DF}
-        ),
-        filtered AS (
-            SELECT doc_id, is_eval, g FROM grams
-            WHERE g IN (SELECT g FROM keep)
-        ),
-        eval_sizes AS (
-            SELECT doc_id, count(*) AS sz FROM filtered
-            WHERE is_eval GROUP BY doc_id
-        ),
-        overlap AS (
-            SELECT c.doc_id AS corpus_doc_id, e.doc_id AS eval_doc_id,
-                   count(*) AS n_common
-            FROM filtered c JOIN filtered e ON c.g = e.g
-            WHERE NOT c.is_eval AND e.is_eval
-            GROUP BY 1, 2
-        )
+        WITH {_CONTAM_CTES}
         SELECT corpus_doc_id, eval_doc_id,
                CAST(n_common AS BIGINT) AS n_common,
                round(n_common * 1.0 / sz, 6) AS containment
@@ -209,3 +214,41 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_common") / F.col("sz"), 6).alias("containment"),
         )
     )
+
+
+@query(
+    "contamination_decontaminate",
+    oracle=f"""
+        WITH {_CONTAM_CTES},
+        contaminated AS (
+            SELECT DISTINCT corpus_doc_id
+            FROM overlap JOIN eval_sizes ON eval_doc_id = eval_sizes.doc_id
+            WHERE n_common * 1.0 / sz >= {CONTAM_CONTAINMENT}
+        )
+        SELECT doc_id FROM toks
+        WHERE NOT is_eval
+          AND doc_id NOT IN (SELECT corpus_doc_id FROM contaminated)
+    """,
+)
+def contamination_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decontamination step's actual deliverable: the training
+    corpus with eval docs and every contaminated document removed — an
+    anti-join of the corpus against the contamination scan's flagged
+    ids.
+
+    The flagged set is a tiny fraction of the corpus, so the anti-join
+    broadcasts it; the expensive part (the index-lookup overlap join)
+    is shared with contamination_check and, at scale, computed once
+    per eval-set release, not per consumer."""
+    flagged = contamination_check(spark, sf_dir).select(
+        F.col("corpus_doc_id").alias("doc_id")
+    ).distinct()
+    is_eval = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % _EVAL_BUCKETS
+        == 0
+    )
+    t = load_tables(spark, sf_dir, ("documents",))
+    corpus = t["documents"].select("doc_id").filter(~is_eval)
+    return corpus.join(F.broadcast(flagged), "doc_id", "left_anti")
