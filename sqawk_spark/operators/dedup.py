@@ -942,13 +942,25 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive-CTE transitive closure — feasible for DuckDB at test
     SF, quadratic at scale, which is exactly why the engine side
     doesn't."""
-    t = load_tables(spark, sf_dir, ("embeddings",))
-    e = t["embeddings"].select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
-    pairs = _embedding_pairs_blocked(e, 0.4).select(
-        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
-    )
+    # persist the pair graph (same cache clear_caches drains): the
+    # component solver consumes it twice (count + collect/propagate),
+    # and without a persist the whole block-pair GEMM would recompute
+    key = (id(spark), sf_dir + "#embedding")
+    if key not in _PAIRS_CACHE:
+        from pyspark import StorageLevel
+
+        t = load_tables(spark, sf_dir, ("embeddings",))
+        e = t["embeddings"].select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        _PAIRS_CACHE[key] = (
+            _embedding_pairs_blocked(e, 0.4)
+            .select(
+                F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+    pairs = _PAIRS_CACHE[key]
     return _connected_components(spark, pairs, _DRIVER_PAIR_LIMIT).select(
         F.col("doc_id").alias("vec_id"),
         F.col("canonical_doc_id").alias("canonical_vec_id"),
