@@ -55,6 +55,10 @@ HEADLINE = [
     "text_quality_score",
     "text_pii_redact",
     "quality_filter_chain",
+    "events_user_features",
+    "dedup_semantic_clusters",
+    "multimodal_audio_features",
+    "sample_shuffle_deterministic",
     "events_tumbling_window",
     "events_sessionize",
     "events_late_drop",
