@@ -377,3 +377,60 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_items"),
         )
     )
+
+
+_PROFILE_COLS = (
+    "o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority",
+)
+
+_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS column_name,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_null,
+               CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               CAST(min({c}) AS VARCHAR) AS min_value,
+               CAST(max({c}) AS VARCHAR) AS max_value
+        FROM orders"""
+    for c in _PROFILE_COLS
+)
+
+
+@query("data_profile_orders", oracle=_PROFILE_ORACLE)
+def data_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset profiling — the one-scan column report (row count, null
+    count, exact distinct count, min/max) every ingest pipeline runs
+    before accepting a drop. min/max are computed on the NATIVE type
+    and then rendered to string (lexicographic min of '10' < '9' would
+    be wrong for numerics).
+
+    One aggregation pass produces a single wide row; ``stack``
+    unpivots it to a row per column. The exact per-column distincts
+    make Spark expand the input once per column — the honest cost of
+    exactness, bounded and documented; at 100 TB swap in
+    approx_count_distinct (one pass, no expand) and keep the schema.
+    """
+    t = load_tables(spark, sf_dir, ("orders",))
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"null_{c}"),
+            F.countDistinct(c).cast("long").alias(f"dist_{c}"),
+            F.min(c).cast("string").alias(f"min_{c}"),
+            F.max(c).cast("string").alias(f"max_{c}"),
+        ]
+    wide = t["orders"].agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', null_{c}, dist_{c}, min_{c}, max_{c}" for c in _PROFILE_COLS
+    )
+    return wide.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+        "(column_name, n_null, n_distinct, min_value, max_value)",
+        "n_rows",
+    ).select(
+        "column_name", "n_rows", "n_null", "n_distinct",
+        "min_value", "max_value",
+    )

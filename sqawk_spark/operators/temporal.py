@@ -441,3 +441,61 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_active_users"))
     )
+
+
+@query(
+    "events_anomaly_zscore",
+    oracle="""
+        WITH hourly AS (
+            SELECT date_trunc('hour', ts) AS h, event_type,
+                   count(*) AS cnt
+            FROM events GROUP BY 1, 2
+        ),
+        scored AS (
+            SELECT h, event_type, cnt,
+                   avg(cnt) OVER w AS mu,
+                   stddev(cnt) OVER w AS sd
+            FROM hourly
+            WINDOW w AS (PARTITION BY event_type ORDER BY h
+                         ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+        )
+        SELECT epoch_us(h) AS hour_start, event_type,
+               CAST(cnt AS BIGINT) AS cnt,
+               round((cnt - mu) / NULLIF(sd, 0), 2) AS zscore,
+               coalesce(abs((cnt - mu) / NULLIF(sd, 0)) > 3, FALSE)
+                   AS is_anomaly
+        FROM scored
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-volume anomaly detection — the data-quality monitor a
+    pipeline runs on every batch: hourly event counts per type scored
+    against the trailing 24 hours' mean/stddev, |z| > 3 flagged.
+
+    Two cheap stages: the hourly aggregate collapses the corpus to
+    (hours × types) rows, and the trailing window runs over THAT tiny
+    series (partitioned by type — never a corpus-sized window). At
+    100 TB the expensive part stays the map-side-combined count."""
+    t = load_tables(spark, sf_dir, ("events",))
+    hourly = (
+        t["events"]
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("h"), "event_type"
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(-24, -1)
+    )
+    z = (F.col("cnt") - F.avg("cnt").over(w)) / F.nullif(
+        F.stddev("cnt").over(w), F.lit(0)
+    )
+    return hourly.select(
+        F.unix_micros("h").alias("hour_start"),
+        "event_type",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.round(z, 2).alias("zscore"),
+        F.coalesce(F.abs(z) > 3, F.lit(False)).alias("is_anomaly"),
+    )
