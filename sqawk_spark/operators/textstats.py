@@ -576,3 +576,98 @@ def quality_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         reason.alias("reason"),
         (reason == "keep").alias("keep"),
     )
+
+
+BPE_MERGES = 20
+
+
+@query("text_bpe_learn", oracle=None)
+def text_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE vocabulary learning (Sennrich-style): the
+    iterative algorithm a tokenizer-training step runs, expressed the
+    Spark way.
+
+    Word frequencies collapse the corpus once (the vocab table is
+    orders smaller than the corpus and carries all the information BPE
+    needs); each of the {K} merge rounds is then one scan of the vocab:
+    explode adjacent symbol pairs weighted by word frequency, one
+    hashed aggregation picks the most frequent pair (freq DESC, then
+    lexicographic — fully deterministic), ONE row comes to the driver,
+    and the merge applies JVM-side as a left-to-right array fold
+    (``aggregate``) — no Python touches the data. The vocab is
+    re-persisted per round so lineage stays one round deep.
+
+    Rows-only registry entry (an iterative fixpoint has no SQL
+    oracle); tests/test_extensions.py replays the classic
+    single-machine reference implementation and asserts the merge
+    tables are identical.
+
+    At 100 TB: the corpus scan happens once; rounds run on the vocab
+    (≪ corpus, shuffles on symbol pairs); driver traffic is one row
+    per round."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    words = (
+        t["documents"]
+        .select(F.explode(_tokens()).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    # localCheckpoint (not persist): each round stacks another array
+    # fold onto the plan, and 20 rounds of nested CASE expressions
+    # overwhelm the analyzer — checkpointing materializes the tiny
+    # vocab AND truncates the lineage to a LogicalRDD every round
+    vocab = words.select(
+        "freq",
+        F.expr(
+            "concat(transform(sequence(1, length(w)),"
+            " i -> substring(w, i, 1)), array('</w>'))"
+        ).alias("syms"),
+    ).localCheckpoint(eager=True)
+
+    merges = []
+    for rank in range(BPE_MERGES):
+        # fully-merged words have one symbol left; sequence(1, 0) would
+        # DESCEND to index 0, so they must drop out before the expand
+        pairs = vocab.filter(F.size("syms") >= 2).select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(syms) - 1),"
+                    " i -> struct(element_at(syms, i) AS a,"
+                    "             element_at(syms, i + 1) AS b))"
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("pf"))
+            .orderBy(F.desc("pf"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, pf = top[0]["a"], top[0]["b"], top[0]["pf"]
+        merges.append((rank, a, b, int(pf)))
+        aq, bq = a.replace("'", "\\'"), b.replace("'", "\\'")
+        # left-to-right greedy merge as a JVM array fold: if the
+        # accumulator ends with `a` and the next symbol is `b`, replace
+        # the tail with the merged symbol, else append
+        vocab = vocab.select(
+            "freq",
+            F.expr(
+                f"""aggregate(syms, CAST(array() AS ARRAY<STRING>),
+                    (acc, x) -> CASE
+                        WHEN size(acc) > 0
+                             AND element_at(acc, -1) = '{aq}'
+                             AND x = '{bq}'
+                        THEN concat(slice(acc, 1, size(acc) - 1),
+                                    array('{aq}' || '{bq}'))
+                        ELSE concat(acc, array(x)) END)"""
+            ).alias("syms"),
+        ).localCheckpoint(eager=True)
+
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, pair_freq long"
+    )

@@ -246,3 +246,59 @@ def test_image_stats_match_closed_form(spark, sf_dir):
         assert abs(r["mean_g"] - want_r) < 1e-9, r  # same arithmetic over y
         assert r["mean_b"] == r["doc_id"] % 256
         assert (r["width"], r["height"]) == (16, 16)
+
+
+def test_bpe_learn_matches_reference_algorithm(spark, sf_dir):
+    """The distributed BPE trainer must produce the exact merge table
+    of the classic single-machine algorithm (Sennrich): word freqs →
+    repeat: count adjacent symbol pairs, merge the most frequent
+    (ties: lexicographic), left-to-right greedy application."""
+    from collections import Counter
+
+    import duckdb
+
+    from sqawk_spark.operators.textstats import BPE_MERGES, text_bpe_learn
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    texts = [r[0] for r in con.execute("SELECT text FROM documents").fetchall()]
+    con.close()
+    words = Counter()
+    for t in texts:
+        for w in t.strip().lower().split():
+            if w:
+                words[w] += 1
+    vocab = {tuple(list(w) + ["</w>"]): f for w, f in words.items()}
+
+    expected = []
+    for rank in range(BPE_MERGES):
+        pairs = Counter()
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += f
+        if not pairs:
+            break
+        (a, b), pf = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        expected.append((rank, a, b, pf))
+        merged = {}
+        for syms, f in vocab.items():
+            out = []
+            for x in syms:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            key = tuple(out)
+            merged[key] = merged.get(key, 0) + f
+        vocab = merged
+
+    got = [
+        (r["rank"], r["left"], r["right"], r["pair_freq"])
+        for r in text_bpe_learn(spark, sf_dir).orderBy("rank").collect()
+    ]
+    assert got == expected
