@@ -1260,3 +1260,64 @@ def pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("O", "qty_O")
         .withColumnRenamed("F", "qty_F")
     )
+
+
+@query(
+    "tpch_q5_local_supplier_volume",
+    oracle="""
+        SELECT n.n_name AS nation,
+               round(CAST(sum(l.l_extendedprice * (1 - l.l_discount))
+                          AS DOUBLE), 2) AS revenue
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                       AND c.c_nationkey = s.s_nationkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+        GROUP BY n.n_name
+    """,
+)
+def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape — local supplier volume: a six-way star join
+    with a mixed broadcast/shuffle strategy.
+
+    The canonical plan Catalyst should pick and AQE confirm: region
+    and nation broadcast (fixed cardinality), supplier and customer
+    broadcast at low SF or shuffle at high, and the two fact tables
+    (orders filtered by date — pushed to the scan — and lineitem)
+    shuffle on the join keys with the revenue aggregate partial
+    map-side. The c_nationkey = s_nationkey condition is the
+    interesting part: it correlates the two dimension legs, which a
+    naive plan would turn into a post-join filter over a much larger
+    intermediate."""
+    t = load_tables(
+        spark, sf_dir,
+        ("customer", "orders", "lineitem", "supplier", "nation", "region"),
+    )
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    r = F.broadcast(t["region"].filter(F.col("r_name") == "ASIA"))
+    n = F.broadcast(t["nation"])
+    revenue = F.sum(
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    )
+    return (
+        t["customer"]
+        .join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            t["supplier"],
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.round(revenue, 2).alias("revenue"))
+    )
