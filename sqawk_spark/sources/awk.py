@@ -75,6 +75,16 @@ def records(
 
     if rs == DEFAULT_RS:
         raw = spark.read.text(path).withColumnRenamed("value", "rec")
+    elif not set(rs) & set("\\^$.|?*+()[]{}"):
+        # literal (regex-metachar-free) RS: Spark's custom lineSep
+        # reader — splittable like the newline path, no whole-file
+        # ceiling. Record semantics verified identical to the regex
+        # branch: trailing separator's empty record drops, interior
+        # and leading empties survive.
+        _check_not_empty_matching(rs, "RS")
+        raw = spark.read.text(path, lineSep=rs).withColumnRenamed(
+            "value", "rec"
+        )
     else:
         _check_not_empty_matching(rs, "RS")
         whole = spark.read.text(path, wholetext=True)

@@ -803,6 +803,28 @@ def test_regex_rs(tmp_path):
     assert got == "a b\nc d"
 
 
+def test_literal_rs_takes_splittable_reader(tmp_path, spark):
+    """A regex-metachar-free RS must use the custom lineSep reader
+    (splittable — no whole-file memory ceiling), with semantics
+    identical to the regex branch: trailing separator's empty record
+    drops, interior empties survive."""
+    from sqawk_spark.sources.awk import records as awk_records
+    from sqawk_spark.sources.base import FileSpec
+
+    f = write(tmp_path, "f", "a b;;c d;")
+    got = pysqawk("-RS", ";", "select a1, a2 from a", f)
+    # interior empty record kept (renders as two empty fields + OFS)
+    assert got == "a b\n \nc d"
+
+    spec = FileSpec(filename=f, format="awk", options={"RS": ";"})
+    df = awk_records(spark, spec, f)
+    scan = df._jdf.queryExecution().executedPlan().toString()
+    assert "wholetext" not in scan.lower()
+
+    f2 = write(tmp_path, "f2", "a bXXc dXX")
+    assert pysqawk("-RS", "XX", "select a1, a2 from a", f2) == "a b\nc d"
+
+
 # --- error handling (tests.tcl:85-99) ------------------------------------
 
 
