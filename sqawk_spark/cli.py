@@ -359,10 +359,13 @@ def run(argv: list[str], out=None) -> int:
 def _run_parquet_output(
     spark, serializer_spec: str, script: str, dbfile: str | None = None
 ) -> int:
-    """``-output parquet,dir=D[,mode=overwrite]``: each SELECT's result
-    is written by the executors as parquet — no driver row streaming.
-    One statement writes to D itself; several write to D/s1, D/s2, …
-    (DML statements execute but write nothing, like the text path)."""
+    """``-output parquet,dir=D[,mode=overwrite][,partitionBy=c1+c2]``:
+    each SELECT's result is written by the executors as parquet — no
+    driver row streaming. One statement writes to D itself; several
+    write to D/s1, D/s2, … (DML statements execute but write nothing,
+    like the text path). ``partitionBy`` hive-partitions the output on
+    the named columns — the layout that gives downstream readers
+    partition pruning for free."""
     from sqawk_spark.dml import maybe_run_dml
 
     parts = dict(
@@ -372,6 +375,9 @@ def _run_parquet_output(
     if not target:
         raise UsageError("-output parquet requires dir=PATH")
     mode = parts.get("mode", "errorifexists")
+    partition_cols = [
+        c for c in parts.get("partitionBy", "").split("+") if c
+    ]
 
     known_cols = {
         c
@@ -392,7 +398,10 @@ def _run_parquet_output(
         selects.append(_run_statement(spark, stmt, known_cols))
     for i, df in enumerate(selects, start=1):
         dest = target if len(selects) == 1 else os.path.join(target, f"s{i}")
-        df.write.mode(mode).parquet(dest)
+        writer = df.write.mode(mode)
+        if partition_cols:
+            writer = writer.partitionBy(*partition_cols)
+        writer.parquet(dest)
     if dbfile and mutated:
         from sqawk_spark.dbfile import persist_mutations
 

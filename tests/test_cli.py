@@ -1409,6 +1409,31 @@ def test_output_parquet_single_statement(tmp_path):
     assert rows == [(1, 20), (2, 40), (3, 60)]
 
 
+def test_output_parquet_partition_by(tmp_path):
+    """partitionBy=col hive-partitions the sink: one subdirectory per
+    value, readable with partition pruning downstream."""
+    import os as _os
+
+    import duckdb
+
+    f = write(tmp_path, "f", "1 x\n2 y\n3 x\n")
+    dest = str(tmp_path / "out")
+    got = pysqawk(
+        "-output", f"parquet,dir={dest},partitionBy=a2",
+        "select a1, a2 from a", f,
+    )
+    assert got == ""
+    subdirs = sorted(
+        d for d in _os.listdir(dest) if d.startswith("a2=")
+    )
+    assert subdirs == ["a2=x", "a2=y"]
+    rows = duckdb.connect().execute(
+        f"select a1, a2 from read_parquet('{dest}/*/*.parquet', "
+        "hive_partitioning=true) order by a1"
+    ).fetchall()
+    assert rows == [(1, "x"), (2, "y"), (3, "x")]
+
+
 def test_output_parquet_multi_statement_and_dml(tmp_path):
     import duckdb
 
