@@ -88,6 +88,58 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_asof_tolerance",
+    oracle="""
+        SELECT c.event_id, c.user_id,
+               epoch_us(c.ts) AS ts_us,
+               CASE WHEN p.ts >= c.ts - INTERVAL '1 hour'
+                    THEN p.event_id END AS purchase_event_id,
+               CASE WHEN p.ts >= c.ts - INTERVAL '1 hour'
+                    THEN p.value END AS purchase_value
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        ASOF LEFT JOIN
+             (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id AND c.ts > p.ts
+    """,
+)
+def events_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a lookback tolerance (kdb ``wj``'s bounded
+    window, pandas ``merge_asof(tolerance=...)``): the most recent
+    earlier purchase counts only within 1 hour of the click —
+    stale matches become NULLs instead of silently ancient context.
+
+    Identical plan to events_asof_join (one keyed window, no join);
+    the window additionally carries the matched purchase's timestamp
+    forward so the tolerance check is a plain column comparison."""
+    t = load_tables(spark, sf_dir, ("events",))
+    ev = t["events"]
+    is_p = F.col("event_type") == "purchase"
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    carry = lambda c: F.last(F.when(is_p, c), ignorenulls=True).over(w)  # noqa: E731
+    enriched = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        carry(F.col("event_id")).alias("p_id"),
+        carry(F.col("value")).alias("p_value"),
+        carry(F.col("ts")).alias("p_ts"),
+    )
+    in_tol = F.col("p_ts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR")
+    return enriched.filter(F.col("event_type") == "click").select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.when(in_tol, F.col("p_id")).alias("purchase_event_id"),
+        F.when(in_tol, F.col("p_value")).alias("purchase_value"),
+    )
+
+
+@query(
     "events_range_join",
     oracle=f"""
         SELECT e.event_id,
