@@ -1321,3 +1321,65 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy(F.col("n_name").alias("nation"))
         .agg(F.round(revenue, 2).alias("revenue"))
     )
+
+
+@query(
+    "merge_upsert_orders",
+    oracle="""
+        WITH updates AS (
+            SELECT o_orderkey,
+                   round(o_totalprice * 1.1, 3) AS o_totalprice,
+                   'U' AS o_orderstatus
+            FROM orders WHERE o_orderkey % 10 = 0
+        ),
+        inserts AS (
+            SELECT o_orderkey + 1000000 AS o_orderkey,
+                   round(o_totalprice, 2) AS o_totalprice,
+                   'N' AS o_orderstatus
+            FROM orders WHERE o_orderkey % 1000 = 0
+        ),
+        batch AS (SELECT * FROM updates UNION ALL SELECT * FROM inserts)
+        SELECT o_orderkey,
+               coalesce(b.o_totalprice, round(o.o_totalprice, 2))
+                   AS o_totalprice,
+               coalesce(b.o_orderstatus, o.o_orderstatus) AS o_orderstatus
+        FROM (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders) o
+        FULL OUTER JOIN batch b USING (o_orderkey)
+    """,
+)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (CDC upsert) — the warehouse primitive every
+    incremental pipeline runs: a change batch (updates to existing
+    keys + brand-new keys) merged into the base table; matched rows
+    take the batch's values, unmatched batch rows insert, untouched
+    base rows pass through.
+
+    Expressed as ONE full-outer join on the key with coalesce — the
+    lowering Delta/Iceberg MERGE compiles to when no file-level
+    pruning applies. The change batch here is derived deterministically
+    from the base (keys %10 as updates at +10% price, rounded to the product's true 3-decimal width to dodge cross-engine tie-rounding, keys %1000
+    shifted as inserts) so both engines construct the identical batch.
+    At scale: one key-keyed shuffle join; AQE broadcasts the batch
+    when it is small, which is the common CDC shape."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    base = t["orders"].select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("b_price"),
+        F.col("o_orderstatus").alias("b_status"),
+    )
+    updates = t["orders"].filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 1.1, 3).alias("u_price"),
+        F.lit("U").alias("u_status"),
+    )
+    inserts = t["orders"].filter(F.col("o_orderkey") % 1000 == 0).select(
+        (F.col("o_orderkey") + 1_000_000).alias("o_orderkey"),
+        F.round("o_totalprice", 2).alias("u_price"),
+        F.lit("N").alias("u_status"),
+    )
+    batch = updates.unionByName(inserts)
+    return base.join(batch, "o_orderkey", "full_outer").select(
+        "o_orderkey",
+        F.coalesce("u_price", "b_price").alias("o_totalprice"),
+        F.coalesce("u_status", "b_status").alias("o_orderstatus"),
+    )
