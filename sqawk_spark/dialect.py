@@ -656,10 +656,62 @@ def rewrite_double_quoted_idents(stmt: str, columns: set[str]) -> str:
     return "".join(out)
 
 
+_HINT_RE = re.compile(r"\b(likely|unlikely|likelihood)\s*\(", re.IGNORECASE)
+
+
+def rewrite_hint_funcs(stmt: str) -> str:
+    """SQLite's planner-hint functions are no-ops on the value:
+    ``likely(X)`` / ``unlikely(X)`` → ``(X)``, ``likelihood(X, P)`` →
+    ``(X)`` (lang_corefunc.html) — stripped here since Spark has no
+    such names and the hint itself is meaningless to Catalyst."""
+    while True:
+        m = next(
+            (
+                m
+                for m in _HINT_RE.finditer(stmt)
+                if not _in_quotes(stmt, m.start())
+                and (m.start() == 0 or not _IDENT.match(stmt[m.start() - 1]))
+            ),
+            None,
+        )
+        if m is None:
+            return stmt
+        open_p = m.end() - 1
+        close = _match_paren_fwd(stmt, open_p)  # one past ')'
+        inner = stmt[open_p + 1 : close - 1]
+        if m.group(1).lower() == "likelihood":
+            args = _split_args_top(inner)
+            if len(args) != 2:
+                return stmt  # malformed — let Spark raise on the name
+            inner = args[0]
+        stmt = stmt[: m.start()] + "(" + inner + ")" + stmt[close:]
+
+
+def _split_args_top(s: str) -> list[str]:
+    """Split on top-level commas, quote- and paren-aware."""
+    parts, depth, last, i, n = [], 0, 0, 0, len(s)
+    while i < n:
+        c = s[i]
+        if c in "'\"`":
+            i = _scan_string(s, i)
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == "," and depth == 0:
+            parts.append(s[last:i])
+            last = i + 1
+        i += 1
+    parts.append(s[last:])
+    return [p.strip() for p in parts]
+
+
 def rewrite_statement(stmt: str, columns: set[str] | None = None) -> str:
     # glob first: infix GLOB lowers to glob() calls, which the regex-
     # call pass can then lift onto RLIKE when the pattern is literal
     stmt = rewrite_group_concat(rewrite_regex_calls(rewrite_glob(stmt)))
+    stmt = rewrite_hint_funcs(stmt)
     stmt = rewrite_groups_frames(stmt)
     if columns:
         stmt = rewrite_double_quoted_idents(stmt, columns)

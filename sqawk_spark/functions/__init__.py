@@ -413,6 +413,33 @@ def register_udfs(spark: SparkSession) -> None:
 
         return _sq.sqlite_version
 
+    def quote_fn(v) -> str:
+        """SQLite quote(): SQL-literal rendering — strings single-
+        quoted with '' escaping, numbers as-is, NULL as the word."""
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "1" if v else "0"
+        if isinstance(v, (int, float)):
+            return str(v)
+        if isinstance(v, (bytes, bytearray)):
+            return "X'" + v.hex().upper() + "'"
+        return "'" + str(v).replace("'", "''") + "'"
+
+    def char_fn(*codepoints) -> str:
+        """SQLite char(): string from unicode code points; NULL and
+        non-integer arguments become NUL characters (checked against
+        the system SQLite — it emits \\x00, it does not skip)."""
+        out = []
+        for c in codepoints:
+            try:
+                out.append(chr(int(c)))
+            except (TypeError, ValueError, OverflowError):
+                out.append("\x00")
+        return "".join(out)
+
+    spark.udf.register("quote", quote_fn, T.StringType())
+    spark.udf.register("char", char_fn, T.StringType())
     spark.udf.register("unicode", unicode_fn, T.IntegerType())
     spark.udf.register("sqlite_version", sqlite_version, T.StringType())
 

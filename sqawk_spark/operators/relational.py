@@ -1383,3 +1383,28 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("u_price", "b_price").alias("o_totalprice"),
         F.coalesce("u_status", "b_status").alias("o_orderstatus"),
     )
+
+
+@query(
+    "window_cume_dist",
+    oracle="""
+        SELECT c_custkey,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist() OVER w, 6) AS cume
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment
+                     ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def window_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist — the distribution-position windows
+    (B19 family): per-segment relative standing of each customer's
+    balance. Unique tie-break keeps both engines' ranks identical;
+    rounding absorbs the division's last-ulp difference."""
+    t = load_tables(spark, sf_dir, ("customer",))
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return t["customer"].select(
+        "c_custkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )

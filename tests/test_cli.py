@@ -954,6 +954,36 @@ def test_strftime_modifiers_match_sqlite(tmp_path):
     assert got_fields == want
 
 
+def test_quote_char_hint_functions_match_sqlite(tmp_path):
+    """SQLite core-function parity batch: quote(), char(), and the
+    planner-hint no-ops likely()/unlikely()/likelihood() — expected
+    values come live from the system SQLite."""
+    import sqlite3 as _sq
+
+    exprs = [
+        "quote('it''s')",
+        "quote(a1)",
+        "quote(NULL)",
+        "quote(42)",
+        "char(104, 105)",
+        "char(104, NULL, 33)",
+        "likely(a1)",
+        "unlikely(7)",
+        "likelihood(a1, 0.5)",
+        "length(likelihood(a1, 0.0625)) + 1",
+    ]
+    con = _sq.connect(":memory:")
+    want = [
+        str(con.execute(f"select {e}".replace("a1", "'abc'")).fetchone()[0])
+        for e in exprs
+    ]
+    f = write(tmp_path, "f", "abc\n")
+    got = pysqawk(
+        "-OFS", "\t", "select " + ", ".join(exprs) + " from a", "FS=@", f
+    ).split("\t")
+    assert got == want
+
+
 def test_output_table_cjk_width(tmp_path):
     """Wide CJK chars count as 2 columns (reference lib/tabulate.tcl:
     8-158): every rendered line must have the same display width."""
