@@ -707,11 +707,82 @@ def _split_args_top(s: str) -> list[str]:
     return [p.strip() for p in parts]
 
 
+_MINMAX_RE = re.compile(r"\b(min|max)\s*\(", re.IGNORECASE)
+_TRIM_RE = re.compile(r"\b(trim|ltrim|rtrim)\s*\(", re.IGNORECASE)
+_TRIM_MODE = {"trim": "BOTH", "ltrim": "LEADING", "rtrim": "TRAILING"}
+
+
+def rewrite_scalar_minmax(stmt: str) -> str:
+    """SQLite's scalar ``min(a, b, ...)`` / ``max(a, b, ...)`` (two or
+    more arguments — the one-argument form is the aggregate) → Spark's
+    ``least`` / ``greatest``, which have the same NULL-if-any-NULL…
+    no: SQLite returns NULL if ANY argument is NULL, Spark's
+    least/greatest skip NULLs — so each argument set is guarded with a
+    CASE that forces NULL when any argument is NULL."""
+    while True:
+        m = next(
+            (
+                m
+                for m in _MINMAX_RE.finditer(stmt)
+                if not _in_quotes(stmt, m.start())
+                and (m.start() == 0 or not _IDENT.match(stmt[m.start() - 1]))
+            ),
+            None,
+        )
+        if m is None:
+            return stmt
+        open_p = m.end() - 1
+        close = _match_paren_fwd(stmt, open_p)
+        inner = stmt[open_p + 1 : close - 1]
+        args = _split_args_top(inner)
+        if len(args) < 2 or any(a == "" for a in args):
+            # aggregate form (or DISTINCT etc.) — leave this site for
+            # Spark, keep rewriting anything after it
+            return stmt[:close] + rewrite_scalar_minmax(stmt[close:])
+        fn = "least" if m.group(1).lower() == "min" else "greatest"
+        null_guard = " OR ".join(f"({a}) IS NULL" for a in args)
+        repl = (
+            f"(CASE WHEN {null_guard} THEN NULL "
+            f"ELSE {fn}({', '.join(args)}) END)"
+        )
+        stmt = stmt[: m.start()] + repl + stmt[close:]
+
+
+def rewrite_two_arg_trim(stmt: str) -> str:
+    """SQLite ``trim(X, Y)`` / ``ltrim`` / ``rtrim`` (strip any char
+    in set Y) → Spark's ``TRIM(BOTH/LEADING/TRAILING Y FROM X)``,
+    which treats the trim string as a character set identically.
+    One-argument forms pass through untouched (Spark has them)."""
+    while True:
+        m = next(
+            (
+                m
+                for m in _TRIM_RE.finditer(stmt)
+                if not _in_quotes(stmt, m.start())
+                and (m.start() == 0 or not _IDENT.match(stmt[m.start() - 1]))
+            ),
+            None,
+        )
+        if m is None:
+            return stmt
+        open_p = m.end() - 1
+        close = _match_paren_fwd(stmt, open_p)
+        inner = stmt[open_p + 1 : close - 1]
+        args = _split_args_top(inner)
+        if len(args) != 2:
+            tail = rewrite_two_arg_trim(stmt[close:])
+            return stmt[:close] + tail
+        mode = _TRIM_MODE[m.group(1).lower()]
+        repl = f"TRIM({mode} {args[1]} FROM {args[0]})"
+        stmt = stmt[: m.start()] + repl + stmt[close:]
+
+
 def rewrite_statement(stmt: str, columns: set[str] | None = None) -> str:
     # glob first: infix GLOB lowers to glob() calls, which the regex-
     # call pass can then lift onto RLIKE when the pattern is literal
     stmt = rewrite_group_concat(rewrite_regex_calls(rewrite_glob(stmt)))
     stmt = rewrite_hint_funcs(stmt)
+    stmt = rewrite_scalar_minmax(rewrite_two_arg_trim(stmt))
     stmt = rewrite_groups_frames(stmt)
     if columns:
         stmt = rewrite_double_quoted_idents(stmt, columns)

@@ -984,6 +984,38 @@ def test_quote_char_hint_functions_match_sqlite(tmp_path):
     assert got == want
 
 
+def test_scalar_minmax_and_two_arg_trim_match_sqlite(tmp_path):
+    """SQLite's dual-form min/max (two+ args = scalar, one = aggregate,
+    NULL if ANY argument is NULL) and set-based two-argument
+    trim/ltrim/rtrim — expected values from the system SQLite; the
+    one-argument aggregate form must keep aggregating."""
+    import sqlite3 as _sq
+
+    exprs = [
+        "max(a1, 10)",
+        "min(a1, 10)",
+        "max(1, a1, 7)",
+        "coalesce(min(a1, NULL), 'isnull')",
+        "trim('xxhixx', 'x')",
+        "ltrim('xyxhix', 'xy')",
+        "rtrim('hixyx', 'yx')",
+        "trim('  padded  ')",
+    ]
+    con = _sq.connect(":memory:")
+    want = [
+        str(con.execute(f"select {e}".replace("a1", "5")).fetchone()[0])
+        for e in exprs
+    ]
+    f = write(tmp_path, "f", "5\n")
+    got = pysqawk(
+        "-OFS", "\t", "select " + ", ".join(exprs) + " from a", "FS=@", f
+    ).split("\t")
+    assert got == want
+    # the aggregate form still aggregates
+    f2 = write(tmp_path, "f2", "3\n9\n6\n")
+    assert pysqawk("select min(a1), max(a1) from a", f2) == "3 9"
+
+
 def test_output_table_cjk_width(tmp_path):
     """Wide CJK chars count as 2 columns (reference lib/tabulate.tcl:
     8-158): every rendered line must have the same display width."""
