@@ -301,3 +301,34 @@ def test_deterministic_shuffle_has_no_global_window(spark, sf_dir):
     p = plan(spark, sf_dir, "sample_shuffle_deterministic")
     assert "rangepartitioning(" in p
     assert "Window" not in p
+
+
+def test_asof_tolerance_is_window_not_join(spark, sf_dir):
+    p = plan(spark, sf_dir, "events_asof_tolerance")
+    assert "Join" not in p
+    assert "Window" in p
+
+
+def test_anomaly_window_is_over_aggregated_series(spark, sf_dir):
+    """The trailing-24h stats window must run AFTER the hourly
+    aggregation — partitioned by event_type, keyed on the tiny
+    (hours x types) series, never the raw corpus."""
+    p = plan(spark, sf_dir, "events_anomaly_zscore")
+    assert "windowspecdefinition(event_type" in p
+    assert "specifiedwindowframe(RowFrame, -24, -1)" in p
+    # formatted trees print consumers first: the Window node must sit
+    # ABOVE (= earlier in text than) the hourly HashAggregate it reads
+    assert p.index("Window") < p.index("HashAggregate")
+
+
+def test_q5_broadcasts_dimensions(spark, sf_dir):
+    p = plan(spark, sf_dir, "tpch_q5_local_supplier_volume")
+    assert "BroadcastHashJoin" in p
+    assert "PushedFilters" in p  # the date filter reaches the orders scan
+    assert "CartesianProduct" not in p
+
+
+def test_merge_upsert_is_single_outer_join(spark, sf_dir):
+    p = plan(spark, sf_dir, "merge_upsert_orders")
+    assert "FullOuter" in p
+    assert "CartesianProduct" not in p
