@@ -1016,6 +1016,34 @@ def test_scalar_minmax_and_two_arg_trim_match_sqlite(tmp_path):
     assert pysqawk("select min(a1), max(a1) from a", f2) == "3 9"
 
 
+def test_native_scalar_passthrough_matches_sqlite(tmp_path):
+    """SQLite core functions that Spark implements natively with the
+    same semantics must stay native (no UDF, no rewrite): hex of text
+    bytes, 1-based instr with 0-miss, replace, negative-start substr,
+    ifnull, sign, abs/round."""
+    import sqlite3 as _sq
+
+    exprs = [
+        "hex('hi')",
+        "instr('hello', 'll')",
+        "instr('hello', 'zz')",
+        "replace('banana', 'an', 'AN')",
+        "substr('abcdef', -3)",
+        "substr('abcdef', 2, 3)",
+        "ifnull(NULL, 'fb')",
+        "sign(-42)",
+        "abs(-7)",
+        "round(2.675, 2)",
+    ]
+    con = _sq.connect(":memory:")
+    want = [str(con.execute(f"select {e}").fetchone()[0]) for e in exprs]
+    f = write(tmp_path, "f", "x\n")
+    got = pysqawk(
+        "-OFS", "\t", "select " + ", ".join(exprs) + " from a", "FS=@", f
+    ).split("\t")
+    assert got == want
+
+
 def test_output_table_cjk_width(tmp_path):
     """Wide CJK chars count as 2 columns (reference lib/tabulate.tcl:
     8-158): every rendered line must have the same display width."""
