@@ -57,6 +57,7 @@ HEADLINE = [
     "quality_filter_chain",
     "events_user_features",
     "dedup_semantic_clusters",
+    "pipeline_end_to_end",
     "multimodal_audio_features",
     "sample_shuffle_deterministic",
     "events_tumbling_window",

@@ -252,3 +252,162 @@ def contamination_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("documents",))
     corpus = t["documents"].select("doc_id").filter(~is_eval)
     return corpus.join(F.broadcast(flagged), "doc_id", "left_anti")
+
+
+_STOP_EN_SQL = ", ".join(f"'{w}'" for w in (
+    "the", "a", "of", "and", "to", "in", "is", "it"
+))
+
+
+@query(
+    "pipeline_end_to_end",
+    oracle=f"""
+        WITH {_CONTAM_CTES},
+        contaminated AS (
+            SELECT DISTINCT corpus_doc_id
+            FROM overlap JOIN eval_sizes ON eval_doc_id = eval_sizes.doc_id
+            WHERE n_common * 1.0 / sz >= {CONTAM_CONTAINMENT}
+        ),
+        q AS (
+            SELECT d.doc_id, d.lang, t.is_eval,
+                   len(t.t) AS n,
+                   len(list_filter(t.t,
+                       x -> list_contains([{_STOP_EN_SQL}], x))) AS stop_cnt,
+                   len(list_distinct(t.t)) AS n_distinct
+            FROM documents d JOIN toks t ON d.doc_id = t.doc_id
+        ),
+        fp AS (
+            SELECT doc_id,
+                   md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+                       AS f
+            FROM documents
+        ),
+        canon AS (SELECT f, min(doc_id) AS canonical FROM fp GROUP BY f),
+        verdict AS (
+            SELECT q.doc_id,
+                   CASE
+                       WHEN n < 20 THEN 'too_short'
+                       WHEN lang NOT IN ('en', 'es') THEN 'lang_filtered'
+                       WHEN stop_cnt * 100 < n THEN 'low_stopword'
+                       WHEN n_distinct * 5 < n * 2 THEN 'repetitious'
+                       WHEN is_eval THEN 'eval_holdout'
+                       WHEN q.doc_id IN (SELECT corpus_doc_id
+                                         FROM contaminated)
+                           THEN 'contaminated'
+                       WHEN q.doc_id <> c.canonical THEN 'duplicate'
+                       ELSE 'keep'
+                   END AS reason,
+                   n AS n_tokens
+            FROM q JOIN fp ON q.doc_id = fp.doc_id
+                 JOIN canon c ON fp.f = c.f
+        ),
+        keepers AS (
+            SELECT doc_id, n_tokens,
+                   CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                       1, 4)) AS INTEGER) AS h
+            FROM verdict WHERE reason = 'keep'
+        ),
+        packed AS (
+            SELECT doc_id,
+                   coalesce(sum(n_tokens) OVER (ORDER BY h, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS prev
+            FROM keepers
+        )
+        SELECT v.doc_id, v.reason,
+               v.reason = 'keep' AS keep,
+               CAST(v.n_tokens AS BIGINT) AS n_tokens,
+               CAST(p.prev // {PACK_TOKENS} AS BIGINT) AS pack_id
+        FROM verdict v LEFT JOIN packed p ON v.doc_id = p.doc_id
+    """,
+)
+def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole preprocessing pipeline as ONE declarative plan — the
+    reason this engine exists: quality gates → eval holdout →
+    contamination scan → exact dedup → sequence packing, composed so
+    Catalyst sees a single DAG (shared scans dedupe, filters push,
+    every stage's partial output flows straight into the next — no
+    materialization between "steps" the way a script-per-stage
+    pipeline pays).
+
+    Per-document verdict precedence: first failing quality rule, then
+    eval_holdout, contaminated, duplicate (non-canonical fingerprint),
+    else keep — and keepers get their pack assignment from the same
+    bucketed two-phase prefix sum pack_sequences uses. One oracle
+    checks every stage's interaction end to end."""
+    from sqawk_spark.operators.textstats import STOP_EN, _tokens
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    tk = _tokens()
+    is_eval = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % _EVAL_BUCKETS
+        == 0
+    )
+    fingerprint = F.md5(
+        F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    )
+    base = docs.select(
+        "doc_id",
+        "lang",
+        is_eval.alias("is_eval"),
+        F.size(tk).alias("n"),
+        F.size(F.filter(tk, lambda x: x.isin(*STOP_EN))).alias("stop_cnt"),
+        F.size(F.array_distinct(tk)).alias("n_distinct"),
+        fingerprint.alias("f"),
+    )
+    canonical = F.min("doc_id").over(W.partitionBy("f"))
+    flagged = contamination_check(spark, sf_dir).select(
+        F.col("corpus_doc_id").alias("doc_id")
+    ).distinct().withColumn("contaminated", F.lit(True))
+    verdict = (
+        base.withColumn("canonical", canonical)
+        .join(F.broadcast(flagged), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("n") < 20, "too_short")
+            .when(~F.col("lang").isin("en", "es"), "lang_filtered")
+            .when(F.col("stop_cnt") * 100 < F.col("n"), "low_stopword")
+            .when(F.col("n_distinct") * 5 < F.col("n") * 2, "repetitious")
+            .when(F.col("is_eval"), "eval_holdout")
+            .when(F.col("contaminated"), "contaminated")
+            .when(F.col("doc_id") != F.col("canonical"), "duplicate")
+            .otherwise("keep")
+            .alias("reason"),
+            F.col("n").cast("long").alias("n_tokens"),
+        )
+    )
+    keepers = verdict.filter(F.col("reason") == "keep").select(
+        "doc_id", "n_tokens", _hash_key().alias("h")
+    ).withColumn(
+        "bkt", (F.col("h") / (65536 // _PACK_BUCKETS)).cast("int")
+    )
+    totals = keepers.groupBy("bkt").agg(F.sum("n_tokens").alias("tot"))
+    wb = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
+    bases = totals.select(
+        "bkt", F.coalesce(F.sum("tot").over(wb), F.lit(0)).alias("base")
+    )
+    win = W.partitionBy("bkt").orderBy("h", "doc_id").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    packed = (
+        keepers.withColumn(
+            "local_prev", F.coalesce(F.sum("n_tokens").over(win), F.lit(0))
+        )
+        .join(F.broadcast(bases), "bkt")
+        .select(
+            "doc_id",
+            F.floor((F.col("base") + F.col("local_prev")) / PACK_TOKENS)
+            .cast("long")
+            .alias("pack_id"),
+        )
+    )
+    return verdict.join(packed, "doc_id", "left").select(
+        "doc_id",
+        "reason",
+        (F.col("reason") == "keep").alias("keep"),
+        "n_tokens",
+        "pack_id",
+    )
