@@ -354,6 +354,14 @@ def run(argv: list[str], out=None) -> int:
             clear_caches(spark)
         except Exception:
             pass
+        # large -dbfile read-backs spill to /tmp parquet dirs; their
+        # temp views die with this run, so reclaim the disk now
+        try:
+            from sqawk_spark.dbfile import clear_spill_dirs
+
+            clear_spill_dirs()
+        except Exception:
+            pass
 
 
 def _run_parquet_output(

@@ -263,6 +263,21 @@ def _persist_sqlite(
 
 _READBACK_BATCH = 50_000
 
+# Parquet spill dirs created by large -dbfile read-backs. The
+# registered temp views read from them for the rest of the session, so
+# they cannot be deleted eagerly — the CLI teardown calls
+# clear_spill_dirs() once the run's views are dropped (repeated large
+# runs would otherwise leak unbounded /tmp disk).
+_SPILL_DIRS: list[str] = []
+
+
+def clear_spill_dirs() -> None:
+    import shutil
+
+    while _SPILL_DIRS:
+        d = _SPILL_DIRS.pop()
+        shutil.rmtree(d, ignore_errors=True)
+
 
 def _register_sqlite_table(spark, con, name: str, schema: str) -> None:
     """Register an existing SQLite table as a temp view with bounded
@@ -282,6 +297,7 @@ def _register_sqlite_table(spark, con, name: str, schema: str) -> None:
     import tempfile
 
     spill = tempfile.mkdtemp(prefix=f"sqawk_dbfile_{name}_")
+    _SPILL_DIRS.append(spill)
 
     def write(batch):
         spark.createDataFrame([tuple(r) for r in batch], schema).write.mode(

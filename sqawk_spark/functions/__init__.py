@@ -264,6 +264,17 @@ def register_udfs(spark: SparkSession) -> None:
             r"^([+-]?\d+(?:\.\d+)?)\s+"
             r"(day|hour|minute|second|month|year)s?$"
         )
+
+        def _ms_delta(days: float) -> timedelta:
+            # SQLite date.c adds r*unit to iJD (milliseconds) with
+            # `(int64)(x + (x<0 ? -0.5 : 0.5))` — round half away from
+            # zero at millisecond resolution. Reproduce that exactly so
+            # fractional modifiers match bit-for-bit.
+            ms = days * 86400000.0
+            return timedelta(
+                milliseconds=int(ms + 0.5) if ms >= 0 else int(ms - 0.5)
+            )
+
         for raw in mods:
             if dt is None or raw is None:
                 return None
@@ -272,15 +283,20 @@ def register_udfs(spark: SparkSession) -> None:
             if m:
                 n, unit = float(m.group(1)), m.group(2)
                 if unit == "day":
-                    dt = dt + timedelta(days=n)
+                    dt = dt + _ms_delta(n)
                 elif unit == "hour":
-                    dt = dt + timedelta(hours=n)
+                    dt = dt + _ms_delta(n / 24.0)
                 elif unit == "minute":
-                    dt = dt + timedelta(minutes=n)
+                    dt = dt + _ms_delta(n / 1440.0)
                 elif unit == "second":
-                    dt = dt + timedelta(seconds=n)
-                else:  # month / year: calendar arithmetic w/ rollover
-                    months = int(n) * (12 if unit == "year" else 1)
+                    dt = dt + _ms_delta(n / 86400.0)
+                else:  # month / year: SQLite's split rule (date.c):
+                    # integer part as calendar months/years with
+                    # day-overflow rollover, fractional remainder as
+                    # 30 days/month resp. 365 days/year.
+                    whole = int(n)  # C truncation toward zero
+                    frac = n - whole
+                    months = whole * (12 if unit == "year" else 1)
                     total = dt.year * 12 + (dt.month - 1) + months
                     y, mo = divmod(total, 12)
                     try:
@@ -289,6 +305,10 @@ def register_udfs(spark: SparkSession) -> None:
                         )
                     except ValueError:  # year out of datetime range
                         return None
+                    if frac:
+                        dt = dt + _ms_delta(
+                            frac * (365.0 if unit == "year" else 30.0)
+                        )
             elif mod == "start of day":
                 dt = dt.replace(hour=0, minute=0, second=0, microsecond=0)
             elif mod == "start of month":

@@ -42,77 +42,69 @@ class QuerySpec:
 REGISTRY: dict[str, QuerySpec] = {}
 
 # The driver's CORRECTNESS snapshot holds only the FIRST 50 entries of
-# ``queries()`` in iteration order. Left to raw registration (module
-# import) order, 37 of 91 registered queries never earned a driver row
-# in rounds 1-2 (VERDICT.md r02 "What's wrong" #1). This curated list
-# front-loads exactly one representative per previously-unchecked
-# operator class — all 37 never-checked entries, the 4 entries only
-# checked in round 1 (rotated out of round 2's window), and the 9
-# headline queries — 50 names total, so the round-3 window covers every
-# SURVEY §2.B class and extension family. Entries NOT listed here keep
-# registration order after the curated block; rotate this list next
-# round once the new rows are green.
+# ``queries()`` in iteration order. The round-3 curation cleared the
+# original backlog (all 37 pre-round-3 never-checked entries went green
+# in r04), but the 19 round-3/4 additions registered BEHIND the window
+# (VERDICT.md r04 "What's missing" #1). Round-5 rotation: front-load
+# those 19 (they have local-parity green but no driver row), then keep
+# exactly one representative per SURVEY §2.B class and extension family
+# in-window so the core never goes unwatched — 50 names total. Entries
+# NOT listed here keep registration order after the curated block;
+# rotate again next round once the new rows are green.
 COVERAGE_FIRST: tuple[str, ...] = (
-    # -- SQLite-dialect scalar/expression families (never driver-checked)
-    "case_cast",
-    "glob_like",
-    "string_funcs",
-    "math_funcs",
-    "date_funcs",
-    "regex_funcs",
-    "coalesce_nullif",
-    # -- window classes (only window_first_last had a row)
-    "window_rank",
-    "window_running_agg",
-    "window_lead_lag",
-    "window_ntile",
-    "window_range_frame",
-    "window_groups_frame",
-    # -- multi-dim aggregation
-    "rollup_agg",
-    "cube_agg",
-    "pivot_agg",
-    # -- subqueries / CTE (green in r01, rotated out of r02)
-    "subquery_scalar",
-    "subquery_in",
-    "subquery_exists_correlated",
-    "cte_top_suppliers",
-    # -- temporal event operators
-    "events_asof_join",
-    "events_range_join",
-    "events_multires_rollup",
-    "events_rolling_stats",
-    "events_funnel",
-    # -- streaming-window batch twins
-    "events_tumbling_window",
-    "events_sliding_window",
-    "events_sessionize",
-    "events_hourly_by_type",
-    "events_late_drop",
-    # -- text analysis
-    "text_token_count",
-    "text_quality_score",
-    "text_langid",
-    "text_fingerprint",
-    "text_tfidf_top_terms",
-    "text_repetition_stats",
-    # -- sampling
-    "sample_split",
-    "sample_stratified_balanced",
-    # -- similarity search (lsh/ivf are rows-only by design)
-    "ann_cosine_topk",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    # -- headliners (keep a hard row every round)
-    "flagship_pricing_summary",
+    # -- round-3/4 additions, never driver-checked (VERDICT r04 list)
+    "pipeline_end_to_end",
+    "tpch_q5_local_supplier_volume",
+    "merge_upsert_orders",
+    "window_cume_dist",
+    "dedup_semantic_clusters",
+    "text_pii_redact",
+    "text_ngram_top",
+    "quality_filter_chain",
+    "sample_shuffle_deterministic",
+    "contamination_decontaminate",
+    "events_asof_tolerance",
+    "events_anomaly_zscore",
+    "events_retention",
+    "events_user_features",
+    "data_profile_orders",
+    "ann_range_search",
+    "multimodal_audio_features",
+    "multimodal_image_stats",
+    "text_bpe_learn",
+    # -- one representative per §2.B class (all green in r01/r02/r04)
+    "flagship_pricing_summary",  # B9 grouped agg headline
+    "join_inner",  # B6
+    "join_left_outer",  # B20
+    "join_semi",  # B22
+    "groupby_having",  # B10
+    "orderby_multi",  # B12
+    "limit_offset",  # B14
+    "set_union",  # B15
+    "subquery_exists_correlated",  # B16
+    "cte_top_suppliers",  # B17
+    "case_cast",  # B18
+    "date_funcs",  # B24
+    "regex_funcs",  # B8
+    "window_rank",  # B19
+    "window_groups_frame",  # B19 GROUPS emulation
+    "cube_agg",  # B23
+    "pivot_agg",  # B23
+    "json_extract_props",  # B25
+    "count_distinct",  # B26
+    "udaf_geomean",  # B29
+    # -- one representative per extension family
     "dedup_exact",
-    "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_embedding_lsh",
     "dedup_clusters",
-    "dedup_incremental",
+    "ann_cosine_topk",
+    "text_token_count",
+    "sample_split",
     "pack_sequences",
     "contamination_check",
+    "events_asof_join",
+    "events_sessionize",
 )
 
 

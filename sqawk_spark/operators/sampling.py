@@ -117,6 +117,58 @@ def sample_stratified_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SHUFFLE_SALT = ":shuffle:42"
 
+# Bucket = integer value of the first 4 hex chars of the salted md5.
+# Two properties make the numbering correct and deterministic:
+#   1. the bucket is a PURE FUNCTION of the row (a prefix of the sort
+#      key), so the count pass and the ranking pass agree on membership
+#      no matter how Spark partitions either job — unlike
+#      repartitionByRange, whose sampled boundaries differ between jobs
+#      (RangePartitioner seeds its reservoir RNG with the RDD id);
+#   2. md5 hex is lowercase fixed-width, so lexicographic order of the
+#      prefix equals numeric order of the bucket: ordering by
+#      (bucket, h, doc_id) IS ordering by (h, doc_id).
+# 65536 buckets ≈ 1.5 GB/bucket at 100 TB — each within-bucket sort
+# fits one task; the count pass collects ≤65536 rows to the driver.
+_N_SHUFFLE_BUCKETS = 1 << 16
+
+
+def deterministic_shuffle(df: DataFrame, key) -> DataFrame:
+    """Assign each row a stable 1-based ``shuffle_pos`` ordered by
+    ``md5(key || salt)`` with ``key`` as tie-break.
+
+    Two-phase global rank without a global window: per-bucket counts
+    (tiny collect, cumulative bases broadcast back) + per-bucket
+    row_number. Both phases key on the hash-prefix bucket, a pure
+    function of the row, so they cannot disagree across jobs — the
+    failure mode that made the earlier repartitionByRange +
+    partition-offset formulation non-reproducible at scale (boundary
+    rows swapped partitions between the stats job and the output job).
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    hashed = df.withColumn(
+        "__h", F.md5(F.concat(key.cast("string"), F.lit(_SHUFFLE_SALT)))
+    ).withColumn(
+        "__b",
+        F.conv(F.substring("__h", 1, 4), 16, 10).cast("int"),
+    )
+    counts = hashed.groupBy("__b").agg(F.count("*").alias("__n")).collect()
+    bases, acc = [], 0
+    for r in sorted(counts, key=lambda r: r["__b"]):
+        bases.append((r["__b"], acc))
+        acc += r["__n"]
+    base_df = spark.createDataFrame(bases or [(0, 0)], "__b int, __base long")
+    w = Window.partitionBy("__b").orderBy("__h", key)
+    return (
+        hashed.join(F.broadcast(base_df), "__b")
+        .withColumn(
+            "shuffle_pos",
+            (F.col("__base") + F.row_number().over(w)).cast("long"),
+        )
+        .drop("__h", "__b", "__base")
+    )
+
 
 @query(
     "sample_shuffle_deterministic",
@@ -135,24 +187,12 @@ def sample_shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     across reruns, engines, and executor counts, unlike ORDER BY
     random().
 
-    The scalable layout, not a global window: range-partition on the
-    hash (the shuffle a distributed sort needs anyway), sort within
-    partitions, then assign global positions with the same
-    partition-offset numbering the ingest layer uses — one tiny
-    per-partition count job + broadcast base offsets. The oracle is
-    the single-node formulation (row_number over the same order);
-    equality proves the two-phase numbering IS the global rank."""
-    from sqawk_spark.sources.base import with_record_numbers
-
+    The scalable layout, not a global window: hash-prefix bucketing
+    (see :func:`deterministic_shuffle`) gives a per-bucket window plus
+    a broadcast base-offset table. The oracle is the single-node
+    formulation (row_number over the same total order); equality
+    proves the two-phase numbering IS the global rank."""
     t = load_tables(spark, sf_dir, ("documents",))
-    hashed = t["documents"].select(
-        "doc_id",
-        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(_SHUFFLE_SALT)))
-        .alias("h"),
-    )
-    arranged = hashed.repartitionByRange(32, "h", "doc_id").sortWithinPartitions(
-        "h", "doc_id"
-    )
-    return with_record_numbers(arranged).select(
-        "doc_id", F.col("anr").alias("shuffle_pos")
-    )
+    return deterministic_shuffle(
+        t["documents"].select("doc_id"), F.col("doc_id")
+    ).select("doc_id", "shuffle_pos")

@@ -59,9 +59,14 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("events",))
     ev = t["events"]
     is_p = F.col("event_type") == "purchase"
+    # Tie-break: at equal ts a purchase must sort AFTER the click so
+    # the `-1` frame end excludes it — the oracle's ASOF condition is
+    # STRICT (c.ts > p.ts); ordering by ts alone would let arbitrary
+    # tie order decide membership. event_id makes within-type ties
+    # deterministic too.
     w = (
         W.partitionBy("user_id")
-        .orderBy("ts")
+        .orderBy("ts", is_p.cast("int"), "event_id")
         .rowsBetween(W.unboundedPreceding, -1)
     )
     enriched = ev.select(
@@ -114,9 +119,11 @@ def events_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("events",))
     ev = t["events"]
     is_p = F.col("event_type") == "purchase"
+    # same strict-inequality tie-break as events_asof_join: equal-ts
+    # purchases sort after the click and fall outside the `-1` frame
     w = (
         W.partitionBy("user_id")
-        .orderBy("ts")
+        .orderBy("ts", is_p.cast("int"), "event_id")
         .rowsBetween(W.unboundedPreceding, -1)
     )
     carry = lambda c: F.last(F.when(is_p, c), ignorenulls=True).over(w)  # noqa: E731

@@ -613,6 +613,14 @@ def text_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count("*").alias("freq"))
     )
+    return bpe_learn_from_words(words, BPE_MERGES)
+
+
+def bpe_learn_from_words(words: DataFrame, n_merges: int) -> DataFrame:
+    """Run the BPE merge loop over a ``(w, freq)`` word-frequency
+    table. Split out from the registry builder so unit tests can feed
+    adversarial vocabularies (backslashes, quotes) directly."""
+    spark = words.sparkSession
     # localCheckpoint (not persist): each round stacks another array
     # fold onto the plan, and 20 rounds of nested CASE expressions
     # overwhelm the analyzer — checkpointing materializes the tiny
@@ -626,7 +634,7 @@ def text_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
 
     merges = []
-    for rank in range(BPE_MERGES):
+    for rank in range(n_merges):
         # fully-merged words have one symbol left; sequence(1, 0) would
         # DESCEND to index 0, so they must drop out before the expand
         pairs = vocab.filter(F.size("syms") >= 2).select(
@@ -650,7 +658,12 @@ def text_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         a, b, pf = top[0]["a"], top[0]["b"], top[0]["pf"]
         merges.append((rank, a, b, int(pf)))
-        aq, bq = a.replace("'", "\\'"), b.replace("'", "\\'")
+        # Spark SQL string literals treat backslash as an escape, so a
+        # corpus symbol containing one must double it BEFORE quote
+        # escaping — quote-only escaping turns `\` into a malformed or
+        # semantically different literal (ADVICE r04).
+        esc = lambda s: s.replace("\\", "\\\\").replace("'", "\\'")  # noqa: E731
+        aq, bq = esc(a), esc(b)
         # left-to-right greedy merge as a JVM array fold: if the
         # accumulator ends with `a` and the next symbol is `b`, replace
         # the tail with the merged symbol, else append

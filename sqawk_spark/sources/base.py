@@ -71,6 +71,16 @@ def with_record_numbers(df: DataFrame, offset: int = 0) -> DataFrame:
     Determinism: both passes re-scan the same source plan; file-split
     partitioning and within-partition row order are stable, so the
     (pid, mid) pairs seen by pass 2 match pass 1.
+
+    CONSTRAINT: the input plan must partition DETERMINISTICALLY across
+    jobs. File scans and hash-partitioned exchanges qualify;
+    ``repartitionByRange`` does NOT (RangePartitioner samples its
+    boundaries with an RDD-id-seeded RNG, so boundary rows can swap
+    partitions between the stats job and the output job, producing
+    duplicate/skipped numbers). Callers with a range-shuffled input
+    must ``localCheckpoint(eager=True)`` it first, or use a numbering
+    keyed on a pure function of the row (see
+    ``operators.sampling.deterministic_shuffle``).
     """
     spark = df.sparkSession
     tagged = df.withColumn("__pid", F.spark_partition_id()).withColumn(

@@ -276,3 +276,111 @@ def test_group_concat_two_arg_semantics_match_sqlite():
 
     assert py_group_concat2([("a", "-"), ("b", "+"), (None, "*"), ("c", "/")]) == want[1]
     assert py_group_concat2([(None, "-")]) == want[2]
+
+
+def test_date_call_lowering_matches_udf_and_sqlite(spark):
+    """rewrite_date_calls lowers modifier-free strftime/date/datetime/
+    time onto JVM date_format; the lowered expression must agree with
+    the Python UDF path AND with the system SQLite on every time-value
+    shape the UDF handles (ISO with/without T and fraction, julian
+    day numbers, out-of-range julians, garbage, NULL)."""
+    from sqawk_spark.dialect import rewrite_date_calls
+    from sqawk_spark.functions import register_udfs
+
+    register_udfs(spark)
+    vals = [
+        "2024-02-29 12:30:45",
+        "2024-01-01",
+        "2024-01-02T03:04:05",
+        "2024-03-01 01:02:03.456",
+        " 2024-07-04 08:09:10 ",
+        "2451545.0",   # J2000 noon
+        "2451544.5",   # 2000-01-01 00:00
+        "1721425.5",   # year 1 lower bound
+        "0",           # below datetime range -> NULL
+        "1e20",        # overflow -> NULL
+        "-2451545",    # negative -> NULL
+        "garbage",
+        "",
+        None,
+    ]
+    spark.createDataFrame([(v,) for v in vals], "v string").createOrReplaceTempView(
+        "dtvals"
+    )
+    calls = [
+        "strftime('%Y-%m-%d', v)",
+        "strftime('%H:%M:%f', v)",
+        "strftime('%Y/%j week%%', v)",
+        "date(v)",
+        "datetime(v)",
+        "time(v)",
+    ]
+    udf_rows = spark.sql(
+        "select " + ", ".join(f"{c} as c{i}" for i, c in enumerate(calls))
+        + " from dtvals"
+    ).collect()
+    lowered_sql = (
+        "select "
+        + ", ".join(
+            f"{rewrite_date_calls(c)} as c{i}" for i, c in enumerate(calls)
+        )
+        + " from dtvals"
+    )
+    assert "strftime(" not in lowered_sql and "date(v)" not in lowered_sql
+    jvm_rows = spark.sql(lowered_sql).collect()
+
+    import sqlite3
+
+    con = sqlite3.connect(":memory:")
+    for v, u, j in zip(vals, udf_rows, jvm_rows):
+        for i, c in enumerate(calls):
+            assert u[f"c{i}"] == j[f"c{i}"], (
+                f"UDF vs JVM mismatch for {c} on {v!r}: "
+                f"{u[f'c{i}']!r} vs {j[f'c{i}']!r}"
+            )
+        if v is not None and v == v.strip():
+            # ground truth: system SQLite on the same literal. Skipped
+            # where the engine deliberately diverges: padded values
+            # (the UDF trims, SQLite doesn't) and time values outside
+            # the Python datetime domain (years 1-9999 — SQLite's
+            # julian range reaches -4713; the engine NULLs those, and
+            # the JVM path pins the UDF's behavior).
+            for i, c in enumerate(calls):
+                if u[f"c{i}"] is None:
+                    continue
+                lit = "'" + v.replace("'", "''") + "'"
+                want = con.execute(
+                    f"select {c.replace(', v', f', {lit}').replace('(v)', f'({lit})')}"
+                ).fetchone()[0]
+                assert j[f"c{i}"] == want, (
+                    f"JVM vs SQLite mismatch for {c} on {v!r}: "
+                    f"{j[f'c{i}']!r} vs {want!r}"
+                )
+
+
+def test_date_call_lowering_keeps_plan_jvm_side(spark):
+    """VERDICT r04 done-criterion: a lowered strftime plan must contain
+    no BatchEvalPython stage (the UDF fallback only runs for modifier
+    chains / exotic tokens, which must STILL resolve via the UDF)."""
+    from sqawk_spark.dialect import rewrite_statement
+    from sqawk_spark.functions import register_udfs
+
+    register_udfs(spark)
+    spark.createDataFrame(
+        [("2024-01-15 10:20:30",)], "a1 string"
+    ).createOrReplaceTempView("dtplan")
+    lowered = spark.sql(
+        rewrite_statement("select strftime('%Y-%m-%d', a1) as d from dtplan")
+    )
+    p = lowered._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in p
+    # modifier chain keeps the Python fallback and still runs
+    fallback = spark.sql(
+        rewrite_statement(
+            "select datetime(a1, '+1 month', 'start of month') as d from dtplan"
+        )
+    )
+    assert fallback.collect()[0]["d"] == "2024-02-01 00:00:00"
+    assert "BatchEvalPython" in (
+        fallback._jdf.queryExecution().executedPlan().toString()
+    )

@@ -302,3 +302,84 @@ def test_bpe_learn_matches_reference_algorithm(spark, sf_dir):
         for r in text_bpe_learn(spark, sf_dir).orderBy("rank").collect()
     ]
     assert got == expected
+
+
+def test_deterministic_shuffle_is_permutation_at_scale(spark):
+    """Regression for the two-pass range-partition bug: at 300k rows
+    the old repartitionByRange + partition-offset numbering produced
+    thousands of duplicate positions (RangePartitioner boundaries
+    differ between the stats job and the output job). The hash-prefix
+    bucketed formulation must yield an exact permutation of 1..N, and
+    the same permutation on a second run."""
+    from pyspark.sql import functions as F
+
+    from sqawk_spark.operators.sampling import deterministic_shuffle
+
+    n = 300_000
+    df = spark.range(n).select(F.col("id").alias("doc_id"))
+    out = deterministic_shuffle(df, F.col("doc_id"))
+    stats = out.agg(
+        F.count("*").alias("cnt"),
+        F.countDistinct("shuffle_pos").alias("distinct_pos"),
+        F.min("shuffle_pos").alias("lo"),
+        F.max("shuffle_pos").alias("hi"),
+    ).collect()[0]
+    assert stats["cnt"] == n
+    assert stats["distinct_pos"] == n
+    assert stats["lo"] == 1
+    assert stats["hi"] == n
+    # reproducible across runs (same salt, same data)
+    h1 = out.orderBy("doc_id").select("shuffle_pos").limit(1000).collect()
+    h2 = (
+        deterministic_shuffle(df, F.col("doc_id"))
+        .orderBy("doc_id")
+        .select("shuffle_pos")
+        .limit(1000)
+        .collect()
+    )
+    assert h1 == h2
+
+
+def test_bpe_learn_survives_backslash_and_quote_symbols(spark):
+    """Merge symbols are spliced into an F.expr SQL literal; Spark
+    treats backslash as an escape there, so a vocabulary whose hottest
+    pair contains `\\` or `'` must still merge correctly (ADVICE r04:
+    quote-only escaping produced malformed/wrong literals)."""
+    from sqawk_spark.operators.textstats import bpe_learn_from_words
+
+    words = spark.createDataFrame(
+        [(r"a\b", 10), (r"a\b", 0), ("a'c", 7), (r"\\", 5)],
+        "w string, freq long",
+    )
+    out = bpe_learn_from_words(words, 4).collect()
+    got = [(r["rank"], r["left"], r["right"], r["pair_freq"]) for r in out]
+    # classic single-machine BPE on the same vocab
+    import collections
+
+    vocab = {
+        tuple(list(w) + ["</w>"]): f
+        for w, f in [(r"a\b", 10), ("a'c", 7), (r"\\", 5)]
+    }
+    want = []
+    for rank in range(4):
+        pairs = collections.Counter()
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += f
+        if not pairs:
+            break
+        (a, b), pf = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        want.append((rank, a, b, pf))
+        new_vocab = {}
+        for syms, f in vocab.items():
+            out_syms = []
+            for s in syms:
+                if out_syms and out_syms[-1] == a and s == b:
+                    out_syms[-1] = a + b
+                else:
+                    out_syms.append(s)
+            new_vocab[tuple(out_syms)] = new_vocab.get(tuple(out_syms), 0) + f
+        vocab = new_vocab
+    assert got == want

@@ -295,12 +295,14 @@ def test_user_features_single_aggregation(spark, sf_dir):
 
 
 def test_deterministic_shuffle_has_no_global_window(spark, sf_dir):
-    """The global shuffle position must come from range partitioning +
-    partition-offset numbering — a Window with no PARTITION BY (all
-    rows to one partition) would be the non-scalable formulation."""
+    """The global shuffle position must come from hash-prefix
+    bucketing (per-bucket window + broadcast base offsets) — a Window
+    with no PARTITION BY (one Exchange SinglePartition feeding all
+    rows to one task) would be the non-scalable formulation."""
     p = plan(spark, sf_dir, "sample_shuffle_deterministic")
-    assert "rangepartitioning(" in p
-    assert "Window" not in p
+    assert "Exchange SinglePartition" not in p
+    assert "hashpartitioning(__b" in p  # bucketed window, pure row function
+    assert "BroadcastHashJoin" in p  # base offsets broadcast, corpus stays put
 
 
 def test_asof_tolerance_is_window_not_join(spark, sf_dir):

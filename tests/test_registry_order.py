@@ -43,13 +43,37 @@ def test_oracle_sql_subset_and_order() -> None:
 
 
 def test_window_covers_previously_unchecked_classes() -> None:
-    """Every operator family flagged by the r02 verdict gets a row."""
+    """Round-5 rotation: every never-driver-checked round-3/4 entry
+    (VERDICT.md r04 "What's missing" #1) gets a row, plus one
+    representative per §2.B class / extension family stays in-window."""
     window = set(registry.COVERAGE_FIRST)
-    required = {
+    never_checked = {
+        "pipeline_end_to_end",
+        "tpch_q5_local_supplier_volume",
+        "merge_upsert_orders",
+        "window_cume_dist",
+        "dedup_semantic_clusters",
+        "text_pii_redact",
+        "text_ngram_top",
+        "quality_filter_chain",
+        "sample_shuffle_deterministic",
+        "contamination_decontaminate",
+        "events_asof_tolerance",
+        "events_anomaly_zscore",
+        "events_retention",
+        "events_user_features",
+        "data_profile_orders",
+        "ann_range_search",
+        "multimodal_audio_features",
+        "multimodal_image_stats",
+        "text_bpe_learn",
+    }
+    representatives = {
+        "flagship_pricing_summary",
+        "join_inner",
         "window_rank",
         "window_groups_frame",
         "events_asof_join",
-        "events_late_drop",
         "text_token_count",
         "ann_cosine_topk",
         "sample_split",
@@ -59,5 +83,9 @@ def test_window_covers_previously_unchecked_classes() -> None:
         "pivot_agg",
         "date_funcs",
         "regex_funcs",
+        "dedup_exact",
+        "pack_sequences",
+        "contamination_check",
     }
-    assert required <= window
+    assert never_checked <= window
+    assert representatives <= window

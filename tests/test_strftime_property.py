@@ -38,6 +38,13 @@ def test_datetime_modifier_chains_match_sqlite(spark):
         n = rng.choice([-25, -13, -1, 0, 1, 2, 11, 13, 100])
         u = rng.choice(UNITS)
         mods.append(f"{'+' if n >= 0 else ''}{n} {u}")
+    # fractional counts: SQLite applies the integer part as calendar
+    # months/years and the remainder as 30/365 days (date.c) — the
+    # ADVICE r04 silent-wrong-answer case
+    for _ in range(12):
+        n = rng.choice([-2.5, -1.25, -0.5, 0.5, 1.5, 2.75, 0.1, 3.9])
+        u = rng.choice(UNITS)
+        mods.append(f"{'+' if n >= 0 else ''}{n} {u}")
     mods += FIXED_MODS
 
     exprs, want = [], []
