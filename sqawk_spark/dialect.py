@@ -498,6 +498,128 @@ _SIMPLE_FROM_RE = re.compile(
 )
 
 
+_EXCLUDE_RE = re.compile(
+    r"\bexclude\s+(no\s+others|current\s+row|group|ties)\b", re.IGNORECASE
+)
+
+
+def _frame_contains_current_group(frame_body: str) -> bool | None:
+    """Whether a GROUPS frame spec includes the current peer group —
+    decidable statically because bounds are literals. None when a
+    bound is dynamic/unrecognized (caller bails)."""
+    fb = " ".join(frame_body.lower().split())
+    bm = re.match(r"^between (.+) and (.+)$", fb)
+    b1, b2 = (bm.group(1), bm.group(2)) if bm else (fb, "current row")
+
+    def off(b: str) -> float | None:
+        if b == "unbounded preceding":
+            return float("-inf")
+        if b == "unbounded following":
+            return float("inf")
+        if b == "current row":
+            return 0.0
+        mm = re.match(r"^(\d+) preceding$", b)
+        if mm:
+            return -float(mm.group(1))
+        mm = re.match(r"^(\d+) following$", b)
+        if mm:
+            return float(mm.group(1))
+        return None
+
+    s, e = off(b1), off(b2)
+    if s is None or e is None:
+        return None
+    return s <= 0 <= e
+
+
+def _rewrite_excluded_agg(
+    stmt: str,
+    over_start: int,
+    over_close: int,
+    partition: str,
+    alias: str,
+    frame_body: str,
+    kind: str,
+) -> tuple[int, int, str] | None:
+    """Replacement edit for ``fn(arg) OVER (... GROUPS fr EXCLUDE k)``
+    when the current peer group IS inside the frame.
+
+    A GROUPS frame contains whole peer groups, so the excluded rows'
+    contribution is itself a windowed aggregate: the current peer
+    group is the RANGE CURRENT ROW frame over the gap-free dense_rank
+    ``alias``, and the current row's own contribution is the bare
+    argument expression. sum/count/avg/total are distributive, so
+
+        EXCLUDE GROUP        →  f(frame) ⊖ f(peer group)
+        EXCLUDE CURRENT ROW  →  f(frame) ⊖ current row
+        EXCLUDE TIES         →  f(frame) ⊖ f(peer group) ⊕ current row
+
+    with a remaining-count CASE guard reproducing NULL-on-empty.
+    Returns None for any other aggregate (min/max have no subtraction
+    inverse — caller bails to a hard Spark error). Fuzzed against real
+    SQLite in tests/test_groups_property.py."""
+    fn_start = _operand_back(stmt, over_start)
+    fn_m = re.match(r"([A-Za-z_][A-Za-z_0-9]*)\s*\(", stmt[fn_start:])
+    if fn_m is None:
+        return None
+    fn = fn_m.group(1).lower()
+    if fn not in ("sum", "count", "avg", "total"):
+        return None
+    fn_open = fn_start + fn_m.end() - 1
+    args = _split_call_args(stmt, fn_open)
+    if args is None or len(args) != 1:
+        return None
+    arg = args[0]
+    if re.match(r"^\s*distinct\b", arg, re.IGNORECASE) or _OVER_RE.search(arg):
+        return None
+    star = arg.strip() == "*"
+    if star and fn != "count":
+        return None
+
+    part = f"{partition} " if partition else ""
+    wf = f"{part}order by {alias} range {frame_body.strip()}"
+    wg = f"{part}order by {alias} range between current row and current row"
+    cnt = "count(*)" if star else f"count({arg})"
+    c_f = f"{cnt} over ({wf})"
+    c_g = f"{cnt} over ({wg})"
+    s_f = f"sum({arg}) over ({wf})"
+    s_g = f"sum({arg}) over ({wg})"
+    ind = "1" if star else f"(case when ({arg}) is not null then 1 else 0 end)"
+    row_val = f"coalesce(({arg}), 0)"
+
+    if fn == "count":
+        repl = {
+            "group": f"({c_f} - {c_g})",
+            "current row": f"({c_f} - {ind})",
+            "ties": f"({c_f} - {c_g} + {ind})",
+        }[kind]
+    elif fn == "total":
+        repl = {
+            "group": f"(coalesce({s_f}, 0.0) - coalesce({s_g}, 0.0))",
+            "current row": f"(coalesce({s_f}, 0.0) - coalesce(({arg}), 0.0))",
+            "ties": (
+                f"(coalesce({s_f}, 0.0) - coalesce({s_g}, 0.0)"
+                f" + coalesce(({arg}), 0.0))"
+            ),
+        }[kind]
+    else:
+        num = {
+            "group": f"{s_f} - coalesce({s_g}, 0)",
+            "current row": f"{s_f} - {row_val}",
+            "ties": f"{s_f} - coalesce({s_g}, 0) + {row_val}",
+        }[kind]
+        den = {
+            "group": f"{c_f} - {c_g}",
+            "current row": f"{c_f} - {ind}",
+            "ties": f"{c_f} - {c_g} + {ind}",
+        }[kind]
+        if fn == "sum":
+            repl = f"(case when {den} > 0 then {num} end)"
+        else:  # avg
+            repl = f"(case when {den} > 0 then ({num}) / ({den}) end)"
+    return (fn_start, over_close, repl)
+
+
 def rewrite_groups_frames(stmt: str) -> str:
     """Emulate SQLite's GROUPS window frames (≥ 3.28; reachable in the
     reference because scripts are evaled verbatim — lib/classes/
@@ -523,12 +645,22 @@ def rewrite_groups_frames(stmt: str) -> str:
     The inner subquery is aliased with the FROM table's (alias) name so
     qualified column references in the outer select keep resolving.
 
+    EXCLUDE clauses (SQLite ≥ 3.28) are emulated for the distributive
+    aggregates sum/count/avg/total: a GROUPS frame contains whole peer
+    groups, so the excluded contribution is exactly one peer-group (or
+    one-row) windowed aggregate, subtracted from the frame aggregate
+    with a remaining-count guard for SQL NULL-on-empty semantics.
+    Whether the current group is inside the frame is decidable
+    STATICALLY from the frame bounds; when it is not, EXCLUDE is a
+    no-op and only the clause is stripped.
+
     Scope: one top-level FROM (single table with optional alias, or a
     join/comma list — sqawk's per-table column prefixes keep the inner
     SELECT * unambiguous), no top-level GROUP BY / HAVING / named
-    WINDOW clause, no set operators. Out-of-scope shapes — EXCLUDE
-    clauses, grouped windows — are left unrewritten so Spark raises a
-    hard parse error instead of a silent wrong answer."""
+    WINDOW clause, no set operators. Out-of-scope shapes — EXCLUDE on
+    non-distributive functions (min/max/...), grouped windows — are
+    left unrewritten so Spark raises a hard parse error instead of a
+    silent wrong answer."""
     windows: list[tuple[int, int, str]] = []  # (start, end, replacement)
     drs: list[str] = []
     for m in _OVER_RE.finditer(stmt):
@@ -547,19 +679,41 @@ def rewrite_groups_frames(stmt: str) -> str:
         )
         if gm is None:
             continue
-        if re.search(r"\bexclude\b", win, re.IGNORECASE):
-            return stmt  # EXCLUDE has no RANGE equivalent — bail
+        ex_m = _EXCLUDE_RE.search(win)
+        if re.search(r"\bexclude\b", win, re.IGNORECASE) and ex_m is None:
+            return stmt  # malformed EXCLUDE — bail to Spark's error
         om = _ORDER_BY_RE.search(win)
         if om is None or om.start() > gm.start():
             return stmt  # GROUPS without ORDER BY is an SQLite error
         partition = win[: om.start()].strip()
         order = win[om.start() : gm.start()].strip()
+        frame_body = win[gm.end() : ex_m.start() if ex_m else len(win)]
+        kind = " ".join(ex_m.group(1).lower().split()) if ex_m else "no others"
+        if kind != "no others":
+            contains = _frame_contains_current_group(frame_body)
+            if contains is None:
+                return stmt  # non-literal frame bound — bail
+            if contains:
+                edit = _rewrite_excluded_agg(
+                    stmt, m.start(), close, partition,
+                    f"__grp{len(drs)}", frame_body, kind,
+                )
+                if edit is None:
+                    return stmt  # unsupported aggregate — bail hard
+                drs.append(
+                    f"dense_rank() over ({partition}"
+                    f"{' ' if partition else ''}{order}) as __grp{len(drs)}"
+                )
+                windows.append(edit)
+                continue
+            # current group outside the frame: EXCLUDE is a no-op —
+            # fall through with the clause stripped
         alias = f"__grp{len(drs)}"
         drs.append(
             f"dense_rank() over ({partition}{' ' if partition else ''}"
             f"{order}) as {alias}"
         )
-        frame = "range" + win[gm.end() :]
+        frame = "range" + frame_body
         new_win = (
             f"{partition}{' ' if partition else ''}order by {alias} {frame}"
         )

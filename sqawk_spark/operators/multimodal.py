@@ -151,7 +151,41 @@ AUDIO_FRAME = 160            # 20 ms analysis frames → 5 per clip
 AUDIO_AMP = 16384            # half of int16 full scale
 
 
-@query("multimodal_audio_features", oracle=None)
+def _audio_oracle_sql() -> str:
+    """Closed-form VALUES oracle for multimodal_audio_features.
+
+    Every synthesized frequency is a multiple of 50 Hz, so each 160-
+    sample frame holds an integer number of cycles — all 5 frames of a
+    clip are bit-identical and the whole output collapses to 8
+    distinct (rms, zcr) pairs keyed by doc_id % 8. Those constants are
+    recomputed here at import from the signal definition (sine →
+    int16 quantization → framing), independent of the mapInPandas
+    path the Spark side exercises."""
+    import numpy as np
+
+    rows = []
+    for k in range(8):
+        freq = 100 * (1 + k)
+        ts = np.arange(AUDIO_SAMPLES, dtype=np.float64) / AUDIO_SR
+        pcm = (AUDIO_AMP * np.sin(2 * np.pi * freq * ts)).astype("<i2")
+        x = pcm.astype(np.float64) / 32768.0
+        fx = x[: 5 * AUDIO_FRAME].reshape(5, AUDIO_FRAME)
+        rms = np.round(np.sqrt((fx * fx).mean(axis=1)), 6)
+        zcr = (np.diff(np.signbit(fx), axis=1) != 0).sum(axis=1)
+        assert len(set(rms)) == 1 and len(set(zcr)) == 1
+        rows.append(f"({k}, {float(rms[0])!r}, {int(zcr[0])})")
+    values = ", ".join(rows)
+    return f"""
+        SELECT d.doc_id, t.frame_idx,
+               CAST(v.rms AS DOUBLE) AS rms, v.zcr
+        FROM documents d
+        CROSS JOIN (VALUES (0), (1), (2), (3), (4)) AS t(frame_idx)
+        JOIN (VALUES {values}) AS v(k, rms, zcr)
+          ON d.doc_id % 8 = v.k
+    """
+
+
+@query("multimodal_audio_features", oracle=_audio_oracle_sql())
 def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode + feature extraction, no media library: WAV
     is RIFF headers + raw PCM, so the decoder is ``np.frombuffer``.
@@ -163,10 +197,12 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows, and emits per-frame RMS energy and zero-crossing counts —
     the first two features of every audio-quality filter.
 
-    Rows-only registry entry (byte-level PCM math has no SQL oracle);
-    the analytic ground truth is asserted in tests/test_extensions.py:
-    a pure sine's RMS is amplitude/sqrt(2) and its per-frame zero
-    crossings are 2·freq·frame_seconds.
+    Oracle: closed-form — integer cycles per frame collapse the output
+    to 8 distinct (rms, zcr) pairs keyed by doc_id % 8, emitted as a
+    VALUES join (see ``_audio_oracle_sql``). tests/test_extensions.py
+    additionally asserts the analytic ground truth: a pure sine's RMS
+    is amplitude/sqrt(2) and per-frame zero crossings are
+    2·freq·frame_seconds.
 
     At scale: synthesis disappears (payloads come from parquet), and
     the pass is one worker-side Arrow stream per partition — no
@@ -234,7 +270,28 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 IMG_W, IMG_H = 16, 16
 
 
-@query("multimodal_image_stats", oracle=None)
+_IMAGE_ORACLE = """
+    WITH p AS (
+        SELECT doc_id,
+               CAST(doc_id % 200 AS DOUBLE) AS base,
+               CAST(doc_id % 256 AS DOUBLE) AS bb
+        FROM documents
+    )
+    SELECT doc_id, 16 AS width, 16 AS height,
+           round(base + 7.5, 6) AS mean_r,
+           round(base + 7.5, 6) AS mean_g,
+           round(bb, 6) AS mean_b,
+           round(sqrt(((base*base + 15.0*base + 77.5) * 2 + bb*bb) / 3.0
+                 - pow(((base + 7.5) * 2 + bb) / 3.0, 2)), 6) AS std_all
+    FROM p
+"""
+# Closed-form twin of the gradient pixels: base+x never wraps (base<=199,
+# x<=15), so mean_r = mean_g = base+7.5 and E[ch^2] has the polynomial
+# form above (E[x]=7.5, E[x^2]=77.5 for x in 0..15). round(.,6) parity
+# with np.std verified exhaustively over the full doc_id%6400 period.
+
+
+@query("multimodal_image_stats", oracle=_IMAGE_ORACLE)
 def multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode, stdlib-only: PNG is chunked zlib — synthesis
     writes genuine 16×16 RGB PNGs (IHDR/IDAT/IEND with CRCs, filter
@@ -244,10 +301,10 @@ def multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     image-quality filter starts from.
 
     Per-document pixels are a deterministic gradient keyed by doc_id,
-    so the channel means have closed-form ground truth (asserted in
-    tests/test_extensions.py). Rows-only registry entry: byte-level
-    inflate has no SQL oracle. Same scale shape as the audio pass: one
-    Arrow-batched mapInPandas stream per partition, no shuffle."""
+    so channel means and std have closed-form ground truth — emitted
+    as the DuckDB oracle (``_IMAGE_ORACLE``) and additionally asserted
+    in tests/test_extensions.py. Same scale shape as the audio pass:
+    one Arrow-batched mapInPandas stream per partition, no shuffle."""
     t = load_tables(spark, sf_dir, ("documents",))
     ids = t["documents"].select("doc_id")
 

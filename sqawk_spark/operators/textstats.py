@@ -581,7 +581,67 @@ def quality_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_MERGES = 20
 
 
-@query("text_bpe_learn", oracle=None)
+def _bpe_oracle_sql(n: int) -> str:
+    """Generated DuckDB oracle for text_bpe_learn: the full iterative
+    algorithm unrolled to ``n`` statically-chained rounds. Each round
+    is (pair aggregation → deterministic arg-max → greedy left-to-right
+    merge), where the merge fold is an exact recursive CTE over symbol
+    positions — the same semantics as the Spark-side ``aggregate``
+    array fold, independently implemented. ``AS MATERIALIZED`` is
+    load-bearing: each vocab CTE is referenced twice, and DuckDB's
+    default inlining would re-expand the parquet scan 2^n times.
+    Assumes the corpus supports ≥n merges (true for any real text
+    table; the Spark side breaks early on exhaustion)."""
+    parts = [
+        """
+words AS MATERIALIZED (
+  SELECT w, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+        FROM documents)
+  WHERE len(w) > 0 GROUP BY w
+),
+vocab0 AS MATERIALIZED (
+  SELECT freq, list_append(string_split_regex(w, ''), '</w>') AS syms
+  FROM words
+)"""
+    ]
+    for k in range(n):
+        parts.append(f"""
+pairs{k} AS MATERIALIZED (
+  SELECT syms[i] AS a, syms[i+1] AS b, CAST(sum(freq) AS BIGINT) AS pf
+  FROM vocab{k}, unnest(range(1, len(syms))) AS t(i)
+  GROUP BY 1, 2
+),
+top{k} AS MATERIALIZED (
+  SELECT a, b, pf FROM pairs{k} ORDER BY pf DESC, a, b LIMIT 1
+),
+fold{k} AS (
+  SELECT syms, freq, 1 AS i, CAST([] AS VARCHAR[]) AS acc FROM vocab{k}
+  UNION ALL
+  SELECT f.syms, f.freq, f.i + 1,
+    CASE WHEN len(f.acc) > 0 AND f.acc[-1] = t.a AND f.syms[f.i] = t.b
+         THEN list_append(f.acc[:-2], t.a || t.b)
+         ELSE list_append(f.acc, f.syms[f.i]) END
+  FROM fold{k} f, top{k} t WHERE f.i <= len(f.syms)
+),
+vocab{k + 1} AS MATERIALIZED (
+  SELECT freq, acc AS syms FROM fold{k} WHERE i = len(syms) + 1
+)""")
+    union = "\nUNION ALL ".join(
+        f'SELECT {k} AS rank, a AS "left", b AS "right", pf AS pair_freq'
+        f" FROM top{k}"
+        for k in range(n)
+    )
+    return (
+        "WITH RECURSIVE "
+        + ",".join(parts)
+        + "\nSELECT * FROM ("
+        + union
+        + ") ORDER BY rank"
+    )
+
+
+@query("text_bpe_learn", oracle=_bpe_oracle_sql(BPE_MERGES))
 def text_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE vocabulary learning (Sennrich-style): the
     iterative algorithm a tokenizer-training step runs, expressed the
@@ -597,10 +657,12 @@ def text_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``aggregate``) — no Python touches the data. The vocab is
     re-persisted per round so lineage stays one round deep.
 
-    Rows-only registry entry (an iterative fixpoint has no SQL
-    oracle); tests/test_extensions.py replays the classic
-    single-machine reference implementation and asserts the merge
-    tables are identical.
+    Oracle: the algorithm unrolled to 20 statically-chained DuckDB
+    rounds, with the greedy merge fold as a recursive CTE over symbol
+    positions (see ``_bpe_oracle_sql``) — an independent
+    implementation compared value-for-value. tests/test_extensions.py
+    additionally replays the classic single-machine reference
+    implementation and asserts the merge tables are identical.
 
     At 100 TB: the corpus scan happens once; rounds run on the vocab
     (≪ corpus, shuffles on symbol pairs); driver traffic is one row
