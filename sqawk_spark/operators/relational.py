@@ -1408,3 +1408,151 @@ def window_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+@query(
+    "tpch_q3_shipping_priority",
+    oracle="""
+        SELECT l.l_orderkey,
+               round(CAST(sum(l.l_extendedprice * (1 - l.l_discount))
+                          AS DOUBLE), 2) AS revenue,
+               strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+               o.o_orderpriority AS priority
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-07-01'
+          AND l.l_shipdate  > TIMESTAMP '1998-07-01'
+        GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        ORDER BY revenue DESC, l.l_orderkey
+        LIMIT 10
+    """,
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape — shipping priority: unshipped-revenue top-10
+    for one market segment (adapted to the driver schema, which has
+    ``o_orderpriority`` instead of ``o_shippriority``).
+
+    Scale plan: the segment filter reduces customer ~5× and is pushed
+    to the parquet scan; the date filters prune orders and lineitem at
+    the scan. customer joins orders on custkey (broadcast at low SF,
+    shuffle at high — AQE decides from post-filter sizes), lineitem
+    joins on orderkey with map-side partial aggregation, and the final
+    top-10 lowers to TakeOrderedAndProject — per-partition heaps, no
+    global sort. Tie-break on l_orderkey keeps LIMIT deterministic
+    across engines."""
+    t = load_tables(spark, sf_dir, ("customer", "orders", "lineitem"))
+    c = t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+    o = t["orders"].filter(F.col("o_orderdate") < "1998-07-01")
+    li = t["lineitem"].filter(F.col("l_shipdate") > "1998-07-01")
+    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(revenue, 2).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "tpch_q6_forecast_revenue",
+    oracle="""
+        SELECT round(CAST(sum(l_extendedprice * l_discount) AS DOUBLE), 2)
+                   AS revenue,
+               CAST(count(*) AS BIGINT) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 — forecast revenue change: the canonical
+    scan-dominated query. No join, no shuffle beyond the single-row
+    final agg; the whole predicate (date range, discount band,
+    quantity cap) is pushed to the parquet reader as min/max row-group
+    pruning + `PushedFilters`, and the sum/count run inside one
+    whole-stage-codegen'd pass. At 100 TB this is the pure I/O
+    benchmark: cost is exactly bytes-scanned after pruning."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    return (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "tpch_q18_large_volume_customer",
+    oracle="""
+        WITH big AS (
+            SELECT l_orderkey,
+                   CAST(round(sum(l_quantity), 1) AS DOUBLE) AS total_qty
+            FROM lineitem
+            GROUP BY l_orderkey
+            HAVING sum(l_quantity) > 250
+        )
+        SELECT c.c_name,
+               c.c_custkey,
+               o.o_orderkey,
+               strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+               round(o.o_totalprice, 2) AS totalprice,
+               b.total_qty
+        FROM big b
+        JOIN orders o   ON o.o_orderkey = b.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def tpch_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape — large-volume customers: orders whose total
+    line quantity exceeds a threshold (250 ≈ p99 of the per-order
+    distribution), joined back to orders and customer.
+
+    Scale plan: the quantity rollup is a map-side-partial groupBy on
+    l_orderkey (2-column scan of the fact table — ReadSchema prunes
+    the rest), the HAVING filter drops ~99% of groups BEFORE any join,
+    so the orders join sees only the survivors (AQE broadcasts them);
+    customer joins on custkey the same way. The classic mistake —
+    joining lineitem to orders first and aggregating after — would
+    shuffle the full fact table twice; this plan shuffles it once on
+    one narrow projection."""
+    t = load_tables(spark, sf_dir, ("customer", "orders", "lineitem"))
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 1).alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    return (
+        big.join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "total_qty",
+        )
+    )
