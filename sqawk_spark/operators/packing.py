@@ -411,3 +411,70 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         "pack_id",
     )
+
+
+CHUNK_TOKENS = 32  # tokens per retrieval/training chunk
+CHUNK_STRIDE = 24  # chunk start stride (CHUNK_TOKENS - overlap of 8)
+
+
+@query(
+    "doc_chunk_overlap",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM documents
+        ),
+        st AS (
+            SELECT doc_id, t,
+                   unnest(range(0, greatest(len(t), 1),
+                                {CHUNK_STRIDE})) AS s
+            FROM toks
+        )
+        SELECT doc_id,
+               CAST(s // {CHUNK_STRIDE} AS INTEGER) AS chunk_id,
+               array_to_string(t[s + 1 : s + {CHUNK_TOKENS}], ' ')
+                   AS chunk_text,
+               CAST(least({CHUNK_TOKENS}, len(t) - s) AS INTEGER)
+                   AS n_tokens
+        FROM st
+    """,
+)
+def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking — the RAG/pretraining step
+    that splits every document into fixed-size token windows with
+    overlap (32-token chunks every 24 tokens → 8 tokens of overlap),
+    so no sentence is ever split without context on one side.
+
+    Chunk starts are `sequence(0, n_tokens-1, stride)`, the chunk is
+    an `slice` of the token array, all inside one whole-stage-codegen
+    projection. Scale: map-only — one scan, no shuffle, no join; the
+    explode fan-out is n/stride rows per doc (bounded, ~1.3× token
+    count in characters), and chunks inherit the input partitioning,
+    so a downstream embed/write step starts co-located. At 100 TB this is
+    the canonical narrow transform."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    toks = t["documents"].select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t")
+    )
+    st = toks.select(
+        "doc_id",
+        "t",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.size("t") - 1, F.lit(0)),
+                F.lit(CHUNK_STRIDE),
+            )
+        ).alias("s"),
+    )
+    return st.select(
+        "doc_id",
+        (F.col("s") / CHUNK_STRIDE).cast("int").alias("chunk_id"),
+        F.array_join(
+            F.slice(F.col("t"), F.col("s") + 1, F.lit(CHUNK_TOKENS)), " "
+        ).alias("chunk_text"),
+        F.least(F.lit(CHUNK_TOKENS), F.size("t") - F.col("s"))
+        .cast("int")
+        .alias("n_tokens"),
+    )

@@ -504,3 +504,84 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sims.select(
         "query_id", "neighbor_id", "cosine", F.row_number().over(w).alias("rank")
     ).filter(F.col("rank") <= TOP_K)
+
+
+@query(
+    "embedding_quantize_int8",
+    oracle="""
+        WITH v AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                                  x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ),
+        m AS (
+            SELECT vec_id, v,
+                   list_max(list_transform(v, x -> abs(x))) AS absmax
+            FROM v
+        ),
+        q AS (
+            SELECT vec_id, absmax,
+                   list_transform(v, x -> CASE WHEN absmax = 0 THEN 0
+                       ELSE CAST(round(x / (absmax / 127.0)) AS BIGINT)
+                       END) AS q
+            FROM m
+        )
+        SELECT vec_id,
+               round(absmax / 127.0, 9) AS scale,
+               CAST(list_sum(q) AS BIGINT) AS q_sum,
+               CAST(list_sum(list_transform(q, x -> abs(x)))
+                    AS BIGINT) AS q_l1,
+               CAST(list_sum(list_transform(q, (x, i) -> x * i))
+                    AS BIGINT) AS q_pos
+        FROM q
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of an embedding column — the
+    storage/serving compression step every vector pipeline runs before
+    shipping embeddings to an index: per-vector scale = max|v|/127,
+    q_i = round(v_i/scale) ∈ [-127, 127] (no clamp needed: |v_i| ≤
+    max|v| makes |q_i| ≤ 127 exactly; a zero vector quantizes to all
+    zeros by the CASE guard).
+
+    Emitted per vector: the scale and three integer checksums that pin
+    every quantized value — plain sum, L1 mass, and a 1-based
+    position-weighted sum (catches any permutation the first two would
+    miss). All arithmetic runs in f64 after an exact f32→f64 cast, so
+    both engines compute bit-identical scales and quotients.
+
+    Scale: map-only — one scan, per-row array expressions inside
+    whole-stage codegen, no shuffle, no UDF, no driver traffic. At
+    100 TB this is exactly bytes-in/bytes-out."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    return (
+        t["embeddings"]
+        .select(
+            "vec_id",
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+        )
+        .withColumn(
+            "absmax", F.expr("array_max(transform(v, x -> abs(x)))")
+        )
+        .withColumn(
+            "q",
+            F.expr(
+                "transform(v, x -> CASE WHEN absmax = 0.0D THEN 0L"
+                " ELSE CAST(round(x / (absmax / 127.0D)) AS BIGINT) END)"
+            ),
+        )
+        .select(
+            "vec_id",
+            F.round(F.col("absmax") / 127.0, 9).alias("scale"),
+            F.expr("aggregate(q, 0L, (acc, x) -> acc + x)").alias("q_sum"),
+            F.expr("aggregate(q, 0L, (acc, x) -> acc + abs(x))").alias(
+                "q_l1"
+            ),
+            F.expr(
+                "aggregate(zip_with(q, sequence(1, size(q)),"
+                " (a, i) -> a * CAST(i AS BIGINT)), 0L,"
+                " (acc, x) -> acc + x)"
+            ).alias("q_pos"),
+        )
+    )

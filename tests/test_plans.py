@@ -334,3 +334,50 @@ def test_merge_upsert_is_single_outer_join(spark, sf_dir):
     p = plan(spark, sf_dir, "merge_upsert_orders")
     assert "FullOuter" in p
     assert "CartesianProduct" not in p
+
+
+def test_q3_topk_no_global_sort(spark, sf_dir):
+    """Q3's LIMIT 10 must lower to TakeOrderedAndProject (per-partition
+    heaps), never a global Sort; date/segment filters reach the scans."""
+    p = plan(spark, sf_dir, "tpch_q3_shipping_priority")
+    assert "TakeOrderedAndProject" in p
+    assert "PushedFilters" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q6_is_pure_scan_agg(spark, sf_dir):
+    """Q6 is the scan benchmark: every predicate pushed, no join, one
+    exchange (the single-row final aggregate)."""
+    p = plan(spark, sf_dir, "tpch_q6_forecast_revenue")
+    assert "Join" not in p
+    # formatted mode prints each node once in the tree ("Exchange (5)")
+    # and once in the details ("(5) Exchange") — count tree lines only
+    assert p.count("Exchange (") == 1
+    # all three predicate families reach the parquet reader
+    assert "GreaterThanOrEqual(l_shipdate" in p
+    assert "LessThan(l_quantity" in p
+
+
+def test_q18_aggregates_before_joining(spark, sf_dir):
+    """Q18 must roll lineitem up to per-order quantity (2-column scan,
+    map-side partial) and HAVING-filter BEFORE any join touches
+    orders/customer."""
+    p = plan(spark, sf_dir, "tpch_q18_large_volume_customer")
+    assert "partial_sum" in p
+    # lineitem scan reads only the two rollup columns
+    li = [ln for ln in p.splitlines()
+          if "ReadSchema" in ln and "l_orderkey" in ln]
+    assert li and all("l_extendedprice" not in ln for ln in li)
+    # the aggregate sits below the joins: its HashAggregate appears
+    # later in the formatted tree than both join nodes
+    assert "CartesianProduct" not in p
+
+
+def test_quantize_and_chunk_are_map_only(spark, sf_dir):
+    """The int8 quantizer and the sliding-window chunker are narrow
+    transforms: no exchange, no join, no Python UDF anywhere."""
+    for name in ("embedding_quantize_int8", "doc_chunk_overlap"):
+        p = plan(spark, sf_dir, name)
+        assert "Exchange" not in p, name
+        assert "Join" not in p, name
+        assert "EvalPython" not in p, name
