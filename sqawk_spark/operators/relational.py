@@ -1556,3 +1556,81 @@ def tpch_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFram
             "total_qty",
         )
     )
+
+
+@query(
+    "window_groups_exclude",
+    oracle="""
+        WITH r AS (
+            SELECT p_partkey, p_size, p_brand,
+                   CAST(round(p_retailprice * 100) AS BIGINT) AS cents,
+                   dense_rank() OVER (
+                       PARTITION BY p_brand ORDER BY p_size
+                   ) AS grp
+            FROM part
+        ),
+        w AS (
+            SELECT p_partkey, p_size, cents,
+                   sum(cents) OVER f AS fs,
+                   count(*)   OVER f AS fc,
+                   sum(cents) OVER g AS gs,
+                   count(*)   OVER g AS gc
+            FROM r
+            WINDOW f AS (PARTITION BY p_brand ORDER BY grp
+                         RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING),
+                   g AS (PARTITION BY p_brand, grp)
+        )
+        SELECT p_partkey, p_size,
+               CAST(CASE WHEN fc - gc > 0 THEN fs - gs END
+                    AS BIGINT) AS excl_group,
+               CAST(fs - gs + cents AS BIGINT) AS excl_ties,
+               CAST(CASE WHEN fc > 1 THEN fs - cents END
+                    AS BIGINT) AS excl_current
+        FROM w
+    """,
+)
+def window_groups_exclude(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B19 GROUPS frame EXCLUDE clauses (SQLite ≥ 3.28) — all three
+    forms over one frame: a GROUPS frame holds whole peer groups, so
+    the exclusion is an exact windowed subtraction (the same lowering
+    the dialect rewriter applies to CLI scripts,
+    dialect.py:_rewrite_excluded_agg):
+
+        EXCLUDE GROUP        →  frame_sum - peer_sum   (NULL when the
+                                frame holds only the current group)
+        EXCLUDE TIES         →  frame_sum - peer_sum + current (never
+                                empty: the current row stays in)
+        EXCLUDE CURRENT ROW  →  frame_sum - current    (NULL when the
+                                frame is just the current row)
+
+    The remaining-count guards reproduce SQLite's empty-frame NULL.
+    Neither Spark nor DuckDB implements GROUPS or EXCLUDE natively,
+    so both sides run the dense_rank+RANGE construction; the
+    construction itself is proven equal to REAL SQLite's native
+    GROUPS ... EXCLUDE by the randomized fuzz in
+    tests/test_groups_property.py. Integer cents keep sums exact.
+
+    Scale: two window passes over the same (p_brand)-keyed exchange —
+    Catalyst reuses one shuffle for both window specs since the
+    partition keys share a prefix; no join, no driver traffic."""
+    t = load_tables(spark, sf_dir, ("part",))
+    wr = W.partitionBy("p_brand").orderBy("p_size")
+    ranked = t["part"].select(
+        "p_partkey",
+        "p_size",
+        "p_brand",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("cents"),
+        F.dense_rank().over(wr).alias("grp"),
+    )
+    wf = W.partitionBy("p_brand").orderBy("grp").rangeBetween(-1, 1)
+    wg = W.partitionBy("p_brand", "grp")
+    fs, fc = F.sum("cents").over(wf), F.count("*").over(wf)
+    gs, gc = F.sum("cents").over(wg), F.count("*").over(wg)
+    cur = F.col("cents")
+    return ranked.select(
+        "p_partkey",
+        "p_size",
+        F.when(fc - gc > 0, fs - gs).alias("excl_group"),
+        (fs - gs + cur).alias("excl_ties"),
+        F.when(fc > 1, fs - cur).alias("excl_current"),
+    )

@@ -66,3 +66,46 @@ def test_groups_frame_emulation_matches_native_sqlite(spark, sf_dir):
         for r in REGISTRY["window_groups_frame"].builder(spark, sf_dir).collect()
     )
     assert got == want
+
+
+def test_groups_exclude_entry_matches_native_sqlite(spark, sf_dir):
+    """window_groups_exclude's three emulated EXCLUDE columns must
+    equal real SQLite's native GROUPS ... EXCLUDE output."""
+    import sqlite3
+
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT p_partkey, p_size, p_brand,"
+        " CAST(round(p_retailprice*100) AS BIGINT)"
+        f" FROM '{sf_dir}/part.parquet'"
+    ).fetchall()
+    sq = sqlite3.connect(":memory:")
+    sq.execute(
+        "create table part (p_partkey int, p_size int, p_brand text,"
+        " cents int)"
+    )
+    sq.executemany("insert into part values (?,?,?,?)", rows)
+    frame = (
+        "partition by p_brand order by p_size "
+        "groups between 1 preceding and 1 following"
+    )
+    want = sorted(
+        sq.execute(
+            f"""
+            select p_partkey, p_size,
+                sum(cents) over ({frame} exclude group),
+                sum(cents) over ({frame} exclude ties),
+                sum(cents) over ({frame} exclude current row)
+            from part
+            """
+        ).fetchall()
+    )
+    got = sorted(
+        tuple(r)
+        for r in REGISTRY["window_groups_exclude"]
+        .builder(spark, sf_dir)
+        .collect()
+    )
+    assert got == want
