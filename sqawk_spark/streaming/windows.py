@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from sqawk_spark.operators.registry import query
+from sqawk_spark.operators.registry import REGISTRY, query
 from sqawk_spark.operators.tables import load_tables
 
 
@@ -647,3 +647,25 @@ def stream_dedup_exact(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+@query(
+    "events_sessionize_stateful",
+    oracle=REGISTRY["events_sessionize"].oracle,
+)
+def events_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable wrapper for the ``applyInPandasWithState``
+    sessionizer: runs the real two-micro-batch Structured Streaming
+    query (state handed off across batches through GroupState) and
+    returns the final update-mode result, which must equal the batch
+    ``events_sessionize`` gap-session output — so the custom stateful
+    operator gets a full value-level oracle row, not just the pytest
+    twin assertion.
+
+    Scale: state is keyed by user_id (one GroupState per user, bounded
+    by the open-session tuple), emission is update-mode with
+    newest-version-wins compaction — the standard production shape for
+    custom session logic the built-in session_window can't express."""
+    return stream_sessionize_stateful(
+        spark, sf_dir, query_name="reg_stateful_sessions"
+    )
