@@ -41,6 +41,14 @@ HEADLINE = [
     "topk_limit",
     "cte_top_suppliers",
     "set_union",
+    "window_groups_exclude",
+    # TPC-H shapes: star join (Q5), top-k join-agg (Q3), pure scan
+    # (Q6), pre-join rollup (Q18) — the classic OLAP plan classes
+    "tpch_q5_local_supplier_volume",
+    "tpch_q3_shipping_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q18_large_volume_customer",
+    "merge_upsert_orders",
     # extension operators (registered by the optional imports above)
     "grouping_sets_agg",
     "percentile_stats",
@@ -52,6 +60,8 @@ HEADLINE = [
     "dedup_embedding_lsh",
     "sample_stratified_balanced",
     "ann_cosine_topk",
+    "embedding_quantize_int8",
+    "doc_chunk_overlap",
     "text_quality_score",
     "text_pii_redact",
     "quality_filter_chain",

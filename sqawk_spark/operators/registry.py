@@ -42,15 +42,16 @@ class QuerySpec:
 REGISTRY: dict[str, QuerySpec] = {}
 
 # The driver's CORRECTNESS snapshot holds only the FIRST 50 entries of
-# ``queries()`` in iteration order. The round-3 curation cleared the
-# original backlog (all 37 pre-round-3 never-checked entries went green
-# in r04), but the 19 round-3/4 additions registered BEHIND the window
-# (VERDICT.md r04 "What's missing" #1). Round-5 rotation: front-load
-# those 19 (they have local-parity green but no driver row), then keep
-# exactly one representative per SURVEY §2.B class and extension family
-# in-window so the core never goes unwatched — 50 names total. Entries
-# NOT listed here keep registration order after the curated block;
-# rotate again next round once the new rows are green.
+# ``queries()`` in iteration order. Round-5 curation: the 19 round-3/4
+# additions that registered behind the window (VERDICT.md r04 "What's
+# missing" #1) stay front-loaded for their first driver rows, the 7
+# round-5 additions go in-window immediately (so no new backlog forms),
+# and the remaining 24 slots keep one representative per SURVEY §2.B
+# class / extension family — displaced representatives are exclusively
+# entries that were green in r04's driver file AND whose class is still
+# watched by an in-window round-5 entry (e.g. window_groups_exclude
+# supersedes window_groups_frame as the B19-GROUPS sentinel). Entries
+# NOT listed here keep registration order after the curated block.
 COVERAGE_FIRST: tuple[str, ...] = (
     # -- round-3/4 additions, never driver-checked (VERDICT r04 list)
     "pipeline_end_to_end",
@@ -72,7 +73,15 @@ COVERAGE_FIRST: tuple[str, ...] = (
     "multimodal_audio_features",
     "multimodal_image_stats",
     "text_bpe_learn",
-    # -- one representative per §2.B class (all green in r01/r02/r04)
+    # -- round-5 additions (in-window from day one)
+    "tpch_q3_shipping_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q18_large_volume_customer",
+    "embedding_quantize_int8",
+    "doc_chunk_overlap",
+    "window_groups_exclude",  # B19 GROUPS+EXCLUDE sentinel
+    "events_sessionize_stateful",  # B28 custom stateful streaming
+    # -- one representative per §2.B class
     "flagship_pricing_summary",  # B9 grouped agg headline
     "join_inner",  # B6
     "join_left_outer",  # B20
@@ -83,27 +92,20 @@ COVERAGE_FIRST: tuple[str, ...] = (
     "set_union",  # B15
     "subquery_exists_correlated",  # B16
     "cte_top_suppliers",  # B17
-    "case_cast",  # B18
     "date_funcs",  # B24
-    "regex_funcs",  # B8
     "window_rank",  # B19
-    "window_groups_frame",  # B19 GROUPS emulation
-    "cube_agg",  # B23
     "pivot_agg",  # B23
     "json_extract_props",  # B25
     "count_distinct",  # B26
     "udaf_geomean",  # B29
     # -- one representative per extension family
     "dedup_exact",
-    "dedup_minhash_lsh",
     "dedup_embedding_lsh",
     "dedup_clusters",
-    "ann_cosine_topk",
     "text_token_count",
     "sample_split",
     "pack_sequences",
     "contamination_check",
-    "events_asof_join",
     "events_sessionize",
 )
 

@@ -44,8 +44,9 @@ def test_oracle_sql_subset_and_order() -> None:
 
 def test_window_covers_previously_unchecked_classes() -> None:
     """Round-5 rotation: every never-driver-checked round-3/4 entry
-    (VERDICT.md r04 "What's missing" #1) gets a row, plus one
-    representative per §2.B class / extension family stays in-window."""
+    (VERDICT.md r04 "What's missing" #1) gets a row, every round-5
+    addition is in-window from day one (no new backlog), and one
+    representative per §2.B class / extension family stays watched."""
     window = set(registry.COVERAGE_FIRST)
     never_checked = {
         "pipeline_end_to_end",
@@ -68,24 +69,31 @@ def test_window_covers_previously_unchecked_classes() -> None:
         "multimodal_image_stats",
         "text_bpe_learn",
     }
+    round5 = {
+        "tpch_q3_shipping_priority",
+        "tpch_q6_forecast_revenue",
+        "tpch_q18_large_volume_customer",
+        "embedding_quantize_int8",
+        "doc_chunk_overlap",
+        "window_groups_exclude",
+        "events_sessionize_stateful",
+    }
     representatives = {
         "flagship_pricing_summary",
         "join_inner",
         "window_rank",
-        "window_groups_frame",
-        "events_asof_join",
+        "window_groups_exclude",  # supersedes window_groups_frame (B19)
+        "events_sessionize",
         "text_token_count",
-        "ann_cosine_topk",
         "sample_split",
         "subquery_exists_correlated",
         "cte_top_suppliers",
-        "cube_agg",
         "pivot_agg",
         "date_funcs",
-        "regex_funcs",
         "dedup_exact",
         "pack_sequences",
         "contamination_check",
     }
     assert never_checked <= window
+    assert round5 <= window
     assert representatives <= window
