@@ -503,10 +503,13 @@ _EXCLUDE_RE = re.compile(
 )
 
 
-def _frame_contains_current_group(frame_body: str) -> bool | None:
-    """Whether a GROUPS frame spec includes the current peer group —
-    decidable statically because bounds are literals. None when a
-    bound is dynamic/unrecognized (caller bails)."""
+def _frame_bounds(
+    frame_body: str,
+) -> tuple[float, float, str, str] | None:
+    """Parse a literal GROUPS frame spec into (start_offset,
+    end_offset, start_text, end_text) — offsets in peer groups
+    relative to the current one. None when a bound is
+    dynamic/unrecognized (caller bails)."""
     fb = " ".join(frame_body.lower().split())
     bm = re.match(r"^between (.+) and (.+)$", fb)
     b1, b2 = (bm.group(1), bm.group(2)) if bm else (fb, "current row")
@@ -529,7 +532,17 @@ def _frame_contains_current_group(frame_body: str) -> bool | None:
     s, e = off(b1), off(b2)
     if s is None or e is None:
         return None
-    return s <= 0 <= e
+    return s, e, b1, b2
+
+
+def _frame_contains_current_group(frame_body: str) -> bool | None:
+    """Whether a GROUPS frame spec includes the current peer group —
+    decidable statically because bounds are literals. None when a
+    bound is dynamic/unrecognized (caller bails)."""
+    b = _frame_bounds(frame_body)
+    if b is None:
+        return None
+    return b[0] <= 0 <= b[1]
 
 
 def _rewrite_excluded_agg(
@@ -555,15 +568,27 @@ def _rewrite_excluded_agg(
         EXCLUDE TIES         →  f(frame) ⊖ f(peer group) ⊕ current row
 
     with a remaining-count CASE guard reproducing NULL-on-empty.
-    Returns None for any other aggregate (min/max have no subtraction
-    inverse — caller bails to a hard Spark error). Fuzzed against real
-    SQLite in tests/test_groups_property.py."""
+
+    min/max have no subtraction inverse, but EXCLUDE GROUP/TIES still
+    decompose exactly: the frame minus the current group is the union
+    of the preceding-groups and following-groups sub-frames (each a
+    RANGE window over the dense rank), combined with least/greatest —
+    which skip NULLs, matching min/max's NULL-ignoring semantics and
+    empty-sub-frame NULLs; TIES adds the current row's bare value as
+    one more operand. min/max EXCLUDE CURRENT ROW is the one form
+    that does NOT decompose (it needs "the aggregate with one
+    occurrence removed" — a second-order statistic, not a windowed
+    aggregate composition), so it returns None and the caller bails
+    to a hard Spark error rather than a silent wrong answer. Fuzzed
+    against real SQLite in tests/test_groups_property.py."""
     fn_start = _operand_back(stmt, over_start)
     fn_m = re.match(r"([A-Za-z_][A-Za-z_0-9]*)\s*\(", stmt[fn_start:])
     if fn_m is None:
         return None
     fn = fn_m.group(1).lower()
-    if fn not in ("sum", "count", "avg", "total"):
+    if fn not in ("sum", "count", "avg", "total", "min", "max"):
+        return None
+    if fn in ("min", "max") and kind == "current row":
         return None
     fn_open = fn_start + fn_m.end() - 1
     args = _split_call_args(stmt, fn_open)
@@ -586,6 +611,33 @@ def _rewrite_excluded_agg(
     s_g = f"sum({arg}) over ({wg})"
     ind = "1" if star else f"(case when ({arg}) is not null then 1 else 0 end)"
     row_val = f"coalesce(({arg}), 0)"
+
+    if fn in ("min", "max"):
+        b = _frame_bounds(frame_body)
+        if b is None:
+            return None
+        s_off, e_off, b1, b2 = b
+        parts: list[str] = []
+        if s_off <= -1:
+            parts.append(
+                f"{fn}({arg}) over ({part}order by {alias}"
+                f" range between {b1} and 1 preceding)"
+            )
+        if e_off >= 1:
+            parts.append(
+                f"{fn}({arg}) over ({part}order by {alias}"
+                f" range between 1 following and {b2})"
+            )
+        if kind == "ties":
+            parts.append(f"({arg})")
+        comb = "least" if fn == "min" else "greatest"
+        if not parts:
+            repl = "null"  # frame was exactly the excluded group
+        elif len(parts) == 1:
+            repl = f"({parts[0]})"
+        else:
+            repl = f"{comb}({', '.join(parts)})"
+        return (fn_start, over_close, repl)
 
     if fn == "count":
         repl = {
@@ -646,21 +698,23 @@ def rewrite_groups_frames(stmt: str) -> str:
     qualified column references in the outer select keep resolving.
 
     EXCLUDE clauses (SQLite ≥ 3.28) are emulated for the distributive
-    aggregates sum/count/avg/total: a GROUPS frame contains whole peer
-    groups, so the excluded contribution is exactly one peer-group (or
-    one-row) windowed aggregate, subtracted from the frame aggregate
-    with a remaining-count guard for SQL NULL-on-empty semantics.
-    Whether the current group is inside the frame is decidable
-    STATICALLY from the frame bounds; when it is not, EXCLUDE is a
-    no-op and only the clause is stripped.
+    aggregates sum/count/avg/total (peer-group subtraction with a
+    remaining-count guard for SQL NULL-on-empty semantics) and for
+    min/max under EXCLUDE GROUP/TIES (directional decomposition:
+    frame minus current group = preceding-groups ∪ following-groups
+    sub-frames combined with NULL-skipping least/greatest). Whether
+    the current group is inside the frame is decidable STATICALLY
+    from the frame bounds; when it is not, EXCLUDE is a no-op and
+    only the clause is stripped.
 
     Scope: one top-level FROM (single table with optional alias, or a
     join/comma list — sqawk's per-table column prefixes keep the inner
     SELECT * unambiguous), no top-level GROUP BY / HAVING / named
-    WINDOW clause, no set operators. Out-of-scope shapes — EXCLUDE on
-    non-distributive functions (min/max/...), grouped windows — are
-    left unrewritten so Spark raises a hard parse error instead of a
-    silent wrong answer."""
+    WINDOW clause, no set operators. Out-of-scope shapes — min/max
+    EXCLUDE CURRENT ROW (needs a second-order "aggregate with one
+    occurrence removed" statistic), other non-distributive functions,
+    grouped windows — are left unrewritten so Spark raises a hard
+    parse error instead of a silent wrong answer."""
     windows: list[tuple[int, int, str]] = []  # (start, end, replacement)
     drs: list[str] = []
     for m in _OVER_RE.finditer(stmt):

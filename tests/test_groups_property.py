@@ -131,12 +131,49 @@ def _frame_contains(frame: str):
     return _frame_contains_current_group("between " + frame.split("between ")[1])
 
 
+def test_groups_exclude_minmax_vs_sqlite(spark):
+    """min/max EXCLUDE GROUP/TIES lower to the directional
+    decomposition (preceding-groups ∪ following-groups sub-frames via
+    least/greatest); parity vs real SQLite incl. NULLs and frames
+    that reduce to a single direction or to just the current row."""
+    rng = random.Random(17)
+    rows = [
+        (
+            rng.randint(0, 2),
+            rng.randint(0, 8),
+            None if rng.random() < 0.2 else rng.randint(-5, 50),
+        )
+        for _ in range(60)
+    ]
+    con = sqlite3.connect(":memory:")
+    con.execute("create table tm (p int, k int, v int)")
+    con.executemany("insert into tm values (?,?,?)", rows)
+    spark.createDataFrame(rows, "p int, k int, v int").createOrReplaceTempView(
+        "tm"
+    )
+    for fn in ("min(v)", "max(v)"):
+        for frame in FRAMES:
+            for kind in ("exclude group", "exclude ties"):
+                for part in PARTS:
+                    q = (
+                        f"select p, k, v, {fn} over ({part}order by k"
+                        f" groups {frame} {kind}) as s from tm"
+                        f" order by p, k, v, s"
+                    )
+                    want = con.execute(q).fetchall()
+                    rewritten = rewrite_statement(q)
+                    assert rewritten != q, f"not rewritten: {q}"
+                    got = [tuple(r) for r in spark.sql(rewritten).collect()]
+                    assert got == want, f"{q}\nrewritten: {rewritten}"
+
+
 def test_groups_exclude_unsupported_still_bails():
-    """min/max with an in-frame EXCLUDE have no subtraction inverse —
+    """min/max EXCLUDE CURRENT ROW needs "the aggregate with one
+    occurrence removed" — not a windowed-aggregate composition — so
     the statement must pass through untouched (Spark then raises a
     hard error rather than a silent wrong answer)."""
     q = (
         "select max(v) over (order by k groups between 1 preceding and"
-        " 1 following exclude group) from t"
+        " 1 following exclude current row) from t"
     )
     assert rewrite_statement(q) == q
