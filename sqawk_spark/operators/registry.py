@@ -81,6 +81,7 @@ COVERAGE_FIRST: tuple[str, ...] = (
     "doc_chunk_overlap",
     "window_groups_exclude",  # B19 GROUPS+EXCLUDE sentinel
     "events_sessionize_stateful",  # B28 custom stateful streaming
+    "text_bpe_encode",  # BPE apply — same oracle chain as learn
     # -- one representative per §2.B class
     "flagship_pricing_summary",  # B9 grouped agg headline
     "join_inner",  # B6
@@ -106,7 +107,8 @@ COVERAGE_FIRST: tuple[str, ...] = (
     "sample_split",
     "pack_sequences",
     "contamination_check",
-    "events_sessionize",
+    # (batch events_sessionize displaced: its gap-session oracle is
+    # exercised verbatim by events_sessionize_stateful above)
 )
 
 

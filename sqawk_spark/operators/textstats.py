@@ -581,17 +581,20 @@ def quality_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_MERGES = 20
 
 
-def _bpe_oracle_sql(n: int) -> str:
-    """Generated DuckDB oracle for text_bpe_learn: the full iterative
-    algorithm unrolled to ``n`` statically-chained rounds. Each round
-    is (pair aggregation → deterministic arg-max → greedy left-to-right
-    merge), where the merge fold is an exact recursive CTE over symbol
-    positions — the same semantics as the Spark-side ``aggregate``
-    array fold, independently implemented. ``AS MATERIALIZED`` is
-    load-bearing: each vocab CTE is referenced twice, and DuckDB's
-    default inlining would re-expand the parquet scan 2^n times.
-    Assumes the corpus supports ≥n merges (true for any real text
-    table; the Spark side breaks early on exhaustion)."""
+def _bpe_cte_chain(n: int) -> str:
+    """The shared DuckDB CTE chain for the BPE oracles: the full
+    iterative algorithm unrolled to ``n`` statically-chained rounds.
+    Each round is (pair aggregation → deterministic arg-max → greedy
+    left-to-right merge), where the merge fold is an exact recursive
+    CTE over symbol positions — the same semantics as the Spark-side
+    ``aggregate`` array fold, independently implemented. ``AS
+    MATERIALIZED`` is load-bearing: each vocab CTE is referenced
+    twice, and DuckDB's default inlining would re-expand the parquet
+    scan 2^n times. Assumes the corpus supports ≥n merges (true for
+    any real text table; the Spark side breaks early on exhaustion).
+    The word ``w`` is carried through every fold so the final
+    ``vocab{n}`` doubles as the word → segmentation map the encode
+    oracle joins against."""
     parts = [
         """
 words AS MATERIALIZED (
@@ -601,7 +604,7 @@ words AS MATERIALIZED (
   WHERE len(w) > 0 GROUP BY w
 ),
 vocab0 AS MATERIALIZED (
-  SELECT freq, list_append(string_split_regex(w, ''), '</w>') AS syms
+  SELECT w, freq, list_append(string_split_regex(w, ''), '</w>') AS syms
   FROM words
 )"""
     ]
@@ -616,28 +619,55 @@ top{k} AS MATERIALIZED (
   SELECT a, b, pf FROM pairs{k} ORDER BY pf DESC, a, b LIMIT 1
 ),
 fold{k} AS (
-  SELECT syms, freq, 1 AS i, CAST([] AS VARCHAR[]) AS acc FROM vocab{k}
+  SELECT w, syms, freq, 1 AS i, CAST([] AS VARCHAR[]) AS acc FROM vocab{k}
   UNION ALL
-  SELECT f.syms, f.freq, f.i + 1,
+  SELECT f.w, f.syms, f.freq, f.i + 1,
     CASE WHEN len(f.acc) > 0 AND f.acc[-1] = t.a AND f.syms[f.i] = t.b
          THEN list_append(f.acc[:-2], t.a || t.b)
          ELSE list_append(f.acc, f.syms[f.i]) END
   FROM fold{k} f, top{k} t WHERE f.i <= len(f.syms)
 ),
 vocab{k + 1} AS MATERIALIZED (
-  SELECT freq, acc AS syms FROM fold{k} WHERE i = len(syms) + 1
+  SELECT w, freq, acc AS syms FROM fold{k} WHERE i = len(syms) + 1
 )""")
+    return "WITH RECURSIVE " + ",".join(parts)
+
+
+def _bpe_oracle_sql(n: int) -> str:
+    """text_bpe_learn oracle: the merge table (rank, left, right,
+    pair_freq) read off the chain's per-round arg-max CTEs."""
     union = "\nUNION ALL ".join(
         f'SELECT {k} AS rank, a AS "left", b AS "right", pf AS pair_freq'
         f" FROM top{k}"
         for k in range(n)
     )
     return (
-        "WITH RECURSIVE "
-        + ",".join(parts)
+        _bpe_cte_chain(n)
         + "\nSELECT * FROM ("
         + union
         + ") ORDER BY rank"
+    )
+
+
+def _bpe_encode_oracle_sql(n: int) -> str:
+    """text_bpe_encode oracle: every document re-tokenized through the
+    final segmentation map (``vocab{n}``) — per-doc word count, BPE
+    token count, and chars-per-token compression ratio."""
+    return (
+        _bpe_cte_chain(n)
+        + f"""
+, doctoks AS (
+  SELECT doc_id, len(trim(text)) AS nc,
+         unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+  FROM documents
+)
+SELECT d.doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(len(v.syms)) AS BIGINT) AS n_tokens,
+       round(max(d.nc) / sum(len(v.syms)), 6) AS chars_per_token
+FROM doctoks d JOIN vocab{n} v USING (w)
+WHERE len(d.w) > 0
+GROUP BY d.doc_id"""
     )
 
 
@@ -682,12 +712,26 @@ def bpe_learn_from_words(words: DataFrame, n_merges: int) -> DataFrame:
     """Run the BPE merge loop over a ``(w, freq)`` word-frequency
     table. Split out from the registry builder so unit tests can feed
     adversarial vocabularies (backslashes, quotes) directly."""
+    merges, _ = _bpe_train(words, n_merges)
+    return words.sparkSession.createDataFrame(
+        merges, "rank int, left string, right string, pair_freq long"
+    )
+
+
+def _bpe_train(
+    words: DataFrame, n_merges: int
+) -> tuple[list[tuple], DataFrame]:
+    """The BPE merge loop: returns the learned merge table (driver
+    side — one row per round by construction) AND the final
+    word → symbol-segmentation DataFrame, which is the trained
+    tokenizer's application map (used by text_bpe_encode)."""
     spark = words.sparkSession
     # localCheckpoint (not persist): each round stacks another array
     # fold onto the plan, and 20 rounds of nested CASE expressions
     # overwhelm the analyzer — checkpointing materializes the tiny
     # vocab AND truncates the lineage to a LogicalRDD every round
     vocab = words.select(
+        "w",
         "freq",
         F.expr(
             "concat(transform(sequence(1, length(w)),"
@@ -730,6 +774,7 @@ def bpe_learn_from_words(words: DataFrame, n_merges: int) -> DataFrame:
         # accumulator ends with `a` and the next symbol is `b`, replace
         # the tail with the merged symbol, else append
         vocab = vocab.select(
+            "w",
             "freq",
             F.expr(
                 f"""aggregate(syms, CAST(array() AS ARRAY<STRING>),
@@ -743,6 +788,58 @@ def bpe_learn_from_words(words: DataFrame, n_merges: int) -> DataFrame:
             ).alias("syms"),
         ).localCheckpoint(eager=True)
 
-    return spark.createDataFrame(
-        merges, "rank int, left string, right string, pair_freq long"
+    return merges, vocab
+
+
+@query("text_bpe_encode", oracle=_bpe_encode_oracle_sql(BPE_MERGES))
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with the BPE vocabulary text_bpe_learn
+    trains — the "apply" half of tokenizer training: per document, the
+    word count, the BPE token count (symbols after all 20 merges), and
+    the chars-per-token compression ratio every tokenizer report
+    quotes.
+
+    The trained segmentation lives as a word → symbols DataFrame (the
+    merge loop's final vocab, ``_bpe_train``), so application is ONE
+    equi-join of exploded document words against the distinct-word
+    map plus a per-doc aggregation — the corpus text itself is never
+    re-folded. At 100 TB: the vocab is orders smaller than the corpus
+    (natural-language distinct words plateau in the millions), so AQE
+    broadcasts it and the encode pass is scan + broadcast join +
+    map-side-partial agg; driver traffic stays the 20 one-row merge
+    collects of the training loop.
+
+    Oracle: the same unrolled 20-round DuckDB chain as
+    text_bpe_learn, with ``w`` carried through every fold so the
+    final vocab CTE doubles as the segmentation map
+    (``_bpe_encode_oracle_sql``)."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    words = (
+        t["documents"]
+        .select(F.explode(_tokens()).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    _, vocab = _bpe_train(words, BPE_MERGES)
+    seg = vocab.select("w", F.size("syms").alias("n_syms"))
+    doctoks = (
+        t["documents"]
+        .select(
+            "doc_id",
+            F.length(F.trim("text")).alias("nc"),
+            F.explode(_tokens()).alias("w"),
+        )
+        .filter(F.length("w") > 0)
+    )
+    return (
+        doctoks.join(seg, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_syms").alias("n_tokens"),
+            F.round(F.max("nc") / F.sum("n_syms"), 6).alias(
+                "chars_per_token"
+            ),
+        )
     )

@@ -77,13 +77,14 @@ def test_window_covers_previously_unchecked_classes() -> None:
         "doc_chunk_overlap",
         "window_groups_exclude",
         "events_sessionize_stateful",
+        "text_bpe_encode",
     }
     representatives = {
         "flagship_pricing_summary",
         "join_inner",
         "window_rank",
         "window_groups_exclude",  # supersedes window_groups_frame (B19)
-        "events_sessionize",
+        "events_sessionize_stateful",  # carries the gap-session oracle
         "text_token_count",
         "sample_split",
         "subquery_exists_correlated",
