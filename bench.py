@@ -54,6 +54,7 @@ HEADLINE = [
     "percentile_stats",
     "json_extract_props",
     "join_skew_salted",
+    "zorder_layout_orders",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_clusters",

@@ -434,3 +434,104 @@ def data_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "column_name", "n_rows", "n_null", "n_distinct",
         "min_value", "max_value",
     )
+
+
+def _zorder_expr(a: str, b: str, bits: int = 16) -> str:
+    """Bit-interleave two ``bits``-wide nonnegative integer columns
+    into one Morton (z-order) key — identical SQL text for Spark and
+    DuckDB (both support ``>>``/``&``/``<<``)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+# normalize x into 0..65535 given inclusive min/max columns; floor()
+# BEFORE the bigint cast — Spark truncates a double cast, DuckDB
+# ROUNDS it, floor-then-cast is exact on both
+def _norm16(x: str, lo: str, hi: str) -> str:
+    return (
+        f"coalesce(CAST(floor(({x} - {lo}) * 65535.0 /"
+        f" nullif({hi} - {lo}, 0)) AS BIGINT), 0)"
+    )
+
+
+_Z_CK = _norm16("o_custkey", "min_ck", "max_ck")
+_Z_DAY = _norm16("day", "min_day", "max_day")
+_Z_BUCKET_SHIFT = 20  # 32-bit z key >> 20 → ≤4096 layout buckets
+
+
+@query(
+    "zorder_layout_orders",
+    oracle=f"""
+        WITH d AS (
+            SELECT o_custkey,
+                   date_diff('day', DATE '1970-01-01',
+                             CAST(o_orderdate AS DATE)) AS day
+            FROM orders
+        ),
+        lim AS (
+            SELECT min(o_custkey) AS min_ck, max(o_custkey) AS max_ck,
+                   min(day) AS min_day, max(day) AS max_day
+            FROM d
+        ),
+        keyed AS (
+            SELECT ({_zorder_expr(_Z_CK, _Z_DAY)}) >> {_Z_BUCKET_SHIFT}
+                       AS z_bucket,
+                   o_custkey, day
+            FROM d, lim
+        )
+        SELECT z_bucket,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(max(o_custkey) - min(o_custkey) AS BIGINT)
+                   AS custkey_span,
+               CAST(max(day) - min(day) AS BIGINT) AS day_span
+        FROM keyed GROUP BY z_bucket
+    """,
+)
+def zorder_layout_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout key for two-dimensional data skipping —
+    the clustered-write primitive behind Delta/Iceberg OPTIMIZE
+    ZORDER: interleaving the bits of (customer, order-day) gives ONE
+    sort key whose contiguous ranges are small rectangles in BOTH
+    dimensions, so parquet row-group min/max stats prune scans for
+    either predicate after a single `repartitionByRange(z)` write.
+
+    The operator computes the 32-bit z key (16+16 bits, min/max
+    normalized) and reports per-bucket (top-12-bits) row counts and
+    per-dimension spans — the bounded-span output IS the proof the
+    layout skips: a linear sort by custkey would show day_span ≈ the
+    whole calendar in every bucket.
+
+    Scale: one scan for the min/max limits (4-value broadcast via
+    cross join), one scan + map-side-partial groupBy for the buckets;
+    the interleave is 32 codegen'd bit terms, no UDF, and the same
+    SQL text runs on both engines (Spark 4 and DuckDB share the
+    ``>>``/``&``/``<<`` operators). At 100 TB the groupBy is ≤4096
+    groups — the shuffle moves kilobytes."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    d = t["orders"].select(
+        "o_custkey",
+        F.expr(
+            "datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01')"
+        ).cast("long").alias("day"),
+    )
+    lim = d.agg(
+        F.min("o_custkey").alias("min_ck"),
+        F.max("o_custkey").alias("max_ck"),
+        F.min("day").alias("min_day"),
+        F.max("day").alias("max_day"),
+    )
+    keyed = d.crossJoin(F.broadcast(lim)).select(
+        F.expr(
+            f"({_zorder_expr(_Z_CK, _Z_DAY)}) >> {_Z_BUCKET_SHIFT}"
+        ).alias("z_bucket"),
+        "o_custkey",
+        "day",
+    )
+    return keyed.groupBy("z_bucket").agg(
+        F.count("*").alias("n_rows"),
+        (F.max("o_custkey") - F.min("o_custkey")).alias("custkey_span"),
+        (F.max("day") - F.min("day")).alias("day_span"),
+    )

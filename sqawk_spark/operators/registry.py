@@ -82,6 +82,7 @@ COVERAGE_FIRST: tuple[str, ...] = (
     "window_groups_exclude",  # B19 GROUPS+EXCLUDE sentinel
     "events_sessionize_stateful",  # B28 custom stateful streaming
     "text_bpe_encode",  # BPE apply — same oracle chain as learn
+    "zorder_layout_orders",  # data-skipping layout key
     # -- one representative per §2.B class
     "flagship_pricing_summary",  # B9 grouped agg headline
     "join_inner",  # B6
@@ -104,7 +105,8 @@ COVERAGE_FIRST: tuple[str, ...] = (
     "dedup_embedding_lsh",
     "dedup_clusters",
     "text_token_count",
-    "sample_split",
+    # (sample_split displaced: sampling family watched by the
+    # in-window sample_shuffle_deterministic)
     "pack_sequences",
     "contamination_check",
     # (batch events_sessionize displaced: its gap-session oracle is

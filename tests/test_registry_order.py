@@ -78,6 +78,7 @@ def test_window_covers_previously_unchecked_classes() -> None:
         "window_groups_exclude",
         "events_sessionize_stateful",
         "text_bpe_encode",
+        "zorder_layout_orders",
     }
     representatives = {
         "flagship_pricing_summary",
@@ -86,7 +87,6 @@ def test_window_covers_previously_unchecked_classes() -> None:
         "window_groups_exclude",  # supersedes window_groups_frame (B19)
         "events_sessionize_stateful",  # carries the gap-session oracle
         "text_token_count",
-        "sample_split",
         "subquery_exists_correlated",
         "cte_top_suppliers",
         "pivot_agg",
