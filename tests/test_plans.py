@@ -381,3 +381,28 @@ def test_quantize_and_chunk_are_map_only(spark, sf_dir):
         assert "Exchange" not in p, name
         assert "Join" not in p, name
         assert "EvalPython" not in p, name
+
+
+def test_zorder_is_two_scan_bit_arithmetic(spark, sf_dir):
+    """The z-order layout key is pure codegen'd bit arithmetic: the
+    4-value limits row broadcasts (nested-loop with a 1-row build side
+    is the right plan), no Python, and the bucket aggregation combines
+    map-side."""
+    p = plan(spark, sf_dir, "zorder_layout_orders")
+    assert "EvalPython" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "partial_count" in p or "partial_min" in p or "partial_sum" in p
+
+
+def test_bpe_encode_joins_words_not_refolds_text(spark, sf_dir):
+    """Encoding applies the trained segmentation by JOINING exploded
+    document words against the word→symbols map — the corpus text must
+    never pass through the merge fold again (no aggregate() lambda
+    over doc tokens; the folds live in the tiny vocab lineage, which
+    localCheckpoint turns into in-memory scans)."""
+    p = plan(spark, sf_dir, "text_bpe_encode")
+    assert "Join" in p
+    assert "EvalPython" not in p
+    # the vocab side is materialized (checkpointed) — the plan reads
+    # it as an ExistingRDD/LogicalRDD scan, not a re-derivation
+    assert "Scan ExistingRDD" in p
