@@ -143,8 +143,11 @@ def main() -> None:
     reran = False
 
     # Self-validation: rerun once, keeping per-query minima, when
-    # either (a) the machine was already busy before we started
-    # (loadavg > 2 — the r02/r04 inflation signature), or (b) the
+    # either (a) the machine was already busy before we started —
+    # 1-min loadavg > 2 (the r02/r04 inflation signature) OR 5-min
+    # loadavg > 2.5 (a big job that JUST finished still thrashes page
+    # cache/GC: a post-suite bench this round showed 3 queries 10-30×
+    # slow with 1-min load at 1.1 but 5-min at 3.0) — or (b) the
     # shared-query aggregate drifts >1.5× vs the per-query MINIMA of
     # all prior rounds at the same SF. A genuinely slower engine stays
     # slow on the rerun; a busy machine usually doesn't.
@@ -155,12 +158,31 @@ def main() -> None:
         now_total = sum(timings[k] for k in shared)
         prior_total = sum(prior[k] for k in shared)
         drifted = prior_total > 0 and now_total / prior_total > 1.5
-    if drifted or load_before[0] > 2.0:
+    if drifted or load_before[0] > 2.0 or load_before[1] > 2.5:
         reran = True
         second = time_all()
         timings = {
             k: min(timings[k], second.get(k, timings[k])) for k in timings
         }
+
+    # Surgical pass: any single query >2× its all-rounds minimum is
+    # re-timed alone — catches load that ARRIVES mid-run, which the
+    # whole-run guards above can miss (per-query min-of-2 doesn't help
+    # when contention persists for that query's whole slot).
+    suspects = [
+        k for k in timings if k in prior and timings[k] > 2.0 * prior[k]
+    ]
+    for name in suspects:
+        spec = REGISTRY.get(name)
+        if spec is None:
+            continue
+        reran = True
+        best = timings[name]
+        for _ in range(2):
+            t0 = time.perf_counter()
+            run_once(spec)
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

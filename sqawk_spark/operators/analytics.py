@@ -457,8 +457,6 @@ def _norm16(x: str, lo: str, hi: str) -> str:
     )
 
 
-_Z_CK = _norm16("o_custkey", "min_ck", "max_ck")
-_Z_DAY = _norm16("day", "min_day", "max_day")
 _Z_BUCKET_SHIFT = 20  # 32-bit z key >> 20 → ≤4096 layout buckets
 
 
@@ -476,11 +474,17 @@ _Z_BUCKET_SHIFT = 20  # 32-bit z key >> 20 → ≤4096 layout buckets
                    min(day) AS min_day, max(day) AS max_day
             FROM d
         ),
+        norm AS (
+            SELECT o_custkey, day,
+                   {_norm16("o_custkey", "min_ck", "max_ck")} AS na,
+                   {_norm16("day", "min_day", "max_day")} AS nb
+            FROM d, lim
+        ),
         keyed AS (
-            SELECT ({_zorder_expr(_Z_CK, _Z_DAY)}) >> {_Z_BUCKET_SHIFT}
+            SELECT ({_zorder_expr("na", "nb")}) >> {_Z_BUCKET_SHIFT}
                        AS z_bucket,
                    o_custkey, day
-            FROM d, lim
+            FROM norm
         )
         SELECT z_bucket,
                CAST(count(*) AS BIGINT) AS n_rows,
@@ -523,9 +527,19 @@ def zorder_layout_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("day").alias("min_day"),
         F.max("day").alias("max_day"),
     )
-    keyed = d.crossJoin(F.broadcast(lim)).select(
+    # normalize ONCE per row in a separate projection — splicing the
+    # normalization macro into all 32 interleave terms re-evaluates the
+    # divisions 32x per row and blows the expression past the codegen
+    # method limit (measured ~10x slower interpreted fallback)
+    norm = d.crossJoin(F.broadcast(lim)).select(
+        "o_custkey",
+        "day",
+        F.expr(_norm16("o_custkey", "min_ck", "max_ck")).alias("na"),
+        F.expr(_norm16("day", "min_day", "max_day")).alias("nb"),
+    )
+    keyed = norm.select(
         F.expr(
-            f"({_zorder_expr(_Z_CK, _Z_DAY)}) >> {_Z_BUCKET_SHIFT}"
+            f'({_zorder_expr("na", "nb")}) >> {_Z_BUCKET_SHIFT}'
         ).alias("z_bucket"),
         "o_custkey",
         "day",
