@@ -60,10 +60,12 @@ HEADLINE = [
     "dedup_clusters",
     "dedup_embedding_lsh",
     "sample_stratified_balanced",
+    "sample_importance_weighted",
     "ann_cosine_topk",
     "embedding_quantize_int8",
     "doc_chunk_overlap",
     "text_quality_score",
+    "text_perplexity_score",
     "text_pii_redact",
     "quality_filter_chain",
     "events_user_features",

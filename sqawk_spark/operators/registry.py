@@ -83,6 +83,8 @@ COVERAGE_FIRST: tuple[str, ...] = (
     "events_sessionize_stateful",  # B28 custom stateful streaming
     "text_bpe_encode",  # BPE apply — same oracle chain as learn
     "zorder_layout_orders",  # data-skipping layout key
+    "text_perplexity_score",  # unigram-LM quality signal
+    "sample_importance_weighted",  # weighted corpus sampling
     # -- one representative per §2.B class
     "flagship_pricing_summary",  # B9 grouped agg headline
     "join_inner",  # B6
@@ -105,12 +107,11 @@ COVERAGE_FIRST: tuple[str, ...] = (
     "dedup_embedding_lsh",
     "dedup_clusters",
     "text_token_count",
-    # (sample_split displaced: sampling family watched by the
-    # in-window sample_shuffle_deterministic)
-    "pack_sequences",
-    "contamination_check",
-    # (batch events_sessionize displaced: its gap-session oracle is
-    # exercised verbatim by events_sessionize_stateful above)
+    # (displaced, all r04-green with their family still in-window:
+    # sample_split → sample_shuffle_deterministic; pack_sequences /
+    # contamination_check → doc_chunk_overlap, pipeline_end_to_end,
+    # contamination_decontaminate; batch events_sessionize → its
+    # gap-session oracle runs verbatim in events_sessionize_stateful)
 )
 
 

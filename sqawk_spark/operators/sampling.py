@@ -196,3 +196,57 @@ def sample_shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deterministic_shuffle(
         t["documents"].select("doc_id"), F.col("doc_id")
     ).select("doc_id", "shuffle_pos")
+
+
+@query(
+    "sample_importance_weighted",
+    oracle="""
+        WITH w AS (
+            SELECT doc_id, n_chars, lang,
+                   least(1.0, n_chars / 400.0) AS keep_w,
+                   CAST(concat('0x',
+                        substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) AS h
+            FROM documents
+        )
+        SELECT doc_id, lang,
+               round(keep_w, 6) AS keep_w
+        FROM w
+        WHERE h < keep_w * 4294967296.0
+    """,
+)
+def sample_importance_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-weighted corpus sampling — keep each document with
+    probability proportional to a per-document quality weight (here
+    length-based, capped at 1.0: the up-weight-long-documents policy
+    most pretraining mixes use a variant of). Acceptance is
+    hash-thresholded: keep iff the first 32 md5 bits of the doc id,
+    as an integer, fall below weight·2³². Deterministic — the same
+    document survives on any engine, partitioning, or rerun (the same
+    md5 idiom as the split/stratified samplers), unlike rand()-based
+    Bernoulli sampling, and the expected kept fraction equals the
+    mean weight exactly.
+
+    The weight·2³² product and comparison run in f64 (exact for
+    integers < 2⁵³ and identical cross-engine), so there is no
+    boundary ambiguity the oracle could disagree on.
+
+    Scale: map-only — one scan, predicate inside codegen, no shuffle,
+    no driver traffic; re-weighting the mix is a constant change, not
+    a recompute of any index."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    keep_w = F.least(F.lit(1.0), F.col("n_chars") / 400.0)
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    return (
+        t["documents"]
+        .select(
+            "doc_id",
+            "lang",
+            keep_w.alias("keep_w"),
+            h.alias("h"),
+        )
+        .filter(F.col("h") < F.col("keep_w") * 4294967296.0)
+        .select("doc_id", "lang", F.round("keep_w", 6).alias("keep_w"))
+    )

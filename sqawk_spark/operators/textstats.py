@@ -843,3 +843,84 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "text_perplexity_score",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(trim(text)),
+                                                '\\s+')) AS w
+            FROM documents
+        ),
+        toks2 AS (SELECT doc_id, w FROM toks WHERE len(w) > 0),
+        lm AS (
+            SELECT w,
+                   CAST(round(-ln(CAST(count(*) AS DOUBLE)
+                              / (SELECT count(*) FROM toks2)) * 1000000)
+                        AS BIGINT) AS nll_micro
+            FROM toks2 GROUP BY w
+        )
+        SELECT t.doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               round(sum(l.nll_micro) / (count(*) * 1000000.0), 4)
+                   AS avg_nll,
+               round(exp(sum(l.nll_micro) / (count(*) * 1000000.0)), 2)
+                   AS perplexity
+        FROM toks2 t JOIN lm l USING (w)
+        GROUP BY t.doc_id
+    """,
+)
+def text_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model perplexity — the CCNet-style quality
+    signal: score every document by the average negative log-
+    probability of its tokens under the corpus's own unigram
+    distribution (gibberish and boilerplate both stand out: rare-token
+    soup scores high, repeated-token spam scores low).
+
+    Cross-engine float discipline: each DISTINCT word's -ln(p) is
+    computed once and immediately scaled to an integer (micro-nats,
+    round×1e6) — per-document sums are then integer arithmetic, exact
+    and order-independent on both engines regardless of partial-agg
+    order; only the final division rounds. The ln() itself is the one
+    float op, evaluated once per vocab entry on identical f64 inputs.
+
+    Scale: one corpus scan builds the LM (vocab ≪ corpus, plateaus in
+    the millions for natural language), one scan scores — the LM side
+    broadcasts (AQE) and the per-doc agg combines map-side. The
+    corpus-total token count is a 1-row broadcast, not a window."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    toks = (
+        t["documents"]
+        .select("doc_id", F.explode(_tokens()).alias("w"))
+        .filter(F.length("w") > 0)
+    )
+    total = toks.agg(F.count("*").alias("corpus_n"))
+    lm = (
+        toks.groupBy("w")
+        .agg(F.count("*").alias("wf"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w",
+            F.round(
+                -F.log(F.col("wf").cast("double") / F.col("corpus_n"))
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("nll_micro"),
+        )
+    )
+    return (
+        toks.join(lm, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                F.sum("nll_micro") / (F.count("*") * 1_000_000.0), 4
+            ).alias("avg_nll"),
+            F.round(
+                F.exp(F.sum("nll_micro") / (F.count("*") * 1_000_000.0)), 2
+            ).alias("perplexity"),
+        )
+    )

@@ -406,3 +406,20 @@ def test_bpe_encode_joins_words_not_refolds_text(spark, sf_dir):
     # the vocab side is materialized (checkpointed) — the plan reads
     # it as an ExistingRDD/LogicalRDD scan, not a re-derivation
     assert "Scan ExistingRDD" in p
+
+
+def test_perplexity_lm_is_broadcast_not_window(spark, sf_dir):
+    """The corpus-total row and the LM table must broadcast; a Window
+    or a SinglePartition exchange over the token stream would be the
+    non-scalable formulation."""
+    p = plan(spark, sf_dir, "text_perplexity_score")
+    assert "Window" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "partial_count" in p  # doc agg combines map-side
+
+
+def test_importance_sampling_is_pure_map(spark, sf_dir):
+    p = plan(spark, sf_dir, "sample_importance_weighted")
+    assert "Exchange" not in p
+    assert "Join" not in p
+    assert "EvalPython" not in p

@@ -79,6 +79,8 @@ def test_window_covers_previously_unchecked_classes() -> None:
         "events_sessionize_stateful",
         "text_bpe_encode",
         "zorder_layout_orders",
+        "text_perplexity_score",
+        "sample_importance_weighted",
     }
     representatives = {
         "flagship_pricing_summary",
@@ -92,8 +94,8 @@ def test_window_covers_previously_unchecked_classes() -> None:
         "pivot_agg",
         "date_funcs",
         "dedup_exact",
-        "pack_sequences",
-        "contamination_check",
+        "contamination_decontaminate",
+        "pipeline_end_to_end",
     }
     assert never_checked <= window
     assert round5 <= window
