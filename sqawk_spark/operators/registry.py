@@ -85,6 +85,8 @@ COVERAGE_FIRST: tuple[str, ...] = (
     "zorder_layout_orders",  # data-skipping layout key
     "text_perplexity_score",  # unigram-LM quality signal
     "sample_importance_weighted",  # weighted corpus sampling
+    "cdc_scd2_history",  # SCD2 validity intervals
+    "events_gap_fill",  # time-series densification
     # -- one representative per §2.B class
     "flagship_pricing_summary",  # B9 grouped agg headline
     "join_inner",  # B6
@@ -103,10 +105,8 @@ COVERAGE_FIRST: tuple[str, ...] = (
     "count_distinct",  # B26
     "udaf_geomean",  # B29
     # -- one representative per extension family
-    "dedup_exact",
     "dedup_embedding_lsh",
     "dedup_clusters",
-    "text_token_count",
     # (displaced, all r04-green with their family still in-window:
     # sample_split → sample_shuffle_deterministic; pack_sequences /
     # contamination_check → doc_chunk_overlap, pipeline_end_to_end,

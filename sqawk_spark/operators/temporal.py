@@ -558,3 +558,110 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 2).alias("zscore"),
         F.coalesce(F.abs(z) > 3, F.lit(False)).alias("is_anomaly"),
     )
+
+
+@query(
+    "cdc_scd2_history",
+    oracle="""
+        SELECT o_custkey,
+               round(o_totalprice, 2) AS price,
+               strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+               strftime(lead(o_orderdate) OVER w, '%Y-%m-%d')
+                   AS valid_to,
+               (lead(o_orderdate) OVER w IS NULL) AS is_current
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 history — the warehouse
+    pattern that turns a change stream into validity intervals: each
+    version of a key carries [valid_from, valid_to) from its own
+    timestamp to the NEXT version's, with the open (current) version
+    flagged. Orders stand in as per-customer attribute versions; the
+    (date, orderkey) tie-break keeps interval order total.
+
+    Expressed as one lead() window — the declarative lowering of the
+    MERGE-with-row-versioning dance imperative SCD2 loaders do.
+    Scale: one shuffle on the key, sort within partitions; no join,
+    no self-join (the naive formulation joins the table to itself on
+    version-adjacency and shuffles twice)."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead("o_orderdate").over(w)
+    return t["orders"].select(
+        "o_custkey",
+        F.round("o_totalprice", 2).alias("price"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("valid_from"),
+        F.date_format(nxt, "yyyy-MM-dd").alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+@query(
+    "events_gap_fill",
+    oracle="""
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS h,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM events GROUP BY 1, 2
+        ),
+        spans AS (
+            SELECT event_type, min(h) AS h0, max(h) AS h1
+            FROM hourly GROUP BY event_type
+        ),
+        grid AS (
+            SELECT event_type,
+                   unnest(generate_series(h0, h1,
+                                          INTERVAL '1 hour')) AS h
+            FROM spans
+        )
+        SELECT g.event_type,
+               epoch_us(g.h) AS hour_us,
+               coalesce(hh.cnt, 0) AS cnt,
+               (hh.cnt IS NULL) AS filled
+        FROM grid g LEFT JOIN hourly hh USING (event_type, h)
+    """,
+)
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling — the hypertable/timeseries primitive
+    dashboards and anomaly detectors need: densify each series onto a
+    complete hourly grid between its own first and last points, with
+    missing hours emitted as explicit zero rows (flagged), so
+    downstream window math (moving averages, z-scores) sees a uniform
+    clock instead of silently skipping quiet hours.
+
+    The grid comes from sequence()/explode over each series' span —
+    generated, never stored; the fill is one LEFT join of grid
+    against the hourly rollup on (series, hour). Scale: the rollup
+    collapses the corpus first (map-side partial), so both join sides
+    are O(series × hours), not O(events); the grid side is tiny and
+    broadcasts. Timestamps ride as epoch-micro longs — integer-exact
+    cross-engine."""
+    t = load_tables(spark, sf_dir, ("events",))
+    hourly = (
+        t["events"]
+        .groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+    grid = (
+        hourly.groupBy("event_type")
+        .agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(
+                    "h0", "h1", F.expr("INTERVAL 1 HOUR")
+                )
+            ).alias("h"),
+        )
+    )
+    return grid.join(hourly, ["event_type", "h"], "left").select(
+        "event_type",
+        F.unix_micros(F.col("h")).alias("hour_us"),
+        F.coalesce("cnt", F.lit(0)).alias("cnt"),
+        F.col("cnt").isNull().alias("filled"),
+    )

@@ -81,6 +81,8 @@ def test_window_covers_previously_unchecked_classes() -> None:
         "zorder_layout_orders",
         "text_perplexity_score",
         "sample_importance_weighted",
+        "cdc_scd2_history",
+        "events_gap_fill",
     }
     representatives = {
         "flagship_pricing_summary",
@@ -88,12 +90,11 @@ def test_window_covers_previously_unchecked_classes() -> None:
         "window_rank",
         "window_groups_exclude",  # supersedes window_groups_frame (B19)
         "events_sessionize_stateful",  # carries the gap-session oracle
-        "text_token_count",
         "subquery_exists_correlated",
         "cte_top_suppliers",
         "pivot_agg",
         "date_funcs",
-        "dedup_exact",
+        "dedup_embedding_lsh",
         "contamination_decontaminate",
         "pipeline_end_to_end",
     }
