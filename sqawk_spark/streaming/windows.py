@@ -669,3 +669,24 @@ def events_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_sessionize_stateful(
         spark, sf_dir, query_name="reg_stateful_sessions"
     )
+
+
+@query(
+    "dedup_exact_stream",
+    oracle="""
+        SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+                   AS fingerprint,
+               min(doc_id) AS canonical_doc_id,
+               CAST(count(*) AS BIGINT) AS n_copies
+        FROM documents
+        GROUP BY 1
+    """,
+)
+def dedup_exact_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable wrapper for the streaming exact-dedup: runs
+    the real Structured Streaming complete-mode aggregation
+    (availableNow) and must equal the batch GROUP BY value-for-value —
+    possible only because the canonical choice (min doc_id per
+    fingerprint) is arrival-order-free, which is exactly the property
+    that makes streaming dedup replay-safe in production."""
+    return stream_dedup_exact(spark, sf_dir, query_name="reg_stream_dedup")
