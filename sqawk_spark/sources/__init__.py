@@ -21,6 +21,7 @@ PARSERS = {
     "csv2": csv.parse_alt,
     "csvalt": csv.parse_alt,
     "json": json.parse,
+    "orc": parquet.parse_orc,
     "parquet": parquet.parse,
     "tcl": tcl.parse,
 }
@@ -33,6 +34,7 @@ PARSER_OPTIONS = {
     "csv2": {"csvsep", "csvquote"},
     "csvalt": {"csvsep", "csvquote"},
     "json": {"kv", "lines"},
+    "orc": set(),
     "parquet": set(),
     "tcl": {"kv", "lines"},
 }

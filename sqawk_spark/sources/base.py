@@ -136,7 +136,7 @@ class TableLoader:
             records = parts[0][0]
             for df, _ in parts[1:]:
                 records = records.unionAll(df)
-            if spec.format == "parquet":
+            if spec.format in ("parquet", "orc"):
                 from sqawk_spark.sources.parquet import shape_typed_table
 
                 shaped = shape_typed_table(records, spec, table)

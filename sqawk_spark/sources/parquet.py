@@ -1,8 +1,9 @@
-"""Parquet input (engine-native extension beyond the reference).
+"""Columnar input — parquet and ORC (engine-native extension
+beyond the reference).
 
 The reference's parsers all start from text; a Spark engine should
-also query columnar files directly. ``format=parquet`` loads the file
-with its REAL column names and types — no stringify/affinity round
+also query columnar files directly. ``format=parquet`` /
+``format=orc`` load the file with its REAL column names and types — no stringify/affinity round
 trip — and synthesizes the sqawk table conventions on top:
 
 - ``<p>nr``  — 1-based record number (insertion order);
@@ -27,6 +28,10 @@ def parse(spark: SparkSession, spec, path: str) -> DataFrame:
     # shaping happens in shape_typed_table (sources/base.py finalize):
     # the typed frame must survive as-is, not flatten to text fields
     return spark.read.parquet(path)
+
+
+def parse_orc(spark: SparkSession, spec, path: str) -> DataFrame:
+    return spark.read.orc(path)
 
 
 def shape_typed_table(df: DataFrame, spec, table: str) -> DataFrame:

@@ -1545,3 +1545,21 @@ def test_output_parquet_multi_statement_and_dml(tmp_path):
     assert con.execute(
         f"select n from '{dest}/s2/*.parquet'"
     ).fetchone()[0] == 3
+
+
+# --- format=orc (engine-native extension) --------------------------------
+
+
+def test_orc_format_roundtrip(spark, tmp_path):
+    """ORC rides the same typed shaping path as parquet: real column
+    names + positional aliases + <p>nr numbering."""
+    src = spark.createDataFrame(
+        [(3, "c"), (1, "a"), (2, "b")], "k int, v string"
+    )
+    dest = str(tmp_path / "t.orc")
+    src.orderBy("k").coalesce(1).write.orc(dest)
+    got = pysqawk(
+        "select anr, k, a2 from a order by k",
+        "format=orc", dest,
+    )
+    assert got == "1 1 a\n2 2 b\n3 3 c"
