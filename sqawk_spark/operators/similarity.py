@@ -585,3 +585,68 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("q_pos"),
         )
     )
+
+
+@query(
+    "embedding_centroid_by_label",
+    oracle="""
+        WITH e AS (
+            SELECT label, t.pos,
+                   CAST(round(CAST(embedding[t.pos] AS DOUBLE)
+                              * 10000000) AS BIGINT) AS val
+            FROM embeddings,
+                 unnest(range(1, len(embedding) + 1)) AS t(pos)
+        ),
+        agg AS (
+            SELECT label, pos,
+                   CAST(sum(val) AS BIGINT) AS s,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM e GROUP BY label, pos
+        )
+        SELECT label,
+               CAST(pos AS INTEGER) AS dim,
+               round(s / (n * 10000000.0), 6) AS centroid,
+               n AS n_vectors
+        FROM agg
+    """,
+)
+def embedding_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids — the class-prototype step
+    behind nearest-centroid classification, cluster summarization,
+    and IVF coarse quantizers: one (label, dimension) mean over the
+    corpus.
+
+    Cross-engine float discipline (same idiom as the perplexity LM):
+    each f32 component is cast exactly to f64 and scaled to an
+    integer (round ×1e7) BEFORE aggregation, so the per-cell sums are
+    exact integer arithmetic — identical under any partial-agg order
+    on any engine; only the final mean divides and rounds.
+
+    Scale: posexplode fans each vector into D rows but they combine
+    map-side immediately (partial_sum keyed on label×dim — the
+    shuffle moves labels × D cells, not the corpus), which is the
+    formulation that beats driver-side vector averaging the moment
+    the corpus outgrows one machine. 1-based dim matches DuckDB's
+    WITH ORDINALITY."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    e = t["embeddings"].select(
+        "label",
+        F.posexplode(
+            F.expr(
+                "transform(embedding, x ->"
+                " CAST(round(CAST(x AS DOUBLE) * 10000000) AS BIGINT))"
+            )
+        ).alias("pos0", "val"),
+    )
+    return (
+        e.groupBy("label", (F.col("pos0") + 1).alias("dim"))
+        .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+        .select(
+            "label",
+            F.col("dim").cast("int").alias("dim"),
+            F.round(F.col("s") / (F.col("n") * 10_000_000.0), 6).alias(
+                "centroid"
+            ),
+            F.col("n").alias("n_vectors"),
+        )
+    )
