@@ -48,6 +48,8 @@ HEADLINE = [
     "tpch_q3_shipping_priority",
     "tpch_q6_forecast_revenue",
     "tpch_q18_large_volume_customer",
+    "tpch_q10_returned_items",
+    "tpch_q14_promo_effect",
     "merge_upsert_orders",
     # extension operators (registered by the optional imports above)
     "grouping_sets_agg",

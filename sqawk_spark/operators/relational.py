@@ -1634,3 +1634,103 @@ def window_groups_exclude(spark: SparkSession, sf_dir: str) -> DataFrame:
         (fs - gs + cur).alias("excl_ties"),
         F.when(fc > 1, fs - cur).alias("excl_current"),
     )
+
+
+@query(
+    "tpch_q10_returned_items",
+    oracle="""
+        SELECT c.c_custkey, c.c_name,
+               round(CAST(sum(l.l_extendedprice * (1 - l.l_discount))
+                          AS DOUBLE), 2) AS revenue,
+               round(c.c_acctbal, 2) AS acctbal,
+               n.n_name AS nation
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        WHERE l.l_returnflag = 'R'
+          AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o.o_orderdate <  TIMESTAMP '1997-07-01'
+        GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+        ORDER BY revenue DESC, c.c_custkey
+        LIMIT 20
+    """,
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape — returned-item reporting: which customers
+    returned the most revenue in a half-year window. The returnflag
+    and date predicates push to the two fact scans, nation broadcasts
+    (fixed 25 rows), and the top-20 lowers to TakeOrderedAndProject
+    with the custkey tie-break keeping LIMIT deterministic."""
+    t = load_tables(
+        spark, sf_dir, ("customer", "orders", "lineitem", "nation")
+    )
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= "1997-01-01")
+        & (F.col("o_orderdate") < "1997-07-01")
+    )
+    li = t["lineitem"].filter(F.col("l_returnflag") == "R")
+    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        t["customer"]
+        .join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.round(revenue, 2).alias("revenue"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            F.col("n_name").alias("nation"),
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "tpch_q14_promo_effect",
+    oracle="""
+        SELECT round(100.0 * round(CAST(
+                   sum(CASE WHEN p.p_type = 'PROMO'
+                            THEN l.l_extendedprice * (1 - l.l_discount)
+                            ELSE 0 END) AS DOUBLE), 2)
+               / round(CAST(sum(l.l_extendedprice * (1 - l.l_discount))
+                            AS DOUBLE), 2), 4) AS promo_revenue_pct,
+               CAST(count(*) AS BIGINT) AS n_items
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1997-03-01'
+          AND l.l_shipdate <  TIMESTAMP '1997-04-01'
+    """,
+)
+def tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape — promotion effect: the share of one month's
+    revenue from promo parts, i.e. conditional aggregation over a
+    fact-dim join. The month filter prunes lineitem at the scan; part
+    broadcasts at low SF (AQE decides); the two sums ride one
+    map-side-combined aggregation — the conditional-numerator pattern
+    never needs a second scan or a self-join. Both sums round to their
+    stable 2-decimal width BEFORE the ratio so cross-engine
+    partial-agg order can't wiggle the 4th decimal of the percent."""
+    t = load_tables(spark, sf_dir, ("lineitem", "part"))
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= "1997-03-01")
+        & (F.col("l_shipdate") < "1997-04-01")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+    return (
+        li.join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0 * F.round(promo, 2) / F.round(F.sum(rev), 2), 4
+            ).alias("promo_revenue_pct"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
