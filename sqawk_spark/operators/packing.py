@@ -427,8 +427,11 @@ CHUNK_STRIDE = 24  # chunk start stride (CHUNK_TOKENS - overlap of 8)
         ),
         st AS (
             SELECT doc_id, t,
-                   unnest(range(0, greatest(len(t), 1),
-                                {CHUNK_STRIDE})) AS s
+                   unnest(range(0,
+                       {CHUNK_STRIDE} * CAST(greatest(
+                           (len(t) - {CHUNK_TOKENS} + {CHUNK_STRIDE} - 1)
+                               // {CHUNK_STRIDE}, 0) AS BIGINT) + 1,
+                       {CHUNK_STRIDE})) AS s
             FROM toks
         )
         SELECT doc_id,
@@ -444,7 +447,12 @@ def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window document chunking — the RAG/pretraining step
     that splits every document into fixed-size token windows with
     overlap (32-token chunks every 24 tokens → 8 tokens of overlap),
-    so no sentence is ever split without context on one side.
+    so no sentence is ever split without context on one side. The
+    last chunk start is the smallest one whose window reaches the end
+    of the document — a trailing start fully contained in the
+    previous window would duplicate tokens without adding any, so it
+    is never emitted (docs of ≤ CHUNK_TOKENS tokens yield exactly one
+    chunk).
 
     Chunk starts are `sequence(0, n_tokens-1, stride)`, the chunk is
     an `slice` of the token array, all inside one whole-stage-codegen
@@ -454,18 +462,28 @@ def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     so a downstream embed/write step starts co-located. At 100 TB this is
     the canonical narrow transform."""
     t = load_tables(spark, sf_dir, ("documents",))
-    toks = t["documents"].select(
+    return chunk_documents(t["documents"])
+
+
+def chunk_documents(docs: DataFrame) -> DataFrame:
+    """The chunking core over any (doc_id, text) frame — shared by the
+    registry builder and the edge-case unit tests so the tested logic
+    IS the shipped logic."""
+    toks = docs.select(
         "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t")
     )
+    max_k = F.greatest(
+        F.floor(
+            (F.size("t") - CHUNK_TOKENS + CHUNK_STRIDE - 1)
+            / F.lit(CHUNK_STRIDE)
+        ),
+        F.lit(0),
+    ).cast("long")
     st = toks.select(
         "doc_id",
         "t",
         F.explode(
-            F.sequence(
-                F.lit(0),
-                F.greatest(F.size("t") - 1, F.lit(0)),
-                F.lit(CHUNK_STRIDE),
-            )
+            F.sequence(F.lit(0), CHUNK_STRIDE * max_k, F.lit(CHUNK_STRIDE))
         ).alias("s"),
     )
     return st.select(
