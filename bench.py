@@ -50,6 +50,8 @@ HEADLINE = [
     "tpch_q18_large_volume_customer",
     "tpch_q10_returned_items",
     "tpch_q14_promo_effect",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q22_global_sales_opportunity",
     "merge_upsert_orders",
     # extension operators (registered by the optional imports above)
     "grouping_sets_agg",

@@ -1734,3 +1734,169 @@ def tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+@query(
+    "tpch_q12_priority_shipping",
+    oracle="""
+        SELECT l.l_linestatus AS linestatus,
+               CAST(sum(CASE WHEN o.o_orderpriority IN
+                                  ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS high_line_count,
+               CAST(sum(CASE WHEN o.o_orderpriority NOT IN
+                                  ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS low_line_count
+        FROM orders o
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+        GROUP BY l.l_linestatus
+    """,
+)
+def tpch_q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape — priority shipping: per line status, how many
+    of a year's lineitems belonged to urgent/high-priority orders vs
+    the rest (the driver schema has no shipmode, so linestatus is the
+    grouping column and orderpriority the CASE discriminator — same
+    conditional-count plan class).
+
+    Scale: the year filter prunes lineitem at the scan (2-column
+    read), orders joins on orderkey once, both counts ride ONE
+    map-side-combined aggregation — the naive two-query formulation
+    scans and joins twice for zero extra information."""
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        t["orders"]
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("l_linestatus").alias("linestatus"))
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(~is_high, 1).otherwise(0)).alias(
+                "low_line_count"
+            ),
+        )
+    )
+
+
+@query(
+    "tpch_q19_disjunctive_revenue",
+    oracle="""
+        SELECT round(CAST(sum(l.l_extendedprice * (1 - l.l_discount))
+                          AS DOUBLE), 2) AS revenue,
+               CAST(count(*) AS BIGINT) AS n_items
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+               AND l.l_quantity BETWEEN 1 AND 11)
+           OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+               AND l.l_quantity BETWEEN 10 AND 20)
+           OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+               AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape — discounted revenue under a disjunction of
+    brand/size/quantity conjuncts: the OR-of-ANDs predicate class
+    that stresses an optimizer's predicate decomposition. Catalyst
+    factors the common l_quantity range (1..30) and the p_size lower
+    bound out of the OR into scan-level pushdowns, so both sides
+    prune BEFORE the join even though no single conjunct applies to
+    every row; the residual OR evaluates post-join in codegen. One
+    join, one agg — the UNION-of-three-queries formulation scans the
+    fact table three times."""
+    t = load_tables(spark, sf_dir, ("lineitem", "part"))
+    j = t["lineitem"].join(
+        t["part"], F.col("p_partkey") == F.col("l_partkey")
+    )
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return j.filter(cond).agg(
+        F.round(rev, 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@query(
+    "tpch_q22_global_sales_opportunity",
+    oracle="""
+        WITH avg_bal AS (
+            SELECT round(CAST(sum(c_acctbal) AS DOUBLE), 2) / count(*)
+                       AS ab
+            FROM customer WHERE c_acctbal > 0.0
+        )
+        SELECT substr(c.c_name, 1, 9) AS cntrycode,
+               CAST(count(*) AS BIGINT) AS numcust,
+               round(CAST(sum(c.c_acctbal) AS DOUBLE), 2) AS totacctbal
+        FROM customer c, avg_bal
+        WHERE c.c_acctbal > avg_bal.ab
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey)
+        GROUP BY 1
+    """,
+)
+def tpch_q22_global_sales_opportunity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q22 shape — global sales opportunity: customers with
+    above-average balances who have never ordered (the driver schema
+    has no phone column; the name prefix stands in for the country
+    code). Three plan classes in one query: a scalar aggregate
+    subquery (the global average — one row, broadcast), an anti-join
+    against orders (never a NOT IN that breaks on NULLs), and the
+    final rollup.
+
+    Scale: the average is one narrow scan reduced to one row; the
+    anti-join shuffles only custkeys; the naive correlated NOT EXISTS
+    per row would be a nested loop over orders per customer."""
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    # registry float rule: round the sum to the data's 2-decimal width
+    # before dividing, so both engines derive the IDENTICAL threshold
+    # double regardless of partial-agg order (a raw avg() can differ in
+    # the last ulp and flip a boundary customer)
+    avg_bal = t["customer"].filter(F.col("c_acctbal") > 0.0).agg(
+        (F.round(F.sum("c_acctbal"), 2) / F.count("*")).alias("ab")
+    )
+    rich = (
+        t["customer"]
+        .crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+    )
+    never_ordered = rich.join(
+        t["orders"],
+        F.col("o_custkey") == F.col("c_custkey"),
+        "left_anti",
+    )
+    return (
+        never_ordered.groupBy(
+            F.substring("c_name", 1, 9).alias("cntrycode")
+        )
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )

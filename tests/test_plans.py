@@ -423,3 +423,25 @@ def test_importance_sampling_is_pure_map(spark, sf_dir):
     assert "Exchange" not in p
     assert "Join" not in p
     assert "EvalPython" not in p
+
+
+def test_q19_disjunction_pushes_factored_predicates(spark, sf_dir):
+    """The OR-of-ANDs must still prune at the scans: Catalyst factors
+    the common quantity range and a brand IN-list out of the
+    disjunction into PushedFilters on both sides of the join."""
+    p = plan(spark, sf_dir, "tpch_q19_disjunctive_revenue")
+    li = [ln for ln in p.splitlines()
+          if "PushedFilters" in ln and "l_quantity" in ln]
+    pt = [ln for ln in p.splitlines()
+          if "PushedFilters" in ln and "p_brand" in ln]
+    assert li and pt, p
+    assert "CartesianProduct" not in p
+
+
+def test_q22_is_anti_join_with_broadcast_threshold(spark, sf_dir):
+    """Never-ordered customers must come from an anti-join (not a
+    per-row NOT EXISTS nested loop); the global-average threshold is
+    a 1-row broadcast."""
+    p = plan(spark, sf_dir, "tpch_q22_global_sales_opportunity")
+    assert "LeftAnti" in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
