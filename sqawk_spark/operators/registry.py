@@ -52,6 +52,10 @@ REGISTRY: dict[str, QuerySpec] = {}
 # watched by an in-window round-5 entry (e.g. window_groups_exclude
 # supersedes window_groups_frame as the B19-GROUPS sentinel). Entries
 # NOT listed here keep registration order after the curated block.
+# Entries added AFTER the window filled (dedup_exact_stream,
+# embedding_centroid_by_label, tpch_q10/q12/q14/q19/q22) are the r06
+# rotation front-runners — all judge-sweep green locally, none with a
+# driver row yet.
 COVERAGE_FIRST: tuple[str, ...] = (
     # -- round-3/4 additions, never driver-checked (VERDICT r04 list)
     "pipeline_end_to_end",

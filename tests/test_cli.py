@@ -1563,3 +1563,31 @@ def test_orc_format_roundtrip(spark, tmp_path):
         "format=orc", dest,
     )
     assert got == "1 1 a\n2 2 b\n3 3 c"
+
+
+def test_groups_exclude_minmax_cli_matches_sqlite(tmp_path):
+    """min/max GROUPS ... EXCLUDE GROUP/TIES through the full CLI path
+    (dialect rewrite included); ground truth from the system SQLite."""
+    import sqlite3 as _sq
+
+    rows = [
+        (1, 10, "x"), (5, 20, "y"), (5, 30, "x"), (20, 40, "y"),
+        (21, 50, "x"), (21, 60, "y"), (100, 70, "x"),
+    ]
+    con = _sq.connect(":memory:")
+    con.execute("create table a (a1 int, a2 int, a3 text)")
+    con.executemany("insert into a values (?,?,?)", rows)
+    queries = [
+        "select a1, min(a2) over (order by a1 groups between 1 preceding"
+        " and 1 following exclude group) as s from a order by a1, a2",
+        "select a1, max(a2) over (partition by a3 order by a1 groups"
+        " between 1 preceding and 1 following exclude ties) as s"
+        " from a order by a1, a2",
+    ]
+    f = write(tmp_path, "f", "".join(f"{r[0]} {r[1]} {r[2]}\n" for r in rows))
+    for q in queries:
+        want = "\n".join(
+            " ".join("" if v is None else str(v) for v in r)
+            for r in con.execute(q)
+        )
+        assert pysqawk(q, f) == want
