@@ -1591,3 +1591,17 @@ def test_groups_exclude_minmax_cli_matches_sqlite(tmp_path):
             for r in con.execute(q)
         )
         assert pysqawk(q, f) == want
+
+
+def test_gzip_input_transparent(tmp_path):
+    """Compressed text inputs decompress transparently (Spark codec
+    discovery by extension) — same rows as the plain file. Scale note
+    lives in README: gzip is NOT splittable, one task per .gz file,
+    so shard compressed corpora into many files."""
+    import gzip
+
+    p = tmp_path / "in.txt.gz"
+    with gzip.open(p, "wt") as f:
+        f.write("1 a\n2 b\n3 c\n")
+    got = pysqawk("select a1, a2 from a order by a1", str(p))
+    assert got == "1 a\n2 b\n3 c"
