@@ -569,26 +569,30 @@ def _rewrite_excluded_agg(
 
     with a remaining-count CASE guard reproducing NULL-on-empty.
 
-    min/max have no subtraction inverse, but EXCLUDE GROUP/TIES still
-    decompose exactly: the frame minus the current group is the union
-    of the preceding-groups and following-groups sub-frames (each a
-    RANGE window over the dense rank), combined with least/greatest —
-    which skip NULLs, matching min/max's NULL-ignoring semantics and
-    empty-sub-frame NULLs; TIES adds the current row's bare value as
-    one more operand. min/max EXCLUDE CURRENT ROW is the one form
-    that does NOT decompose (it needs "the aggregate with one
-    occurrence removed" — a second-order statistic, not a windowed
-    aggregate composition), so it returns None and the caller bails
-    to a hard Spark error rather than a silent wrong answer. Fuzzed
-    against real SQLite in tests/test_groups_property.py."""
+    min/max have no subtraction inverse, but every EXCLUDE form still
+    decomposes exactly into NULL-skipping least/greatest over windowed
+    sub-aggregates (empty sub-frames yield NULL, matching min/max's
+    NULL-ignoring semantics):
+
+    - GROUP: frame minus the current peer group = the
+      preceding-groups ∪ following-groups sub-frames, each a RANGE
+      window over the dense rank.
+    - TIES: GROUP's operands plus the current row's bare value.
+    - CURRENT ROW: GROUP's operands plus the PEER GROUP MINUS SELF —
+      which needs no "one occurrence removed" statistic: within the
+      peer partition (partition cols + dense rank), the rows before
+      self ∪ the rows after self under ANY total order is exactly
+      peers-minus-self, so two ROWS-frame windows (unbounded..1
+      preceding / 1 following..unbounded) cover it regardless of tie
+      order.
+
+    Fuzzed against real SQLite in tests/test_groups_property.py."""
     fn_start = _operand_back(stmt, over_start)
     fn_m = re.match(r"([A-Za-z_][A-Za-z_0-9]*)\s*\(", stmt[fn_start:])
     if fn_m is None:
         return None
     fn = fn_m.group(1).lower()
     if fn not in ("sum", "count", "avg", "total", "min", "max"):
-        return None
-    if fn in ("min", "max") and kind == "current row":
         return None
     fn_open = fn_start + fn_m.end() - 1
     args = _split_call_args(stmt, fn_open)
@@ -630,6 +634,23 @@ def _rewrite_excluded_agg(
             )
         if kind == "ties":
             parts.append(f"({arg})")
+        elif kind == "current row":
+            # peers minus self: rows before me ∪ rows after me inside
+            # the peer partition, under any order (min/max are
+            # direction-agnostic, so arbitrary tie order is fine)
+            peer_part = (
+                f"{partition.strip()}, {alias}"
+                if partition.strip()
+                else f"partition by {alias}"
+            )
+            for fr in (
+                "rows between unbounded preceding and 1 preceding",
+                "rows between 1 following and unbounded following",
+            ):
+                parts.append(
+                    f"{fn}({arg}) over ({peer_part}"
+                    f" order by {alias} {fr})"
+                )
         comb = "least" if fn == "min" else "greatest"
         if not parts:
             repl = "null"  # frame was exactly the excluded group
@@ -700,21 +721,22 @@ def rewrite_groups_frames(stmt: str) -> str:
     EXCLUDE clauses (SQLite ≥ 3.28) are emulated for the distributive
     aggregates sum/count/avg/total (peer-group subtraction with a
     remaining-count guard for SQL NULL-on-empty semantics) and for
-    min/max under EXCLUDE GROUP/TIES (directional decomposition:
-    frame minus current group = preceding-groups ∪ following-groups
-    sub-frames combined with NULL-skipping least/greatest). Whether
-    the current group is inside the frame is decidable STATICALLY
-    from the frame bounds; when it is not, EXCLUDE is a no-op and
-    only the clause is stripped.
+    min/max under ALL THREE forms (directional decomposition: the
+    excluded rows' complement within the frame is a union of RANGE
+    sub-frames over the dense rank, plus — for EXCLUDE CURRENT ROW —
+    the peer-partition before-self/after-self ROWS sub-frames, all
+    combined with NULL-skipping least/greatest). Whether the current
+    group is inside the frame is decidable STATICALLY from the frame
+    bounds; when it is not, EXCLUDE is a no-op and only the clause is
+    stripped.
 
     Scope: one top-level FROM (single table with optional alias, or a
     join/comma list — sqawk's per-table column prefixes keep the inner
     SELECT * unambiguous), no top-level GROUP BY / HAVING / named
-    WINDOW clause, no set operators. Out-of-scope shapes — min/max
-    EXCLUDE CURRENT ROW (needs a second-order "aggregate with one
-    occurrence removed" statistic), other non-distributive functions,
-    grouped windows — are left unrewritten so Spark raises a hard
-    parse error instead of a silent wrong answer."""
+    WINDOW clause, no set operators. Out-of-scope shapes —
+    order-sensitive aggregates (group_concat), grouped windows — are
+    left unrewritten so Spark raises a hard parse error instead of a
+    silent wrong answer."""
     windows: list[tuple[int, int, str]] = []  # (start, end, replacement)
     drs: list[str] = []
     for m in _OVER_RE.finditer(stmt):

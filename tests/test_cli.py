@@ -1583,6 +1583,8 @@ def test_groups_exclude_minmax_cli_matches_sqlite(tmp_path):
         "select a1, max(a2) over (partition by a3 order by a1 groups"
         " between 1 preceding and 1 following exclude ties) as s"
         " from a order by a1, a2",
+        "select a1, min(a2) over (order by a1 groups between 1 preceding"
+        " and 1 following exclude current row) as s from a order by a1, a2",
     ]
     f = write(tmp_path, "f", "".join(f"{r[0]} {r[1]} {r[2]}\n" for r in rows))
     for q in queries:

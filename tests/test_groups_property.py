@@ -132,10 +132,13 @@ def _frame_contains(frame: str):
 
 
 def test_groups_exclude_minmax_vs_sqlite(spark):
-    """min/max EXCLUDE GROUP/TIES lower to the directional
-    decomposition (preceding-groups ∪ following-groups sub-frames via
-    least/greatest); parity vs real SQLite incl. NULLs and frames
-    that reduce to a single direction or to just the current row."""
+    """min/max EXCLUDE GROUP/TIES/CURRENT ROW lower to the
+    directional decomposition (preceding/following-groups RANGE
+    sub-frames, plus — for CURRENT ROW — the peer-partition
+    before-self/after-self ROWS sub-frames) via NULL-skipping
+    least/greatest; parity vs real SQLite incl. NULLs, duplicate
+    (p, k, v) rows, and frames that reduce to a single direction or
+    to just the current row."""
     rng = random.Random(17)
     rows = [
         (
@@ -153,7 +156,8 @@ def test_groups_exclude_minmax_vs_sqlite(spark):
     )
     for fn in ("min(v)", "max(v)"):
         for frame in FRAMES:
-            for kind in ("exclude group", "exclude ties"):
+            for kind in ("exclude group", "exclude ties",
+                         "exclude current row"):
                 for part in PARTS:
                     q = (
                         f"select p, k, v, {fn} over ({part}order by k"
@@ -168,12 +172,12 @@ def test_groups_exclude_minmax_vs_sqlite(spark):
 
 
 def test_groups_exclude_unsupported_still_bails():
-    """min/max EXCLUDE CURRENT ROW needs "the aggregate with one
-    occurrence removed" — not a windowed-aggregate composition — so
-    the statement must pass through untouched (Spark then raises a
-    hard error rather than a silent wrong answer)."""
+    """Aggregates outside the decomposable set (here group_concat —
+    order-sensitive, no exact windowed decomposition) must pass
+    through untouched so Spark raises a hard error rather than a
+    silent wrong answer."""
     q = (
-        "select max(v) over (order by k groups between 1 preceding and"
-        " 1 following exclude current row) from t"
+        "select group_concat(v) over (order by k groups between"
+        " 1 preceding and 1 following exclude group) from t"
     )
     assert rewrite_statement(q) == q
