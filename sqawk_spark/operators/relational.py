@@ -1574,18 +1574,41 @@ def tpch_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFram
                    sum(cents) OVER f AS fs,
                    count(*)   OVER f AS fc,
                    sum(cents) OVER g AS gs,
-                   count(*)   OVER g AS gc
+                   count(*)   OVER g AS gc,
+                   min(cents) OVER fp AS mnp,
+                   min(cents) OVER ff AS mnf,
+                   max(cents) OVER fp AS mxp,
+                   max(cents) OVER ff AS mxf,
+                   max(cents) OVER pb AS mxb,
+                   max(cents) OVER pa AS mxa
             FROM r
             WINDOW f AS (PARTITION BY p_brand ORDER BY grp
                          RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING),
-                   g AS (PARTITION BY p_brand, grp)
+                   g AS (PARTITION BY p_brand, grp),
+                   fp AS (PARTITION BY p_brand ORDER BY grp
+                          RANGE BETWEEN 1 PRECEDING AND 1 PRECEDING),
+                   ff AS (PARTITION BY p_brand ORDER BY grp
+                          RANGE BETWEEN 1 FOLLOWING AND 1 FOLLOWING),
+                   pb AS (PARTITION BY p_brand, grp ORDER BY grp
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING),
+                   pa AS (PARTITION BY p_brand, grp ORDER BY grp
+                          ROWS BETWEEN 1 FOLLOWING
+                          AND UNBOUNDED FOLLOWING)
         )
         SELECT p_partkey, p_size,
                CAST(CASE WHEN fc - gc > 0 THEN fs - gs END
                     AS BIGINT) AS excl_group,
                CAST(fs - gs + cents AS BIGINT) AS excl_ties,
                CAST(CASE WHEN fc > 1 THEN fs - cents END
-                    AS BIGINT) AS excl_current
+                    AS BIGINT) AS excl_current,
+               CAST(least(coalesce(mnp, mnf), coalesce(mnf, mnp))
+                    AS BIGINT) AS excl_group_min,
+               CAST(greatest(coalesce(mxp, mxb, mxa),
+                             coalesce(mxf, mxb, mxa),
+                             coalesce(mxb, mxp, mxf),
+                             coalesce(mxa, mxp, mxf))
+                    AS BIGINT) AS excl_current_max
         FROM w
     """,
 )
@@ -1604,6 +1627,13 @@ def window_groups_exclude(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 frame is just the current row)
 
     The remaining-count guards reproduce SQLite's empty-frame NULL.
+    Two min/max columns exercise the directional decomposition the
+    same lowering uses for non-subtractable aggregates:
+    ``excl_group_min`` (preceding/following-group RANGE sub-frames)
+    and ``excl_current_max`` (those plus the peer-partition
+    before-self/after-self ROWS sub-frames — their union is exactly
+    peers-minus-self under any tie order). coalesce-pairing keeps the
+    least/greatest combine NULL-ignoring when a sub-frame is empty.
     Neither Spark nor DuckDB implements GROUPS or EXCLUDE natively,
     so both sides run the dense_rank+RANGE construction; the
     construction itself is proven equal to REAL SQLite's native
@@ -1624,15 +1654,42 @@ def window_groups_exclude(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wf = W.partitionBy("p_brand").orderBy("grp").rangeBetween(-1, 1)
     wg = W.partitionBy("p_brand", "grp")
+    wfp = W.partitionBy("p_brand").orderBy("grp").rangeBetween(-1, -1)
+    wff = W.partitionBy("p_brand").orderBy("grp").rangeBetween(1, 1)
+    wpb = (
+        W.partitionBy("p_brand", "grp")
+        .orderBy("grp")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    wpa = (
+        W.partitionBy("p_brand", "grp")
+        .orderBy("grp")
+        .rowsBetween(1, W.unboundedFollowing)
+    )
     fs, fc = F.sum("cents").over(wf), F.count("*").over(wf)
     gs, gc = F.sum("cents").over(wg), F.count("*").over(wg)
     cur = F.col("cents")
+    # least/greatest in Spark skip NULLs only with >=2 args that are
+    # not all NULL; coalesce-pairing reproduces SQLite's NULL-ignoring
+    # combine when one side's sub-frame is empty
+    mnp, mnf = F.min("cents").over(wfp), F.min("cents").over(wff)
+    mxp, mxf = F.max("cents").over(wfp), F.max("cents").over(wff)
+    mxb, mxa = F.max("cents").over(wpb), F.max("cents").over(wpa)
     return ranked.select(
         "p_partkey",
         "p_size",
         F.when(fc - gc > 0, fs - gs).alias("excl_group"),
         (fs - gs + cur).alias("excl_ties"),
         F.when(fc > 1, fs - cur).alias("excl_current"),
+        F.least(F.coalesce(mnp, mnf), F.coalesce(mnf, mnp)).alias(
+            "excl_group_min"
+        ),
+        F.greatest(
+            F.coalesce(mxp, mxb, mxa),
+            F.coalesce(mxf, mxb, mxa),
+            F.coalesce(mxb, mxp, mxf),
+            F.coalesce(mxa, mxp, mxf),
+        ).alias("excl_current_max"),
     )
 
 

@@ -69,7 +69,8 @@ def test_groups_frame_emulation_matches_native_sqlite(spark, sf_dir):
 
 
 def test_groups_exclude_entry_matches_native_sqlite(spark, sf_dir):
-    """window_groups_exclude's three emulated EXCLUDE columns must
+    """window_groups_exclude's five emulated EXCLUDE columns (three
+    sum-subtraction, two min/max directional-decomposition) must
     equal real SQLite's native GROUPS ... EXCLUDE output."""
     import sqlite3
 
@@ -97,7 +98,9 @@ def test_groups_exclude_entry_matches_native_sqlite(spark, sf_dir):
             select p_partkey, p_size,
                 sum(cents) over ({frame} exclude group),
                 sum(cents) over ({frame} exclude ties),
-                sum(cents) over ({frame} exclude current row)
+                sum(cents) over ({frame} exclude current row),
+                min(cents) over ({frame} exclude group),
+                max(cents) over ({frame} exclude current row)
             from part
             """
         ).fetchall()
