@@ -11,6 +11,7 @@ aggregate joined back into the per-document scores.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from sqawk_spark.operators.registry import query
@@ -923,4 +924,95 @@ def text_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.exp(F.sum("nll_micro") / (F.count("*") * 1_000_000.0)), 2
             ).alias("perplexity"),
         )
+    )
+
+
+@query(
+    "text_zipf_fit",
+    oracle="""
+        WITH vocab AS (
+            SELECT w, CAST(count(*) AS BIGINT) AS f
+            FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)),
+                                                      '\\s+')) AS w
+                  FROM documents)
+            WHERE len(w) > 0 GROUP BY w
+        ),
+        ranked AS (
+            SELECT CAST(round(ln(row_number()
+                       OVER (ORDER BY f DESC, w)) * 1000000)
+                       AS BIGINT) AS x,
+                   CAST(round(ln(f) * 1000000) AS BIGINT) AS y
+            FROM vocab
+        ),
+        s AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x * y) AS BIGINT) AS sxy,
+                   CAST(sum(x * x) AS BIGINT) AS sxx
+            FROM ranked
+        )
+        SELECT n AS n_vocab,
+               round((n * sxy - sx * sy) * 1.0
+                     / (n * sxx - sx * sx), 6) AS zipf_slope,
+               round((sy - (n * sxy - sx * sy) * 1.0
+                           / (n * sxx - sx * sx) * sx)
+                     / (n * 1000000.0), 6) AS intercept_nats
+        FROM s
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit — the corpus-health diagnostic: least-
+    squares slope of ln(frequency) against ln(rank) over the
+    vocabulary (natural text sits near -1; templated/synthetic
+    corpora drift toward 0 or collapse steeply). Returns the slope,
+    the intercept (in nats), and the vocabulary size.
+
+    Cross-engine float discipline: each vocab entry's ln(rank) and
+    ln(freq) are scaled to integer micro-nats once (one ln per vocab
+    row, identical f64 inputs), so every regression sum (Σx, Σy, Σxy,
+    Σx²) is exact integer arithmetic — order-independent on both
+    engines; two final divisions round. Rank ties break on the word
+    itself, keeping row_number identical in both engines.
+
+    Scale: the regression runs on the VOCAB (≪ corpus); the one
+    global-order window is vocab-sized, not corpus-sized — at 100 TB
+    natural-language vocab plateaus in the millions, which one task
+    sorts in memory; the corpus itself contributes only the word-count
+    scan with map-side partials."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    vocab = (
+        t["documents"]
+        .select(F.explode(_tokens()).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count("*").alias("f"))
+    )
+    rk = F.row_number().over(W.orderBy(F.desc("f"), F.asc("w")))
+    ranked = vocab.select(
+        F.round(F.log(rk.cast("double")) * 1_000_000)
+        .cast("long")
+        .alias("x"),
+        F.round(F.log(F.col("f").cast("double")) * 1_000_000)
+        .cast("long")
+        .alias("y"),
+    )
+    s = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("n").alias("n_vocab"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(
+            (F.col("sy") - slope * F.col("sx"))
+            / (F.col("n") * 1_000_000.0),
+            6,
+        ).alias("intercept_nats"),
     )
