@@ -445,3 +445,25 @@ def test_q22_is_anti_join_with_broadcast_threshold(spark, sf_dir):
     p = plan(spark, sf_dir, "tpch_q22_global_sales_opportunity")
     assert "LeftAnti" in p
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+
+
+def test_scd2_is_single_window_no_self_join(spark, sf_dir):
+    """SCD2 validity intervals must come from one lead() window (one
+    key shuffle) — a self-join on version adjacency would shuffle the
+    table twice."""
+    p = plan(spark, sf_dir, "cdc_scd2_history")
+    assert "Join" not in p
+    assert "Window" in p
+    # exactly one exchange node, keyed on the SCD key
+    assert p.count("Exchange (") == 1
+    assert "hashpartitioning(o_custkey" in p
+
+
+def test_gap_fill_grid_joins_rollup_not_events(spark, sf_dir):
+    """The densification grid must LEFT-join the hourly ROLLUP (both
+    sides O(series x hours)); the hourly agg combines map-side so the
+    raw event stream never reaches the join."""
+    p = plan(spark, sf_dir, "events_gap_fill")
+    assert "partial_count" in p
+    assert "LeftOuter" in p or "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
