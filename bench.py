@@ -52,6 +52,12 @@ HEADLINE = [
     "tpch_q14_promo_effect",
     "tpch_q19_disjunctive_revenue",
     "tpch_q22_global_sales_opportunity",
+    # decorrelation-heavy shapes from the round-5 family completion:
+    # EXISTS pair → one order pass (Q21), correlated AVG → pre-agg
+    # join (Q17), integer-exact profit star (Q9)
+    "tpch_q21_waiting_suppliers",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q9_product_profit",
     "merge_upsert_orders",
     # extension operators (registered by the optional imports above)
     "grouping_sets_agg",

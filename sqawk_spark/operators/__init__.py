@@ -30,4 +30,5 @@ def load_all() -> None:
     import sqawk_spark.operators.similarity  # noqa: F401
     import sqawk_spark.operators.temporal  # noqa: F401
     import sqawk_spark.operators.textstats  # noqa: F401
+    import sqawk_spark.operators.tpch  # noqa: F401
     import sqawk_spark.streaming.windows  # noqa: F401

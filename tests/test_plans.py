@@ -467,3 +467,84 @@ def test_gap_fill_grid_joins_rollup_not_events(spark, sf_dir):
     assert "partial_count" in p
     assert "LeftOuter" in p or "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_q4_exists_is_semi_join_with_pushed_dates(spark, sf_dir):
+    """EXISTS must lower to ONE left-semi join with the correlated
+    date comparison in the join condition — not a per-order probe —
+    and the half-year window must prune the orders scan."""
+    p = plan(spark, sf_dir, "tpch_q4_order_priority")
+    assert "LeftSemi" in p
+    assert "GreaterThanOrEqual(o_orderdate" in p
+    assert "LessThan(o_orderdate" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q17_correlated_avg_is_preaggregated(spark, sf_dir):
+    """The correlated per-part AVG subquery must run as one
+    aggregation joined back (partial_avg before the exchange), never
+    a nested-loop re-scan per row; the brand filter must reach BOTH
+    part scans."""
+    p = plan(spark, sf_dir, "tpch_q17_small_quantity_revenue")
+    assert "partial_avg" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert p.count("EqualTo(p_brand,Brand#3)") >= 2
+
+
+def test_q21_exists_pair_is_one_order_pass(spark, sf_dir):
+    """EXISTS + NOT EXISTS must collapse into per-order supplier
+    statistics (aggregate + window on the same orderkey exchange) —
+    no lineitem self-joins — with top-25 as TakeOrderedAndProject and
+    the status/nation filters pushed to their scans."""
+    p = plan(spark, sf_dir, "tpch_q21_waiting_suppliers")
+    assert "Window" in p
+    assert "TakeOrderedAndProject" in p
+    assert "EqualTo(o_orderstatus,F)" in p
+    assert "In(n_name" in p
+    # the only joins are the fact⋈orders equi-join and broadcast dims
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_q2_correlated_min_is_window_not_self_join(spark, sf_dir):
+    """Q2's per-part minimum-cost correlation must be a window min
+    over the already-aggregated (part, supplier) rows — one shuffle —
+    not a correlated re-aggregation self-join."""
+    p = plan(spark, sf_dir, "tpch_q2_min_cost_supplier")
+    assert "Window" in p
+    assert "CartesianProduct" not in p
+    # region/type/size filters prune the broadcast dims at their scans
+    assert "EqualTo(r_name,EUROPE)" in p
+    assert "EqualTo(p_type,LARGE)" in p
+
+
+def test_q16_denylist_is_broadcast_anti_join(spark, sf_dir):
+    """NOT IN over never-null supplier keys must plan as a broadcast
+    LEFT ANTI join (not a null-aware nested loop), and the distinct
+    supplier count must use the two-phase distinct aggregate."""
+    p = plan(spark, sf_dir, "tpch_q16_supplier_part_count")
+    assert "LeftAnti" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "LessThan(s_acctbal" in p
+    assert p.count("HashAggregate") >= 2
+
+
+def test_q15_argmax_threshold_is_broadcast_scalar(spark, sf_dir):
+    """The max-revenue threshold must be a 1-row aggregate broadcast
+    over the per-supplier result — never a global sort or a re-scan —
+    and the quarter filter must prune the lineitem scan."""
+    p = plan(spark, sf_dir, "tpch_q15_top_supplier")
+    assert "GreaterThanOrEqual(l_shipdate" in p
+    assert "BroadcastExchange" in p or "BroadcastNestedLoopJoin" in p
+    assert "GlobalLimit" not in p  # argmax is not a top-1 sort
+
+
+def test_q20_dominance_is_window_over_grouped(spark, sf_dir):
+    """The correlated part-total must be a window sum over the
+    ALREADY-GROUPED (supplier, part) rows, with the red-part semi-join
+    and date range pruning the fact scan."""
+    p = plan(spark, sf_dir, "tpch_q20_potential_promotion")
+    assert "Window" in p
+    assert "LeftSemi" in p
+    assert "GreaterThanOrEqual(l_shipdate" in p
+    assert "StringStartsWith(p_name,red)" in p
