@@ -966,3 +966,100 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("canonical_doc_id").alias("canonical_vec_id"),
         "cluster_size",
     )
+
+
+@query(
+    "dedup_paragraph_chunks",
+    oracle="""
+        WITH words AS (
+            SELECT doc_id, string_split(trim(text), ' ') AS w
+            FROM documents
+        ), nums AS (
+            SELECT unnest(range(0,
+                (SELECT CAST(ceil(max(len(w)) / 16.0) AS BIGINT)
+                 FROM words))) AS grp
+        ), chunks AS (
+            SELECT doc_id, grp,
+                   array_to_string(w[grp * 16 + 1 : grp * 16 + 16], ' ')
+                       AS chunk
+            FROM words JOIN nums ON grp * 16 < len(w)
+        ), marked AS (
+            SELECT doc_id, grp, chunk,
+                   row_number() OVER (PARTITION BY chunk
+                                      ORDER BY doc_id, grp) AS rn
+            FROM chunks
+        )
+        SELECT doc_id,
+               CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT)
+                   AS kept_chunks,
+               CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT)
+                   AS dropped_chunks,
+               coalesce(string_agg(chunk, ' ' ORDER BY grp)
+                        FILTER (WHERE rn = 1), '') AS cleaned_text
+        FROM marked GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def dedup_paragraph_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document (paragraph-level) exact dedup — the
+    RefinedWeb/Gopher "remove duplicated passages, keep the rest of
+    the document" step, which whole-doc dedup cannot do. The corpus
+    has no newline structure, so a "paragraph" is a fixed 16-word
+    chunk; each chunk keeps only its globally-first occurrence
+    (ordered by doc_id, then position) and every document is
+    reassembled from its surviving chunks, with kept/dropped counts
+    per doc.
+
+    Plan: chunking is pure map-side array arithmetic on the scan
+    (split → sequence → slice → posexplode — no Python); canonical
+    marking is ONE window keyed on chunk content (rows are bounded at
+    16 words, and first-occurrence needs a total order, which a
+    groupBy-min would also shuffle for); reassembly is one
+    groupBy(doc_id) with array_sort(collect_list(struct(grp, chunk)))
+    — deterministic ordering without a second window. Two bounded
+    exchanges total, no joins, no driver traffic. At 100 TB the
+    window key would swap to a 16-byte fingerprint with the text
+    carried alongside (dedup_exact's md5 pattern); chunk text is
+    keyed directly here so the oracle comparison is collision-free by
+    construction."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    base = t["documents"].select(
+        "doc_id", F.split(F.trim("text"), " ").alias("w")
+    )
+    n_chunks = F.ceil(F.size("w") / 16.0).cast("int")
+    chunked = base.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda g: F.concat_ws(
+                    " ", F.slice("w", g * 16 + 1, F.lit(16))
+                ),
+            )
+        ).alias("grp", "chunk"),
+    )
+    rn = F.row_number().over(
+        W.partitionBy("chunk").orderBy("doc_id", "grp")
+    )
+    marked = chunked.withColumn("rn", rn)
+    kept = F.col("rn") == 1
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.sum(kept.cast("long")).alias("kept_chunks"),
+            F.sum((~kept).cast("long")).alias("dropped_chunks"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(kept, F.struct("grp", "chunk"))
+                        )
+                    ),
+                    lambda x: x["chunk"],
+                ),
+            ).alias("cleaned_text"),
+        )
+        .orderBy("doc_id")
+    )

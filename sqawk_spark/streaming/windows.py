@@ -690,3 +690,108 @@ def dedup_exact_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint) is arrival-order-free, which is exactly the property
     that makes streaming dedup replay-safe in production."""
     return stream_dedup_exact(spark, sf_dir, query_name="reg_stream_dedup")
+
+
+def stream_click_purchase_join(
+    spark: SparkSession, sf_dir: str, query_name: str = "stream_ssjoin"
+) -> DataFrame:
+    """Stream-stream inner join with watermarks on BOTH sides — the
+    Structured Streaming capability none of the other twins exercise:
+    clicks and purchases arrive as two event streams, and each click
+    joins the same user's purchases within the following hour.
+
+    The mandatory event-time range condition (``p_ts > c_ts AND p_ts
+    <= c_ts + 1 hour``) is what lets the symmetric hash join expire
+    state: a click older than max(event time) − 1 h − watermark can
+    never match a future purchase and is evicted. With availableNow
+    over a static file nothing is ever late, so the append-mode result
+    must equal the batch interval join value-for-value — the property
+    the registry oracle checks.
+
+    Delay is emitted in exact epoch-microsecond integers (timestamp
+    subtraction in doubles or second-truncation would invite
+    cross-engine boundary wiggle)."""
+    import os
+    import tempfile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = os.path.join(sf_dir, "events.parquet")
+    batch = spark.read.parquet(src)
+    stream_dir = tempfile.mkdtemp(prefix="sqawk_ssjoin_")
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    stream = spark.readStream.schema(batch.schema).parquet(stream_dir)
+    if isinstance(batch.schema["ts"].dataType, T.LongType):
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    elif isinstance(batch.schema["ts"].dataType, T.TimestampNTZType):
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("p_user") == F.col("user_id"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("delay_us"),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name).orderBy("click_id", "purchase_id")
+
+
+@query(
+    "events_stream_stream_join",
+    oracle="""
+        SELECT c.user_id, c.event_id AS click_id,
+               p.event_id AS purchase_id,
+               CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT)
+                   AS delay_us
+        FROM events c
+        JOIN events p
+          ON p.user_id = c.user_id
+         AND c.event_type = 'click' AND p.event_type = 'purchase'
+         AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+        ORDER BY click_id, purchase_id
+    """,
+)
+def events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable wrapper for the watermarked stream-stream
+    join: runs the real append-mode symmetric hash join (availableNow)
+    and must equal the batch interval join value-for-value.
+
+    Scale: state on each side is bounded by the 1-hour range condition
+    plus the watermark — the standard production shape for
+    click-attribution joins; the batch twin (events_range_join's
+    bucketed lowering) is what you'd run for backfill."""
+    return stream_click_purchase_join(
+        spark, sf_dir, query_name="reg_stream_ssjoin"
+    )

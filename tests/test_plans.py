@@ -548,3 +548,14 @@ def test_q20_dominance_is_window_over_grouped(spark, sf_dir):
     assert "LeftSemi" in p
     assert "GreaterThanOrEqual(l_shipdate" in p
     assert "StringStartsWith(p_name,red)" in p
+
+
+def test_paragraph_dedup_is_map_chunk_window_reassemble(spark, sf_dir):
+    """Chunking must be pure map-side array arithmetic on the scan (no
+    Python, no explode-then-groupBy-to-rebuild), canonical marking one
+    window, reassembly one aggregate — no joins anywhere."""
+    p = plan(spark, sf_dir, "dedup_paragraph_chunks")
+    assert "Window" in p
+    assert "Join" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Generate" in p  # posexplode of the chunk array
