@@ -278,6 +278,82 @@ def rewrite_group_concat(stmt: str) -> str:
     return "".join(out)
 
 
+_FILTER_RE = re.compile(r"\bFILTER\s*\(", re.IGNORECASE)
+
+
+def rewrite_filter_clause(stmt: str) -> str:
+    """``agg(args) FILTER (WHERE cond)`` → ``agg(CASE WHEN cond THEN
+    arg END)`` (SQLite ≥ 3.30 surface, ``lib/classes/sqawk.tcl:216``
+    verbatim eval).
+
+    Spark parses FILTER natively for JVM aggregates but rejects it on
+    Python UDAFs (the SQLite names ``total``/``group_concat2`` are
+    registered that way) and on window functions — both of which
+    SQLite allows. The CASE lowering is exact for every SQLite
+    aggregate because they all ignore NULL inputs: a row failing the
+    condition becomes a NULL argument, which the aggregate skips —
+    including ``count(*)`` (→ ``count(CASE ...1 END)``), DISTINCT
+    forms (dedup over the post-filter value set is unchanged), and
+    ``total()``'s empty-input 0.0. Rewriting unconditionally keeps
+    one code path and makes ``... FILTER (WHERE ..) OVER w`` work —
+    the window suffix sits after the replaced span and survives
+    verbatim."""
+    matches = [
+        m
+        for m in _FILTER_RE.finditer(stmt)
+        if not _in_quotes(stmt, m.start())
+    ]
+    # right-to-left: replacements never disturb earlier match offsets
+    for m in reversed(matches):
+        open_f = stmt.index("(", m.start())
+        close_f = _match_paren_fwd(stmt, open_f)
+        if close_f > len(stmt) or stmt[close_f - 1] != ")":
+            continue
+        inner = stmt[open_f + 1 : close_f - 1].strip()
+        if inner[:5].upper() != "WHERE" or (
+            len(inner) > 5 and _IDENT.match(inner[5])
+        ):
+            continue
+        cond = inner[5:].strip()
+        if not cond:
+            continue
+        call_start = _operand_back(stmt, m.start())
+        call_text = stmt[call_start : m.start()].rstrip()
+        if not call_text.endswith(")") or "(" not in call_text:
+            continue
+        p = call_text.index("(")
+        fn = call_text[:p].strip()
+        if not fn or not all(_IDENT.match(ch) for ch in fn):
+            continue
+        args = _split_call_args(call_text, p)
+        if not args:
+            continue
+        head, rest = args[0], args[1:]
+        distinct = ""
+        if head[:9].upper() == "DISTINCT " or (
+            head[:8].upper() == "DISTINCT" and len(head) == 8
+        ):
+            distinct, head = "DISTINCT ", head[8:].strip()
+        if head == "*":
+            head = "1"
+        elif fn.lower() == "group_concat":
+            # SQLite renders every group_concat argument as TEXT; the
+            # CASE lowering introduces NULLs, and a nullable integer
+            # column reaches the Arrow-batched UDAF as float64 (ints
+            # would print "-1.0"). Stringify JVM-side BEFORE the NULL
+            # appears so the UDAF receives SQLite's own text forms.
+            head = f"CAST({head} AS STRING)"
+        new_args = ", ".join(
+            [f"{distinct}CASE WHEN {cond} THEN {head} END"] + rest
+        )
+        stmt = (
+            stmt[:call_start]
+            + f"{fn}({new_args})"
+            + stmt[close_f:]
+        )
+    return stmt
+
+
 def _split_call_args(stmt: str, open_paren: int) -> list[str] | None:
     """Top-level argument texts of the call whose ``(`` is at
     ``open_paren``; None when the parens never close."""
@@ -1154,7 +1230,10 @@ def rewrite_date_calls(stmt: str) -> str:
 
 
 def rewrite_statement(stmt: str, columns: set[str] | None = None) -> str:
-    # glob first: infix GLOB lowers to glob() calls, which the regex-
+    # FILTER first: the CASE lowering produces plain aggregate calls
+    # the later passes (group_concat arity, GROUPS frames) then see
+    stmt = rewrite_filter_clause(stmt)
+    # glob next: infix GLOB lowers to glob() calls, which the regex-
     # call pass can then lift onto RLIKE when the pattern is literal
     stmt = rewrite_group_concat(rewrite_regex_calls(rewrite_glob(stmt)))
     stmt = rewrite_hint_funcs(stmt)

@@ -1607,3 +1607,47 @@ def test_gzip_input_transparent(tmp_path):
         f.write("1 a\n2 b\n3 c\n")
     got = pysqawk("select a1, a2 from a order by a1", str(p))
     assert got == "1 a\n2 b\n3 c"
+
+
+# --- FILTER (WHERE ...) aggregate clause (SQLite >= 3.30 surface) -------
+
+
+def test_filter_clause_aggregates(tmp_path):
+    f = write(tmp_path, "f", "x 1\ny 2\nx 3\ny 4\nx 5\n")
+    assert (
+        pysqawk(
+            "select a1, count(*) filter (where a2 > 1) as n "
+            "from a group by a1 order by a1",
+            f,
+        )
+        == "x 2\ny 2"
+    )
+    # total() is a Python UDAF; Spark rejects native FILTER on it —
+    # the CASE lowering makes it work (separate query: Spark cannot
+    # mix pandas and JVM aggregates in one aggregation, FILTER or
+    # not). Integral REALs print bare per the documented divergence
+    # (see the total() golden above).
+    assert (
+        pysqawk(
+            "select a1, total(a2) filter (where a2 > 2) as s "
+            "from a group by a1 order by a1",
+            f,
+        )
+        == "x 8\ny 4"
+    )
+
+
+def test_filter_clause_over_window(tmp_path):
+    # SQLite allows FILTER on window functions; Spark does not — the
+    # CASE lowering makes it work (verified vs real SQLite in
+    # tests/test_filter_clause.py)
+    f = write(tmp_path, "f", "1 10\n2 0\n3 30\n4 0\n")
+    assert (
+        pysqawk(
+            "select a1, count(*) filter (where a2 > 0) over "
+            "(order by a1 rows between 1 preceding and current row) "
+            "as c from a order by a1",
+            f,
+        )
+        == "1 1\n2 1\n3 1\n4 1"
+    )
