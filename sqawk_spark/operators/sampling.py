@@ -250,3 +250,79 @@ def sample_importance_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("h") < F.col("keep_w") * 4294967296.0)
         .select("doc_id", "lang", F.round("keep_w", 6).alias("keep_w"))
     )
+
+
+@query(
+    "sample_lang_temperature",
+    oracle="""
+        WITH s AS (
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_l
+            FROM documents GROUP BY 1
+        ), tot AS (
+            SELECT CAST(sum(CAST(round(sqrt(n_l) * 1000000) AS BIGINT))
+                        AS BIGINT) AS sumw,
+                   CAST(CAST(sum(n_l) AS BIGINT) / 2 AS BIGINT)
+                       AS n_target
+            FROM s
+        ), rates AS (
+            SELECT s.lang,
+                   least(1.0,
+                         (tot.n_target
+                          * CAST(round(sqrt(s.n_l) * 1000000) AS BIGINT))
+                         / (tot.sumw * 1.0 * s.n_l)) AS r
+            FROM s, tot
+        )
+        SELECT d.doc_id, d.lang, round(rates.r, 6) AS keep_rate
+        FROM documents d JOIN rates ON d.lang = rates.lang
+        WHERE CAST(concat('0x',
+                   substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) < rates.r * 4294967296.0
+    """,
+)
+def sample_lang_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language mixing (α = 0.5) — the multilingual
+    pretraining sampler: per-language keep rates proportional to
+    n^α / n, so low-resource languages are up-weighted relative to
+    their corpus share while the total stays at the target size
+    (half the corpus here). The mBERT/XLM-R exponent-sampling recipe
+    as a deterministic engine operator.
+
+    Determinism at the rate boundary: weights are
+    ``round(sqrt(n)·10⁶)`` integers, so the weight SUM is exact and
+    order-free (a sum of raw sqrt doubles would be order-dependent in
+    the last ulp — and one ulp at the threshold flips a document);
+    the rate is one integer×integer product divided by another, both
+    < 2⁵³, hence bit-identical everywhere. Acceptance is the md5
+    hash-threshold idiom shared with the other samplers — the same
+    document survives on any engine, partitioning, or rerun.
+
+    Scale: one 5-row language aggregate, rates broadcast back, accept
+    predicate inside codegen — no shuffle of the corpus, no driver
+    traffic; retuning α or the target is a constant change."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    w = F.round(F.sqrt(F.col("n_l")) * 1_000_000).cast("long")
+    s = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
+    tot = s.agg(
+        F.sum(w).alias("sumw"),
+        (F.sum("n_l") / 2).cast("long").alias("n_target"),
+    )
+    rates = (
+        s.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            F.least(
+                F.lit(1.0),
+                (F.col("n_target") * w)
+                / (F.col("sumw") * 1.0 * F.col("n_l")),
+            ).alias("r"),
+        )
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .filter(h < F.col("r") * 4294967296.0)
+        .select("doc_id", "lang", F.round("r", 6).alias("keep_rate"))
+    )

@@ -1016,3 +1016,61 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("intercept_nats"),
     )
+
+
+@query(
+    "source_level_filter",
+    oracle="""
+        WITH s AS (
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY 1
+        ), keep AS (
+            SELECT source, n_docs,
+                   round(sum_chars / (1.0 * n_docs), 2) AS avg_chars
+            FROM s
+            WHERE sum_chars >= 300 * n_docs AND n_docs >= 10
+        )
+        SELECT d.doc_id, d.source, keep.avg_chars
+        FROM documents d JOIN keep ON d.source = keep.source
+        ORDER BY d.doc_id
+    """,
+)
+def source_level_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level quality filtering — drop WHOLE sources whose
+    average document length falls below a floor (or with too few
+    documents to judge), keep every document from surviving sources.
+    The C4/RefinedWeb "blocklist the domain, not the page" step:
+    per-document filters (quality_filter_chain) can't catch a domain
+    that is uniformly mediocre.
+
+    The mean-length test is the exact integer cross-multiplication
+    ``sum_chars >= 300 × n_docs`` — never an avg() double compare a
+    source could straddle differently per engine; the displayed
+    average divides the same exact integers.
+
+    Scale: one source-level aggregate (domains ≪ documents), the
+    surviving-source table broadcast back over the corpus — the scan
+    is pruned by a broadcast hash join, not re-aggregated; adding a
+    new domain signal extends the small agg, not the corpus pass."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+    keep = s.filter(
+        (F.col("sum_chars") >= 300 * F.col("n_docs"))
+        & (F.col("n_docs") >= 10)
+    ).select(
+        "source",
+        F.round(F.col("sum_chars") / (1.0 * F.col("n_docs")), 2).alias(
+            "avg_chars"
+        ),
+    )
+    return (
+        docs.join(F.broadcast(keep), "source")
+        .select("doc_id", "source", "avg_chars")
+        .orderBy("doc_id")
+    )

@@ -559,3 +559,24 @@ def test_paragraph_dedup_is_map_chunk_window_reassemble(spark, sf_dir):
     assert "Join" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "Generate" in p  # posexplode of the chunk array
+
+
+def test_lang_temperature_is_broadcast_rates_no_corpus_shuffle(
+    spark, sf_dir
+):
+    """The per-language rates must reach the corpus through a
+    broadcast join with the accept predicate in codegen — the corpus
+    itself never shuffles and no Python runs."""
+    p = plan(spark, sf_dir, "sample_lang_temperature")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_source_filter_is_small_agg_broadcast_back(spark, sf_dir):
+    """Domain stats aggregate map-side (partial agg) and the
+    surviving-source table broadcasts back over the corpus."""
+    p = plan(spark, sf_dir, "source_level_filter")
+    assert "partial_count" in p or "partial_sum" in p
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
