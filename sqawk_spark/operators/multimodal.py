@@ -384,3 +384,282 @@ def multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_r double, mean_g double, mean_b double, std_all double"
         ),
     )
+
+
+_JPEG_ORACLE = """
+    WITH b AS (
+        SELECT doc_id,
+               CAST((doc_id * 7 + 0 * 53) % 256
+                  + (doc_id * 7 + 1 * 53) % 256
+                  + (doc_id * 7 + 2 * 53) % 256
+                  + (doc_id * 7 + 3 * 53) % 256 AS BIGINT) AS vsum
+        FROM documents
+    )
+    SELECT doc_id, 16 AS width, 16 AS height,
+           CAST(vsum * 64 AS BIGINT) AS pixel_sum,
+           round(vsum * 64 / 256.0, 6) AS mean_px
+    FROM b
+"""
+# Closed-form twin: each of the four 8x8 blocks is the constant
+# (doc_id*7 + b*53) % 256, the q=8 quantizer makes the DC coefficient
+# integer-exact, and a DC-only IDCT reconstructs the constant to the
+# last bit — so the decoded pixel SUM is exactly 64 * sum(block values).
+
+
+@query("multimodal_jpeg_decode", oracle=_JPEG_ORACLE)
+def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG entropy decode, stdlib+numpy only — closes
+    the "JPEG pixels stubbed" gap for the entropy-coded layer:
+    synthesis writes genuine JFIF baseline streams (DQT, SOF0, DHT
+    with Annex-K DC codes, SOS, byte-stuffed entropy data) and the
+    decoder is a real one — marker walk, Huffman table construction
+    from BITS/HUFFVAL, MSB-first bit reader with 0xFF00 unstuffing,
+    DC prediction + EXTEND, AC run-length/EOB handling, dequantize,
+    inverse zigzag, float64 IDCT, level shift.
+
+    Exactness: pixels are constant per 8x8 block, so every AC is
+    zero and the DC survives the q=8 quantizer as an exact integer;
+    the DC-only IDCT is a single rounding of value*(1±2⁻⁵²) — the
+    decoded image equals the synthesized one bit-for-bit, giving the
+    closed-form oracle above. General gradient JPEGs would reproduce
+    the encoder's quantized coefficients, not the source pixels —
+    that roundtrip is what the quantization-loss contract of JPEG
+    means, not a decoder limitation. Honest scope note: the AC
+    run-length/ZRL branches are implemented but the synthesized
+    streams only reach EOB (nonzero-AC pixels have no closed form an
+    SQL oracle can state exactly); chroma subsampling and video
+    containers remain out of scope (no media libs to cross-check).
+
+    Scale: same shape as the other media passes — one Arrow-batched
+    mapInPandas stream per partition, no shuffle, payload column
+    prunable when untouched."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    ids = t["documents"].select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
+        ZIGZAG = [
+            0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+            12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21,
+            28, 35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30,
+            37, 44, 51, 58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61,
+            54, 47, 55, 62, 63,
+        ]
+        # JPEG Annex K.3.1 luminance DC code lengths/values
+        DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+        DC_VALS = list(range(12))
+        # minimal legal AC table: EOB (symbol 0x00) as a 1-bit code
+        AC_BITS = [1] + [0] * 15
+        AC_VALS = [0x00]
+        QUANT = 8
+
+        def huff_codes(bits, vals):
+            code, k, out = 0, 0, {}
+            for ln in range(1, 17):
+                for _ in range(bits[ln - 1]):
+                    out[vals[k]] = (code, ln)
+                    code += 1
+                    k += 1
+                code <<= 1
+            return out
+
+        DC_ENC = huff_codes(DC_BITS, DC_VALS)
+        AC_ENC = huff_codes(AC_BITS, AC_VALS)
+
+        # orthonormal 8x8 DCT-II basis
+        x = np.arange(8)
+        T = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) / 2.0
+        T[0, :] = 1.0 / (2.0 * np.sqrt(2.0))
+
+        class BitWriter:
+            def __init__(self):
+                self.out = bytearray()
+                self.acc = 0
+                self.n = 0
+
+            def put(self, code, ln):
+                for i in range(ln - 1, -1, -1):
+                    self.acc = (self.acc << 1) | ((code >> i) & 1)
+                    self.n += 1
+                    if self.n == 8:
+                        self.out.append(self.acc)
+                        if self.acc == 0xFF:
+                            self.out.append(0x00)
+                        self.acc = 0
+                        self.n = 0
+
+            def flush(self):
+                while self.n:
+                    self.put(1, 1)
+                return bytes(self.out)
+
+        def seg(marker, body):
+            return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+        def synth_jpeg(doc_id: int) -> bytes:
+            vals = [(doc_id * 7 + b * 53) % 256 for b in range(4)]
+            bw = BitWriter()
+            pred = 0
+            for v in vals:
+                diff = (v - 128) - pred
+                pred = v - 128
+                s = diff if diff >= 0 else -diff
+                size = s.bit_length()
+                code, ln = DC_ENC[size]
+                bw.put(code, ln)
+                if size:
+                    bits = diff if diff >= 0 else diff + (1 << size) - 1
+                    bw.put(bits & ((1 << size) - 1), size)
+                c, ln = AC_ENC[0x00]  # EOB: all 63 ACs zero
+                bw.put(c, ln)
+            dqt = bytes([0x00]) + bytes([QUANT] * 64)
+            sof = struct.pack(">BHHB", 8, 16, 16, 1) + bytes([1, 0x11, 0])
+            dht = (
+                bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS)
+                + bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS)
+            )
+            sos = bytes([1, 1, 0x00, 0, 63, 0])
+            return (
+                b"\xff\xd8" + seg(0xDB, dqt) + seg(0xC0, sof)
+                + seg(0xC4, dht) + seg(0xDA, sos) + bw.flush()
+                + b"\xff\xd9"
+            )
+
+        def huff_decoder(bits, vals):
+            table, code, k = {}, 0, 0
+            for ln in range(1, 17):
+                for _ in range(bits[ln - 1]):
+                    table[(ln, code)] = vals[k]
+                    code += 1
+                    k += 1
+                code <<= 1
+            return table
+
+        class BitReader:
+            def __init__(self, data):
+                self.d = data
+                self.i = 0
+                self.acc = 0
+                self.n = 0
+
+            def bit(self):
+                if self.n == 0:
+                    b = self.d[self.i]
+                    self.i += 1
+                    if b == 0xFF:  # stuffing
+                        assert self.d[self.i] == 0x00
+                        self.i += 1
+                    self.acc = b
+                    self.n = 8
+                self.n -= 1
+                return (self.acc >> self.n) & 1
+
+            def read(self, n):
+                v = 0
+                for _ in range(n):
+                    v = (v << 1) | self.bit()
+                return v
+
+            def symbol(self, table):
+                code, ln = 0, 0
+                while True:
+                    code = (code << 1) | self.bit()
+                    ln += 1
+                    if (ln, code) in table:
+                        return table[(ln, code)]
+                    assert ln <= 16
+
+        def extend(v, s):
+            return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+
+        def decode_jpeg(data: bytes):
+            i = 2  # past SOI
+            qt = dc_tab = ac_tab = None
+            w = h = None
+            while True:
+                assert data[i] == 0xFF
+                marker = data[i + 1]
+                if marker == 0xD9:
+                    break
+                (ln,) = struct.unpack(">H", data[i + 2 : i + 4])
+                body = data[i + 4 : i + 2 + ln]
+                if marker == 0xDB:
+                    assert body[0] == 0x00  # 8-bit table 0
+                    qt = np.array(list(body[1:65]), dtype=np.float64)
+                elif marker == 0xC0:
+                    _, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+                    assert ncomp == 1 and body[7] == 0x11
+                elif marker == 0xC4:
+                    j = 0
+                    while j < len(body):
+                        tc_th = body[j]
+                        bits = list(body[j + 1 : j + 17])
+                        nv = sum(bits)
+                        vals = list(body[j + 17 : j + 17 + nv])
+                        tab = huff_decoder(bits, vals)
+                        if tc_th >> 4 == 0:
+                            dc_tab = tab
+                        else:
+                            ac_tab = tab
+                        j += 17 + nv
+                elif marker == 0xDA:
+                    i += 2 + ln
+                    break
+                i += 2 + ln
+            br = BitReader(data[i:])
+            bw_, bh_ = w // 8, h // 8
+            img = np.zeros((h, w), dtype=np.uint8)
+            pred = 0
+            for by in range(bh_):
+                for bx in range(bw_):
+                    zz = np.zeros(64, dtype=np.float64)
+                    s = br.symbol(dc_tab)
+                    diff = extend(br.read(s), s) if s else 0
+                    pred += diff
+                    zz[0] = pred
+                    k = 1
+                    while k < 64:
+                        rs = br.symbol(ac_tab)
+                        if rs == 0x00:  # EOB
+                            break
+                        if rs == 0xF0:  # ZRL
+                            k += 16
+                            continue
+                        k += rs >> 4
+                        sz = rs & 0x0F
+                        zz[k] = extend(br.read(sz), sz)
+                        k += 1
+                    coef = np.zeros(64, dtype=np.float64)
+                    coef[ZIGZAG] = zz * qt
+                    F2 = coef.reshape(8, 8)
+                    px = T.T @ F2 @ T + 128.0
+                    img[
+                        by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                    ] = np.clip(np.round(px), 0, 255).astype(np.uint8)
+            return img
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "width": [], "height": [],
+                "pixel_sum": [], "mean_px": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                img = decode_jpeg(synth_jpeg(int(doc_id)))
+                total = int(img.sum(dtype=np.int64))
+                out["doc_id"].append(int(doc_id))
+                out["height"].append(img.shape[0])
+                out["width"].append(img.shape[1])
+                out["pixel_sum"].append(total)
+                out["mean_px"].append(round(total / img.size, 6))
+            yield pd.DataFrame(out)
+
+    return ids.mapInPandas(
+        run,
+        schema=(
+            "doc_id bigint, width int, height int, "
+            "pixel_sum bigint, mean_px double"
+        ),
+    )
