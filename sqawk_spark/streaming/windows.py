@@ -795,3 +795,82 @@ def events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_click_purchase_join(
         spark, sf_dir, query_name="reg_stream_ssjoin"
     )
+
+
+def stream_static_enrich(
+    spark: SparkSession, sf_dir: str, query_name: str = "stream_enrich"
+) -> DataFrame:
+    """Stream-static join — the enrichment shape production pipelines
+    run constantly: an event stream joins a slowly-changing dimension
+    (customer segments) that Spark re-broadcasts per micro-batch, so
+    the stream never shuffles for the join and dimension updates are
+    picked up between batches without restarting the query. The only
+    stateful operator is the downstream complete-mode aggregation
+    (segment × event-type counts and revenue); the join itself is
+    stateless, which is why — unlike the stream-stream join — it
+    needs no watermark.
+
+    With availableNow over static files the result must equal the
+    batch join+aggregate value-for-value (the registry oracle)."""
+    import os
+    import tempfile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = os.path.join(sf_dir, "events.parquet")
+    batch = spark.read.parquet(src)
+    stream_dir = tempfile.mkdtemp(prefix="sqawk_enrich_")
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    stream = spark.readStream.schema(batch.schema).parquet(stream_dir)
+    customers = spark.read.parquet(
+        os.path.join(sf_dir, "customer.parquet")
+    ).select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    enriched = (
+        stream.join(customers, "user_id")
+        .groupBy("segment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name).orderBy("segment", "event_type")
+
+
+@query(
+    "events_stream_static_enrich",
+    oracle="""
+        SELECT c.c_mktsegment AS segment, e.event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(CAST(sum(e.value) AS DOUBLE), 2) AS total_value
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY segment, e.event_type
+        ORDER BY segment, e.event_type
+    """,
+)
+def events_stream_static_enrich(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Driver-checkable wrapper for the stream-static enrichment
+    join: the real per-micro-batch broadcast join plus complete-mode
+    aggregation, equal to the batch join+aggregate value-for-value.
+
+    Scale: the dimension is broadcast per batch (no stream shuffle
+    for the join, no state); aggregation state is bounded by
+    |segments| × |event types| — this is the cheapest stateful shape
+    Structured Streaming has, and the first one to reach for before
+    any stream-stream machinery."""
+    return stream_static_enrich(
+        spark, sf_dir, query_name="reg_stream_enrich"
+    )
