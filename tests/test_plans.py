@@ -580,3 +580,32 @@ def test_source_filter_is_small_agg_broadcast_back(spark, sf_dir):
     assert "partial_count" in p or "partial_sum" in p
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_q9_star_is_broadcast_dims_one_fact_shuffle(spark, sf_dir):
+    """Part (name-filtered) and supplier⋈nation must broadcast; the
+    name predicate must reach the part scan; no cartesian anywhere."""
+    p = plan(spark, sf_dir, "tpch_q9_product_profit")
+    assert "BroadcastHashJoin" in p
+    assert "StringContains(p_name,red)" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q13_left_join_filters_orders_before_join(spark, sf_dir):
+    """The priority predicate must prune the orders scan BEFORE the
+    outer join (a WHERE placement would also drop the zero-order
+    customers), and the histogram needs two aggregations."""
+    p = plan(spark, sf_dir, "tpch_q13_customer_distribution")
+    assert "Not(EqualTo(o_orderpriority,1-URGENT))" in p
+    assert "LeftOuter" in p or "RightOuter" in p
+    assert p.count("HashAggregate") >= 4  # two x (partial + final)
+
+
+def test_q7_prefilters_both_fact_sides_through_dims(spark, sf_dir):
+    """Supplier and customer must be nation-filtered via broadcast
+    dims BEFORE the fact join — the In(n_name) predicate reaches the
+    nation scans — and the date range prunes lineitem."""
+    p = plan(spark, sf_dir, "tpch_q7_volume_shipping")
+    assert p.count("In(n_name") >= 2
+    assert "GreaterThanOrEqual(l_shipdate" in p
+    assert "CartesianProduct" not in p
