@@ -278,6 +278,107 @@ def rewrite_group_concat(stmt: str) -> str:
     return "".join(out)
 
 
+_MINMAX_AGG_RE = re.compile(r"\b(min|max)\s*\(", re.IGNORECASE)
+_OTHER_AGG_RE = re.compile(
+    r"\b(?:count|sum|avg|total|group_concat|group_concat2)\s*\(",
+    re.IGNORECASE,
+)
+_OVER_RE = re.compile(r"\bover\b", re.IGNORECASE)
+_SELECT_RE = re.compile(r"\bselect\b", re.IGNORECASE)
+_PLAIN_IDENT_ITEM_RE = re.compile(
+    r"^\s*(?:([A-Za-z_][A-Za-z_0-9]*)\s*\.\s*)?([A-Za-z_][A-Za-z_0-9]*)"
+    r"(?:\s+(?:as\s+)?([A-Za-z_][A-Za-z_0-9]*))?\s*$",
+    re.IGNORECASE,
+)
+
+
+def rewrite_bare_minmax_columns(stmt: str) -> str:
+    """SQLite's bare-column rule (lang_select.html §bare_columns,
+    reached verbatim through ``lib/classes/sqawk.tcl:216``): in an
+    aggregate query whose ONLY aggregate is a single ``min(x)`` or
+    ``max(x)``, non-aggregate non-grouped columns take their values
+    from the row holding the extreme — ``SELECT a1, a3, max(a2) FROM
+    a GROUP BY a1`` returns a3 from the max-a2 row. Spark rejects the
+    bare column outright; the exact lowering is ``max_by``/``min_by``.
+
+    Deliberately narrow — rewrites only when the semantics are
+    DETERMINISTIC and unambiguous, every other case keeps Spark's
+    loud analysis error over a silent arbitrary-row answer:
+    single-SELECT statement (no subqueries/CTEs), no DISTINCT, no
+    window functions, exactly one min/max call with one argument
+    located in the select list, no other aggregate functions (SQLite
+    then defines bare columns as coming from an ARBITRARY row — not
+    reproducible), and only plain-identifier select items are
+    rewritten. Ties on the extreme value are arbitrary in both
+    SQLite and max_by, so the fuzz oracle uses unique extremes."""
+    spans = _string_spans(stmt)
+
+    def outside(i: int) -> bool:
+        return not any(s <= i < e for s, e in spans)
+
+    selects = [m for m in _SELECT_RE.finditer(stmt) if outside(m.start())]
+    if len(selects) != 1:
+        return stmt
+    if any(outside(m.start()) for m in _OVER_RE.finditer(stmt)):
+        return stmt
+    if any(outside(m.start()) for m in _OTHER_AGG_RE.finditer(stmt)):
+        return stmt
+    aggs = [m for m in _MINMAX_AGG_RE.finditer(stmt) if outside(m.start())]
+    if len(aggs) != 1:
+        return stmt
+    agg = aggs[0]
+    args = _split_call_args(stmt, agg.end() - 1)
+    if args is None or len(args) != 1:
+        return stmt
+    fn_by = "min_by" if agg.group(1).lower() == "min" else "max_by"
+    arg = args[0].strip()
+
+    clauses = _top_level_clauses(stmt)
+    from_c = next((c for c in clauses if c[0] == "from"), None)
+    if from_c is None:
+        return stmt
+    sel_end = selects[0].end()
+    list_start, list_end = sel_end, from_c[1]
+    if not (list_start <= agg.start() < list_end):
+        return stmt
+    sel_list = stmt[list_start:list_end]
+    if re.match(r"\s*distinct\b", sel_list, re.IGNORECASE):
+        return stmt
+
+    group_c = next((c for c in clauses if c[0] == "group_by"), None)
+    grouped: set[str] = set()
+    if group_c is not None:
+        tail = [c for c in clauses if c[1] > group_c[2]]
+        g_end = tail[0][1] if tail else len(stmt)
+        for expr in _split_args_top(stmt[group_c[2] : g_end]):
+            grouped.add(re.sub(r"\s+", "", expr).lower())
+
+    # split the select list on top-level commas (reuse the call-arg
+    # splitter by wrapping in parens)
+    items = _split_call_args("(" + sel_list + ")", 0)
+    if not items:
+        return stmt
+    out_items: list[str] = []
+    changed = False
+    for item in items:
+        m = _PLAIN_IDENT_ITEM_RE.match(item)
+        has_agg = _MINMAX_AGG_RE.search(item) is not None
+        if has_agg or m is None:
+            out_items.append(item)
+            continue
+        qual, name, alias = m.group(1), m.group(2), m.group(3)
+        full = (qual + "." + name if qual else name).lower()
+        if full in grouped or name.lower() in grouped:
+            out_items.append(item)
+            continue
+        col = (qual + "." + name) if qual else name
+        out_items.append(f"{fn_by}({col}, {arg}) AS {alias or name}")
+        changed = True
+    if not changed:
+        return stmt
+    return stmt[:list_start] + " " + ", ".join(out_items) + " " + stmt[from_c[1]:]
+
+
 _FILTER_RE = re.compile(r"\bFILTER\s*\(", re.IGNORECASE)
 
 
@@ -1238,6 +1339,9 @@ def rewrite_statement(stmt: str, columns: set[str] | None = None) -> str:
     stmt = rewrite_group_concat(rewrite_regex_calls(rewrite_glob(stmt)))
     stmt = rewrite_hint_funcs(stmt)
     stmt = rewrite_scalar_minmax(rewrite_two_arg_trim(stmt))
+    # after scalar min/max lowering: any remaining 1-arg min/max is an
+    # aggregate, which is what the bare-column rule keys on
+    stmt = rewrite_bare_minmax_columns(stmt)
     stmt = rewrite_date_calls(stmt)
     stmt = rewrite_groups_frames(stmt)
     if columns:

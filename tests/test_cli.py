@@ -1651,3 +1651,17 @@ def test_filter_clause_over_window(tmp_path):
         )
         == "1 1\n2 1\n3 1\n4 1"
     )
+
+
+def test_bare_column_with_max(tmp_path):
+    # SQLite bare-column rule: non-grouped a3 comes from the max-a2
+    # row (lowered to max_by; verified vs real SQLite in
+    # tests/test_filter_clause.py)
+    f = write(tmp_path, "f", "x 1 a\nx 3 b\ny 2 c\n")
+    assert (
+        pysqawk(
+            "select a1, a3, max(a2) as m from a group by a1 order by a1",
+            f,
+        )
+        == "x b 3\ny c 2"
+    )

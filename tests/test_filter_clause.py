@@ -151,3 +151,36 @@ def test_filter_over_window_vs_sqlite(spark):
     rewritten = rewrite_statement(q)
     got = [tuple(r) for r in spark.sql(rewritten).collect()]
     assert got == want, rewritten
+
+
+def test_bare_minmax_columns_randomized_vs_sqlite(spark):
+    """SQLite's bare-column min/max rule must match the max_by/min_by
+    lowering. Extreme values are made unique per group (ties are
+    arbitrary-row in BOTH engines, so only unique extremes define a
+    comparable answer)."""
+    rng = random.Random(23)
+    # v unique per (p) group => unique extreme; w is the bare payload
+    rows = []
+    for p in range(4):
+        vs = rng.sample(range(-50, 200), 12)
+        for k, v in enumerate(vs):
+            rows.append((p, k, v, rng.randint(0, 99)))
+    con = sqlite3.connect(":memory:")
+    con.execute("create table t (p int, k int, v int, w int)")
+    con.executemany("insert into t values (?,?,?,?)", rows)
+    spark.createDataFrame(
+        rows, "p int, k int, v int, w int"
+    ).createOrReplaceTempView("t")
+    queries = [
+        "select p, k, w, max(v) as m from t group by p order by p",
+        "select p, k, w, min(v) as m from t group by p order by p",
+        "select k, w, max(v) as m from t",
+        "select k, min(v) as m from t where p < 2",
+        "select p, w as payload, max(v) as m from t group by p order by p",
+    ]
+    for q in queries:
+        want = con.execute(q).fetchall()
+        rewritten = rewrite_statement(q)
+        assert ("max_by" in rewritten) or ("min_by" in rewritten), q
+        got = [tuple(r) for r in spark.sql(rewritten).collect()]
+        assert got == want, f"{q}\nrewritten: {rewritten}"
