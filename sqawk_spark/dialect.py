@@ -379,6 +379,30 @@ def rewrite_bare_minmax_columns(stmt: str) -> str:
     return stmt[:list_start] + " " + ", ".join(out_items) + " " + stmt[from_c[1]:]
 
 
+def rewrite_limit_comma(stmt: str) -> str:
+    """SQLite's ``LIMIT n, m`` comma form means ``LIMIT m OFFSET n``
+    (the operands SWAP — lang_select.html; reached verbatim through
+    ``lib/classes/sqawk.tcl:216``). Spark only parses the
+    LIMIT/OFFSET spelling, so rewrite the comma form, preserving
+    arbitrary operand expressions."""
+    clauses = _top_level_clauses(stmt)
+    for idx in range(len(clauses) - 1, -1, -1):
+        name, _, kw_end = clauses[idx]
+        if name != "limit":
+            continue
+        end = clauses[idx + 1][1] if idx + 1 < len(clauses) else len(stmt)
+        body = stmt[kw_end:end]
+        parts = _split_args_top(body)
+        if len(parts) != 2 or not parts[0] or not parts[1]:
+            continue
+        stmt = (
+            stmt[:kw_end]
+            + f" {parts[1]} OFFSET {parts[0]} "
+            + stmt[end:]
+        )
+    return stmt
+
+
 _FILTER_RE = re.compile(r"\bFILTER\s*\(", re.IGNORECASE)
 
 
@@ -1342,6 +1366,7 @@ def rewrite_statement(stmt: str, columns: set[str] | None = None) -> str:
     # after scalar min/max lowering: any remaining 1-arg min/max is an
     # aggregate, which is what the bare-column rule keys on
     stmt = rewrite_bare_minmax_columns(stmt)
+    stmt = rewrite_limit_comma(stmt)
     stmt = rewrite_date_calls(stmt)
     stmt = rewrite_groups_frames(stmt)
     if columns:

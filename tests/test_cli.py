@@ -1665,3 +1665,14 @@ def test_bare_column_with_max(tmp_path):
         )
         == "x b 3\ny c 2"
     )
+
+
+def test_limit_comma_form(tmp_path):
+    # SQLite LIMIT n, m == LIMIT m OFFSET n (operands swap)
+    f = write(tmp_path, "f", "1\n2\n3\n4\n5\n")
+    assert (
+        pysqawk("select a1 from a order by a1 limit 1, 2", f) == "2\n3"
+    )
+    assert (
+        pysqawk("select a1 from a order by a1 limit 0, 2", f) == "1\n2"
+    )

@@ -384,3 +384,22 @@ def test_date_call_lowering_keeps_plan_jvm_side(spark):
     assert "BatchEvalPython" in (
         fallback._jdf.queryExecution().executedPlan().toString()
     )
+
+
+def test_limit_comma_rewrite():
+    from sqawk_spark.dialect import rewrite_limit_comma as r
+
+    assert (
+        r("select a1 from a order by a1 limit 1, 2").strip()
+        == "select a1 from a order by a1 limit 2 OFFSET 1"
+    )
+    # plain LIMIT and LIMIT/OFFSET pass through untouched
+    assert r("select a1 from a limit 5") == "select a1 from a limit 5"
+    assert (
+        r("select a1 from a limit 3 offset 1")
+        == "select a1 from a limit 3 offset 1"
+    )
+    # only the top-level clause is rewritten; a parenthesized subquery
+    # limit keeps Spark's loud parse error (never a silent swap)
+    s = "select * from (select a1 from a limit 1, 2) t"
+    assert "limit 1, 2" in r(s)
