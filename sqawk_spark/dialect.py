@@ -403,6 +403,36 @@ def rewrite_limit_comma(stmt: str) -> str:
     return stmt
 
 
+_IS_NOT_RE = re.compile(r"\bis\s+not\b", re.IGNORECASE)
+_IS_RE = re.compile(r"\bis\b", re.IGNORECASE)
+_IS_KEEP = re.compile(r"\s*(?:null|true|false|distinct|not)\b", re.IGNORECASE)
+_IS_NOT_KEEP = re.compile(r"\s*(?:null|true|false|distinct)\b", re.IGNORECASE)
+
+
+def rewrite_is_equality(stmt: str) -> str:
+    """SQLite's general ``X IS Y`` / ``X IS NOT Y`` (null-safe
+    equality over ARBITRARY operands, lang_expr.html — not just the
+    NULL/TRUE/FALSE forms Spark parses) → Spark's
+    ``IS [NOT] DISTINCT FROM``. A pure keyword substitution: the
+    operands stay in place, so no expression parsing can go wrong.
+    ``IS [NOT] NULL/TRUE/FALSE`` and an already-spelled
+    ``IS [NOT] DISTINCT FROM`` pass through untouched."""
+    out = stmt
+    for rex, keep, repl in (
+        (_IS_NOT_RE, _IS_NOT_KEEP, "IS DISTINCT FROM"),
+        (_IS_RE, _IS_KEEP, "IS NOT DISTINCT FROM"),
+    ):
+        matches = [
+            m
+            for m in rex.finditer(out)
+            if not _in_quotes(out, m.start())
+            and not keep.match(out, m.end())
+        ]
+        for m in reversed(matches):
+            out = out[: m.start()] + repl + out[m.end() :]
+    return out
+
+
 _FILTER_RE = re.compile(r"\bFILTER\s*\(", re.IGNORECASE)
 
 
@@ -1367,6 +1397,7 @@ def rewrite_statement(stmt: str, columns: set[str] | None = None) -> str:
     # aggregate, which is what the bare-column rule keys on
     stmt = rewrite_bare_minmax_columns(stmt)
     stmt = rewrite_limit_comma(stmt)
+    stmt = rewrite_is_equality(stmt)
     stmt = rewrite_date_calls(stmt)
     stmt = rewrite_groups_frames(stmt)
     if columns:

@@ -184,3 +184,32 @@ def test_bare_minmax_columns_randomized_vs_sqlite(spark):
         assert ("max_by" in rewritten) or ("min_by" in rewritten), q
         got = [tuple(r) for r in spark.sql(rewritten).collect()]
         assert got == want, f"{q}\nrewritten: {rewritten}"
+
+
+def test_is_equality_randomized_vs_sqlite(spark):
+    """SQLite's general X IS Y null-safe equality must match the
+    IS [NOT] DISTINCT FROM lowering, including NULL operands."""
+    rng = random.Random(29)
+    rows = [
+        (
+            rng.choice([None, 0, 1, 2]),
+            rng.choice([None, 0, 1, 2]),
+        )
+        for _ in range(40)
+    ]
+    con = sqlite3.connect(":memory:")
+    con.execute("create table t (x int, y int)")
+    con.executemany("insert into t values (?,?)", rows)
+    spark.createDataFrame(rows, "x int, y int").createOrReplaceTempView("t")
+    for q in [
+        "select count(*) as n from t where x is y",
+        "select count(*) as n from t where x is not y",
+        "select count(*) as n from t where x is 1",
+        "select count(*) as n from t where x is not 2",
+        "select count(*) as n from t where x is null",
+        "select count(*) as n from t where x is not null",
+    ]:
+        want = con.execute(q).fetchall()
+        rewritten = rewrite_statement(q)
+        got = [tuple(r) for r in spark.sql(rewritten).collect()]
+        assert got == want, f"{q}\nrewritten: {rewritten}"
