@@ -58,6 +58,7 @@ HEADLINE = [
     "tpch_q21_waiting_suppliers",
     "tpch_q17_small_quantity_revenue",
     "tpch_q9_product_profit",
+    "dedup_paragraph_chunks",
     "merge_upsert_orders",
     # extension operators (registered by the optional imports above)
     "grouping_sets_agg",
