@@ -433,6 +433,46 @@ def rewrite_is_equality(stmt: str) -> str:
     return out
 
 
+_COLLATE_NOCASE_RE = re.compile(r"\s+collate\s+nocase\b", re.IGNORECASE)
+_ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
+
+
+def rewrite_collate_nocase(stmt: str) -> str:
+    """``expr COLLATE NOCASE`` inside ORDER BY → sort on the
+    ASCII-folded key. SQLite's NOCASE collation folds ONLY ASCII A-Z
+    (datatype3.html §collation) — exactly ``translate(expr, 'A..Z',
+    'a..z')``, NOT ``lower()``, whose Unicode folding would reorder
+    non-ASCII rows. Scoped to ORDER BY (including per-key, multi-key,
+    with ASC/DESC suffixes): a COLLATE in a comparison context folds
+    BOTH comparison operands, which a single-operand text rewrite
+    cannot express — those keep Spark's loud parse error."""
+    clauses = _top_level_clauses(stmt)
+    order_c = next((c for c in clauses if c[0] == "order_by"), None)
+    matches = [
+        m
+        for m in _COLLATE_NOCASE_RE.finditer(stmt)
+        if not _in_quotes(stmt, m.start())
+    ]
+    if order_c is None or not matches:
+        return stmt
+    tail = [c for c in clauses if c[1] > order_c[2]]
+    o_end = tail[0][1] if tail else len(stmt)
+    for m in reversed(matches):
+        if not (order_c[2] <= m.start() < o_end):
+            continue
+        lhs = _operand_back(stmt, m.start())
+        expr = stmt[lhs : m.start()].strip()
+        if not expr:
+            continue
+        stmt = (
+            stmt[:lhs]
+            + f" translate({expr}, '{_ASCII_UPPER}', '{_ASCII_LOWER}')"
+            + stmt[m.end() :]
+        )
+    return stmt
+
+
 _FILTER_RE = re.compile(r"\bFILTER\s*\(", re.IGNORECASE)
 
 
@@ -1398,6 +1438,7 @@ def rewrite_statement(stmt: str, columns: set[str] | None = None) -> str:
     stmt = rewrite_bare_minmax_columns(stmt)
     stmt = rewrite_limit_comma(stmt)
     stmt = rewrite_is_equality(stmt)
+    stmt = rewrite_collate_nocase(stmt)
     stmt = rewrite_date_calls(stmt)
     stmt = rewrite_groups_frames(stmt)
     if columns:

@@ -1676,3 +1676,12 @@ def test_limit_comma_form(tmp_path):
     assert (
         pysqawk("select a1 from a order by a1 limit 0, 2", f) == "1\n2"
     )
+
+
+def test_order_by_collate_nocase(tmp_path):
+    # SQLite NOCASE folds ASCII only (translate, not lower)
+    f = write(tmp_path, "f", "b\nA\nZ\na\n")
+    assert (
+        pysqawk("select a1 from a order by a1 collate nocase, a1", f)
+        == "A\na\nb\nZ"
+    )

@@ -213,3 +213,31 @@ def test_is_equality_randomized_vs_sqlite(spark):
         rewritten = rewrite_statement(q)
         got = [tuple(r) for r in spark.sql(rewritten).collect()]
         assert got == want, f"{q}\nrewritten: {rewritten}"
+
+
+def test_collate_nocase_order_by_vs_sqlite(spark):
+    """ORDER BY ... COLLATE NOCASE must sort exactly like SQLite's
+    ASCII-only fold — including non-ASCII rows, which lower() would
+    move (SQLite NOCASE leaves them unfolded). Unique secondary key
+    makes the total order comparable."""
+    rows = [
+        (i, s)
+        for i, s in enumerate(
+            ["b", "A", "a", "B", "Z", "é", "É", "x", "_", "9", "aB", "Ab"]
+        )
+    ]
+    con = sqlite3.connect(":memory:")
+    con.execute("create table t (k int, s text)")
+    con.executemany("insert into t values (?,?)", rows)
+    spark.createDataFrame(rows, "k int, s string").createOrReplaceTempView(
+        "t"
+    )
+    for q in [
+        "select k, s from t order by s collate nocase, k",
+        "select k, s from t order by s collate nocase desc, k",
+    ]:
+        want = con.execute(q).fetchall()
+        rewritten = rewrite_statement(q)
+        assert "translate(" in rewritten, rewritten
+        got = [tuple(r) for r in spark.sql(rewritten).collect()]
+        assert got == want, f"{q}\nrewritten: {rewritten}"
