@@ -360,7 +360,7 @@ def rewrite_bare_minmax_columns(stmt: str) -> str:
         return stmt
     out_items: list[str] = []
     changed = False
-    for item in items:
+    for idx, item in enumerate(items, start=1):
         m = _PLAIN_IDENT_ITEM_RE.match(item)
         has_agg = _MINMAX_AGG_RE.search(item) is not None
         if has_agg or m is None:
@@ -368,7 +368,17 @@ def rewrite_bare_minmax_columns(stmt: str) -> str:
             continue
         qual, name, alias = m.group(1), m.group(2), m.group(3)
         full = (qual + "." + name if qual else name).lower()
-        if full in grouped or name.lower() in grouped:
+        # GROUP BY may name this item by column, by its select alias,
+        # or by 1-based ordinal (Spark's groupByAliases/groupByOrdinal,
+        # SQLite likewise) — all three mean "grouped, leave untouched"
+        # (a max_by rewrite would turn the grouping key into an
+        # aggregate and break previously-valid queries).
+        if (
+            full in grouped
+            or name.lower() in grouped
+            or (alias or name).lower() in grouped
+            or str(idx) in grouped
+        ):
             out_items.append(item)
             continue
         col = (qual + "." + name) if qual else name
@@ -525,10 +535,11 @@ def rewrite_filter_clause(stmt: str) -> str:
             continue
         head, rest = args[0], args[1:]
         distinct = ""
-        if head[:9].upper() == "DISTINCT " or (
-            head[:8].upper() == "DISTINCT" and len(head) == 8
-        ):
-            distinct, head = "DISTINCT ", head[8:].strip()
+        # any whitespace (incl. newline) may follow the keyword —
+        # 'count(DISTINCT\nx)' is valid SQLite
+        dm = re.match(r"DISTINCT(\s+|$)", head, re.IGNORECASE)
+        if dm:
+            distinct, head = "DISTINCT ", head[dm.end() :].strip()
         if head == "*":
             head = "1"
         elif fn.lower() == "group_concat":

@@ -23,6 +23,10 @@ Oracle-parity rules used throughout (to keep value hashes stable):
 
 from __future__ import annotations
 
+import glob
+import json
+import os
+import re
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -42,97 +46,81 @@ class QuerySpec:
 REGISTRY: dict[str, QuerySpec] = {}
 
 # The driver's CORRECTNESS snapshot holds only the FIRST 50 entries of
-# ``queries()`` in iteration order. Round-5 curation: the 19 round-3/4
-# additions that registered behind the window (VERDICT.md r04 "What's
-# missing" #1) stay front-loaded for their first driver rows, the 7
-# round-5 additions go in-window immediately (so no new backlog forms),
-# and the remaining 24 slots keep one representative per SURVEY §2.B
-# class / extension family — displaced representatives are exclusively
-# entries that were green in r04's driver file AND whose class is still
-# watched by an in-window round-5 entry (e.g. window_groups_exclude
-# supersedes window_groups_frame as the B19-GROUPS sentinel). Entries
-# NOT listed here keep registration order after the curated block.
-# Entries added AFTER the window filled (dedup_exact_stream,
-# embedding_centroid_by_label, tpch_q10/q12/q14/q19/q22) are the r06
-# rotation front-runners — all judge-sweep green locally, none with a
-# driver row yet.
-COVERAGE_FIRST: tuple[str, ...] = (
-    # -- round-3/4 additions, never driver-checked (VERDICT r04 list)
-    "pipeline_end_to_end",
-    "tpch_q5_local_supplier_volume",
-    "merge_upsert_orders",
-    "window_cume_dist",
-    "dedup_semantic_clusters",
-    "text_pii_redact",
-    "text_ngram_top",
-    "quality_filter_chain",
-    "sample_shuffle_deterministic",
-    "contamination_decontaminate",
-    "events_asof_tolerance",
-    "events_anomaly_zscore",
-    "events_retention",
-    "events_user_features",
-    "data_profile_orders",
-    "ann_range_search",
-    "multimodal_audio_features",
-    "multimodal_image_stats",
-    "text_bpe_learn",
-    # -- round-5 additions (in-window from day one)
-    "tpch_q3_shipping_priority",
-    "tpch_q6_forecast_revenue",
-    "tpch_q18_large_volume_customer",
-    "embedding_quantize_int8",
-    "doc_chunk_overlap",
-    "window_groups_exclude",  # B19 GROUPS+EXCLUDE sentinel
-    "events_sessionize_stateful",  # B28 custom stateful streaming
-    "text_bpe_encode",  # BPE apply — same oracle chain as learn
-    "zorder_layout_orders",  # data-skipping layout key
-    "text_perplexity_score",  # unigram-LM quality signal
-    "sample_importance_weighted",  # weighted corpus sampling
-    "cdc_scd2_history",  # SCD2 validity intervals
-    "events_gap_fill",  # time-series densification
-    # -- one representative per §2.B class
-    "flagship_pricing_summary",  # B9 grouped agg headline
-    "join_inner",  # B6
-    "join_left_outer",  # B20
-    "join_semi",  # B22
-    "groupby_having",  # B10
-    "orderby_multi",  # B12
-    "limit_offset",  # B14
-    "set_union",  # B15
-    "subquery_exists_correlated",  # B16
-    "cte_top_suppliers",  # B17
-    "date_funcs",  # B24
-    "window_rank",  # B19
-    "pivot_agg",  # B23
-    "json_extract_props",  # B25
-    "count_distinct",  # B26
-    "udaf_geomean",  # B29
-    # -- one representative per extension family
-    "dedup_embedding_lsh",
-    "dedup_clusters",
-    # (displaced, all r04-green with their family still in-window:
-    # sample_split → sample_shuffle_deterministic; pack_sequences /
-    # contamination_check → doc_chunk_overlap, pipeline_end_to_end,
-    # contamination_decontaminate; batch events_sessionize → its
-    # gap-session oracle runs verbatim in events_sessionize_stateful)
-)
+# ``queries()`` in iteration order. Rounds 3-5 curated that window by
+# hand and the backlog of never-driver-checked entries regrew every
+# round (VERDICT r05 "What's missing" #1) — a hand list doesn't scale
+# with a 150-entry registry. The window is now SELF-CURATING: ordering
+# is computed from the committed CORRECTNESS_r*.json history — entries
+# that have never had a green driver row go first (registration order
+# among themselves), then everything else oldest-round-first — so every
+# entry is guaranteed a driver row at least once per ceil(N/50) rounds
+# with zero maintenance (pinned by tests/test_registry_order.py's
+# rotation simulation).
+DRIVER_WINDOW = 50
+
+
+def _repo_root() -> str:
+    return os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+
+
+def coverage_history(root: str | None = None) -> dict[str, int]:
+    """name → latest round with a green driver row.
+
+    Green means rows+schema+hash all matched, or — for rows-only
+    entries the driver can't oracle-check — the builder executed
+    (``err == 'no_oracle'`` with a row count). A row with a real
+    error does NOT count: the entry stays at never-checked priority
+    until a green row lands.
+    """
+    hist: dict[str, int] = {}
+    pattern = os.path.join(root or _repo_root(), "CORRECTNESS_r*.json")
+    for path in sorted(glob.glob(pattern)):
+        m = re.search(r"r(\d+)", os.path.basename(path))
+        if m is None:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            green = (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+            ) or (
+                row.get("err") == "no_oracle"
+                and row.get("spark_rows") is not None
+            )
+            if green and rnd > hist.get(name, -1):
+                hist[name] = rnd
+    return hist
+
+
+def rotation_order(
+    names: list[str], history: dict[str, int]
+) -> list[str]:
+    """Never-checked first, then oldest-round-first; registration
+    order breaks ties (sorted() is stable)."""
+    return sorted(names, key=lambda n: history.get(n, -1))
+
+
+_HISTORY_CACHE: dict[str, int] | None = None
 
 
 def _ordered_specs() -> list[QuerySpec]:
-    """Registry specs with the curated coverage block first.
-
-    Unknown names in ``COVERAGE_FIRST`` raise — a renamed or removed
-    query must be removed from the curated list, not silently skipped
-    (a silent skip would shift the driver's 50-row window).
-    """
-    missing = [n for n in COVERAGE_FIRST if n not in REGISTRY]
-    if missing:
-        raise KeyError(f"COVERAGE_FIRST names not in registry: {missing}")
-    first = set(COVERAGE_FIRST)
-    ordered = [REGISTRY[n] for n in COVERAGE_FIRST]
-    ordered.extend(s for n, s in REGISTRY.items() if n not in first)
-    return ordered
+    global _HISTORY_CACHE
+    if _HISTORY_CACHE is None:
+        _HISTORY_CACHE = coverage_history()
+    order = rotation_order(list(REGISTRY), _HISTORY_CACHE)
+    return [REGISTRY[n] for n in order]
 
 
 def query(name: str, oracle: str | None = None) -> Callable[[Builder], Builder]:

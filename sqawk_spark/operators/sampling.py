@@ -261,8 +261,7 @@ def sample_importance_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         ), tot AS (
             SELECT CAST(sum(CAST(round(sqrt(n_l) * 1000000) AS BIGINT))
                         AS BIGINT) AS sumw,
-                   CAST(CAST(sum(n_l) AS BIGINT) / 2 AS BIGINT)
-                       AS n_target
+                   CAST(sum(n_l) AS BIGINT) // 2 AS n_target
             FROM s
         ), rates AS (
             SELECT s.lang,
@@ -303,9 +302,13 @@ def sample_lang_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t["documents"]
     w = F.round(F.sqrt(F.col("n_l")) * 1_000_000).cast("long")
     s = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
+    # floor EXPLICITLY on both sides: Spark's double-divide + cast
+    # truncates while DuckDB's CAST(x/2.0 AS BIGINT) rounds half-even,
+    # so an odd corpus count would put the two engines one document
+    # apart at every rate boundary. floor()/`//` agree everywhere.
     tot = s.agg(
         F.sum(w).alias("sumw"),
-        (F.sum("n_l") / 2).cast("long").alias("n_target"),
+        F.floor(F.sum("n_l") / 2).cast("long").alias("n_target"),
     )
     rates = (
         s.crossJoin(F.broadcast(tot))

@@ -403,3 +403,49 @@ def test_limit_comma_rewrite():
     # limit keeps Spark's loud parse error (never a silent swap)
     s = "select * from (select a1 from a limit 1, 2) t"
     assert "limit 1, 2" in r(s)
+
+
+def test_bare_minmax_leaves_alias_and_ordinal_group_by_untouched():
+    """GROUP BY may reference a select item by alias or 1-based
+    ordinal (Spark's groupByAliases/groupByOrdinal, SQLite likewise);
+    rewriting such an item into max_by would turn the grouping key
+    into an aggregate and break a previously-valid query (ADVICE r05)."""
+    from sqawk_spark.dialect import rewrite_bare_minmax_columns as r
+
+    # alias-grouped item stays a plain column → nothing to rewrite
+    s = "select a as x, max(b) from t group by x"
+    assert r(s) == s
+    # ordinal-grouped likewise
+    s = "select a, max(b) from t group by 1"
+    assert r(s) == s
+    # qualified item grouped by ordinal
+    s = "select t.a, max(t.b) from t group by 1"
+    assert r(s) == s
+    # a genuinely bare column NEXT TO an alias-grouped one still
+    # rewrites (SQLite bare-column semantics)
+    assert (
+        r("select a as x, c, max(b) from t group by x")
+        == "select a as x, max_by(c, b) AS c, max(b) from t group by x"
+    )
+
+
+def test_filter_clause_distinct_any_whitespace():
+    """'count(DISTINCT\\nx) FILTER (...)' is valid SQLite — the
+    DISTINCT keyword may be followed by any whitespace, not just one
+    space (ADVICE r05)."""
+    from sqawk_spark.dialect import rewrite_filter_clause as r
+
+    assert (
+        r("select count(distinct\nv) filter (where k > 0) from t")
+        == "select count(DISTINCT CASE WHEN k > 0 THEN v END) from t"
+    )
+    assert (
+        r("select count(distinct\t v) filter (where k > 0) from t")
+        == "select count(DISTINCT CASE WHEN k > 0 THEN v END) from t"
+    )
+    # an identifier that merely STARTS with 'distinct' is an argument,
+    # not the keyword
+    assert (
+        r("select count(distinctive) filter (where k > 0) from t")
+        == "select count(CASE WHEN k > 0 THEN distinctive END) from t"
+    )

@@ -112,3 +112,23 @@ def test_groups_exclude_entry_matches_native_sqlite(spark, sf_dir):
         .collect()
     )
     assert got == want
+
+
+def test_lang_temperature_odd_corpus_count_matches_oracle(spark, tmp_path):
+    """n_target must floor(total/2) on BOTH engines: with an odd
+    document count Spark's truncating cast and DuckDB's half-even
+    rounding CAST disagreed by one, shifting every keep rate (ADVICE
+    r05). 103 docs: 51.5 → round-half-even 52 vs floor 51."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = 103
+    pa_table = pa.table(
+        {
+            "doc_id": list(range(n)),
+            "lang": [["en", "fr", "de"][i % 3] for i in range(n)],
+        }
+    )
+    pq.write_table(pa_table, str(tmp_path / "documents.parquet"))
+    spec = REGISTRY["sample_lang_temperature"]
+    compare(spark, str(tmp_path), spec.builder, spec.oracle)
