@@ -79,10 +79,13 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-free), so the cross-engine equality cannot wiggle.
 
     Scale: the per-(part, supplier) aggregation is the only big
-    shuffle; supplier⋈nation⋈region is a broadcast dim (fixed
-    cardinality) filtered to the region BEFORE the fact join, and the
-    filtered part side broadcasts. The window over ``partkey`` rides
-    the same hash partitioning as the groupBy above it."""
+    shuffle; nation/region (fixed cardinality) carry explicit
+    broadcast hints, while the supplier- and part-derived frames SCALE
+    WITH THE CORPUS and are left unhinted — AQE broadcasts them when
+    runtime statistics allow and falls back to a shuffle join when
+    they don't (a forced hint overrides the size check and OOMs at
+    100×; SCALE.md regime 2). The window over ``partkey`` rides the
+    same hash partitioning as the groupBy above it."""
     t = load_tables(
         spark, sf_dir, ("part", "supplier", "nation", "region", "lineitem")
     )
@@ -110,13 +113,11 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    eu = ps.join(F.broadcast(dim), F.col("suppkey") == F.col("s_suppkey"))
+    eu = ps.join(dim, F.col("suppkey") == F.col("s_suppkey"))
     parts = t["part"].filter(
         (F.col("p_type") == "LARGE") & (F.col("p_size") <= 10)
     )
-    joined = eu.join(
-        F.broadcast(parts), F.col("partkey") == F.col("p_partkey")
-    )
+    joined = eu.join(parts, F.col("partkey") == F.col("p_partkey"))
     best = F.min("unit_cost").over(W.partitionBy("partkey"))
     return (
         joined.withColumn("__best", best)
@@ -207,12 +208,14 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the OR-of-nation-pairs cannot be split per side without
     losing the cross terms, but each side CAN be pre-filtered to the
-    two-nation union — supplier and customer dims are broadcast-joined
-    to nation and filtered to {19, 18} before touching the facts, so
-    the big lineitem⋈orders shuffle carries only rows that can
-    possibly qualify. The pair predicate then runs on two tiny
-    broadcast-sourced columns; the date range pushes to the lineitem
-    scan."""
+    two-nation union — supplier and customer are joined to the
+    broadcast-hinted nation dim and filtered to {19, 18} before
+    touching the facts, so the big lineitem⋈orders shuffle carries
+    only rows that can possibly qualify. The filtered supplier/
+    customer frames scale with the corpus, so they carry NO broadcast
+    hint — AQE broadcasts them when their runtime size allows and
+    shuffle-joins otherwise (SCALE.md regime 2). The date range pushes
+    to the lineitem scan."""
     t = load_tables(
         spark,
         sf_dir,
@@ -240,9 +243,9 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < "1999-01-01")
     )
     return (
-        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy(
             "supp_nation",
@@ -282,15 +285,17 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape — national market share: NATION_5's share of
     European PROMO-part order volume, per order year.
 
-    Scale: the seven-relation star collapses to facts + broadcast
-    dims. Part is filtered to one type and broadcast; the
-    customer→nation→region chain folds into one broadcast filter on
-    ``c_custkey`` (the region predicate never touches the fact rows);
-    the supplier dim carries its nation name for the conditional
-    numerator. Numerator and denominator ride ONE map-side-combined
-    aggregation (Q14's conditional-numerator pattern) — never two
-    passes. Both sums round before the ratio so partial-agg order
-    can't wiggle the 4th decimal."""
+    Scale: the seven-relation star collapses to facts + dims. Only
+    nation/region (fixed cardinality) carry broadcast hints; the
+    filtered part, supplier, and customer frames scale with the
+    corpus, so join strategy is left to AQE's runtime size check
+    (SCALE.md regime 2). The customer→nation→region chain folds into
+    one pruned ``c_custkey`` set (the region predicate never touches
+    the fact rows); the supplier dim carries its nation name for the
+    conditional numerator. Numerator and denominator ride ONE
+    map-side-combined aggregation (Q14's conditional-numerator
+    pattern) — never two passes. Both sums round before the ratio so
+    partial-agg order can't wiggle the 4th decimal."""
     t = load_tables(
         spark,
         sf_dir,
@@ -331,10 +336,10 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         t["lineitem"]
-        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(parts, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
             F.round(
@@ -380,11 +385,13 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (nation, year) sum on a half-cent rounding boundary, so
     cross-engine aggregation order flipped the 2nd decimal.
 
-    Scale: part (name-filtered, 2 columns) and supplier⋈nation
-    broadcast; the only big shuffle is lineitem⋈orders on orderkey,
-    then a (25 × years)-group aggregate with map-side combine. The
-    LIKE '%red%' predicate pushes to the part scan (contains →
-    parquet-row-group level)."""
+    Scale: part (name-filtered, 2 columns) and supplier⋈nation scale
+    with the corpus, so neither is broadcast-hinted — AQE picks the
+    strategy from runtime sizes (SCALE.md regime 2; only the fixed
+    25-row nation keeps a hint). The only big shuffle is
+    lineitem⋈orders on orderkey, then a (25 × years)-group aggregate
+    with map-side combine. The LIKE '%red%' predicate pushes to the
+    part scan (contains → parquet-row-group level)."""
     t = load_tables(
         spark,
         sf_dir,
@@ -411,8 +418,8 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) * F.col("l_quantity").cast("long")
     return (
         t["lineitem"]
-        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(parts, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy("nation", F.year("o_orderdate").alias("o_year"))
         .agg(
@@ -454,9 +461,12 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     must not flip between engines. ``cents * 1000 > total`` is the
     exact integer form of ``value > 0.001 * total``.
 
-    Scale: the nation filter folds into a broadcast supplier dim
-    BEFORE the fact scan; one groupBy(partkey) shuffle; the global
-    total re-aggregates the (small) per-part result, not the facts."""
+    Scale: the nation filter (broadcast-hinted, 25 rows) prunes the
+    supplier dim BEFORE the fact scan; the filtered supplier frame
+    scales with the corpus, so its fact join is left to AQE (SCALE.md
+    regime 2). One groupBy(partkey) shuffle; the global total
+    re-aggregates the (small) per-part result, not the facts, and the
+    one-row threshold keeps its hint."""
     t = load_tables(spark, sf_dir, ("lineitem", "supplier", "nation"))
     supp = (
         t["supplier"]
@@ -473,7 +483,7 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents_row = F.round(F.col("l_extendedprice") * 100).cast("long")
     v = (
         t["lineitem"]
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy(F.col("l_partkey").alias("partkey"))
         .agg(F.sum(cents_row).alias("cents"))
     )
@@ -569,8 +579,9 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one groupBy(suppkey) over the date-pruned scan; the max is
     a scalar aggregate OF THE PER-SUPPLIER RESULT (supplier-count
-    rows, not facts) broadcast back; supplier names broadcast-join at
-    the end."""
+    rows, not facts) — a one-row frame that keeps its broadcast hint.
+    The supplier name lookup scales with the corpus, so it is left to
+    AQE (SCALE.md regime 2)."""
     t = load_tables(spark, sf_dir, ("supplier", "lineitem"))
     disc_pct = F.round(F.col("l_discount") * 100).cast("long")
     rev_cents_row = F.round(
@@ -589,10 +600,7 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.crossJoin(F.broadcast(mx))
         .filter(F.col("rev_cents") == F.col("__max"))
-        .join(
-            F.broadcast(t["supplier"]),
-            F.col("supplier_no") == F.col("s_suppkey"),
-        )
+        .join(t["supplier"], F.col("supplier_no") == F.col("s_suppkey"))
         .select(
             "s_suppkey",
             "s_name",
@@ -626,11 +634,13 @@ def tpch_q16_supplier_part_count(
     the driver schema has no comments, so negative account balance is
     the denylist predicate).
 
-    Scale: the part attribute filters fold into a broadcast dim; the
-    NOT IN lowers to a broadcast LEFT ANTI join (``s_suppkey`` is
-    never NULL, so no null-aware anti-join plan); count(DISTINCT)
-    expands to the standard two-phase distinct aggregate — partial
-    per-partition dedup before the group shuffle."""
+    Scale: the NOT IN lowers to a LEFT ANTI join (``s_suppkey`` is
+    never NULL, so no null-aware anti-join plan); the filtered part
+    dim and the supplier denylist both scale with the corpus, so
+    neither is broadcast-hinted — AQE picks broadcast when runtime
+    sizes allow (SCALE.md regime 2). count(DISTINCT) expands to the
+    standard two-phase distinct aggregate — partial per-partition
+    dedup before the group shuffle."""
     t = load_tables(spark, sf_dir, ("lineitem", "part", "supplier"))
     parts = t["part"].filter(
         (F.col("p_brand") != "Brand#1")
@@ -640,8 +650,8 @@ def tpch_q16_supplier_part_count(
     deny = t["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")
     return (
         t["lineitem"]
-        .join(F.broadcast(deny), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
-        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(deny, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(parts, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(
@@ -681,8 +691,10 @@ def tpch_q17_small_quantity_revenue(
     Scale: per-part avg aggregates the UNFILTERED lineitem (the
     subquery has no brand predicate — only parts that can match need
     it, so the avg input is semi-join-pruned by the brand parts
-    first); both small sides broadcast; the final global agg is one
-    row."""
+    first). The brand-part set and the per-partkey averages both
+    scale with the corpus, so neither is broadcast-hinted — AQE
+    decides from runtime sizes (SCALE.md regime 2); the final global
+    agg is one row."""
     t = load_tables(spark, sf_dir, ("lineitem", "part"))
     parts = (
         t["part"].filter(F.col("p_brand") == "Brand#3").select("p_partkey")
@@ -690,7 +702,7 @@ def tpch_q17_small_quantity_revenue(
     avgs = (
         t["lineitem"]
         .join(
-            F.broadcast(parts),
+            parts,
             F.col("l_partkey") == F.col("p_partkey"),
             "left_semi",
         )
@@ -701,8 +713,8 @@ def tpch_q17_small_quantity_revenue(
     cents_row = F.round(F.col("l_extendedprice") * 100).cast("long")
     return (
         t["lineitem"]
-        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(avgs), F.col("l_partkey") == F.col("__pk"))
+        .join(parts, F.col("l_partkey") == F.col("p_partkey"))
+        .join(avgs, F.col("l_partkey") == F.col("__pk"))
         .filter(F.col("l_quantity") < 0.4 * F.col("__avg_qty"))
         .agg(
             F.round(F.sum(cents_row) / 700.0, 2).alias("avg_yearly"),
@@ -752,10 +764,12 @@ def tpch_q20_potential_promotion(
     partkey-compatible exchange, never re-scan. ``qty × 5 >
     part_total`` keeps the 20% threshold in exact integers.
 
-    Scale: the red-part IN is a broadcast semi-join pruning the fact
-    scan along with the date pushdown; the groupBy carries
-    (suppkey, partkey); the qualifying-supplier set (≤ supplier
-    count) broadcast-semi-joins the nation-filtered supplier dim."""
+    Scale: the red-part IN is a semi-join pruning the fact scan along
+    with the date pushdown; the groupBy carries (suppkey, partkey);
+    the qualifying-supplier set (≤ supplier count) semi-joins the
+    nation-filtered supplier dim. The red-part and qualifying frames
+    scale with the corpus, so neither is broadcast-hinted (SCALE.md
+    regime 2); only the fixed nation dim keeps its hint."""
     t = load_tables(
         spark, sf_dir, ("lineitem", "part", "supplier", "nation")
     )
@@ -767,7 +781,7 @@ def tpch_q20_potential_promotion(
             & (F.col("l_shipdate") < "1998-01-01")
         )
         .join(
-            F.broadcast(red),
+            red,
             F.col("l_partkey") == F.col("p_partkey"),
             "left_semi",
         )
@@ -797,7 +811,7 @@ def tpch_q20_potential_promotion(
             F.col("s_nationkey") == F.col("n_nationkey"),
         )
         .join(
-            F.broadcast(qualifying),
+            qualifying,
             F.col("s_suppkey") == F.col("suppkey"),
             "left_semi",
         )
@@ -853,8 +867,9 @@ def tpch_q21_waiting_suppliers(
 
     Scale: ONE shuffle on orderkey serves both the (orderkey, suppkey)
     aggregate and the order-level window (prefix-compatible keys reuse
-    the exchange); supplier/nation broadcast at the end; top-25 is
-    TakeOrderedAndProject."""
+    the exchange); the nation dim keeps its broadcast hint while the
+    nation-filtered supplier frame scales with the corpus and is left
+    to AQE (SCALE.md regime 2); top-25 is TakeOrderedAndProject."""
     t = load_tables(
         spark, sf_dir, ("supplier", "lineitem", "orders", "nation")
     )
@@ -896,9 +911,7 @@ def tpch_q21_waiting_suppliers(
         .select("s_suppkey", "s_name")
     )
     return (
-        qualified.join(
-            F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey")
-        )
+        qualified.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.sum("n_late_rows").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")

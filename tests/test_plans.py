@@ -583,8 +583,12 @@ def test_source_filter_is_small_agg_broadcast_back(spark, sf_dir):
 
 
 def test_q9_star_is_broadcast_dims_one_fact_shuffle(spark, sf_dir):
-    """Part (name-filtered) and supplier⋈nation must broadcast; the
-    name predicate must reach the part scan; no cartesian anywhere."""
+    """Part and supplier⋈nation carry NO forced broadcast hint (they
+    scale with the corpus — a hint would override AQE's size check
+    and OOM at 100×); at this SF the size-statistics planner must
+    still CHOOSE broadcast on its own, proving the hint was never
+    needed. The name predicate must reach the part scan; no cartesian
+    anywhere."""
     p = plan(spark, sf_dir, "tpch_q9_product_profit")
     assert "BroadcastHashJoin" in p
     assert "StringContains(p_name,red)" in p
