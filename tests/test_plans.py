@@ -613,3 +613,17 @@ def test_q7_prefilters_both_fact_sides_through_dims(spark, sf_dir):
     assert p.count("In(n_name") >= 2
     assert "GreaterThanOrEqual(l_shipdate" in p
     assert "CartesianProduct" not in p
+
+
+def test_minhash_verify_is_candidate_only_no_allpairs_join(spark, sf_dir):
+    """The LSH entry's verification must compute Jaccard on candidate
+    pairs only. The all-pairs index self-join would show up as a
+    SECOND `doc_a < doc_b` condition (the exact pair generator's
+    post-join filter) — the plan must carry exactly the one from the
+    LSH candidate step, or LSH saves nothing over the exact entry
+    (VERDICT r05 "What's wrong" #2)."""
+    import re
+
+    p = plan(spark, sf_dir, "dedup_minhash_lsh")
+    lt = re.findall(r"doc_a#\d+L? < doc_b#\d+L?", p)
+    assert len(lt) == 1, lt
