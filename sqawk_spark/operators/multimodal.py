@@ -389,21 +389,31 @@ def multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _JPEG_ORACLE = """
     WITH b AS (
         SELECT doc_id,
-               CAST((doc_id * 7 + 0 * 53) % 256
-                  + (doc_id * 7 + 1 * 53) % 256
-                  + (doc_id * 7 + 2 * 53) % 256
-                  + (doc_id * 7 + 3 * 53) % 256 AS BIGINT) AS vsum
+               CAST((doc_id * 7 + 0 * 53) % 200 + 28
+                  + (doc_id * 7 + 1 * 53) % 200 + 28
+                  + (doc_id * 7 + 2 * 53) % 200 + 28
+                  + (doc_id * 7 + 3 * 53) % 200 + 28 AS BIGINT) AS vsum
         FROM documents
     )
     SELECT doc_id, 16 AS width, 16 AS height,
            CAST(vsum * 64 AS BIGINT) AS pixel_sum,
-           round(vsum * 64 / 256.0, 6) AS mean_px
+           round(vsum * 64 / 256.0, 6) AS mean_px,
+           CAST((doc_id * 7) % 200 + 28 + 8 AS INTEGER) AS corner_px
     FROM b
 """
-# Closed-form twin: each of the four 8x8 blocks is the constant
-# (doc_id*7 + b*53) % 256, the q=8 quantizer makes the DC coefficient
-# integer-exact, and a DC-only IDCT reconstructs the constant to the
-# last bit — so the decoded pixel SUM is exactly 64 * sum(block values).
+# Closed-form twin: each 8x8 block is the constant
+# (doc_id*7 + b*53) % 200 + 28 PLUS two AC basis terms chosen for an
+# exact integer IDCT — coefficient 5 at zigzag 14 (raster (0,4)) and
+# coefficient 3 at zigzag 39 (raster (4,4)). Both bases have entries
+# ±cos(π/4)/2, whose pairwise product is exactly ±1/8, and the q=8
+# dequantizer multiplies the encoded value by 8 — so the per-pixel
+# contributions are exactly ±5 and ±3 gray levels with alternating
+# sign pattern [+,-,-,+,+,-,-,+]. Each pattern sums to ZERO over the
+# block (pixel_sum stays 64 * sum(block values)); the top-left pixel
+# takes +5 +3, so corner_px = vals[0] + 8 pins that the AC path
+# actually decoded (a DC-only decode would return vals[0]). Zigzag 39
+# sits 24 zeros after zigzag 14, forcing one ZRL (16-zero run) plus a
+# run-8 symbol — both AC run-length branches execute on every block.
 
 
 @query("multimodal_jpeg_decode", oracle=_JPEG_ORACLE)
@@ -417,17 +427,18 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     DC prediction + EXTEND, AC run-length/EOB handling, dequantize,
     inverse zigzag, float64 IDCT, level shift.
 
-    Exactness: pixels are constant per 8x8 block, so every AC is
-    zero and the DC survives the q=8 quantizer as an exact integer;
-    the DC-only IDCT is a single rounding of value*(1±2⁻⁵²) — the
-    decoded image equals the synthesized one bit-for-bit, giving the
-    closed-form oracle above. General gradient JPEGs would reproduce
-    the encoder's quantized coefficients, not the source pixels —
-    that roundtrip is what the quantization-loss contract of JPEG
-    means, not a decoder limitation. Honest scope note: the AC
-    run-length/ZRL branches are implemented but the synthesized
-    streams only reach EOB (nonzero-AC pixels have no closed form an
-    SQL oracle can state exactly); chroma subsampling and video
+    Exactness: the synthesized blocks are a constant (DC) plus two AC
+    basis functions picked so the IDCT is integer-exact — the (0,4)
+    and (4,4) DCT bases have entries ±cos(π/4)/2 whose products are
+    exactly ±1/8, cancelling the q=8 dequantizer into per-pixel
+    contributions of exactly ±coefficient gray levels (see the oracle
+    comment). The second AC sits 24 zigzag zeros after the first, so
+    EVERY block exercises the ZRL (16-zero) and run-length branches,
+    and the ``corner_px`` column (= base + 8) fails if the AC path is
+    skipped. General gradient JPEGs would reproduce the encoder's
+    quantized coefficients, not the source pixels — that roundtrip is
+    what the quantization-loss contract of JPEG means, not a decoder
+    limitation. Honest scope note: chroma subsampling and video
     containers remain out of scope (no media libs to cross-check).
 
     Scale: same shape as the other media passes — one Arrow-batched
@@ -451,10 +462,17 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         # JPEG Annex K.3.1 luminance DC code lengths/values
         DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
         DC_VALS = list(range(12))
-        # minimal legal AC table: EOB (symbol 0x00) as a 1-bit code
-        AC_BITS = [1] + [0] * 15
-        AC_VALS = [0x00]
+        # AC table: EOB, ZRL, and the two run/size symbols the
+        # synthetic blocks emit — run-13/size-3 (0xD3, the zigzag-14
+        # coefficient) and run-8/size-2 (0x82, the zigzag-39
+        # coefficient after a ZRL). Canonical incomplete Huffman:
+        # lengths 1,2,3,4 (Kraft sum 15/16 < 1).
+        AC_BITS = [1, 1, 1, 1] + [0] * 12
+        AC_VALS = [0x00, 0xF0, 0xD3, 0x82]
         QUANT = 8
+        # encoded AC values: contributions are exactly ±AC1/±AC2 gray
+        # levels per pixel (basis product ±1/8 × dequant 8)
+        AC1, AC2 = 5, 3
 
         def huff_codes(bits, vals):
             code, k, out = 0, 0, {}
@@ -500,7 +518,10 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
 
         def synth_jpeg(doc_id: int) -> bytes:
-            vals = [(doc_id * 7 + b * 53) % 256 for b in range(4)]
+            # base in [28, 227]; AC deviations ±(AC1+AC2) = ±8 keep
+            # every pixel inside [20, 235] — no clipping, so the
+            # closed-form oracle holds exactly
+            vals = [(doc_id * 7 + b * 53) % 200 + 28 for b in range(4)]
             bw = BitWriter()
             pred = 0
             for v in vals:
@@ -513,7 +534,17 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if size:
                     bits = diff if diff >= 0 else diff + (1 << size) - 1
                     bw.put(bits & ((1 << size) - 1), size)
-                c, ln = AC_ENC[0x00]  # EOB: all 63 ACs zero
+                # AC1 at zigzag 14: 13-zero run, size 3
+                c, ln = AC_ENC[0xD3]
+                bw.put(c, ln)
+                bw.put(AC1, 3)
+                # AC2 at zigzag 39: 24 zeros = ZRL(16) + run 8, size 2
+                c, ln = AC_ENC[0xF0]
+                bw.put(c, ln)
+                c, ln = AC_ENC[0x82]
+                bw.put(c, ln)
+                bw.put(AC2, 2)
+                c, ln = AC_ENC[0x00]  # EOB: zigzag 40..63 all zero
                 bw.put(c, ln)
             dqt = bytes([0x00]) + bytes([QUANT] * 64)
             sof = struct.pack(">BHHB", 8, 16, 16, 1) + bytes([1, 0x11, 0])
@@ -644,7 +675,7 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             out = {
                 "doc_id": [], "width": [], "height": [],
-                "pixel_sum": [], "mean_px": [],
+                "pixel_sum": [], "mean_px": [], "corner_px": [],
             }
             for doc_id in pdf["doc_id"]:
                 img = decode_jpeg(synth_jpeg(int(doc_id)))
@@ -654,12 +685,13 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["width"].append(img.shape[1])
                 out["pixel_sum"].append(total)
                 out["mean_px"].append(round(total / img.size, 6))
+                out["corner_px"].append(int(img[0, 0]))
             yield pd.DataFrame(out)
 
     return ids.mapInPandas(
         run,
         schema=(
             "doc_id bigint, width int, height int, "
-            "pixel_sum bigint, mean_px double"
+            "pixel_sum bigint, mean_px double, corner_px int"
         ),
     )

@@ -528,3 +528,28 @@ def test_ann_pq_recall_vs_brute_force(spark, sf_dir):
         for r in ann_pq_topk(spark, sf_dir).collect()
     }
     assert len(pq & brute) / len(brute) >= 0.8
+
+
+def test_jpeg_decode_exercises_ac_and_zrl_branches(spark, sf_dir):
+    """Every synthetic block carries two nonzero AC coefficients — one
+    behind a 13-zero run, one behind a ZRL (16-zero run) plus a run-8
+    symbol. A DC-only decode would return corner_px == the block base;
+    the AC bases both contribute +1 at (0,0), so corner_px must be
+    base + 8 (AC1=5 + AC2=3). This is the VERDICT r05 #5 coverage fix:
+    the AC/ZRL Huffman branches now run under an exact oracle."""
+    from sqawk_spark.operators.registry import REGISTRY
+
+    rows = (
+        REGISTRY["multimodal_jpeg_decode"]
+        .builder(spark, sf_dir)
+        .limit(25)
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        base0 = (r.doc_id * 7) % 200 + 28
+        assert r.corner_px == base0 + 8, (r.doc_id, r.corner_px, base0)
+        # sanity: the AC pattern sums to zero, so the pixel sum is
+        # still 64 * sum of the four block bases
+        vsum = sum((r.doc_id * 7 + b * 53) % 200 + 28 for b in range(4))
+        assert r.pixel_sum == 64 * vsum
