@@ -198,6 +198,15 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    # per-query ratio vs the all-rounds minimum at this SF: >1 means
+    # slower than the best any prior round recorded — the per-query
+    # form of the drift guard, persisted so regressions are visible
+    # in the BENCH_r*.json history without re-deriving the minima
+    vs_hist = {
+        k: round(timings[k] / prior[k], 2)
+        for k in timings
+        if k in prior and prior[k] > 0
+    }
     print(
         json.dumps(
             {
@@ -209,6 +218,7 @@ def main() -> None:
                 "loadavg_before": [round(x, 2) for x in load_before],
                 "loadavg_after": [round(x, 2) for x in os.getloadavg()],
                 "drift_rerun": reran,
+                "vs_historical_min": vs_hist,
             }
         )
     )
