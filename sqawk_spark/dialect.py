@@ -483,6 +483,120 @@ def rewrite_collate_nocase(stmt: str) -> str:
     return stmt
 
 
+def _operand_fwd(s: str, i: int) -> int:
+    """Exclusive end index of one primary expression starting at or
+    after ``s[i]`` (the forward mirror of :func:`_operand_back`):
+    a string literal, a parenthesized expression, or an identifier
+    chain optionally followed by a call's argument list."""
+    j = i
+    while j < len(s) and s[j].isspace():
+        j += 1
+    if j >= len(s):
+        return j
+    c = s[j]
+    if c in "'\"`":
+        for start, end in _string_spans(s):
+            if start == j:
+                return end
+        return j + 1
+    if c == "(":
+        return min(_match_paren_fwd(s, j), len(s))
+    k = j
+    while k < len(s) and (_IDENT.match(s[k]) or s[k] == "."):
+        k += 1
+    if k == j:
+        return j  # not an operand start — caller treats as no match
+    # a call: consume the argument list too
+    m = k
+    while m < len(s) and s[m].isspace():
+        m += 1
+    if m < len(s) and s[m] == "(" and s[j:k].lower() not in _KEYWORDS:
+        return min(_match_paren_fwd(s, m), len(s))
+    return k
+
+
+# two-char operators first so '<=' never half-matches as '<'
+_CMP_OPS = ("==", "!=", "<>", "<=", ">=", "=", "<", ">")
+
+
+def rewrite_collate_nocase_comparison(stmt: str) -> str:
+    """``A <op> B COLLATE NOCASE`` / ``A COLLATE NOCASE <op> B`` →
+    fold BOTH operands with the same exact ASCII translate as the
+    ORDER BY rewrite (SQLite applies the collation to the whole
+    comparison, not one side — datatype3.html §collation). Scoped to
+    a COLLATE directly adjacent to a binary comparison operator;
+    every other comparison-context placement (IN lists, BETWEEN,
+    CASE arms) keeps Spark's loud parse error over a half-folded
+    silent divergence. Fuzzed against real SQLite in
+    tests/test_dialect.py."""
+
+    def fold(expr: str) -> str:
+        return f"translate({expr}, '{_ASCII_UPPER}', '{_ASCII_LOWER}')"
+
+    while True:
+        matches = [
+            m
+            for m in _COLLATE_NOCASE_RE.finditer(stmt)
+            if not _in_quotes(stmt, m.start())
+        ]
+        clauses = _top_level_clauses(stmt)
+        order_c = next((c for c in clauses if c[0] == "order_by"), None)
+        if order_c is not None:
+            tail = [c for c in clauses if c[1] > order_c[2]]
+            o_end = tail[0][1] if tail else len(stmt)
+            matches = [
+                m for m in matches if not (order_c[2] <= m.start() < o_end)
+            ]
+        edited = False
+        for m in matches:
+            own_start = _operand_back(stmt, m.start())
+            own = stmt[own_start : m.start()].strip()
+            if not own:
+                continue
+            # RHS-attached: a comparison operator directly before the
+            # operand this COLLATE annotates
+            j = own_start - 1
+            while j >= 0 and stmt[j].isspace():
+                j -= 1
+            op = next(
+                (
+                    o
+                    for o in _CMP_OPS
+                    if stmt[max(0, j + 1 - len(o)) : j + 1] == o
+                ),
+                None,
+            )
+            if op is not None:
+                other_start = _operand_back(stmt, j + 1 - len(op))
+                other = stmt[other_start : j + 1 - len(op)].strip()
+                if other:
+                    stmt = (
+                        stmt[:other_start]
+                        + f" {fold(other)} {op} {fold(own)}"
+                        + stmt[m.end() :]
+                    )
+                    edited = True
+                    break
+            # LHS-attached: operator directly after the COLLATE clause
+            k = m.end()
+            while k < len(stmt) and stmt[k].isspace():
+                k += 1
+            op = next((o for o in _CMP_OPS if stmt.startswith(o, k)), None)
+            if op is not None:
+                other_end = _operand_fwd(stmt, k + len(op))
+                other = stmt[k + len(op) : other_end].strip()
+                if other:
+                    stmt = (
+                        stmt[:own_start]
+                        + f" {fold(own)} {op} {fold(other)}"
+                        + stmt[other_end:]
+                    )
+                    edited = True
+                    break
+        if not edited:
+            return stmt
+
+
 _FILTER_RE = re.compile(r"\bFILTER\s*\(", re.IGNORECASE)
 
 
@@ -1449,6 +1563,7 @@ def rewrite_statement(stmt: str, columns: set[str] | None = None) -> str:
     stmt = rewrite_bare_minmax_columns(stmt)
     stmt = rewrite_limit_comma(stmt)
     stmt = rewrite_is_equality(stmt)
+    stmt = rewrite_collate_nocase_comparison(stmt)
     stmt = rewrite_collate_nocase(stmt)
     stmt = rewrite_date_calls(stmt)
     stmt = rewrite_groups_frames(stmt)

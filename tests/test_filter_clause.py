@@ -241,3 +241,64 @@ def test_collate_nocase_order_by_vs_sqlite(spark):
         assert "translate(" in rewritten, rewritten
         got = [tuple(r) for r in spark.sql(rewritten).collect()]
         assert got == want, f"{q}\nrewritten: {rewritten}"
+
+
+def test_collate_nocase_comparison_vs_sqlite(spark):
+    """``X <op> Y COLLATE NOCASE`` (and the LHS-attached spelling)
+    folds BOTH operands with SQLite's ASCII-only NOCASE — including
+    non-ASCII rows, which lower() would fold differently. Ground
+    truth from real SQLite over a mixed-case corpus."""
+    rows = [
+        (i, s)
+        for i, s in enumerate(
+            ["b", "A", "a", "B", "Z", "é", "É", "x", "_", "9",
+             "aB", "Ab", "AB", "ab", "Zz", "zZ"]
+        )
+    ]
+    con = sqlite3.connect(":memory:")
+    con.execute("create table t (k int, s text)")
+    con.executemany("insert into t values (?,?)", rows)
+    spark.createDataFrame(rows, "k int, s string").createOrReplaceTempView(
+        "t"
+    )
+    for q in [
+        "select k, s from t where s = 'ab' collate nocase order by k",
+        "select k, s from t where s = 'É' collate nocase order by k",
+        "select k, s from t where s collate nocase = 'Ab' order by k",
+        "select k, s from t where s != 'ab' collate nocase order by k",
+        "select k, s from t where s < 'b' collate nocase order by k",
+        "select k, s from t where s >= 'aB' collate nocase order by k",
+        "select k from t a, t b where a.s = b.s collate nocase"
+        " and a.k < b.k order by 1" if False else
+        "select a.k as k from t a join t b on a.s = b.s collate nocase"
+        " where a.k < b.k order by k",
+    ]:
+        want = con.execute(q).fetchall()
+        rewritten = rewrite_statement(q)
+        assert "translate(" in rewritten, rewritten
+        got = [tuple(r) for r in spark.sql(rewritten).collect()]
+        assert got == want, f"{q}\nrewritten: {rewritten}"
+
+
+def test_collate_nocase_comparison_string_forms():
+    from sqawk_spark.dialect import rewrite_collate_nocase_comparison as r
+
+    U = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    L = "abcdefghijklmnopqrstuvwxyz"
+    assert (
+        r("select * from t where a = b collate nocase")
+        == f"select * from t where  translate(a, '{U}', '{L}')"
+        f" = translate(b, '{U}', '{L}')"
+    )
+    # LHS-attached; function-call operand on the right
+    assert (
+        r("select * from t where a collate nocase = trim(b)")
+        == f"select * from t where  translate(a, '{U}', '{L}')"
+        f" = translate(trim(b), '{U}', '{L}')"
+    )
+    # ORDER BY occurrences are NOT this rewrite's business
+    s = "select * from t order by a collate nocase"
+    assert r(s) == s
+    # non-comparison placement keeps the loud error (untouched)
+    s = "select a in ('x' collate nocase) from t"
+    assert r(s) == s
