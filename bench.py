@@ -69,6 +69,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_clusters",
+    "dedup_keep_best",
     "dedup_embedding_lsh",
     "sample_stratified_balanced",
     "sample_importance_weighted",
@@ -76,6 +77,7 @@ HEADLINE = [
     "embedding_quantize_int8",
     "doc_chunk_overlap",
     "text_quality_score",
+    "text_bm25_topk",
     "text_perplexity_score",
     "text_pii_redact",
     "quality_filter_chain",

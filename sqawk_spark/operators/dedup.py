@@ -1097,3 +1097,83 @@ def dedup_paragraph_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_KEEP_BEST_SQL = f"""
+    WITH RECURSIVE {_SHINGLE_CTES},
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM near_dups
+        UNION
+        SELECT doc_b, doc_a FROM near_dups
+    ),
+    reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    closure AS (
+        SELECT src, dst FROM reach
+        UNION
+        SELECT DISTINCT src, src FROM edges
+    ),
+    comp AS (
+        SELECT src AS doc_id, min(dst) AS canon FROM closure GROUP BY src
+    )
+    SELECT cluster_id, kept_doc_id, kept_n_chars, cluster_size FROM (
+        SELECT CAST(c.canon AS BIGINT) AS cluster_id,
+               c.doc_id AS kept_doc_id,
+               d.n_chars AS kept_n_chars,
+               CAST(count(*) OVER (PARTITION BY c.canon) AS BIGINT)
+                   AS cluster_size,
+               row_number() OVER (PARTITION BY c.canon
+                                  ORDER BY d.n_chars DESC, c.doc_id) AS rn
+        FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+    ) WHERE rn = 1
+"""
+
+
+@query("dedup_keep_best", oracle=_KEEP_BEST_SQL)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster canonicalization by quality argmax: per near-dup
+    cluster, KEEP the longest document (tie → lowest doc_id) instead
+    of the arbitrary minimum id — what production dedup actually does
+    (the canonical copy should be the best one, e.g. the un-truncated
+    crawl of a page). Length is the quality signal here because it is
+    integer-exact; swapping in any deterministic score is a one-line
+    change.
+
+    The argmax is ONE struct-max aggregate — max of
+    (n_chars, -doc_id, doc_id) is lexicographic, so "longest, then
+    lowest id" resolves inside a map-side-combinable agg with no
+    window and no self-join; integer fields make it order-free and
+    engine-exact.
+
+    Scale: component resolution is the adaptive strategy documented
+    on :func:`dedup_clusters` (shared pair cache); this entry adds one
+    doc_id-keyed join against ``documents`` and one groupBy on the
+    canonical key — both touch only cluster-member rows, a tiny
+    fraction of the corpus under the MAX_DF-capped pair graph."""
+    comp = dedup_clusters(spark, sf_dir)
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].select(
+        "doc_id", "n_chars"
+    )
+    best = (
+        comp.join(docs, "doc_id")
+        .groupBy("canonical_doc_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("n_chars"),
+                    (-F.col("doc_id")).alias("nd"),
+                    F.col("doc_id").alias("kept"),
+                )
+            ).alias("m"),
+            F.max("cluster_size").alias("cluster_size"),
+        )
+    )
+    return best.select(
+        F.col("canonical_doc_id").alias("cluster_id"),
+        F.col("m.kept").alias("kept_doc_id"),
+        F.col("m.n_chars").alias("kept_n_chars"),
+        "cluster_size",
+    )

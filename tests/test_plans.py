@@ -627,3 +627,25 @@ def test_minhash_verify_is_candidate_only_no_allpairs_join(spark, sf_dir):
     p = plan(spark, sf_dir, "dedup_minhash_lsh")
     lt = re.findall(r"doc_a#\d+L? < doc_b#\d+L?", p)
     assert len(lt) == 1, lt
+
+
+def test_bm25_is_jvm_side_broadcasts_and_salted_topk(spark, sf_dir):
+    """BM25 must stay whole-JVM (no Python), reach the corpus through
+    broadcast joins (df/query/stats are all vocabulary- or 1-row
+    sized), and rank through the two-phase salted window — two Window
+    nodes, never a single-partition global sort of the posting
+    lists."""
+    p = plan(spark, sf_dir, "text_bm25_topk")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    assert p.count("Window") >= 2  # salted phase + final phase
+
+
+def test_keep_best_argmax_is_partial_agg_no_window(spark, sf_dir):
+    """The keep-longest argmax must be a map-side-combinable struct
+    max — a partial_max aggregate — not a per-cluster window sort."""
+    p = plan(spark, sf_dir, "dedup_keep_best")
+    assert "partial_max" in p
+    assert "CartesianProduct" not in p
