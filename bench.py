@@ -73,12 +73,14 @@ HEADLINE = [
     "dedup_embedding_lsh",
     "sample_stratified_balanced",
     "sample_importance_weighted",
+    "sample_curriculum_buckets",
     "ann_cosine_topk",
     "embedding_quantize_int8",
     "doc_chunk_overlap",
     "text_quality_score",
     "text_bm25_topk",
     "text_perplexity_score",
+    "text_perplexity_bigram",
     "text_pii_redact",
     "quality_filter_chain",
     "events_user_features",

@@ -329,3 +329,70 @@ def sample_lang_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(h < F.col("r") * 4294967296.0)
         .select("doc_id", "lang", F.round("r", 6).alias("keep_rate"))
     )
+
+
+@query(
+    "sample_curriculum_buckets",
+    oracle="""
+        WITH h AS (
+            SELECT n_chars, CAST(count(*) AS BIGINT) AS c
+            FROM documents GROUP BY 1
+        ),
+        cum AS (
+            SELECT n_chars,
+                   CAST(coalesce(sum(c) OVER (ORDER BY n_chars
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS below
+            FROM h
+        ),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+        SELECT d.doc_id, d.n_chars,
+               CAST((4 * cum.below) // tot.n AS INTEGER) AS bucket
+        FROM documents d
+        JOIN cum ON d.n_chars = cum.n_chars
+        CROSS JOIN tot
+    """,
+)
+def sample_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum quartile assignment by document length — EXACT
+    corpus quantiles without a global sort, the pattern every
+    length-ordered curriculum or bucketed-batching schedule needs.
+
+    A naive ``ntile(4) OVER (ORDER BY n_chars)`` is a single-partition
+    total sort AND nondeterministic on ties. Instead: aggregate the
+    corpus into a VALUE HISTOGRAM (one row per distinct length — the
+    value domain, not the corpus), take a running count over that tiny
+    table, and assign ``bucket = 4·|{docs shorter}| ÷ N`` (integer
+    division — exact, engine-identical). Ties share a length, hence a
+    bucket: the assignment is a pure function of the document's value,
+    deterministic across engines, partitionings, and reruns.
+
+    Scale: one map-side-combinable histogram aggregate (distinct
+    lengths ≪ corpus — a value-bounded domain), one window over the
+    HISTOGRAM (thousands of rows, not the corpus), and one join back
+    keyed on n_chars that AQE broadcasts. The corpus itself never
+    sorts and never shuffles."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    from pyspark.sql import Window as W
+
+    h = docs.groupBy("n_chars").agg(F.count(F.lit(1)).alias("c"))
+    w = (
+        W.orderBy("n_chars")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    cum = h.select(
+        "n_chars",
+        F.coalesce(F.sum("c").over(w), F.lit(0)).alias("below"),
+    )
+    tot = docs.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        docs.select("doc_id", "n_chars")
+        .join(F.broadcast(cum), "n_chars")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "n_chars",
+            F.expr("CAST((4 * below) DIV n AS INT)").alias("bucket"),
+        )
+    )

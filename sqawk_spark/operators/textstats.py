@@ -1237,3 +1237,117 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rank") <= _BM25_TOPK)
     )
+
+
+@query(
+    "text_perplexity_bigram",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+            FROM documents
+        ),
+        big AS (
+            SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+            FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+            WHERE len(t) >= 2 AND len(t[i]) > 0 AND len(t[i+1]) > 0
+        ),
+        v AS (
+            SELECT CAST(count(DISTINCT w) AS BIGINT) AS vsz
+            FROM (SELECT unnest(t) AS w FROM toks)
+            WHERE len(w) > 0
+        ),
+        c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c FROM big GROUP BY 1),
+        lm AS (
+            SELECT b.w1, b.w2,
+                   CAST(round(-ln((count(*) + 1.0) / (c1.c + v.vsz))
+                              * 1000000) AS BIGINT) AS nll_micro
+            FROM big b JOIN c1 ON b.w1 = c1.w1 CROSS JOIN v
+            GROUP BY b.w1, b.w2, c1.c, v.vsz
+        )
+        SELECT b.doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               round(sum(l.nll_micro) / (count(*) * 1000000.0), 4)
+                   AS avg_nll,
+               round(exp(sum(l.nll_micro) / (count(*) * 1000000.0)), 2)
+                   AS perplexity
+        FROM big b JOIN lm l ON b.w1 = l.w1 AND b.w2 = l.w2
+        GROUP BY b.doc_id
+    """,
+)
+def text_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model perplexity with add-one smoothing — the
+    next quality signal up from :func:`text_perplexity_score`: a
+    document full of individually-common words in improbable ORDER
+    (shuffled spam, keyword stuffing) scores high where the unigram
+    model cannot see anything wrong.
+
+        p(w2 | w1) = (c(w1,w2) + 1) / (c(w1) + |V|)
+
+    Same cross-engine float discipline as the unigram entry: each
+    DISTINCT bigram's -ln p is computed once on identical f64 inputs
+    and scaled to integer micro-nats; per-document sums are exact
+    integer arithmetic under any partial-agg order. Documents with
+    fewer than two non-empty tokens have no bigrams and drop from the
+    output (matching the oracle's inner join).
+
+    Scale: two corpus scans (LM build, scoring). The bigram LM is
+    observed-bigram-sized (≪ corpus; plateaus like any n-gram table);
+    its two joins key on (w1, w2) and w1 — left to AQE to broadcast
+    when small. The vocab size is a 1-row broadcast. The bigram
+    explode is guarded for short docs (Spark's sequence() DESCENDS
+    when stop < start — an unguarded transform would index t[-1])."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    toks = t["documents"].select("doc_id", _tokens().alias("t"))
+    big = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "case when size(t) >= 2 then"
+                    " transform(sequence(1, size(t) - 1),"
+                    " i -> struct(t[i-1] as w1, t[i] as w2))"
+                    " else array() end"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.w2")
+        .filter((F.length("w1") > 0) & (F.length("w2") > 0))
+    )
+    vsz = (
+        toks.select(F.explode("t").alias("w"))
+        .filter(F.length("w") > 0)
+        .agg(F.countDistinct("w").alias("vsz"))
+    )
+    c1 = big.groupBy("w1").agg(F.count("*").alias("c"))
+    lm = (
+        big.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vsz))
+        .select(
+            "w1",
+            "w2",
+            F.round(
+                -F.log(
+                    (F.col("c12") + 1.0) / (F.col("c") + F.col("vsz"))
+                )
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("nll_micro"),
+        )
+    )
+    return (
+        big.join(lm, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                F.sum("nll_micro") / (F.count("*") * 1_000_000.0), 4
+            ).alias("avg_nll"),
+            F.round(
+                F.exp(F.sum("nll_micro") / (F.count("*") * 1_000_000.0)), 2
+            ).alias("perplexity"),
+        )
+    )

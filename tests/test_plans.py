@@ -649,3 +649,24 @@ def test_keep_best_argmax_is_partial_agg_no_window(spark, sf_dir):
     p = plan(spark, sf_dir, "dedup_keep_best")
     assert "partial_max" in p
     assert "CartesianProduct" not in p
+
+
+def test_curriculum_buckets_never_sorts_the_corpus(spark, sf_dir):
+    """Exact quantile bucketing must run over the value HISTOGRAM: the
+    only Window sits above the n_chars aggregate, the corpus join
+    comes back as a broadcast, and no range-partitioned global sort
+    of documents exists anywhere."""
+    p = plan(spark, sf_dir, "sample_curriculum_buckets")
+    assert "Exchange rangepartitioning" not in p
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "partial_count" in p  # histogram combines map-side
+
+
+def test_bigram_perplexity_is_jvm_integer_sums(spark, sf_dir):
+    """No Python anywhere; the per-doc aggregation must have a
+    map-side partial (integer micro-nat sums combine)."""
+    p = plan(spark, sf_dir, "text_perplexity_bigram")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "partial_sum" in p or "partial_count" in p
+    assert "CartesianProduct" not in p
