@@ -43,13 +43,20 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # word n-grams via a sequence of start offsets (JVM-side, no UDF).
     # Grams are hashed to 8-byte ids BEFORE the distinct, so the
-    # dedup shuffle moves longs, never the gram strings.
+    # dedup shuffle moves longs, never the gram strings. The size
+    # guard matters: Spark's sequence() DESCENDS when stop < start,
+    # so an unguarded transform over a doc shorter than NGRAM tokens
+    # reaches slice(t, 0, n) — a runtime error (the oracle's
+    # generate_series is ascending-only and yields no grams; the
+    # guard makes the engines agree: short docs have no shingles).
     grams = toks.select(
         "doc_id",
         F.explode(
             F.expr(
-                f"transform(sequence(0, size(t) - {NGRAM}),"
+                f"case when size(t) >= {NGRAM} then"
+                f" transform(sequence(0, size(t) - {NGRAM}),"
                 f" i -> xxhash64(concat_ws(' ', slice(t, i + 1, {NGRAM}))))"
+                f" else array() end"
             )
         ).alias("g"),
     ).distinct()

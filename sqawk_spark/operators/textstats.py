@@ -325,12 +325,18 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = docs.select("doc_id", F.size("t").alias("n_tokens"), "t")
 
+    # size guards: Spark's sequence() descends when stop < start, so
+    # an unguarded transform crashes on docs shorter than the gram
+    # (slice start 0); the oracle's ascending-only generate_series
+    # yields no grams there — guard to agree.
     b = base.select(
         "doc_id",
         F.explode(
             F.expr(
-                "transform(sequence(1, size(t) - 1),"
+                "case when size(t) >= 2 then"
+                " transform(sequence(1, size(t) - 1),"
                 " i -> concat_ws(' ', slice(t, i, 2)))"
+                " else array() end"
             )
         ).alias("g"),
     )
@@ -344,8 +350,10 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(
             F.expr(
-                "transform(sequence(1, size(t) - 2),"
+                "case when size(t) >= 3 then"
+                " transform(sequence(1, size(t) - 2),"
                 " i -> concat_ws(' ', slice(t, i, 3)))"
+                " else array() end"
             )
         ).alias("g"),
     )

@@ -132,3 +132,42 @@ def test_lang_temperature_odd_corpus_count_matches_oracle(spark, tmp_path):
     pq.write_table(pa_table, str(tmp_path / "documents.parquet"))
     spec = REGISTRY["sample_lang_temperature"]
     compare(spark, str(tmp_path), spec.builder, spec.oracle)
+
+
+def test_short_documents_match_oracles(spark, tmp_path):
+    """Docs shorter than the gram width used to CRASH the Spark side:
+    sequence() descends when stop < start, so the unguarded shingle /
+    bigram / trigram transforms reached slice(t, 0, n) — while the
+    DuckDB oracles' ascending-only generate_series silently produced
+    no grams. The guards make both engines agree: short docs simply
+    contribute nothing. Latent at driver SFs (every synthetic doc is
+    long); this corpus pins it."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    texts = [
+        "one",
+        "two words",
+        "three little words",
+        "a longer document with enough words to form shingles here",
+        "a longer document with enough words to form shingles here",
+        "",
+    ]
+    pa_table = pa.table(
+        {
+            "doc_id": list(range(len(texts))),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["s"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    pq.write_table(pa_table, str(tmp_path / "documents.parquet"))
+    for name in (
+        "dedup_ngram_jaccard",
+        "dedup_minhash_lsh",
+        "text_repetition_stats",
+        "text_perplexity_bigram",
+    ):
+        spec = REGISTRY[name]
+        compare(spark, str(tmp_path), spec.builder, spec.oracle)
