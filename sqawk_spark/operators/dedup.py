@@ -1,11 +1,15 @@
 """Deduplication operators for large-scale document pipelines.
 
-Four strategies, cheapest-first, all over the ``documents`` table:
+Strategies, cheapest-first, all over the ``documents`` table:
 
 - exact           — normalize + hash + groupBy (one shuffle on a short key)
 - n-gram Jaccard  — exact similarity join via an inverted shingle index
 - MinHash + LSH   — signature bands prune candidates before verification
 - SimHash         — 64-bit sketch, banded for Hamming-neighbor buckets
+- embedding       — cosine pairs via threshold-adaptive LSH / blocked GEMM
+- clusters        — connected components + canonicalization (min-id or
+                    keep-best-quality), paragraph-level chunk dedup,
+                    and an incremental new-batch-vs-corpus variant
 
 Scale design: nothing here collects to the driver. The shingle index
 is the only potentially skewed structure, so it carries a document-
