@@ -11,10 +11,18 @@ as pure column expressions, producing the display form SQLite would
 print. Numeric behavior in queries then comes from Spark's implicit
 string→numeric coercion in comparisons/arithmetic.
 
-Known conscious divergence (documented, not silently wrong): SQLite's
-cross-type ORDER: NULL < numbers < text < blob. A query like
-``'c' > 10000`` is TRUE in SQLite, NULL (row dropped) here. None of
-the reference's own tests exercise it.
+SQLite's cross-type ordering (NULL < numbers < text < blob,
+datatype3.html §4.1) is reproduced at query time: every loaded column
+records its storage treatment in :data:`COLUMN_CLASSES`, and the
+dialect layer rewrites comparisons / ORDER BY / min-max over columns
+that can hold mixed storage classes onto an order-preserving struct
+key (``sqlite_key_sql``) whose Spark struct comparison IS the SQLite
+value order. Property-tested against real SQLite in
+tests/test_affinity_property.py. Residual divergence: numeric
+comparisons go through DOUBLE, so two distinct integers that collapse
+to the same double (|v| > 2^53) compare equal cross-class; and
+operands the dialect cannot classify (function calls, arithmetic)
+keep Spark coercion.
 
 Affinity canonicalization per SQLite rules:
 - INTEGER/NUMERIC: integer-looking text → canonical integer ("001"→"1",
@@ -55,6 +63,41 @@ def normalize_affinity(decl: str) -> str:
     if "real" in d or "floa" in d or "doub" in d:
         return "real"
     return "numeric"
+
+
+# ---------------------------------------------------------------------
+# Storage-treatment catalog: how each loaded column's values are held,
+# which decides its SQLite comparison behavior (datatype3.html §4).
+#
+#   'long'    — promoted to LongType; every value is numeric class
+#   'dynamic' — numeric-affinity canonicalized string; a value's
+#               storage class is numeric iff it looks numeric
+#   'text'    — TEXT affinity; every value is text class, and TEXT
+#               affinity converts an affinity-less other operand
+#   'none'    — no affinity (blob decl / bare NULL decl / a0 raw
+#               record); every value is text class, converts nothing
+#
+# sqawk column names are globally unique (each file gets its own
+# prefix: a1.., b1..), so one flat map keyed by lowercase name serves
+# every statement; a resident session's next CLI run re-records its
+# tables over the old entries.
+COLUMN_CLASSES: dict[str, str] = {}
+
+
+def record_column_class(name: str, cls: str) -> None:
+    COLUMN_CLASSES[name.lower()] = cls
+
+
+def column_class_for(decl: str, promoted: bool) -> str:
+    """Storage treatment for a field column declared ``decl``."""
+    if promoted:
+        return "long"
+    aff = normalize_affinity(decl)
+    if aff == "text":
+        return "text"
+    if aff == "blob":
+        return "none"
+    return "dynamic"
 
 
 def apply_affinity(col: Column, affinity: str) -> Column:

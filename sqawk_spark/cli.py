@@ -242,6 +242,11 @@ def run(argv: list[str], out=None) -> int:
         if t.isTemporary and t.namespace == []:
             spark.catalog.dropTempView(t.name)
     register_udfs(spark)
+    # fresh storage-class catalog too: a resident session must not
+    # classify this run's columns from a previous run's declarations
+    from sqawk_spark.affinity import COLUMN_CLASSES
+
+    COLUMN_CLASSES.clear()
     loader = TableLoader(spark)
 
     tmp_files = []
@@ -418,6 +423,16 @@ def _run_parquet_output(
 
 
 def _run_statement(spark, stmt: str, known_cols: set[str]):
+    """spark.sql with SQLite's per-statement double-quote resolution
+    and the load-time storage-class catalog (affinity semantics)."""
+    from sqawk_spark.affinity import COLUMN_CLASSES
+
+    return _run_statement_with(spark, stmt, known_cols, dict(COLUMN_CLASSES))
+
+
+def _run_statement_with(
+    spark, stmt: str, known_cols: set[str], classes: dict[str, str]
+):
     """spark.sql with SQLite's per-statement double-quote resolution.
 
     The rewriter flips ``"name"`` to an identifier whenever *any*
@@ -432,7 +447,7 @@ def _run_statement(spark, stmt: str, known_cols: set[str]):
     cols = set(known_cols)
     while True:
         try:
-            return spark.sql(rewrite_statement(stmt, cols))
+            return spark.sql(rewrite_statement(stmt, cols, classes))
         except Exception as e:  # AnalysisException; avoid hard import
             msg = str(e)
             if "UNRESOLVED_COLUMN" not in msg:

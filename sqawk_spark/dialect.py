@@ -1549,7 +1549,415 @@ def rewrite_date_calls(stmt: str) -> str:
     return stmt
 
 
-def rewrite_statement(stmt: str, columns: set[str] | None = None) -> str:
+# ---------------------------------------------------------------------
+# SQLite storage-class comparison semantics (datatype3.html §4).
+#
+# Loaded columns record a storage treatment in affinity.COLUMN_CLASSES
+# ('long' | 'dynamic' | 'text' | 'none' — affinity.py). SQLite orders
+# values NULL < numeric < text and first applies affinity to the other
+# comparison operand; Spark instead coerces both sides to one type
+# (string vs number → double, NULLing non-numeric text). The passes
+# below reproduce SQLite exactly for every operand the scanner can
+# classify — column references, numeric/string literals, and min/max
+# aggregates over such columns — by comparing order-preserving struct
+# keys ``struct('c' class, 'n' double, 't' text)``: Spark's struct
+# comparison is lexicographic by field, which IS the SQLite value
+# order. Unclassifiable operands (function calls, arithmetic) keep
+# Spark coercion; numeric ties beyond 2^53 collapse (the 'n' field is
+# a double). Fuzzed against real SQLite in
+# tests/test_affinity_property.py::test_comparison_semantics.
+
+_AFF_TRIM_PAT = r"'^\\s+|\\s+$'"
+_AFF_NUM_LIT_RE = re.compile(
+    r"^[+-]?([0-9]+\.?[0-9]*|\.[0-9]+)([eE][+-]?[0-9]+)?$"
+)
+_AFF_IDENT_RE = re.compile(
+    r"^[A-Za-z_][A-Za-z_0-9$]*(\.[A-Za-z_][A-Za-z_0-9$]*)*$"
+)
+_AFF_NONVALUE = frozenset(
+    ("null", "true", "false", "current_timestamp", "current_date",
+     "current_time", "unbounded", "preceding", "following", "row")
+)
+_AFF_MINMAX_ARG_RE = re.compile(
+    r"^(?:min|max)(?:_by)?\s*\(\s*"
+    r"([A-Za-z_][A-Za-z_0-9$]*(?:\.[A-Za-z_][A-Za-z_0-9$]*)*)\s*[,)]",
+    re.IGNORECASE,
+)
+
+
+def _aff_key_col_sql(x: str, treat: str) -> str:
+    """Order-preserving SQLite-class key for operand SQL ``x``."""
+    num = f"named_struct('c', 1, 'n', TRY_CAST({x} AS DOUBLE), 't', '')"
+    txt = (
+        f"named_struct('c', 2, 'n', CAST(0 AS DOUBLE), "
+        f"'t', CAST({x} AS STRING))"
+    )
+    if treat == "num":
+        return f"(CASE WHEN {x} IS NULL THEN NULL ELSE {num} END)"
+    if treat == "text":
+        return f"(CASE WHEN {x} IS NULL THEN NULL ELSE {txt} END)"
+    # dynamic: per-value storage class. The trim mirrors SQLite's
+    # whitespace-tolerant numeric parse — it only changes values that
+    # skipped load-time canonicalization (text/none columns under a
+    # numeric-affinity conversion).
+    t = f"regexp_replace({x}, {_AFF_TRIM_PAT}, '')"
+    return (
+        f"(CASE WHEN {x} IS NULL THEN NULL "
+        f"WHEN {t} RLIKE {_SQL_NUM_PAT} THEN "
+        f"named_struct('c', 1, 'n', TRY_CAST({t} AS DOUBLE), 't', '') "
+        f"ELSE {txt} END)"
+    )
+
+
+def _sqlite_num_as_text(t: str) -> str:
+    """SQLite's rendering of a numeric literal cast to TEXT."""
+    if re.fullmatch(r"[+-]?[0-9]+", t):
+        return str(int(t))
+    return repr(float(t))
+
+
+def _aff_classify(
+    text: str, classes: dict[str, str]
+) -> tuple[str, str] | None:
+    """('col', storage) | ('numlit', sql) | ('strlit', inner) | None."""
+    t = text.strip()
+    if not t:
+        return None
+    if t.startswith("'") and t.endswith("'") and len(t) >= 2:
+        inner = t[1:-1]
+        if "'" in inner.replace("''", ""):
+            return None  # not ONE literal ('a' || 'b' would slice)
+        return ("strlit", inner.replace("''", "'"))
+    if _AFF_NUM_LIT_RE.match(t):
+        return ("numlit", t)
+    if _AFF_IDENT_RE.match(t):
+        if t.lower() in _AFF_NONVALUE or t.lower() in _KEYWORDS:
+            return None
+        cls = classes.get(t.split(".")[-1].lower())
+        if cls in ("long", "dynamic", "text", "none"):
+            return ("col", cls)
+        return None
+    # a min/max aggregate over a classed column carries that column's
+    # dynamic storage behavior (HAVING max(a1) > 5)
+    m = _AFF_MINMAX_ARG_RE.match(t)
+    if m is not None and t.endswith(")"):
+        cls = classes.get(m.group(1).split(".")[-1].lower())
+        if cls == "dynamic":
+            return ("col", "dynamic")
+    return None
+
+
+def _aff_affinity(d: tuple[str, str]) -> str:
+    kind, val = d
+    if kind == "col":
+        if val in ("long", "dynamic"):
+            return "numeric"
+        return "text" if val == "text" else "none"
+    return "none"
+
+
+def _aff_apply_numeric(d: tuple[str, str]) -> tuple[str, str]:
+    kind, val = d
+    if kind == "strlit":
+        s = val.strip(" \t\n\r\f\v")
+        if _AFF_NUM_LIT_RE.match(s):
+            return ("numlit", s)
+        return d
+    if kind == "col" and val in ("text", "none"):
+        return ("col", "dynamic")
+    return d
+
+
+def _aff_apply_text(d: tuple[str, str]) -> tuple[str, str]:
+    if d[0] == "numlit":
+        return ("strlit", _sqlite_num_as_text(d[1]))
+    return d  # strlit unchanged; none-column values are text already
+
+
+def _aff_treatments(
+    ld: tuple[str, str], rd: tuple[str, str]
+) -> tuple[tuple[str, str], tuple[str, str]]:
+    """SQLite §4.2: numeric affinity on one side converts the other;
+    else text affinity converts a no-affinity other operand."""
+    la, ra = _aff_affinity(ld), _aff_affinity(rd)
+    if la == "numeric" and ra != "numeric":
+        return ld, _aff_apply_numeric(rd)
+    if ra == "numeric" and la != "numeric":
+        return _aff_apply_numeric(ld), rd
+    if la == "text" and ra == "none":
+        return ld, _aff_apply_text(rd)
+    if ra == "text" and la == "none":
+        return _aff_apply_text(ld), rd
+    return ld, rd
+
+
+def _aff_always(d: tuple[str, str]) -> str | None:
+    """'num' / 'text' when every value of the operand has that storage
+    class; None when it varies per value (dynamic)."""
+    kind, val = d
+    if kind == "numlit":
+        return "num"
+    if kind == "strlit":
+        return "text"
+    if val == "long":
+        return "num"
+    if val in ("text", "none"):
+        return "text"
+    return None
+
+
+def _aff_key_sql(d: tuple[str, str], sqltext: str) -> str:
+    kind, val = d
+    if kind == "numlit":
+        return f"named_struct('c', 1, 'n', CAST({val} AS DOUBLE), 't', '')"
+    if kind == "strlit":
+        return (
+            f"named_struct('c', 2, 'n', CAST(0 AS DOUBLE), "
+            f"'t', {_quote_sql(val)})"
+        )
+    treat = {"long": "num", "dynamic": "dynamic",
+             "text": "text", "none": "text"}[val]
+    return _aff_key_col_sql(sqltext, treat)
+
+
+_AFF_CMP_SCAN_RE = re.compile(r"<=>|->>|->|<<|>>|==|!=|<>|<=|>=|=|<|>")
+
+
+def rewrite_affinity_comparisons(
+    stmt: str, classes: dict[str, str]
+) -> str:
+    """Rewrite ``A <op> B`` onto struct-key comparisons wherever both
+    operands classify and their storage classes can diverge from Spark
+    coercion. Right-to-left so earlier spans stay valid; anything
+    adjacent to a tighter-binding operator is left verbatim
+    (:func:`_compound_context` — a fragment rewrite would regroup)."""
+    matches = [
+        m
+        for m in _AFF_CMP_SCAN_RE.finditer(stmt)
+        if m.group() in _CMP_OPS and not _in_quotes(stmt, m.start())
+    ]
+    for m in reversed(matches):
+        ls = _operand_back(stmt, m.start())
+        lhs = stmt[ls : m.start()].strip()
+        rend = _operand_fwd(stmt, m.end())
+        rhs = stmt[m.end() : rend].strip()
+        if not rhs:
+            # signed numeric literal (the operand scanner stops at the
+            # sign): after a comparison operator a sign is always unary
+            k = _skip_ws(stmt, m.end())
+            mm = re.match(
+                r"[+-]\s*([0-9]+\.?[0-9]*|\.[0-9]+)([eE][+-]?[0-9]+)?",
+                stmt[k:],
+            )
+            if mm:
+                rend = k + mm.end()
+                rhs = re.sub(r"\s+", "", mm.group())
+        if not lhs or not rhs:
+            continue
+        if _compound_context(stmt, ls, rend):
+            continue
+        ld = _aff_classify(lhs, classes)
+        rd = _aff_classify(rhs, classes)
+        if ld is None or rd is None:
+            continue
+        if ld[0] != "col" and rd[0] != "col":
+            continue
+        ld2, rd2 = _aff_treatments(ld, rd)
+        if ld2 == ld and rd2 == rd:
+            # no affinity conversion fired; if both sides also share a
+            # fixed storage class, Spark's own comparison already
+            # matches SQLite (numeric vs numeric, or string-typed
+            # operands compared bytewise) — leave the plan native
+            la, ra = _aff_always(ld), _aff_always(rd)
+            if la == ra and la is not None:
+                continue
+        lkey = _aff_key_sql(ld2, lhs)
+        rkey = _aff_key_sql(rd2, rhs)
+        stmt = stmt[:ls] + f" {lkey} {m.group()} {rkey} " + stmt[rend:]
+    return stmt
+
+
+_AFF_ORDER_KEY_RE = re.compile(
+    r"^(\s*)(.*?)(\s+(?:asc|desc))?(\s+nulls\s+(?:first|last))?(\s*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def rewrite_affinity_order_by(stmt: str, classes: dict[str, str]) -> str:
+    """Top-level ``ORDER BY col`` over a dynamic column sorts by the
+    SQLite class key (numbers before text); long/text/none columns
+    already sort correctly (numerically / bytewise)."""
+    clauses = _top_level_clauses(stmt)
+    order_c = next((c for c in clauses if c[0] == "order_by"), None)
+    if order_c is None:
+        return stmt
+    tail = [c for c in clauses if c[1] > order_c[2]]
+    o_end = tail[0][1] if tail else len(stmt)
+    keys = _split_args_top(stmt[order_c[2] : o_end])
+    out, changed = [], False
+    for key in keys:
+        mm = _AFF_ORDER_KEY_RE.match(key)
+        core = mm.group(2)
+        d = _aff_classify(core, classes)
+        if d is not None and d == ("col", "dynamic"):
+            core = _aff_key_col_sql(core.strip(), "dynamic")
+            changed = True
+        out.append(
+            (mm.group(1) or "")
+            + core
+            + (mm.group(3) or "")
+            + (mm.group(4) or "")
+            + (mm.group(5) or "")
+        )
+    if not changed:
+        return stmt
+    # _split_args_top strips each key's surrounding whitespace, so the
+    # rebuild supplies its own separators (" " after ORDER BY, ", "
+    # between keys, " " before any trailing clause)
+    rebuilt = " " + ", ".join(k.strip() for k in out) + " "
+    return stmt[: order_c[2]] + rebuilt + stmt[o_end:]
+
+
+_AFF_MINMAX_RE = re.compile(r"\b(min|max)\s*\(", re.IGNORECASE)
+
+
+def rewrite_affinity_minmax(stmt: str, classes: dict[str, str]) -> str:
+    """``min(col)`` / ``max(col)`` aggregates over a dynamic column →
+    ``min_by(col, key)`` / ``max_by(col, key)``: SQLite's aggregate
+    min/max use the storage-class order (text beats every number)."""
+    while True:
+        edited = False
+        for m in _AFF_MINMAX_RE.finditer(stmt):
+            if _in_quotes(stmt, m.start()):
+                continue
+            close = _match_paren_fwd(stmt, m.end() - 1)
+            inner = stmt[m.end() : close - 1].strip()
+            arg = re.sub(
+                r"^(distinct|all)\s+", "", inner, flags=re.IGNORECASE
+            )
+            d = _aff_classify(arg, classes)
+            if d != ("col", "dynamic") or not _AFF_IDENT_RE.match(arg):
+                continue
+            fn = m.group(1).lower() + "_by"
+            key = _aff_key_col_sql(arg, "dynamic")
+            stmt = stmt[: m.start()] + f"{fn}({arg}, {key})" + stmt[close:]
+            edited = True
+            break
+        if not edited:
+            return stmt
+
+
+_AFF_BETWEEN_RE = re.compile(r"\b(not\s+)?between\b", re.IGNORECASE)
+
+
+def rewrite_affinity_between(stmt: str, classes: dict[str, str]) -> str:
+    """``X [NOT] BETWEEN A AND B`` with X a classed column and A, B
+    classifiable → the comparison pair SQLite defines it as, which the
+    comparison pass then keys. Window frames (ROWS BETWEEN …) never
+    match: their operands aren't classed columns."""
+    while True:
+        edited = False
+        for m in _AFF_BETWEEN_RE.finditer(stmt):
+            if _in_quotes(stmt, m.start()):
+                continue
+            xs = _operand_back(stmt, m.start())
+            x = stmt[xs : m.start()].strip()
+            if _aff_classify(x, classes) is None or not (
+                _AFF_IDENT_RE.match(x) or _AFF_MINMAX_ARG_RE.match(x)
+            ):
+                continue
+            a_end = _operand_fwd(stmt, m.end())
+            a = stmt[m.end() : a_end].strip()
+            k = _skip_ws(stmt, a_end)
+            if not a or stmt[k : k + 3].lower() != "and":
+                continue
+            b_end = _operand_fwd(stmt, k + 3)
+            b = stmt[k + 3 : b_end].strip()
+            if (
+                not b
+                or _aff_classify(a, classes) is None
+                or _aff_classify(b, classes) is None
+            ):
+                continue
+            body = f"({x} >= {a} AND {x} <= {b})"
+            if m.group(1):
+                body = f"(NOT {body})"
+            stmt = stmt[:xs] + " " + body + stmt[b_end:]
+            edited = True
+            break
+        if not edited:
+            return stmt
+
+
+_AFF_IN_RE = re.compile(r"\b(not\s+)?in\s*\(", re.IGNORECASE)
+
+
+def rewrite_affinity_in(stmt: str, classes: dict[str, str]) -> str:
+    """``X [NOT] IN (e1, …)`` where X's affinity conversion matters
+    (X dynamic, or X text/none against numeric elements) → equality
+    OR-chain, which the comparison pass keys per element. Long columns
+    and all-text lists keep Spark's native IN (same semantics, and the
+    optimizer's InSet). Subquery/expression elements: verbatim."""
+    while True:
+        edited = False
+        for m in _AFF_IN_RE.finditer(stmt):
+            if _in_quotes(stmt, m.start()):
+                continue
+            xs = _operand_back(stmt, m.start())
+            x = stmt[xs : m.start()].strip()
+            dx = _aff_classify(x, classes)
+            if (
+                dx is None
+                or dx[0] != "col"
+                or dx[1] == "long"
+                or not (
+                    _AFF_IDENT_RE.match(x) or _AFF_MINMAX_ARG_RE.match(x)
+                )
+            ):
+                continue
+            close = _match_paren_fwd(stmt, m.end() - 1)
+            elems = _split_args_top(stmt[m.end() : close - 1])
+            descs = [_aff_classify(e, classes) for e in elems]
+            if not elems or any(
+                d is None or d[0] == "col" and d[1] == "long"
+                for d in descs
+            ):
+                continue
+            if dx[1] in ("text", "none") and all(
+                d[0] == "strlit"
+                or (d[0] == "col" and d[1] in ("text", "none"))
+                for d in descs
+            ):
+                continue  # all-text list: Spark IN already bytewise
+            chain = " OR ".join(f"{x} = {e.strip()}" for e in elems)
+            body = f"({chain})"
+            if m.group(1):
+                body = f"(NOT {body})"
+            stmt = stmt[:xs] + " " + body + stmt[close:]
+            edited = True
+            break
+        if not edited:
+            return stmt
+
+
+def rewrite_affinity_semantics(stmt: str, classes: dict[str, str]) -> str:
+    """All SQLite storage-class passes, driven by the load-time column
+    catalog (affinity.COLUMN_CLASSES, snapshotted by the CLI); a no-op
+    when no affinity-typed tables are loaded."""
+    if not classes:
+        return stmt
+    stmt = rewrite_affinity_minmax(stmt, classes)
+    stmt = rewrite_affinity_order_by(stmt, classes)
+    stmt = rewrite_affinity_between(stmt, classes)
+    stmt = rewrite_affinity_in(stmt, classes)
+    return rewrite_affinity_comparisons(stmt, classes)
+
+
+def rewrite_statement(
+    stmt: str,
+    columns: set[str] | None = None,
+    classes: dict[str, str] | None = None,
+) -> str:
     # FILTER first: the CASE lowering produces plain aggregate calls
     # the later passes (group_concat arity, GROUPS frames) then see
     stmt = rewrite_filter_clause(stmt)
@@ -1569,4 +1977,6 @@ def rewrite_statement(stmt: str, columns: set[str] | None = None) -> str:
     stmt = rewrite_groups_frames(stmt)
     if columns:
         stmt = rewrite_double_quoted_idents(stmt, columns)
-    return stmt
+    # last: the storage-class passes classify bare identifiers, so they
+    # must see the double-quoted-ident resolution's output
+    return rewrite_affinity_semantics(stmt, classes or {})

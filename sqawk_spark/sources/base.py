@@ -270,12 +270,21 @@ def build_table(
         for i in promotable:
             int_flags[i] = bool(probe[f"c{i}"])
 
+    from sqawk_spark.affinity import column_class_for, record_column_class
+
     cols = [
         F.col("anr"),
         F.size("fields").alias(f"{prefix}nf"),
     ]
+    # record storage treatments so the dialect can reproduce SQLite's
+    # cross-class comparison order (affinity.py COLUMN_CLASSES)
+    record_column_class(f"{prefix}nr", "long")
+    record_column_class(f"{prefix}nf", "long")
     if spec.f0:
         cols.append(F.col("a0").alias(f"{prefix}0"))
+        # the reference declares the raw-record column TEXT
+        # (lib/classes/table.tcl: `a0 TEXT`)
+        record_column_class(f"{prefix}0", "text")
     for i in range(nf):
         decl = datatypes[i] if i < len(datatypes) else "integer"
         # NULL beyond anf; try_ variant stays NULL under ANSI mode too
@@ -284,6 +293,7 @@ def build_table(
             cols.append(raw.try_cast("long").alias(names[i]))
         else:
             cols.append(apply_affinity(raw, decl).alias(names[i]))
+        record_column_class(names[i], column_class_for(decl, int_flags[i]))
 
     out = numbered.select(*cols).withColumnRenamed("anr", f"{prefix}nr")
     return out

@@ -98,6 +98,157 @@ def test_affinity_matches_sqlite(spark, decl, values):
     assert not mismatches, f"decl={decl!r}: {mismatches[:5]}"
 
 
+# --- storage-class comparison semantics (datatype3.html §4) ----------
+#
+# SQLite orders values NULL < numeric < text and applies affinity to
+# the other comparison operand; the dialect reproduces this with
+# order-preserving struct keys (dialect.rewrite_affinity_semantics).
+# Ground truth is again executable: run the same statement against a
+# real SQLite table and against the rewritten Spark SQL over the
+# canonicalized columns, demand identical rows.
+
+_CMP_STATEMENTS = [
+    "select anr from t where x1 < 50 order by anr",
+    "select anr from t where x1 > 50 order by anr",
+    "select anr from t where x1 >= 50 order by anr",
+    "select anr from t where x1 = 2 order by anr",
+    "select anr from t where x1 != 2 order by anr",
+    "select anr from t where x1 < 'm' order by anr",
+    "select anr from t where x1 >= 'm' order by anr",
+    "select anr from t where x1 = '2' order by anr",
+    "select anr from t where x1 between 2 and 'm' order by anr",
+    "select anr from t where x1 in (1, 2, 'm', 50) order by anr",
+    "select anr from t where x1 not in (1, 2, 'm') order by anr",
+    "select anr from t where x1 < x2 order by anr",
+    "select anr from t where x1 = x2 order by anr",
+    "select anr, x1 from t order by x1, anr",
+    "select anr, x1 from t order by x1 desc, anr",
+    "select max(x1) from t",
+    "select min(x1) from t",
+]
+
+
+def _load_both(spark, values1, values2, decl1, decl2):
+    """One table, two declared columns, loaded both ways; returns the
+    sqlite connection and the Spark storage-class map."""
+    import re as _re
+
+    from sqawk_spark.affinity import INT_RE, column_class_for
+
+    con = sqlite3.connect(":memory:")
+    con.execute(
+        f"CREATE TABLE t(anr INTEGER PRIMARY KEY, x1 {decl1}, x2 {decl2})"
+    )
+    rows = [
+        (i + 1, a, b) for i, (a, b) in enumerate(zip(values1, values2))
+    ]
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+
+    # mirror sources/base.py: all-integer-looking columns promote to
+    # LongType, everything else canonicalizes per affinity
+    classes = {"anr": "long"}
+    cols = [F.col("anr")]
+    for name, vals, decl in (("x1", values1, decl1), ("x2", values2, decl2)):
+        promoted = decl.lower() in ("integer", "numeric") and all(
+            _re.match(INT_RE, v) for v in vals
+        )
+        cls = column_class_for(decl or "blob", promoted)
+        classes[name] = cls
+        raw = F.col(f"raw_{name}")
+        cols.append(
+            raw.try_cast("long").alias(name)
+            if promoted
+            else apply_affinity(raw, decl or "blob").alias(name)
+        )
+    df = spark.createDataFrame(
+        rows, "anr long, raw_x1 string, raw_x2 string"
+    ).select(*cols)
+    df.createOrReplaceTempView("t")
+    return con, classes
+
+
+def _compare_statements(spark, con, classes):
+    from sqawk_spark.dialect import rewrite_statement
+
+    for q in _CMP_STATEMENTS:
+        want = [tuple("" if c is None else str(c) for c in r)
+                for r in con.execute(q)]
+        got = [
+            tuple("" if c is None else str(c) for c in r)
+            for r in spark.sql(rewrite_statement(q, classes=classes)).collect()
+        ]
+        assert got == want, f"{q}\n sqlite={want}\n spark ={got}"
+
+
+_mixed_value = st.one_of(
+    st.sampled_from(
+        ["001", "c", "10", "2", "1.5", "abc", " 7 ", "-3", "0.0",
+         "zz", "50", "49", "51", "M", "m", "n", "1e2", ".5", "2", ""]
+    ),
+    _int_text,
+    _real_text,
+    _text,
+)
+
+
+@pytest.mark.parametrize(
+    "decl1,decl2",
+    [("integer", "text"), ("real", ""), ("numeric", "integer"),
+     ("text", ""), ("integer", "integer")],
+)
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(values=st.lists(_mixed_value, min_size=12, max_size=12))
+def test_comparison_semantics_vs_sqlite(spark, decl1, decl2, values):
+    con, classes = _load_both(
+        spark, values, list(reversed(values)), decl1, decl2
+    )
+    try:
+        _compare_statements(spark, con, classes)
+    finally:
+        con.close()
+
+
+def test_comparison_semantics_fixed_corpus(spark):
+    """The documented-divergence examples from earlier rounds, now
+    pinned: text beats every number, '001' stored as 1, whitespace
+    numeric parse, cross-affinity equality (1 vs '1.0')."""
+    v1 = ["001", "c", "10", "2", "1.5", "abc", " 7 ", "-3",
+          "0.0", "zz", "50", "1e2"]
+    v2 = ["1.0", "2.0", "c", "10", "50", "0.5", "7", "x",
+          "0.0", "-1", "49", "100"]
+    con, classes = _load_both(spark, v1, v2, "integer", "real")
+    try:
+        _compare_statements(spark, con, classes)
+    finally:
+        con.close()
+
+
+def test_cli_end_to_end_storage_class(tmp_path, spark):
+    """Through the real CLI path (load → catalog → rewrite): 'c' > 10000
+    is TRUE in SQLite (text beats numbers) — the exact statement the
+    old README documented as divergent."""
+    import io
+
+    import sqawk_spark.cli as cli
+
+    f = tmp_path / "f"
+    f.write_text("001 a\n002 b\nc d\n10 e\n")
+    out = io.StringIO()
+    rc = cli.run(
+        ["select a1 from a where a1 > 10000 order by a1", str(f)], out=out
+    )
+    assert rc == 0
+    assert out.getvalue() == "c\n"
+    out = io.StringIO()
+    rc = cli.run(["select a1 from a order by a1", str(f)], out=out)
+    assert rc == 0
+    assert out.getvalue() == "1\n2\n10\nc\n"
+
+
 def test_affinity_goldens_from_reference(spark):
     """The datatypes-1.* golden semantics (reference tests.tcl:1066-1106)
     as direct cases, plus the whitespace rule."""
