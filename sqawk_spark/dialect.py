@@ -982,17 +982,35 @@ def _rewrite_excluded_agg(
       preceding / 1 following..unbounded) cover it regardless of tie
       order.
 
+    group_concat (1-arg, or 2-arg with a literal separator) uses the
+    same directional decomposition: the post-EXCLUDE frame is a union
+    of contiguous runs, each run concatenated by the same UDAF over
+    its sub-frame (identical rendering/NULL-skip), and the runs joined
+    with the separator — exact up to tie order, which SQLite leaves
+    unspecified too.
+
     Fuzzed against real SQLite in tests/test_groups_property.py."""
     fn_start = _operand_back(stmt, over_start)
     fn_m = re.match(r"([A-Za-z_][A-Za-z_0-9]*)\s*\(", stmt[fn_start:])
     if fn_m is None:
         return None
     fn = fn_m.group(1).lower()
-    if fn not in ("sum", "count", "avg", "total", "min", "max"):
+    if fn not in (
+        "sum", "count", "avg", "total", "min", "max",
+        "group_concat", "group_concat2",
+    ):
         return None
     fn_open = fn_start + fn_m.end() - 1
     args = _split_call_args(stmt, fn_open)
-    if args is None or len(args) != 1:
+    if args is None:
+        return None
+    if fn == "group_concat2":
+        # two-arg form (the arity rewrite ran first); SQLite's per-row
+        # separator semantics only compose across sub-frames when the
+        # separator is one literal — otherwise keep the loud error
+        if len(args) != 2 or _sql_literal_text(args[1]) is None:
+            return None
+    elif len(args) != 1:
         return None
     arg = args[0]
     if re.match(r"^\s*distinct\b", arg, re.IGNORECASE) or _OVER_RE.search(arg):
@@ -1056,6 +1074,62 @@ def _rewrite_excluded_agg(
             repl = f"{comb}({', '.join(parts)})"
         return (fn_start, over_close, repl)
 
+    if fn in ("group_concat", "group_concat2"):
+        # order-sensitive: decompose the post-EXCLUDE frame into its
+        # contiguous runs — preceding groups, (self / peers-minus-self),
+        # following groups — concatenate each run with the same UDAF
+        # over a sub-frame (identical value rendering and NULL-skip),
+        # and join the runs with the separator. Among rows tied on the
+        # window ORDER BY, concatenation order is unspecified in both
+        # engines; with distinct keys the result is exact (fuzzed vs
+        # real SQLite in tests/test_groups_property.py).
+        b = _frame_bounds(frame_body)
+        if b is None:
+            return None
+        s_off, e_off, b1, b2 = b
+        sep_sql = args[1] if fn == "group_concat2" else "','"
+        call = f"{fn}({arg}, {args[1]})" if fn == "group_concat2" else f"{fn}({arg})"
+        parts = []
+        if s_off <= -1:
+            parts.append(
+                f"{call} over ({part}order by {alias}"
+                f" range between {b1} and 1 preceding)"
+            )
+        if kind == "ties":
+            parts.append(
+                f"{call} over ({part}order by {alias}"
+                f" rows between current row and current row)"
+            )
+        elif kind == "current row":
+            peer_part = (
+                f"{partition.strip()}, {alias}"
+                if partition.strip()
+                else f"partition by {alias}"
+            )
+            for fr in (
+                "rows between unbounded preceding and 1 preceding",
+                "rows between 1 following and unbounded following",
+            ):
+                parts.append(
+                    f"{call} over ({peer_part} order by {alias} {fr})"
+                )
+        if e_off >= 1:
+            parts.append(
+                f"{call} over ({part}order by {alias}"
+                f" range between 1 following and {b2})"
+            )
+        if not parts:
+            repl = "null"  # frame was exactly the excluded group
+        elif len(parts) == 1:
+            repl = f"({parts[0]})"
+        else:
+            joined = ", ".join(parts)
+            repl = (
+                f"(case when coalesce({joined}) is not null"
+                f" then concat_ws({sep_sql}, {joined}) end)"
+            )
+        return (fn_start, over_close, repl)
+
     if fn == "count":
         repl = {
             "group": f"({c_f} - {c_g})",
@@ -1116,21 +1190,22 @@ def rewrite_groups_frames(stmt: str) -> str:
 
     EXCLUDE clauses (SQLite ≥ 3.28) are emulated for the distributive
     aggregates sum/count/avg/total (peer-group subtraction with a
-    remaining-count guard for SQL NULL-on-empty semantics) and for
-    min/max under ALL THREE forms (directional decomposition: the
-    excluded rows' complement within the frame is a union of RANGE
-    sub-frames over the dense rank, plus — for EXCLUDE CURRENT ROW —
-    the peer-partition before-self/after-self ROWS sub-frames, all
-    combined with NULL-skipping least/greatest). Whether the current
-    group is inside the frame is decidable STATICALLY from the frame
-    bounds; when it is not, EXCLUDE is a no-op and only the clause is
-    stripped.
+    remaining-count guard for SQL NULL-on-empty semantics), for
+    min/max, and for group_concat, under ALL THREE forms (directional
+    decomposition: the excluded rows' complement within the frame is a
+    union of RANGE sub-frames over the dense rank, plus — for EXCLUDE
+    CURRENT ROW — the peer-partition before-self/after-self ROWS
+    sub-frames; min/max combine with NULL-skipping least/greatest,
+    group_concat joins the runs' sub-frame concats with the
+    separator). Whether the current group is inside the frame is
+    decidable STATICALLY from the frame bounds; when it is not,
+    EXCLUDE is a no-op and only the clause is stripped.
 
     Scope: one top-level FROM (single table with optional alias, or a
     join/comma list — sqawk's per-table column prefixes keep the inner
     SELECT * unambiguous), no top-level GROUP BY / HAVING / named
-    WINDOW clause, no set operators. Out-of-scope shapes —
-    order-sensitive aggregates (group_concat), grouped windows — are
+    WINDOW clause, no set operators. Out-of-scope shapes — grouped
+    windows, group_concat EXCLUDE with a non-literal separator — are
     left unrewritten so Spark raises a hard parse error instead of a
     silent wrong answer."""
     windows: list[tuple[int, int, str]] = []  # (start, end, replacement)

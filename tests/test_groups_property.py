@@ -171,13 +171,96 @@ def test_groups_exclude_minmax_vs_sqlite(spark):
                     assert got == want, f"{q}\nrewritten: {rewritten}"
 
 
+def test_groups_exclude_group_concat_vs_sqlite(spark):
+    """group_concat EXCLUDE lowers to the directional run
+    decomposition (preceding-groups / self-or-peers / following-groups
+    sub-frame concats joined by the separator). Exact whenever the
+    window ORDER BY key is unique per partition — concatenation order
+    among tied keys is unspecified in both engines, so the fuzz keys
+    are distinct; both the 1-arg (',' separator) and literal 2-arg
+    forms, NULL values, and EXCLUDE-as-no-op frames are covered."""
+    rng = random.Random(19)
+    rows = []
+    for p in range(2):
+        ks = rng.sample(range(40), 14)
+        rows += [
+            (
+                p,
+                k,
+                None if rng.random() < 0.25 else rng.choice(
+                    ["a", "b", "", "x y", "0", "-7"]
+                ),
+            )
+            for k in ks
+        ]
+    from sqawk_spark.functions import register_udfs
+
+    register_udfs(spark)  # the rewrite emits group_concat UDAF calls
+    con = sqlite3.connect(":memory:")
+    con.execute("create table tg (p int, k int, v text)")
+    con.executemany("insert into tg values (?,?,?)", rows)
+    spark.createDataFrame(
+        rows, "p int, k int, v string"
+    ).createOrReplaceTempView("tg")
+    for fn in ("group_concat(v)", "group_concat(v, '-')",
+               "group_concat(v, '')"):
+        for frame in FRAMES:
+            for kind in ("exclude group", "exclude ties",
+                         "exclude current row"):
+                for part in PARTS:
+                    q = (
+                        f"select p, k, v, {fn} over ({part}order by k"
+                        f" groups {frame} {kind}) as s from tg"
+                        f" order by p, k, v, s"
+                    )
+                    want = con.execute(q).fetchall()
+                    rewritten = rewrite_statement(q)
+                    assert rewritten != q, f"not rewritten: {q}"
+                    got = [tuple(r) for r in spark.sql(rewritten).collect()]
+                    assert got == want, f"{q}\nrewritten: {rewritten}"
+
+
+def test_groups_exclude_group_concat_ties_multiset(spark):
+    """With tied ORDER BY keys the element ORDER within a run is
+    engine-chosen, but the element MULTISET is exact — compare the
+    split-and-sorted concatenations (precedent:
+    test_filter_clause.py's multiset comparison)."""
+    from sqawk_spark.functions import register_udfs
+
+    register_udfs(spark)
+    rows = [(1, "a"), (1, "b"), (1, "c"), (2, "d"), (2, "e"), (3, "f")]
+    con = sqlite3.connect(":memory:")
+    con.execute("create table tt2 (k int, v text)")
+    con.executemany("insert into tt2 values (?,?)", rows)
+    spark.createDataFrame(rows, "k int, v string").createOrReplaceTempView(
+        "tt2"
+    )
+    for kind in ("exclude group", "exclude ties", "exclude current row"):
+        q = (
+            f"select k, v, group_concat(v) over (order by k groups"
+            f" between 1 preceding and 1 following {kind}) as s"
+            f" from tt2 order by k, v"
+        )
+        want = [
+            (k, v, tuple(sorted(s.split(","))) if s is not None else None)
+            for k, v, s in con.execute(q)
+        ]
+        got = [
+            (k, v, tuple(sorted(s.split(","))) if s is not None else None)
+            for k, v, s in spark.sql(rewrite_statement(q)).collect()
+        ]
+        assert got == want, q
+
+
 def test_groups_exclude_unsupported_still_bails():
-    """Aggregates outside the decomposable set (here group_concat —
-    order-sensitive, no exact windowed decomposition) must pass
+    """A non-literal group_concat separator has per-row semantics that
+    don't compose across sub-frame runs — the statement must pass
     through untouched so Spark raises a hard error rather than a
     silent wrong answer."""
     q = (
-        "select group_concat(v) over (order by k groups between"
+        "select group_concat(v, s) over (order by k groups between"
         " 1 preceding and 1 following exclude group) from t"
     )
-    assert rewrite_statement(q) == q
+    # the arity pass renames to group_concat2, but the GROUPS frame
+    # must survive unlowered so Spark still raises its parse error
+    assert "groups between" in rewrite_statement(q)
