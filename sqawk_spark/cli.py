@@ -359,6 +359,14 @@ def run(argv: list[str], out=None) -> int:
             clear_caches(spark)
         except Exception:
             pass
+        try:
+            from sqawk_spark.operators.textstats import (
+                clear_caches as clear_text_caches,
+            )
+
+            clear_text_caches(spark)
+        except Exception:
+            pass
         # large -dbfile read-backs spill to /tmp parquet dirs; their
         # temp views die with this run, so reclaim the disk now
         try:

@@ -1247,6 +1247,62 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Per-document bigram counts are read by three consumers with three
+# different shuffle keys (c(w1), c(w1,w2), per-doc scoring); column
+# pruning gives each branch a distinct partial-aggregate output, so
+# ReuseExchange cannot canonicalize them equal — persist instead, the
+# same pattern as dedup's inverted-index cache (one tokenize+explode
+# scan and one corpus-sized exchange total; MEMORY_AND_DISK spills
+# rather than OOMing). Keyed per (session, sf_dir); the CLI releases
+# entries run-to-run via clear_caches.
+_BIGRAM_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def clear_caches(spark: SparkSession | None = None) -> None:
+    """Unpersist and drop the per-session bigram-count cache (same
+    contract as :func:`sqawk_spark.operators.dedup.clear_caches`)."""
+    for key in [
+        k for k in _BIGRAM_CACHE if spark is None or k[0] == id(spark)
+    ]:
+        try:
+            _BIGRAM_CACHE.pop(key).unpersist()
+        except Exception:  # session already stopped — nothing to free
+            pass
+
+
+def _bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, w1, w2, k): count of each distinct adjacent token pair
+    per document — the one corpus-sized frame the bigram-LM entry
+    derives everything from."""
+    key = (id(spark), sf_dir)
+    if key not in _BIGRAM_CACHE:
+        from pyspark import StorageLevel
+
+        t = load_tables(spark, sf_dir, ("documents",))
+        toks = t["documents"].select("doc_id", _tokens().alias("t"))
+        big = (
+            toks.select(
+                "doc_id",
+                F.explode(
+                    F.expr(
+                        "case when size(t) >= 2 then"
+                        " transform(sequence(1, size(t) - 1),"
+                        " i -> struct(t[i-1] as w1, t[i] as w2))"
+                        " else array() end"
+                    )
+                ).alias("b"),
+            )
+            .select("doc_id", "b.w1", "b.w2")
+            .filter((F.length("w1") > 0) & (F.length("w2") > 0))
+        )
+        _BIGRAM_CACHE[key] = (
+            big.groupBy("doc_id", "w1", "w2")
+            .agg(F.count("*").alias("k"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+    return _BIGRAM_CACHE[key]
+
+
 @query(
     "text_perplexity_bigram",
     oracle="""
@@ -1299,39 +1355,33 @@ def text_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     fewer than two non-empty tokens have no bigrams and drop from the
     output (matching the oracle's inner join).
 
-    Scale: two corpus scans (LM build, scoring). The bigram LM is
+    Scale: every consumer derives from ONE persisted per-document
+    bigram-count frame (:func:`_bigram_counts` — the dedup-index
+    persist pattern; column pruning gives each branch a different
+    partial-agg output, so plan-level ReuseExchange can't dedupe
+    them), so the corpus is tokenized+exploded and exchanged ONCE —
+    the naive shape (re-joining the raw bigram stream against the LM)
+    re-scans it once per distinct shuffle key. c(w1) rolls up from
+    c(w1,w2), an LM-sized input, not the cache. The LM is
     observed-bigram-sized (≪ corpus; plateaus like any n-gram table);
-    its two joins key on (w1, w2) and w1 — left to AQE to broadcast
-    when small. The vocab size is a 1-row broadcast. The bigram
-    explode is guarded for short docs (Spark's sequence() DESCENDS
-    when stop < start — an unguarded transform would index t[-1])."""
+    its joins are left to AQE to broadcast when small. The vocab size
+    is a 1-row broadcast (one extra token-level scan — countDistinct
+    over all tokens can't be derived from bigrams, 1-token docs have
+    none). The bigram explode is guarded for short docs (Spark's
+    sequence() DESCENDS when stop < start — an unguarded transform
+    would index t[-1])."""
     t = load_tables(spark, sf_dir, ("documents",))
     toks = t["documents"].select("doc_id", _tokens().alias("t"))
-    big = (
-        toks.select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "case when size(t) >= 2 then"
-                    " transform(sequence(1, size(t) - 1),"
-                    " i -> struct(t[i-1] as w1, t[i] as w2))"
-                    " else array() end"
-                )
-            ).alias("b"),
-        )
-        .select("doc_id", "b.w1", "b.w2")
-        .filter((F.length("w1") > 0) & (F.length("w2") > 0))
-    )
+    dbc = _bigram_counts(spark, sf_dir)
     vsz = (
         toks.select(F.explode("t").alias("w"))
         .filter(F.length("w") > 0)
         .agg(F.countDistinct("w").alias("vsz"))
     )
-    c1 = big.groupBy("w1").agg(F.count("*").alias("c"))
+    c12 = dbc.groupBy("w1", "w2").agg(F.sum("k").alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c"))
     lm = (
-        big.groupBy("w1", "w2")
-        .agg(F.count("*").alias("c12"))
-        .join(c1, "w1")
+        c12.join(c1, "w1")
         .crossJoin(F.broadcast(vsz))
         .select(
             "w1",
@@ -1346,16 +1396,16 @@ def text_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("nll_micro"),
         )
     )
+    n_inst = F.sum("k")
+    s_nll = F.sum(F.col("k") * F.col("nll_micro"))
     return (
-        big.join(lm, ["w1", "w2"])
+        dbc.join(lm, ["w1", "w2"])
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_bigrams"),
+            n_inst.alias("n_bigrams"),
+            F.round(s_nll / (n_inst * 1_000_000.0), 4).alias("avg_nll"),
             F.round(
-                F.sum("nll_micro") / (F.count("*") * 1_000_000.0), 4
-            ).alias("avg_nll"),
-            F.round(
-                F.exp(F.sum("nll_micro") / (F.count("*") * 1_000_000.0)), 2
+                F.exp(s_nll / (n_inst * 1_000_000.0)), 2
             ).alias("perplexity"),
         )
     )

@@ -670,3 +670,7 @@ def test_bigram_perplexity_is_jvm_integer_sums(spark, sf_dir):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "partial_sum" in p or "partial_count" in p
     assert "CartesianProduct" not in p
+    # the bigram stream must come from the persisted per-doc count
+    # frame, not from per-consumer re-tokenization of the corpus
+    # (textstats._bigram_counts — dedup-index persist pattern)
+    assert "InMemoryTableScan" in p or "InMemoryRelation" in p
