@@ -2,10 +2,13 @@
 
 Media are opaque ``binary`` columns with typed metadata alongside.
 The Spark-side machinery — schema, Arrow batch shape, ``mapInPandas``
-partition flow — is real and tested; the actual media decoding is
-STUBBED (this container has no image/audio libraries): the stub
-derives deterministic fake metadata from the payload bytes, so the
-whole path stays oracle-checkable.
+partition flow — is real and tested. Decoding is real, stdlib+numpy
+only, for WAV/PCM, PNG, baseline JPEG (full entropy decode incl. the
+AC path), and the RIFF/AVI-MJPEG container with frame sampling;
+payloads in formats that would need external media libraries (real
+codecs, photographic content) fall back to a deterministic stub that
+derives fake metadata from the payload bytes, so the whole path stays
+oracle-checkable.
 
 At scale: mapInPandas streams Arrow batches through one Python worker
 per core, never materializing a partition; binary payloads should ride
@@ -114,11 +117,11 @@ def decode_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def extract_frames_stub(spark: SparkSession, sf_dir: str, every_n_bytes: int = 64) -> DataFrame:
-    """Frame-sampling plumbing: one row per sampled "frame" offset.
-
-    Real video frame extraction is NotImplemented in this container;
-    the explode-with-offsets plan (which is the expensive part at
-    scale — it multiplies rows) is exercised for real."""
+    """Frame-sampling plumbing over opaque payloads: one row per
+    sampled byte offset — the explode-with-offsets plan shape (the
+    row-multiplying step at scale) on bytes we can't decode. For REAL
+    container-level frame extraction see
+    :func:`multimodal_video_framesample` (RIFF/AVI-MJPEG walk)."""
     media = fake_media_table(spark, sf_dir)
     return media.select(
         "doc_id",
@@ -693,5 +696,383 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema=(
             "doc_id bigint, width int, height int, "
             "pixel_sum bigint, mean_px double, corner_px int"
+        ),
+    )
+
+
+_VIDEO_ORACLE = """
+    WITH f AS (
+        SELECT d.doc_id, u.f
+        FROM documents d,
+             UNNEST(generate_series(0, CAST(d.doc_id % 5 + 2 AS BIGINT), 2))
+                 AS u(f)
+    ),
+    s AS (
+        SELECT doc_id,
+               CAST(count(*) AS INTEGER) AS n_sampled,
+               CAST(sum(  (doc_id * 7 + f * 11 + 0 * 53) % 200 + 28
+                        + (doc_id * 7 + f * 11 + 1 * 53) % 200 + 28
+                        + (doc_id * 7 + f * 11 + 2 * 53) % 200 + 28
+                        + (doc_id * 7 + f * 11 + 3 * 53) % 200 + 28
+                   ) * 64 AS BIGINT) AS pixel_sum
+        FROM f GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(d.doc_id % 5 + 3 AS INTEGER) AS n_frames,
+           s.n_sampled,
+           16 AS width, 16 AS height,
+           s.pixel_sum,
+           round(s.pixel_sum / (256.0 * s.n_sampled), 6) AS mean_px,
+           CAST((d.doc_id * 7) % 200 + 28 + 8 AS INTEGER) AS first_corner_px
+    FROM documents d JOIN s USING (doc_id)
+"""
+# Closed-form twin of the AVI entry: video doc_id has
+# n = doc_id % 5 + 3 frames (3..7); sampling every 2nd frame keeps
+# f = 0, 2, ... (generate_series stop n-1 inclusive → ceil(n/2)
+# samples). Frame f block b is the constant
+# (doc_id*7 + f*11 + b*53) % 200 + 28 plus the same zero-sum AC pair
+# the JPEG entry proves exact (±5/±3 with corner +8), so per-frame
+# pixel_sum is 64 * Σ_b base and first_corner_px pins the AC path on
+# the first sampled frame.
+
+
+@query("multimodal_video_framesample", oracle=_VIDEO_ORACLE)
+def multimodal_video_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-container parsing + frame sampling — upgrades the
+    former byte-offset stub (:func:`extract_frames_stub`) to a genuine
+    RIFF/AVI walk over MJPEG streams, the published container layout
+    (msdn AVIMAINHEADER/AVISTREAMHEADER; RIFF chunks are word-aligned,
+    and the synthesizer forces odd-length frame payloads so the pad
+    byte handling is exercised on every chunk).
+
+    Synthesis writes a complete AVI: RIFF('AVI ') → LIST(hdrl) with
+    avih + LIST(strl)(strh 'vids'/'MJPG' + strf BITMAPINFOHEADER) →
+    LIST(movi) with one '00dc' chunk per frame (each a real baseline
+    JFIF stream, the JPEG entry's integer-exact block construction) →
+    idx1. The reader walks the chunk tree (no offset shortcuts),
+    cross-checks avih dwTotalFrames against the movi chunk count,
+    samples every 2nd frame, and entropy-decodes only the sampled
+    frames — the honest scope line moves to "real codecs (H.264)
+    absent"; the container layer is no longer stubbed.
+
+    Scale: frame extraction is the row-multiplying step
+    (n_frames × docs); sampling happens INSIDE the Arrow batch before
+    any decode, so unsampled frames cost a chunk-header skip, not a
+    decode — the pattern that matters when a 100 TB corpus holds
+    hour-long videos: never decode what the sampler drops. One
+    mapInPandas pass, no shuffle."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    ids = t["documents"].select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
+        ZIGZAG = [
+            0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+            12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21,
+            28, 35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30,
+            37, 44, 51, 58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61,
+            54, 47, 55, 62, 63,
+        ]
+        DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+        DC_VALS = list(range(12))
+        AC_BITS = [1, 1, 1, 1] + [0] * 12
+        AC_VALS = [0x00, 0xF0, 0xD3, 0x82]
+        QUANT = 8
+        AC1, AC2 = 5, 3
+        SAMPLE_EVERY = 2
+
+        def huff_codes(bits, vals):
+            code, k, out = 0, 0, {}
+            for ln in range(1, 17):
+                for _ in range(bits[ln - 1]):
+                    out[vals[k]] = (code, ln)
+                    code += 1
+                    k += 1
+                code <<= 1
+            return out
+
+        DC_ENC = huff_codes(DC_BITS, DC_VALS)
+        AC_ENC = huff_codes(AC_BITS, AC_VALS)
+        x = np.arange(8)
+        T = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) / 2.0
+        T[0, :] = 1.0 / (2.0 * np.sqrt(2.0))
+
+        class BitWriter:
+            def __init__(self):
+                self.out = bytearray()
+                self.acc = 0
+                self.n = 0
+
+            def put(self, code, ln):
+                for i in range(ln - 1, -1, -1):
+                    self.acc = (self.acc << 1) | ((code >> i) & 1)
+                    self.n += 1
+                    if self.n == 8:
+                        self.out.append(self.acc)
+                        if self.acc == 0xFF:
+                            self.out.append(0x00)
+                        self.acc = 0
+                        self.n = 0
+
+            def flush(self):
+                while self.n:
+                    self.put(1, 1)
+                return bytes(self.out)
+
+        def seg(marker, body):
+            return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+        def synth_frame(doc_id: int, f: int) -> bytes:
+            vals = [(doc_id * 7 + f * 11 + b * 53) % 200 + 28 for b in range(4)]
+            bw = BitWriter()
+            pred = 0
+            for v in vals:
+                diff = (v - 128) - pred
+                pred = v - 128
+                s = diff if diff >= 0 else -diff
+                size = s.bit_length()
+                code, ln = DC_ENC[size]
+                bw.put(code, ln)
+                if size:
+                    bits = diff if diff >= 0 else diff + (1 << size) - 1
+                    bw.put(bits & ((1 << size) - 1), size)
+                c, ln = AC_ENC[0xD3]
+                bw.put(c, ln)
+                bw.put(AC1, 3)
+                c, ln = AC_ENC[0xF0]
+                bw.put(c, ln)
+                c, ln = AC_ENC[0x82]
+                bw.put(c, ln)
+                bw.put(AC2, 2)
+                c, ln = AC_ENC[0x00]
+                bw.put(c, ln)
+            dqt = bytes([0x00]) + bytes([QUANT] * 64)
+            sof = struct.pack(">BHHB", 8, 16, 16, 1) + bytes([1, 0x11, 0])
+            dht = (
+                bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS)
+                + bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS)
+            )
+            sos = bytes([1, 1, 0x00, 0, 63, 0])
+            jp = (
+                b"\xff\xd8" + seg(0xDB, dqt) + seg(0xC0, sof)
+                + seg(0xC4, dht) + seg(0xDA, sos) + bw.flush()
+                + b"\xff\xd9"
+            )
+            if len(jp) % 2 == 0:
+                # force odd payloads so every movi chunk needs its RIFF
+                # pad byte — the alignment branch runs on every frame
+                jp = jp[:2] + seg(0xFE, b"p") + jp[2:]
+            return jp
+
+        def chunk(fourcc: bytes, body: bytes) -> bytes:
+            pad = b"\x00" if len(body) % 2 else b""
+            return fourcc + struct.pack("<I", len(body)) + body + pad
+
+        def lst(listtype: bytes, body: bytes) -> bytes:
+            return chunk(b"LIST", listtype + body)
+
+        def synth_avi(doc_id: int) -> bytes:
+            n = doc_id % 5 + 3
+            frames = [synth_frame(doc_id, f) for f in range(n)]
+            avih = struct.pack(
+                "<10I", 40000, 0, 0, 0x10, n, 0, 1, max(map(len, frames)),
+                16, 16,
+            ) + b"\x00" * 16
+            strh = (
+                b"vidsMJPG" + struct.pack("<IHHIIIIIII", 0, 0, 0, 0, 1, 25,
+                                          0, n, 0, 10000)
+                + struct.pack("<I", 0) + struct.pack("<4H", 0, 0, 16, 16)
+            )
+            strf = struct.pack(
+                "<IiiHH4sIiiII", 40, 16, 16, 1, 24, b"MJPG", 16 * 16 * 3,
+                0, 0, 0, 0,
+            )
+            hdrl = lst(
+                b"hdrl",
+                chunk(b"avih", avih)
+                + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+            )
+            movi_items = [chunk(b"00dc", fr) for fr in frames]
+            movi = lst(b"movi", b"".join(movi_items))
+            off, idx = 4, b""
+            for it, fr in zip(movi_items, frames):
+                idx += b"00dc" + struct.pack("<III", 0x10, off, len(fr))
+                off += len(it)
+            return chunk(b"RIFF", b"AVI " + hdrl + movi + chunk(b"idx1", idx))
+
+        def riff_children(body: bytes):
+            i = 0
+            while i + 8 <= len(body):
+                fourcc = body[i : i + 4]
+                (ln,) = struct.unpack("<I", body[i + 4 : i + 8])
+                yield fourcc, body[i + 8 : i + 8 + ln]
+                i += 8 + ln + (ln & 1)  # word alignment
+
+        def parse_avi(data: bytes):
+            assert data[:4] == b"RIFF" and data[8:12] == b"AVI "
+            n_frames = w = h = None
+            frames = []
+            for fourcc, body in riff_children(data[12 : 8 + struct.unpack("<I", data[4:8])[0]]):
+                if fourcc != b"LIST":
+                    continue
+                if body[:4] == b"hdrl":
+                    for cc, b2 in riff_children(body[4:]):
+                        if cc == b"avih":
+                            hdr = struct.unpack("<10I", b2[:40])
+                            n_frames, w, h = hdr[4], hdr[8], hdr[9]
+                elif body[:4] == b"movi":
+                    for cc, b2 in riff_children(body[4:]):
+                        if cc == b"00dc":
+                            frames.append(b2)
+            assert n_frames == len(frames), "avih/movi frame count mismatch"
+            return w, h, frames
+
+        def huff_decoder(bits, vals):
+            table, code, k = {}, 0, 0
+            for ln in range(1, 17):
+                for _ in range(bits[ln - 1]):
+                    table[(ln, code)] = vals[k]
+                    code += 1
+                    k += 1
+                code <<= 1
+            return table
+
+        class BitReader:
+            def __init__(self, data):
+                self.d = data
+                self.i = 0
+                self.acc = 0
+                self.n = 0
+
+            def bit(self):
+                if self.n == 0:
+                    b = self.d[self.i]
+                    self.i += 1
+                    if b == 0xFF:
+                        assert self.d[self.i] == 0x00
+                        self.i += 1
+                    self.acc = b
+                    self.n = 8
+                self.n -= 1
+                return (self.acc >> self.n) & 1
+
+            def read(self, n):
+                v = 0
+                for _ in range(n):
+                    v = (v << 1) | self.bit()
+                return v
+
+            def symbol(self, table):
+                code, ln = 0, 0
+                while True:
+                    code = (code << 1) | self.bit()
+                    ln += 1
+                    if (ln, code) in table:
+                        return table[(ln, code)]
+                    assert ln <= 16
+
+        def extend(v, s):
+            return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+
+        def decode_jpeg(data: bytes):
+            i = 2
+            qt = dc_tab = ac_tab = None
+            w = h = None
+            while True:
+                assert data[i] == 0xFF
+                marker = data[i + 1]
+                if marker == 0xD9:
+                    break
+                (ln,) = struct.unpack(">H", data[i + 2 : i + 4])
+                body = data[i + 4 : i + 2 + ln]
+                if marker == 0xDB:
+                    qt = np.array(list(body[1:65]), dtype=np.float64)
+                elif marker == 0xC0:
+                    _, h, w, _ = struct.unpack(">BHHB", body[:6])
+                elif marker == 0xC4:
+                    j = 0
+                    while j < len(body):
+                        tc_th = body[j]
+                        bits = list(body[j + 1 : j + 17])
+                        nv = sum(bits)
+                        vals = list(body[j + 17 : j + 17 + nv])
+                        tab = huff_decoder(bits, vals)
+                        if tc_th >> 4 == 0:
+                            dc_tab = tab
+                        else:
+                            ac_tab = tab
+                        j += 17 + nv
+                elif marker == 0xDA:
+                    i += 2 + ln
+                    break
+                i += 2 + ln
+            br = BitReader(data[i:])
+            img = np.zeros((h, w), dtype=np.uint8)
+            pred = 0
+            for by in range(h // 8):
+                for bx in range(w // 8):
+                    zz = np.zeros(64, dtype=np.float64)
+                    s = br.symbol(dc_tab)
+                    diff = extend(br.read(s), s) if s else 0
+                    pred += diff
+                    zz[0] = pred
+                    k = 1
+                    while k < 64:
+                        rs = br.symbol(ac_tab)
+                        if rs == 0x00:
+                            break
+                        if rs == 0xF0:
+                            k += 16
+                            continue
+                        k += rs >> 4
+                        sz = rs & 0x0F
+                        zz[k] = extend(br.read(sz), sz)
+                        k += 1
+                    coef = np.zeros(64, dtype=np.float64)
+                    coef[ZIGZAG] = zz * qt
+                    px = T.T @ coef.reshape(8, 8) @ T + 128.0
+                    img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                        np.round(px), 0, 255
+                    ).astype(np.uint8)
+            return img
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "n_frames": [], "n_sampled": [],
+                "width": [], "height": [], "pixel_sum": [],
+                "mean_px": [], "first_corner_px": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h, frames = parse_avi(synth_avi(d))
+                sampled = frames[::SAMPLE_EVERY]
+                total = 0
+                first_corner = None
+                for fr in sampled:
+                    img = decode_jpeg(fr)
+                    total += int(img.sum(dtype=np.int64))
+                    if first_corner is None:
+                        first_corner = int(img[0, 0])
+                out["doc_id"].append(d)
+                out["n_frames"].append(len(frames))
+                out["n_sampled"].append(len(sampled))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["pixel_sum"].append(total)
+                out["mean_px"].append(
+                    round(total / (w * h * len(sampled)), 6)
+                )
+                out["first_corner_px"].append(first_corner)
+            yield pd.DataFrame(out)
+
+    return ids.mapInPandas(
+        run,
+        schema=(
+            "doc_id bigint, n_frames int, n_sampled int, width int, "
+            "height int, pixel_sum bigint, mean_px double, "
+            "first_corner_px int"
         ),
     )

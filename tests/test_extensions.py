@@ -248,6 +248,34 @@ def test_image_stats_match_closed_form(spark, sf_dir):
         assert (r["width"], r["height"]) == (16, 16)
 
 
+def test_video_framesample_matches_closed_form(spark, sf_dir):
+    """The AVI parse is a real RIFF chunk walk (word-aligned 00dc
+    chunks — every synthesized frame payload is forced odd so the pad
+    byte path runs) and the sampled frames go through the real JPEG
+    entropy decoder: frame counts, sampled pixel sums, and the
+    AC-pinned first corner all have closed forms."""
+    from sqawk_spark.operators.multimodal import (
+        multimodal_video_framesample,
+    )
+
+    rows = multimodal_video_framesample(spark, sf_dir).collect()
+    assert rows
+    for r in rows[:50]:
+        d = r["doc_id"]
+        n = d % 5 + 3
+        assert r["n_frames"] == n
+        assert r["n_sampled"] == (n + 1) // 2
+        assert (r["width"], r["height"]) == (16, 16)
+        want = sum(
+            64 * sum((d * 7 + f * 11 + b * 53) % 200 + 28 for b in range(4))
+            for f in range(0, n, 2)
+        )
+        assert r["pixel_sum"] == want, r
+        # +8 = the two AC coefficients' corner contribution; equals
+        # the bare DC base iff a decoder skipped the AC path
+        assert r["first_corner_px"] == (d * 7) % 200 + 28 + 8, r
+
+
 def test_bpe_learn_matches_reference_algorithm(spark, sf_dir):
     """The distributed BPE trainer must produce the exact merge table
     of the classic single-machine algorithm (Sennrich): word freqs →
