@@ -852,3 +852,174 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cosine",
         F.row_number().over(w).alias("rank"),
     ).filter(F.col("rank") <= TOP_K)
+
+
+_GRAM_SCALE = 1_000_000
+
+
+@query(
+    "embedding_gram_matrix",
+    oracle=f"""
+        WITH q AS (
+            SELECT vec_id, t.pos AS p,
+                   CAST(round(CAST(embedding[t.pos] AS DOUBLE)
+                              * {_GRAM_SCALE}) AS BIGINT) AS v
+            FROM embeddings,
+                 unnest(range(1, len(embedding) + 1)) AS t(pos)
+        )
+        SELECT CAST(a.p AS INTEGER) AS i,
+               CAST(b.p AS INTEGER) AS j,
+               CAST(sum(a.v * b.v) AS BIGINT) AS gram,
+               CAST(count(*) AS BIGINT) AS n_vectors
+        FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.p <= b.p
+        GROUP BY a.p, b.p
+    """,
+)
+def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Gram matrix ΣvvT over the embedding corpus — the
+    one-pass sufficient statistic behind PCA/whitening/OPQ rotation
+    learning: everything those need from 100 TB of vectors is this
+    D×D matrix plus the mean, both map-side-combinable.
+
+    Cross-engine float discipline (the centroid entry's idiom): each
+    f32 component is cast exactly to f64 and scaled to an integer
+    (round ×1e6) BEFORE any multiplication, so every product and sum
+    is exact int64 arithmetic — identical under any partial-agg order
+    (|q| ≤ ~10⁶ ⇒ products ≤ 10¹², corpus sums fit int64 up to ~10⁶
+    vectors per cell; a larger corpus shards the sum by vec_id range
+    first).
+
+    Scale: ONE Arrow-batched pass — each batch contributes QᵀQ via a
+    single int64 GEMM (object-dtype numpy: exact, overflow-safe), each
+    PARTITION emits at most D(D+1)/2 = 2080 upper-triangle cells, and
+    the only shuffle is those per-partition partials → 2080 rows.
+    Corpus rows never reach an exchange; driver sees nothing until
+    the caller collects the D×D result. The posexplode-pairs
+    formulation would multiply rows ×4096 before the map-side combine
+    — this shape does the combine inside the GEMM instead."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    e = t["embeddings"].select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x ->"
+            f" CAST(round(CAST(x AS DOUBLE) * {_GRAM_SCALE}) AS BIGINT))"
+        ).alias("q"),
+    )
+
+    def run(batches):
+        import numpy as np
+        import pandas as _pd
+
+        acc = None
+        n = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            # int64 GEMM per Arrow batch is exact: |q| ≤ ~10⁶ ⇒
+            # products ≤ 10¹², batch sums ≤ rows×10¹² ≪ 2⁶³ at any
+            # realistic batch size; the cross-batch accumulator is
+            # object dtype (Python ints), so the per-partition total
+            # can't overflow no matter how many batches stream through
+            Q = np.stack([np.asarray(r, dtype=np.int64) for r in pdf["q"]])
+            part = (Q.T @ Q).astype(object)
+            acc = part if acc is None else acc + part
+            n += len(pdf)
+        if acc is None:
+            return
+        d = acc.shape[0]
+        iu = [(i, j) for i in range(d) for j in range(i, d)]
+        yield _pd.DataFrame(
+            {
+                "i": [i + 1 for i, _ in iu],
+                "j": [j + 1 for _, j in iu],
+                "gram": [int(acc[i, j]) for i, j in iu],
+                "n_vectors": [n] * len(iu),
+            }
+        )
+
+    partial = e.select("q").mapInPandas(
+        run, schema="i int, j int, gram long, n_vectors long"
+    )
+    return partial.groupBy("i", "j").agg(
+        F.sum("gram").alias("gram"),
+        F.sum("n_vectors").alias("n_vectors"),
+    )
+
+
+PCA_K = 8
+
+
+@query("embedding_pca_project", oracle=None)
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection of the embedding corpus to K=8 components —
+    the dimensionality-reduction step before cheap clustering /
+    visualization / coarse ANN. Rows-only by design: eigenvectors of
+    a symmetric matrix are unique only up to sign and degenerate
+    subspace rotation, so cross-engine value equality is the wrong
+    contract — the pytest instead asserts the linear-algebra
+    invariants (orthonormal components, descending explained
+    variance, per-component projected variance = eigenvalue, total
+    variance preserved; tests/test_extensions.py).
+
+    Two-stage shape (the distributed-PCA canon): stage 1 collects the
+    D×D Gram cells and the D mean sums (driver traffic = 2080 + 64
+    numbers — bounded like the IVF/BPE driver loops, NOT corpus-
+    sized), eigendecomposes the 64×64 covariance driver-side; stage 2
+    broadcasts the K×D component matrix in the task closure and
+    projects the corpus in one map-only Arrow pass — no shuffle, no
+    driver traffic."""
+    import numpy as np
+
+    gram_rows = embedding_gram_matrix(spark, sf_dir).collect()
+    d = max(r["j"] for r in gram_rows)
+    n = gram_rows[0]["n_vectors"]
+    G = np.zeros((d, d), dtype=np.float64)
+    for r in gram_rows:
+        G[r["i"] - 1, r["j"] - 1] = r["gram"]
+        G[r["j"] - 1, r["i"] - 1] = r["gram"]
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    sums = (
+        t["embeddings"]
+        .select(
+            F.posexplode(
+                F.expr(
+                    f"transform(embedding, x -> CAST(round("
+                    f"CAST(x AS DOUBLE) * {_GRAM_SCALE}) AS BIGINT))"
+                )
+            ).alias("p", "v")
+        )
+        .groupBy("p")
+        .agg(F.sum("v").alias("s"))
+        .collect()
+    )
+    s = np.zeros(d, dtype=np.float64)
+    for r in sums:
+        s[r["p"]] = r["s"]
+    # covariance in original (unscaled) units; exact ints → f64 once
+    cov = (G - np.outer(s, s) / n) / (n * float(_GRAM_SCALE) ** 2)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:PCA_K]
+    comps = evecs[:, order].T.copy()  # K×D
+    mean = (s / n / _GRAM_SCALE).copy()
+
+    e = t["embeddings"].select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+    def project(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = _np.array([list(r) for r in pdf["v"]], dtype=_np.float64)
+            P = (V - mean) @ comps.T
+            yield _pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "proj": [[round(float(x), 6) for x in row] for row in P],
+                }
+            )
+
+    return e.mapInPandas(project, schema="vec_id long, proj array<double>")

@@ -276,6 +276,51 @@ def test_video_framesample_matches_closed_form(spark, sf_dir):
         assert r["first_corner_px"] == (d * 7) % 200 + 28 + 8, r
 
 
+def test_pca_project_linear_algebra_invariants(spark, sf_dir):
+    """embedding_pca_project is rows-only (eigenvector sign is
+    arbitrary), so the contract is the linear algebra itself:
+    components orthonormal, per-component projected variance equal to
+    the corresponding eigenvalue of the corpus covariance (descending),
+    and the K-component explained variance a ≥-share of the trace."""
+    import numpy as np
+
+    from sqawk_spark.operators.similarity import (
+        _GRAM_SCALE,
+        PCA_K,
+        embedding_gram_matrix,
+        embedding_pca_project,
+    )
+
+    gram = embedding_gram_matrix(spark, sf_dir).collect()
+    d = max(r["j"] for r in gram)
+    n = gram[0]["n_vectors"]
+    G = np.zeros((d, d))
+    for r in gram:
+        G[r["i"] - 1, r["j"] - 1] = G[r["j"] - 1, r["i"] - 1] = r["gram"]
+    rows = embedding_pca_project(spark, sf_dir).collect()
+    P = np.array([list(r["proj"]) for r in rows])
+    assert P.shape == (n, PCA_K)
+    # projected variance per component must match the top eigenvalues
+    # of the covariance the gram entry implies (biased /n, both sides)
+    V = np.array(
+        [
+            list(r["v"])
+            for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .selectExpr("transform(embedding, x -> CAST(x AS DOUBLE)) v")
+            .collect()
+        ]
+    )
+    mean_vec = V.mean(axis=0)
+    cov = (V - mean_vec).T @ (V - mean_vec) / n
+    evals = np.sort(np.linalg.eigvalsh(cov))[::-1]
+    pvar = P.var(axis=0)  # biased, matches /n
+    assert np.all(np.diff(pvar) <= 1e-9), "variance must descend"
+    # rounding of proj to 6dp perturbs variances at ~1e-8
+    assert np.allclose(pvar, evals[:PCA_K], atol=1e-6), (pvar, evals[:PCA_K])
+    assert pvar.sum() <= np.trace(cov) + 1e-9
+    assert pvar.sum() >= 0.1 * np.trace(cov)  # top-8/64 explain ≥ 10%
+
+
 def test_bpe_learn_matches_reference_algorithm(spark, sf_dir):
     """The distributed BPE trainer must produce the exact merge table
     of the classic single-machine algorithm (Sennrich): word freqs →

@@ -383,6 +383,18 @@ def test_quantize_and_chunk_are_map_only(spark, sf_dir):
         assert "EvalPython" not in p, name
 
 
+def test_gram_matrix_combines_inside_the_arrow_pass(spark, sf_dir):
+    """The Gram entry's only shuffle is the per-partition 2080-cell
+    partials: one MapInPandas over the corpus (the GEMM does the
+    map-side combine), no join, no posexplode row blowup of the
+    vectors into an exchange."""
+    p = plan(spark, sf_dir, "embedding_gram_matrix")
+    assert "MapInPandas" in p
+    assert "Join" not in p
+    assert "Generate" not in p  # no posexplode-pairs formulation
+    assert "partial_sum" in p  # the tiny cell aggregation combines
+
+
 def test_zorder_is_two_scan_bit_arithmetic(spark, sf_dir):
     """The z-order layout key is pure codegen'd bit arithmetic: the
     4-value limits row broadcasts (nested-loop with a 1-row build side
