@@ -1712,13 +1712,18 @@ def _aff_classify(
         if cls in ("long", "dynamic", "text", "none"):
             return ("col", cls)
         return None
-    # a min/max aggregate over a classed column carries that column's
-    # dynamic storage behavior (HAVING max(a1) > 5)
+    # a min/max aggregate over a classed column yields one of the
+    # column's VALUES (same storage classes) but — like every SQLite
+    # function result — the expression itself has NO affinity
+    # (datatype3.html §3.2: only columns and CASTs carry affinity), so
+    # 'min(a) = ''3''' is FALSE where 'a = ''3''' is TRUE on an
+    # integer column: the literal is never converted. Probed against
+    # real SQLite; the ('agg', cls) kind encodes exactly that.
     m = _AFF_MINMAX_ARG_RE.match(t)
     if m is not None and t.endswith(")"):
         cls = classes.get(m.group(1).split(".")[-1].lower())
-        if cls == "dynamic":
-            return ("col", "dynamic")
+        if cls in ("long", "dynamic", "text", "none"):
+            return ("agg", cls)
     return None
 
 
@@ -1728,7 +1733,7 @@ def _aff_affinity(d: tuple[str, str]) -> str:
         if val in ("long", "dynamic"):
             return "numeric"
         return "text" if val == "text" else "none"
-    return "none"
+    return "none"  # literals and aggregate results carry no affinity
 
 
 def _aff_apply_numeric(d: tuple[str, str]) -> tuple[str, str]:
@@ -1738,14 +1743,19 @@ def _aff_apply_numeric(d: tuple[str, str]) -> tuple[str, str]:
         if _AFF_NUM_LIT_RE.match(s):
             return ("numlit", s)
         return d
-    if kind == "col" and val in ("text", "none"):
-        return ("col", "dynamic")
+    if kind in ("col", "agg") and val in ("text", "none"):
+        return (kind, "dynamic")
     return d
 
 
 def _aff_apply_text(d: tuple[str, str]) -> tuple[str, str]:
-    if d[0] == "numlit":
-        return ("strlit", _sqlite_num_as_text(d[1]))
+    kind, val = d
+    if kind == "numlit":
+        return ("strlit", _sqlite_num_as_text(val))
+    if kind == "agg" and val in ("long", "dynamic"):
+        # TEXT affinity renders the aggregate's numeric values as
+        # text ('b = min(a)' on TEXT b, INTEGER a: 3 → '3')
+        return ("agg", "astext")
     return d  # strlit unchanged; none-column values are text already
 
 
@@ -1776,7 +1786,7 @@ def _aff_always(d: tuple[str, str]) -> str | None:
         return "text"
     if val == "long":
         return "num"
-    if val in ("text", "none"):
+    if val in ("text", "none", "astext"):
         return "text"
     return None
 
@@ -1791,7 +1801,7 @@ def _aff_key_sql(d: tuple[str, str], sqltext: str) -> str:
             f"'t', {_quote_sql(val)})"
         )
     treat = {"long": "num", "dynamic": "dynamic",
-             "text": "text", "none": "text"}[val]
+             "text": "text", "none": "text", "astext": "text"}[val]
     return _aff_key_col_sql(sqltext, treat)
 
 
@@ -1835,8 +1845,8 @@ def rewrite_affinity_comparisons(
         rd = _aff_classify(rhs, classes)
         if ld is None or rd is None:
             continue
-        if ld[0] != "col" and rd[0] != "col":
-            continue
+        if ld[0] not in ("col", "agg") and rd[0] not in ("col", "agg"):
+            continue  # two literals — nothing class-dependent
         ld2, rd2 = _aff_treatments(ld, rd)
         if ld2 == ld and rd2 == rd:
             # no affinity conversion fired; if both sides also share a
@@ -1983,8 +1993,8 @@ def rewrite_affinity_in(stmt: str, classes: dict[str, str]) -> str:
             dx = _aff_classify(x, classes)
             if (
                 dx is None
-                or dx[0] != "col"
-                or dx[1] == "long"
+                or dx[0] not in ("col", "agg")
+                or dx == ("col", "long")  # native numeric IN + InSet
                 or not (
                     _AFF_IDENT_RE.match(x) or _AFF_MINMAX_ARG_RE.match(x)
                 )

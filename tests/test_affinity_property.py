@@ -125,6 +125,15 @@ _CMP_STATEMENTS = [
     "select anr, x1 from t order by x1 desc, anr",
     "select max(x1) from t",
     "select min(x1) from t",
+    # aggregate comparisons (HAVING) and grouped output ordering ride
+    # the same passes: min/max lower to min_by/max_by on the class
+    # key, then the comparison pass keys the aggregate itself
+    "select x2, max(x1) as m from t group by x2"
+    " having max(x1) > 5 order by x2",
+    "select x2, min(x1) as m from t group by x2"
+    " having min(x1) < 'm' order by x2",
+    # BETWEEN with a column endpoint
+    "select anr from t where x1 between x2 and 'm' order by anr",
 ]
 
 
