@@ -874,3 +874,65 @@ def events_stream_static_enrich(
     return stream_static_enrich(
         spark, sf_dir, query_name="reg_stream_enrich"
     )
+
+
+def stream_heavy_hitters(
+    spark: SparkSession, sf_dir: str, query_name: str = "stream_hh"
+) -> DataFrame:
+    """Windowed heavy hitters as the two-stage continuous top-k: the
+    STREAMING stage maintains the (window, event_type) counts
+    incrementally (real readStream → watermark → windowed agg — rank
+    is not expressible inside a streaming aggregation, Spark rejects
+    it), and the RANK stage runs as a batch window over the compacted
+    aggregate, whose cardinality is windows × types ≪ events. That
+    split — aggregate continuously, rank on the compacted output — is
+    the production dashboard/top-k shape; ties break by event_type so
+    the result is deterministic and oracle-checkable."""
+    from pyspark.sql import Window as W
+
+    counts = stream_tumbling_counts(spark, sf_dir, query_name=query_name)
+    w = W.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), "event_type"
+    )
+    return (
+        counts.select(
+            "window_start",
+            "event_type",
+            "n_events",
+            F.row_number().over(w).alias("rank"),
+        )
+        .filter(F.col("rank") <= 3)
+    )
+
+
+@query(
+    "events_heavy_hitters_stream",
+    oracle="""
+        WITH c AS (
+            SELECT epoch_us(time_bucket(INTERVAL '10 minutes', ts))
+                       AS window_start,
+                   event_type,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1, 2
+        )
+        SELECT window_start, event_type, n_events,
+               CAST(row_number() OVER (
+                   PARTITION BY window_start
+                   ORDER BY n_events DESC, event_type
+               ) AS INTEGER) AS rank
+        FROM c
+        QUALIFY rank <= 3
+    """,
+)
+def events_heavy_hitters_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable wrapper for the streaming heavy-hitters
+    top-k: the windowed counts come from the real availableNow
+    Structured Streaming job and the per-window top-3 rank runs over
+    its memory-sink output; with nothing late, the whole thing must
+    equal the batch window-count + rank expression value-for-value.
+
+    Scale: the rank stage's window partitions by window_start over
+    ALREADY-AGGREGATED rows (windows × types), so no salting is
+    needed — the corpus-sized work all happened in the incremental
+    streaming aggregation."""
+    return stream_heavy_hitters(spark, sf_dir, query_name="reg_stream_hh")

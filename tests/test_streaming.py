@@ -149,3 +149,38 @@ def test_stream_dedup_equals_batch(spark, sf_dir):
         for r in stream_dedup_exact(spark, sf_dir, "t_stream_dedup").collect()
     }
     assert batch == streamed
+
+
+def test_stream_heavy_hitters_equals_batch(spark, sf_dir):
+    """The two-stage continuous top-k (streaming windowed counts →
+    batch rank over the compacted aggregate) must equal ranking the
+    batch tumbling counts directly — deterministic because ties break
+    by event_type."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    import sqawk_spark.operators as operators
+    from sqawk_spark.operators.registry import REGISTRY
+    from sqawk_spark.streaming.windows import stream_heavy_hitters
+
+    operators.load_all()
+
+    w = W.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), "event_type"
+    )
+    batch = {
+        (r.window_start, r.event_type, r.n_events, r["rank"])
+        for r in REGISTRY["events_tumbling_window"]
+        .builder(spark, sf_dir)
+        .select(
+            "window_start", "event_type", "n_events",
+            F.row_number().over(w).alias("rank"),
+        )
+        .filter(F.col("rank") <= 3)
+        .collect()
+    }
+    streamed = {
+        (r.window_start, r.event_type, r.n_events, r["rank"])
+        for r in stream_heavy_hitters(spark, sf_dir, "t_stream_hh").collect()
+    }
+    assert batch == streamed
