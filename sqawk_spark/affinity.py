@@ -115,16 +115,24 @@ def apply_affinity(col: Column, affinity: str) -> Column:
     d = t.cast("double")
 
     if affinity == "real":
-        integral = (d == F.floor(d)) & (F.abs(d) < 1e15)
+        # fixed-point "N.0" for every integral double below 1e16 —
+        # the exact window where CPython/SQLite float repr stays
+        # fixed-point (repr(9007199254740992.0) = '9007199254740992.0'
+        # but repr(1e16) = '1e+16'); long-cast is exact there
+        integral = (d == F.floor(d)) & (F.abs(d) < 1e16)
         real_str = F.when(
             integral, F.concat(d.cast("long").cast("string"), F.lit(".0"))
         ).otherwise(d.cast("string"))
         return F.when(is_int | is_real, real_str).otherwise(col)
 
-    # integer / numeric: lossless-integral → integer form, else real
-    integral = (d == F.floor(d)) & (F.abs(d) < 9.007199254740992e15)
+    # integer / numeric: lossless-integral → integer form, else real.
+    # SQLite's rule is a lossless ROUND-TRIP within int64 (not a 2^53
+    # window): real-looking text whose double is integral and survives
+    # double→int64→double unchanged stores as INTEGER
+    li = d.try_cast("long")  # NULL on overflow (ANSI-safe)
+    integral = li.isNotNull() & (li.cast("double") == d)
     long_form = t.try_cast("long").cast("string")
-    as_int = d.cast("long").cast("string")
+    as_int = li.cast("string")
     as_real = d.cast("string")
     return (
         # int-looking text that overflows int64 falls through to real,

@@ -1635,12 +1635,16 @@ def rewrite_date_calls(stmt: str) -> str:
 # below reproduce SQLite exactly for every operand the scanner can
 # classify — column references, numeric/string literals, and min/max
 # aggregates over such columns — by comparing order-preserving struct
-# keys ``struct('c' class, 'n' double, 't' text)``: Spark's struct
-# comparison is lexicographic by field, which IS the SQLite value
-# order. Unclassifiable operands (function calls, arithmetic) keep
-# Spark coercion; numeric ties beyond 2^53 collapse (the 'n' field is
-# a double). Fuzzed against real SQLite in
-# tests/test_affinity_property.py::test_comparison_semantics.
+# keys ``struct('c' class, 'n' double, 'i' bigint, 't' text)``:
+# Spark's struct comparison is lexicographic by field, which IS the
+# SQLite value order. The 'i' field repairs double collapse for big
+# integers: double rounding is monotonic, so misordering can only
+# appear as an 'n' TIE, where 'i' (the exact int64, truncated from
+# the double for reals — exact whenever the tie is real, since every
+# double ≥ 2^52 is integral) restores SQLite's exact int-vs-real
+# compare through the whole int64 range. Unclassifiable operands
+# (function calls, arithmetic) keep Spark coercion. Fuzzed against
+# real SQLite in tests/test_affinity_property.py.
 
 _AFF_TRIM_PAT = r"'^\\s+|\\s+$'"
 _AFF_NUM_LIT_RE = re.compile(
@@ -1660,11 +1664,25 @@ _AFF_MINMAX_ARG_RE = re.compile(
 )
 
 
+def _aff_exact_int(x: str) -> str:
+    """Exact-int64 refinement for the 'i' key field: the value itself
+    for integers, truncation of the double otherwise (exact whenever
+    it can be consulted — 'n' ties only happen between integral
+    values). Never NULL: NULL struct fields would perturb ordering."""
+    return (
+        f"coalesce(TRY_CAST({x} AS BIGINT), "
+        f"TRY_CAST(TRY_CAST({x} AS DOUBLE) AS BIGINT), 0L)"
+    )
+
+
 def _aff_key_col_sql(x: str, treat: str) -> str:
     """Order-preserving SQLite-class key for operand SQL ``x``."""
-    num = f"named_struct('c', 1, 'n', TRY_CAST({x} AS DOUBLE), 't', '')"
+    num = (
+        f"named_struct('c', 1, 'n', TRY_CAST({x} AS DOUBLE), "
+        f"'i', {_aff_exact_int(x)}, 't', '')"
+    )
     txt = (
-        f"named_struct('c', 2, 'n', CAST(0 AS DOUBLE), "
+        f"named_struct('c', 2, 'n', CAST(0 AS DOUBLE), 'i', 0L, "
         f"'t', CAST({x} AS STRING))"
     )
     if treat == "num":
@@ -1679,7 +1697,8 @@ def _aff_key_col_sql(x: str, treat: str) -> str:
     return (
         f"(CASE WHEN {x} IS NULL THEN NULL "
         f"WHEN {t} RLIKE {_SQL_NUM_PAT} THEN "
-        f"named_struct('c', 1, 'n', TRY_CAST({t} AS DOUBLE), 't', '') "
+        f"named_struct('c', 1, 'n', TRY_CAST({t} AS DOUBLE), "
+        f"'i', {_aff_exact_int(t)}, 't', '') "
         f"ELSE {txt} END)"
     )
 
@@ -1794,10 +1813,17 @@ def _aff_always(d: tuple[str, str]) -> str | None:
 def _aff_key_sql(d: tuple[str, str], sqltext: str) -> str:
     kind, val = d
     if kind == "numlit":
-        return f"named_struct('c', 1, 'n', CAST({val} AS DOUBLE), 't', '')"
+        if re.fullmatch(r"[+-]?[0-9]+", val) and -(2**63) <= int(val) < 2**63:
+            i_sql = f"{int(val)}L"
+        else:
+            i_sql = f"coalesce(TRY_CAST(CAST({val} AS DOUBLE) AS BIGINT), 0L)"
+        return (
+            f"named_struct('c', 1, 'n', CAST({val} AS DOUBLE), "
+            f"'i', {i_sql}, 't', '')"
+        )
     if kind == "strlit":
         return (
-            f"named_struct('c', 2, 'n', CAST(0 AS DOUBLE), "
+            f"named_struct('c', 2, 'n', CAST(0 AS DOUBLE), 'i', 0L, "
             f"'t', {_quote_sql(val)})"
         )
     treat = {"long": "num", "dynamic": "dynamic",

@@ -192,7 +192,10 @@ def _compare_statements(spark, con, classes):
 _mixed_value = st.one_of(
     st.sampled_from(
         ["001", "c", "10", "2", "1.5", "abc", " 7 ", "-3", "0.0",
-         "zz", "50", "49", "51", "M", "m", "n", "1e2", ".5", "2", ""]
+         "zz", "50", "49", "51", "M", "m", "n", "1e2", ".5", "2", "",
+         # beyond 2^53: the 'i' struct-key field must repair double
+         # collapse (9007199254740993.0 == 9007199254740992.0)
+         "9007199254740993", "9007199254740992", "-9007199254740993"]
     ),
     _int_text,
     _real_text,
@@ -232,6 +235,44 @@ def test_comparison_semantics_fixed_corpus(spark):
     con, classes = _load_both(spark, v1, v2, "integer", "real")
     try:
         _compare_statements(spark, con, classes)
+    finally:
+        con.close()
+
+
+def test_comparison_semantics_beyond_double_precision(spark):
+    """Integers past 2^53 collapse in DOUBLE; SQLite compares int vs
+    real exactly (sqlite3IntFloatCompare). The struct key's exact-int
+    'i' field must reproduce that through the whole int64 range —
+    including int-vs-real n-ties (9007199254740993 vs the double
+    9007199254740992.0) and adjacent huge integers."""
+    import sqlite3 as _sq
+
+    v1 = ["9007199254740993", "9007199254740992", "9007199254740991",
+          "-9007199254740993", "9007199254740994", "c",
+          "9223372036854775807", "100", "9007199254740992",
+          "9007199254740993", "50", "2"]
+    v2 = list(reversed(v1))
+    con, classes = _load_both(spark, v1, v2, "integer", "numeric")
+    try:
+        _compare_statements(spark, con, classes)
+        # direct pins of the exact int-vs-real SQLite semantics
+        from sqawk_spark.dialect import rewrite_statement
+
+        for q, want in [
+            ("select anr from t where x1 > 9007199254740992 order by anr",
+             None),
+            ("select anr from t where x1 = 9007199254740992.0 order by anr",
+             None),
+            ("select anr, x1 from t order by x1, anr", None),
+        ]:
+            w = [tuple(str(c) for c in r) for r in con.execute(q)]
+            g = [
+                tuple(str(c) for c in r)
+                for r in spark.sql(
+                    rewrite_statement(q, classes=classes)
+                ).collect()
+            ]
+            assert g == w, f"{q}\n sqlite={w}\n spark ={g}"
     finally:
         con.close()
 
