@@ -74,6 +74,8 @@ HEADLINE = [
     "sample_stratified_balanced",
     "sample_importance_weighted",
     "sample_curriculum_buckets",
+    "sample_weighted_reservoir",
+    "text_collapse_runs",
     "ann_cosine_topk",
     "embedding_quantize_int8",
     "doc_chunk_overlap",

@@ -396,3 +396,112 @@ def sample_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST((4 * below) DIV n AS INT)").alias("bucket"),
         )
     )
+
+
+# Efraimidis–Spirakis weighted sampling without replacement: give row
+# i the key u_i^(1/w_i) with u_i uniform, keep the k largest keys —
+# provably equivalent to drawing k rows sequentially without
+# replacement with probability ∝ weight. We rank by the monotone
+# equivalent ln(u)/w (descending), with u derived from 52 md5 bits so
+# the draw is a pure function of the row.
+#
+# Cross-engine exactness: h < 2^52, so h + 0.5 is an EXACT double
+# (ulp ≤ 0.5 over the whole range) and u = (h+0.5)/2^52 is one exact
+# IEEE divide — both engines start from bit-identical doubles. ln()
+# is the only library call (each engine ≤1 ulp but not necessarily
+# the SAME ulp); the key is rounded to integer nano-units, so a
+# cross-engine flip needs the true value within ~1e-9 ulp-widths of a
+# .5 boundary — ~1e-9 probability per corpus, not per row. Ranks are
+# then integer-ordered with a doc_id tie-break: order-free.
+_WOR_SALT = ":wor:42"
+_WOR_K = 200
+_WOR_SALT_BUCKETS = 8
+_WOR_DENOM = 4503599627370496.0  # 2^52, exact
+_WOR_SCALE = 1000000000.0  # nano-units: |key| ≤ 36e9, well inside int64
+
+
+@query(
+    "sample_weighted_reservoir",
+    oracle=f"""
+        WITH keyed AS (
+            SELECT doc_id, n_chars,
+                   CAST(round(
+                       ln((CAST(concat('0x',
+                               substr(md5(CAST(doc_id AS VARCHAR)
+                                          || '{_WOR_SALT}'), 1, 13))
+                               AS BIGINT) + 0.5) / {_WOR_DENOM!r})
+                       / n_chars * {_WOR_SCALE!r}) AS BIGINT) AS key_u
+            FROM documents WHERE n_chars > 0
+        ),
+        ranked AS (
+            SELECT doc_id, n_chars, key_u,
+                   row_number() OVER (ORDER BY key_u DESC, doc_id) AS rn
+            FROM keyed
+        )
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, key_u,
+               CAST(rn AS INTEGER) AS rank
+        FROM ranked WHERE rn <= {_WOR_K}
+    """,
+)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted sample WITHOUT replacement (k = 200, weight =
+    document length) via the Efraimidis–Spirakis key ``u^(1/w)`` —
+    the draw behind "pick a fixed-size, length-weighted subset for
+    annotation/eval" that a with-replacement or Bernoulli sampler
+    can't provide (those give a random-SIZED or duplicated sample).
+
+    Unlike a sequential reservoir, the E-S formulation is
+    embarrassingly parallel: the key is a pure per-row function
+    (salted md5 bits → uniform → ln(u)/w in integer nano-units, see
+    module comment for the exactness argument), and without-
+    replacement selection is just global top-k over keys. The same
+    md5 derivation makes the drawn set identical across engines,
+    reruns, and partitionings.
+
+    Scale: one map-only keying scan, then the exact two-phase salted
+    top-k (``window_rank``'s proof): per-salt-bucket row_number keeps
+    ≤ 8·k candidates, the final global window orders 1 600 rows, not
+    the corpus. No global sort, no corpus shuffle — at 100 TB the
+    exchange carries only the per-bucket survivors."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"),
+                           F.lit(_WOR_SALT))),
+            1, 13,
+        ),
+        16, 10,
+    ).cast("long")
+    keyed = (
+        t["documents"]
+        .filter(F.col("n_chars") > 0)
+        .select(
+            "doc_id",
+            "n_chars",
+            F.round(
+                F.log((h + 0.5) / _WOR_DENOM)
+                / F.col("n_chars") * _WOR_SCALE
+            ).cast("long").alias("key_u"),
+        )
+    )
+    order = (F.col("key_u").desc(), "doc_id")
+    salted = keyed.withColumn(
+        "salt", F.pmod(F.xxhash64("doc_id"), F.lit(_WOR_SALT_BUCKETS))
+    )
+    wl = W.partitionBy("salt").orderBy(*order)
+    cand = (
+        salted.withColumn("lrn", F.row_number().over(wl))
+        .filter(F.col("lrn") <= _WOR_K)
+    )
+    w = W.orderBy(*order)
+    return (
+        cand.select(
+            "doc_id",
+            "n_chars",
+            "key_u",
+            F.row_number().over(w).alias("rank"),
+        )
+        .filter(F.col("rank") <= _WOR_K)
+    )

@@ -686,3 +686,24 @@ def test_bigram_perplexity_is_jvm_integer_sums(spark, sf_dir):
     # frame, not from per-consumer re-tokenization of the corpus
     # (textstats._bigram_counts — dedup-index persist pattern)
     assert "InMemoryTableScan" in p or "InMemoryRelation" in p
+
+
+def test_collapse_runs_is_map_only_no_shuffle(spark, sf_dir):
+    """Run-length collapse must rewrite rows in place inside the scan
+    stage: no exchange of any kind (the explode+lag alternative would
+    shuffle the whole token stream), no Python, no generator."""
+    p = plan(spark, sf_dir, "text_collapse_runs")
+    assert "Exchange" not in p
+    assert "Generate" not in p  # no explode
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_weighted_reservoir_is_salted_topk_not_global_sort(spark, sf_dir):
+    """E-S top-k must never range-partition or globally sort the
+    corpus: the only exchanges are the hash partition on the salt
+    bucket and the final single-partition gather of ≤ 8·k survivors;
+    keying is JVM-side."""
+    p = plan(spark, sf_dir, "sample_weighted_reservoir")
+    assert "Exchange rangepartitioning" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "hashpartitioning(salt" in p
