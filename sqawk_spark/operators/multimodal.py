@@ -441,8 +441,11 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     skipped. General gradient JPEGs would reproduce the encoder's
     quantized coefficients, not the source pixels — that roundtrip is
     what the quantization-loss contract of JPEG means, not a decoder
-    limitation. Honest scope note: chroma subsampling and video
-    containers remain out of scope (no media libs to cross-check).
+    limitation. Chroma subsampling is covered by the 3-component
+    :func:`multimodal_jpeg_chroma420` entry and video containers by
+    :func:`multimodal_video_framesample`; the remaining out-of-scope
+    surface is real photographic codecs (no media libs to
+    cross-check).
 
     Scale: same shape as the other media passes — one Arrow-batched
     mapInPandas stream per partition, no shuffle, payload column
@@ -696,6 +699,363 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema=(
             "doc_id bigint, width int, height int, "
             "pixel_sum bigint, mean_px double, corner_px int"
+        ),
+    )
+
+
+_JPEG420_ORACLE = """
+    WITH p AS (
+        SELECT doc_id,
+               CAST( (doc_id * 7          ) % 160 + 48
+                   + (doc_id * 7 +  1 * 53) % 160 + 48
+                   + (doc_id * 7 +  2 * 53) % 160 + 48
+                   + (doc_id * 7 +  3 * 53) % 160 + 48 AS BIGINT)
+                   AS ybase_sum,
+               CAST(doc_id % 21 - 10 AS BIGINT) AS cbd,
+               CAST((doc_id * 3) % 21 - 10 AS BIGINT) AS crd
+        FROM documents
+    )
+    SELECT doc_id, 16 AS width, 16 AS height,
+           CAST(ybase_sum * 64 + 256 * round(1.402 * crd) AS BIGINT)
+               AS r_sum,
+           CAST(ybase_sum * 64
+                + 256 * round(-0.344136 * cbd - 0.714136 * crd)
+               AS BIGINT) AS g_sum,
+           CAST(ybase_sum * 64 + 256 * round(1.772 * cbd) AS BIGINT)
+               AS b_sum,
+           CAST((doc_id * 7) % 160 + 48 + 8 + round(1.402 * crd)
+               AS INTEGER) AS corner_r
+    FROM p
+"""
+# Closed form for the 4:2:0 entry: the MCU's four luma blocks are the
+# same DC+zero-sum-AC construction the grayscale entry proves exact
+# (bases (doc_id*7 + b*53) % 160 + 48, AC pair ±5/±3, corner +8), so
+# Y.sum() = 64·Σ bases and corner Y = base₀+8. Chroma is DC-only:
+# Cb = 128 + doc_id%21-10, Cr = 128 + (3·doc_id)%21-10, replicated
+# 2×2 by the upsampler — every pixel gets the SAME color offset, and
+# since Y is integer-valued, round(Y + off) = Y + round(off) pixelwise
+# (no ±.5 ties exist anywhere in the cbd/crd ∈ [-10,10] domain —
+# enumerated over exact rationals), so each channel sum is
+# Y_sum + 256·round(offset) and no pixel leaves [22, 233] (no
+# clipping). All output columns are integers: nothing float crosses
+# the engine boundary.
+
+
+@query("multimodal_jpeg_chroma420", oracle=_JPEG420_ORACLE)
+def multimodal_jpeg_chroma420(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Color baseline JPEG with 4:2:0 chroma subsampling — closes the
+    "chroma subsampling out of scope" note on the grayscale entry.
+    The synthesized streams are genuine 3-component JFIF files
+    (SOF0 with per-component sampling factors 0x22/0x11/0x11, one
+    interleaved scan), and the decoder is the real general shape: it
+    READS the sampling factors from SOF0, walks MCUs in interleaved
+    order (Y₀₀ Y₀₁ Y₁₀ Y₁₁ Cb Cr per 16×16 MCU), keeps one DC
+    predictor per component, assembles per-component planes at native
+    resolution, box-replicates chroma up to the luma grid (the JFIF
+    upsampler), and converts YCbCr→RGB with the BT.601 constants —
+    nothing is special-cased to the synthetic content except the
+    oracle's closed form.
+
+    Exactness: see the oracle comment — luma is the grayscale entry's
+    integer-exact DC+AC construction; constant chroma makes the color
+    conversion a per-pixel integer shift with no rounding ties and no
+    clipping, so channel sums are pinned exactly. The decoded corner
+    pixel (base₀ + 8 + round(1.402·crd)) fails if the AC path, the
+    MCU interleave order, OR the upsample/conversion is wrong.
+
+    Scale: identical to the other media entries — synthesis and
+    decode run inside one Arrow-batched mapInPandas pass, no shuffle,
+    no driver traffic; at 100 TB the binary column streams through
+    executors partition-local."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    ids = t["documents"].select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
+        ZIGZAG = [
+            0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+            12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21,
+            28, 35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30,
+            37, 44, 51, 58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61,
+            54, 47, 55, 62, 63,
+        ]
+        DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+        DC_VALS = list(range(12))
+        AC_BITS = [1, 1, 1, 1] + [0] * 12
+        AC_VALS = [0x00, 0xF0, 0xD3, 0x82]
+        QUANT = 8
+        AC1, AC2 = 5, 3
+
+        def huff_codes(bits, vals):
+            code, k, out = 0, 0, {}
+            for ln in range(1, 17):
+                for _ in range(bits[ln - 1]):
+                    out[vals[k]] = (code, ln)
+                    code += 1
+                    k += 1
+                code <<= 1
+            return out
+
+        DC_ENC = huff_codes(DC_BITS, DC_VALS)
+        AC_ENC = huff_codes(AC_BITS, AC_VALS)
+
+        x = np.arange(8)
+        T = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) / 2.0
+        T[0, :] = 1.0 / (2.0 * np.sqrt(2.0))
+
+        class BitWriter:
+            def __init__(self):
+                self.out = bytearray()
+                self.acc = 0
+                self.n = 0
+
+            def put(self, code, ln):
+                for i in range(ln - 1, -1, -1):
+                    self.acc = (self.acc << 1) | ((code >> i) & 1)
+                    self.n += 1
+                    if self.n == 8:
+                        self.out.append(self.acc)
+                        if self.acc == 0xFF:
+                            self.out.append(0x00)
+                        self.acc = 0
+                        self.n = 0
+
+            def flush(self):
+                while self.n:
+                    self.put(1, 1)
+                return bytes(self.out)
+
+        def seg(marker, body):
+            return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+        def put_dc(bw, diff):
+            s = diff if diff >= 0 else -diff
+            size = s.bit_length()
+            code, ln = DC_ENC[size]
+            bw.put(code, ln)
+            if size:
+                bits = diff if diff >= 0 else diff + (1 << size) - 1
+                bw.put(bits & ((1 << size) - 1), size)
+
+        def put_luma_ac(bw):
+            c, ln = AC_ENC[0xD3]  # 13-zero run, size 3 → zigzag 14
+            bw.put(c, ln)
+            bw.put(AC1, 3)
+            c, ln = AC_ENC[0xF0]  # ZRL
+            bw.put(c, ln)
+            c, ln = AC_ENC[0x82]  # run 8, size 2 → zigzag 39
+            bw.put(c, ln)
+            bw.put(AC2, 2)
+            c, ln = AC_ENC[0x00]  # EOB
+            bw.put(c, ln)
+
+        def synth_jpeg420(doc_id: int) -> bytes:
+            ybases = [(doc_id * 7 + b * 53) % 160 + 48 for b in range(4)]
+            cb = 128 + doc_id % 21 - 10
+            cr = 128 + (doc_id * 3) % 21 - 10
+            bw = BitWriter()
+            pred = 0
+            for v in ybases:  # MCU order: Y00 Y01 Y10 Y11
+                put_dc(bw, (v - 128) - pred)
+                pred = v - 128
+                put_luma_ac(bw)
+            for v in (cb, cr):  # then Cb, Cr: DC-only blocks
+                put_dc(bw, v - 128)
+                c, ln = AC_ENC[0x00]
+                bw.put(c, ln)
+            dqt = bytes([0x00]) + bytes([QUANT] * 64)
+            sof = struct.pack(">BHHB", 8, 16, 16, 3) + bytes(
+                [1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0]
+            )
+            dht = (
+                bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS)
+                + bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS)
+            )
+            sos = bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
+            return (
+                b"\xff\xd8" + seg(0xDB, dqt) + seg(0xC0, sof)
+                + seg(0xC4, dht) + seg(0xDA, sos) + bw.flush()
+                + b"\xff\xd9"
+            )
+
+        def huff_decoder(bits, vals):
+            table, code, k = {}, 0, 0
+            for ln in range(1, 17):
+                for _ in range(bits[ln - 1]):
+                    table[(ln, code)] = vals[k]
+                    code += 1
+                    k += 1
+                code <<= 1
+            return table
+
+        class BitReader:
+            def __init__(self, data):
+                self.d = data
+                self.i = 0
+                self.acc = 0
+                self.n = 0
+
+            def bit(self):
+                if self.n == 0:
+                    b = self.d[self.i]
+                    self.i += 1
+                    if b == 0xFF:
+                        assert self.d[self.i] == 0x00
+                        self.i += 1
+                    self.acc = b
+                    self.n = 8
+                self.n -= 1
+                return (self.acc >> self.n) & 1
+
+            def read(self, n):
+                v = 0
+                for _ in range(n):
+                    v = (v << 1) | self.bit()
+                return v
+
+            def symbol(self, table):
+                code, ln = 0, 0
+                while True:
+                    code = (code << 1) | self.bit()
+                    ln += 1
+                    if (ln, code) in table:
+                        return table[(ln, code)]
+                    assert ln <= 16
+
+        def extend(v, s):
+            return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+
+        def decode_jpeg420(data: bytes):
+            i = 2
+            qt, dc_tabs, ac_tabs = {}, {}, {}
+            comps = scan = None
+            w = h = None
+            while True:
+                assert data[i] == 0xFF
+                marker = data[i + 1]
+                assert marker != 0xD9, "hit EOI before SOS"
+                (ln,) = struct.unpack(">H", data[i + 2 : i + 4])
+                body = data[i + 4 : i + 2 + ln]
+                if marker == 0xDB:
+                    qt[body[0] & 0x0F] = np.array(
+                        list(body[1:65]), dtype=np.float64
+                    )
+                elif marker == 0xC0:
+                    _, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+                    comps = []
+                    for c in range(ncomp):
+                        cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+                        comps.append((cid, hv >> 4, hv & 0x0F, tq))
+                elif marker == 0xC4:
+                    j = 0
+                    while j < len(body):
+                        tc_th = body[j]
+                        bits = list(body[j + 1 : j + 17])
+                        nv = sum(bits)
+                        tab = huff_decoder(
+                            bits, list(body[j + 17 : j + 17 + nv])
+                        )
+                        if tc_th >> 4 == 0:
+                            dc_tabs[tc_th & 0x0F] = tab
+                        else:
+                            ac_tabs[tc_th & 0x0F] = tab
+                        j += 17 + nv
+                elif marker == 0xDA:
+                    ns = body[0]
+                    scan = []
+                    for c in range(ns):
+                        cs, tt = body[1 + 2 * c], body[2 + 2 * c]
+                        ci = next(
+                            k for k, cc in enumerate(comps) if cc[0] == cs
+                        )
+                        scan.append((ci, tt >> 4, tt & 0x0F))
+                    i += 2 + ln
+                    break
+                i += 2 + ln
+            br = BitReader(data[i:])
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            planes = [
+                np.zeros((mcuy * 8 * c[2], mcux * 8 * c[1]))
+                for c in comps
+            ]
+            pred = [0] * len(comps)
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    for ci, td, ta in scan:
+                        _, hc, vc, tq = comps[ci]
+                        for by in range(vc):
+                            for bx in range(hc):
+                                zz = np.zeros(64, dtype=np.float64)
+                                s = br.symbol(dc_tabs[td])
+                                pred[ci] += (
+                                    extend(br.read(s), s) if s else 0
+                                )
+                                zz[0] = pred[ci]
+                                k = 1
+                                while k < 64:
+                                    rs = br.symbol(ac_tabs[ta])
+                                    if rs == 0x00:
+                                        break
+                                    if rs == 0xF0:
+                                        k += 16
+                                        continue
+                                    k += rs >> 4
+                                    sz = rs & 0x0F
+                                    zz[k] = extend(br.read(sz), sz)
+                                    k += 1
+                                coef = np.zeros(64, dtype=np.float64)
+                                coef[ZIGZAG] = zz * qt[tq]
+                                blk = T.T @ coef.reshape(8, 8) @ T + 128.0
+                                planes[ci][
+                                    (my * vc + by) * 8 : (my * vc + by + 1) * 8,
+                                    (mx * hc + bx) * 8 : (mx * hc + bx + 1) * 8,
+                                ] = blk
+            def up(ci):
+                p = planes[ci]
+                _, hc, vc, _ = comps[ci]
+                return np.repeat(
+                    np.repeat(p, vmax // vc, axis=0), hmax // hc, axis=1
+                )[:h, :w]
+
+            Y = planes[0][:h, :w]
+            Cb, Cr = up(1), up(2)
+            R = np.clip(np.round(Y + 1.402 * (Cr - 128.0)), 0, 255)
+            G = np.clip(
+                np.round(
+                    Y - 0.344136 * (Cb - 128.0) - 0.714136 * (Cr - 128.0)
+                ),
+                0, 255,
+            )
+            B = np.clip(np.round(Y + 1.772 * (Cb - 128.0)), 0, 255)
+            return R, G, B
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "width": [], "height": [],
+                "r_sum": [], "g_sum": [], "b_sum": [], "corner_r": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                R, G, B = decode_jpeg420(synth_jpeg420(int(doc_id)))
+                out["doc_id"].append(int(doc_id))
+                out["height"].append(R.shape[0])
+                out["width"].append(R.shape[1])
+                out["r_sum"].append(int(R.sum(dtype=np.int64)))
+                out["g_sum"].append(int(G.sum(dtype=np.int64)))
+                out["b_sum"].append(int(B.sum(dtype=np.int64)))
+                out["corner_r"].append(int(R[0, 0]))
+            yield pd.DataFrame(out)
+
+    return ids.mapInPandas(
+        run,
+        schema=(
+            "doc_id bigint, width int, height int, "
+            "r_sum bigint, g_sum bigint, b_sum bigint, corner_r int"
         ),
     )
 

@@ -626,3 +626,37 @@ def test_jpeg_decode_exercises_ac_and_zrl_branches(spark, sf_dir):
         # still 64 * sum of the four block bases
         vsum = sum((r.doc_id * 7 + b * 53) % 200 + 28 for b in range(4))
         assert r.pixel_sum == 64 * vsum
+
+
+def test_jpeg420_chroma_and_interleave_pins(spark, sf_dir):
+    """The 4:2:0 entry must prove three things beyond the grayscale
+    decoder: (1) MCU interleave order + per-component DC predictors —
+    the luma sum is 64·Σ bases only if the four Y blocks and two
+    chroma blocks were consumed in Y₀₀Y₀₁Y₁₀Y₁₁·Cb·Cr order; (2) the
+    2×2 box upsample + BT.601 conversion — each channel is shifted by
+    exactly round(coef·chroma_delta) everywhere; (3) channels react
+    INDEPENDENTLY to Cb vs Cr (r_sum ignores cbd, b_sum ignores crd)."""
+    from sqawk_spark.operators.registry import REGISTRY
+
+    rows = (
+        REGISTRY["multimodal_jpeg_chroma420"]
+        .builder(spark, sf_dir)
+        .limit(50)
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        ysum = 64 * sum(
+            (r.doc_id * 7 + b * 53) % 160 + 48 for b in range(4)
+        )
+        cbd = r.doc_id % 21 - 10
+        crd = (r.doc_id * 3) % 21 - 10
+        # plain round() is safe: no .5 ties exist in the domain
+        # (enumerated over exact rationals in the oracle comment)
+        assert r.r_sum == ysum + 256 * round(1.402 * crd)
+        assert r.g_sum == ysum + 256 * round(
+            -0.344136 * cbd - 0.714136 * crd
+        )
+        assert r.b_sum == ysum + 256 * round(1.772 * cbd)
+        base0 = (r.doc_id * 7) % 160 + 48
+        assert r.corner_r == base0 + 8 + round(1.402 * crd)
