@@ -1635,16 +1635,26 @@ def rewrite_date_calls(stmt: str) -> str:
 # below reproduce SQLite exactly for every operand the scanner can
 # classify — column references, numeric/string literals, and min/max
 # aggregates over such columns — by comparing order-preserving struct
-# keys ``struct('c' class, 'n' double, 'i' bigint, 't' text)``:
-# Spark's struct comparison is lexicographic by field, which IS the
-# SQLite value order. The 'i' field repairs double collapse for big
-# integers: double rounding is monotonic, so misordering can only
-# appear as an 'n' TIE, where 'i' (the exact int64, truncated from
-# the double for reals — exact whenever the tie is real, since every
-# double ≥ 2^52 is integral) restores SQLite's exact int-vs-real
-# compare through the whole int64 range. Unclassifiable operands
-# (function calls, arithmetic) keep Spark coercion. Fuzzed against
-# real SQLite in tests/test_affinity_property.py.
+# keys ``struct('c' class, 'n' double, 'i' bigint, 'e' int, 't'
+# text)``: Spark's struct comparison is lexicographic by field, which
+# IS the SQLite value order. The 'i' field repairs double collapse
+# for big integers: double rounding is monotonic, so misordering can
+# only appear as an 'n' TIE, where 'i' — the exact int64 value, and
+# for reals the exact (i64)r truncation, which exists whenever a tie
+# can (int-real ties require (double)i == r, so |r| ≤ 2^63 and r is
+# integral) — restores SQLite's exact int-vs-real compare
+# (sqlite3IntFloatCompare) through the whole int64 range. The one
+# tie int64 cannot express sits AT the boundary: the real 2^63
+# double-ties (and 'i'-ties, via clamping) with int64max, yet SQLite
+# orders every int64 strictly below a real ≥ 2^63 — the 'e' flag
+# (1 for exactly those reals, 0 otherwise) breaks it. At the other
+# end no flag is needed: SQLite deems the real -2^63 EQUAL to
+# int64min (it is representable), which the clamped-exact 'i' already
+# yields. Ties are always between integral doubles (every double
+# ≥ 2^52 is integral), so 'i' truncation is exact wherever consulted.
+# Unclassifiable operands (function calls, arithmetic) keep Spark
+# coercion. Fuzzed against real SQLite in
+# tests/test_affinity_property.py.
 
 _AFF_TRIM_PAT = r"'^\\s+|\\s+$'"
 _AFF_NUM_LIT_RE = re.compile(
@@ -1664,14 +1674,39 @@ _AFF_MINMAX_ARG_RE = re.compile(
 )
 
 
+# The double 2^63 — also Spark's max-long-as-double, so `d >= this`
+# is exactly sqlite3IntFloatCompare's "r >= 9223372036854775808" arm.
+_AFF_TWO63 = "9.223372036854775808e18"
+
+
 def _aff_exact_int(x: str) -> str:
     """Exact-int64 refinement for the 'i' key field: the value itself
-    for integers, truncation of the double otherwise (exact whenever
-    it can be consulted — 'n' ties only happen between integral
-    values). Never NULL: NULL struct fields would perturb ordering."""
+    for integers (string→bigint casts overflow to NULL exactly), else
+    the truncated double — exact wherever a tie can consult it, since
+    ties are integral and |r| ≤ 2^63 (the double→bigint clamp at
+    exactly 2^63 is disambiguated by the 'e' flag; at -2^63 the clamp
+    IS the exact value). Out-of-range magnitudes sign-clamp — 'n'
+    already decided those. Never NULL: NULL struct fields would
+    perturb ordering."""
+    d = f"TRY_CAST({x} AS DOUBLE)"
     return (
-        f"coalesce(TRY_CAST({x} AS BIGINT), "
-        f"TRY_CAST(TRY_CAST({x} AS DOUBLE) AS BIGINT), 0L)"
+        f"coalesce(TRY_CAST(CAST({x} AS STRING) AS BIGINT), "
+        f"TRY_CAST({d} AS BIGINT), "
+        f"CASE WHEN {d} > 0D THEN 9223372036854775807L "
+        f"ELSE -9223372036854775808L END)"
+    )
+
+
+def _aff_boundary_flag(x: str) -> str:
+    """The 'e' key field: 1 iff the value is a REAL ≥ 2^63 — the only
+    storage-class distinction invisible to ('n', 'i') (the real 2^63
+    clamps onto int64max). Real-ness is probed through the STRING
+    form, which is path-stable: canonicalized reals render with
+    '.0'/exponent and integers as bare digits, and string→bigint
+    casts are overflow-exact (no double clamp quirk)."""
+    return (
+        f"(CASE WHEN TRY_CAST(CAST({x} AS STRING) AS BIGINT) IS NULL "
+        f"AND TRY_CAST({x} AS DOUBLE) >= {_AFF_TWO63}D THEN 1 ELSE 0 END)"
     )
 
 
@@ -1679,10 +1714,12 @@ def _aff_key_col_sql(x: str, treat: str) -> str:
     """Order-preserving SQLite-class key for operand SQL ``x``."""
     num = (
         f"named_struct('c', 1, 'n', TRY_CAST({x} AS DOUBLE), "
-        f"'i', {_aff_exact_int(x)}, 't', '')"
+        f"'i', {_aff_exact_int(x)}, 'e', {_aff_boundary_flag(x)}, "
+        f"'t', '')"
     )
     txt = (
-        f"named_struct('c', 2, 'n', CAST(0 AS DOUBLE), 'i', 0L, "
+        f"named_struct('c', 2, 'n', CAST(0 AS DOUBLE), "
+        f"'i', 0L, 'e', 0, "
         f"'t', CAST({x} AS STRING))"
     )
     if treat == "num":
@@ -1696,9 +1733,16 @@ def _aff_key_col_sql(x: str, treat: str) -> str:
     t = f"regexp_replace({x}, {_AFF_TRIM_PAT}, '')"
     return (
         f"(CASE WHEN {x} IS NULL THEN NULL "
-        f"WHEN {t} RLIKE {_SQL_NUM_PAT} THEN "
+        # 'inf'/'-inf' are the canonical forms of overflowed reals
+        # ('9e999' stores as REAL Inf in SQLite — numeric class);
+        # the residual conflation (original TEXT 'inf' in a numeric-
+        # affinity column now also keys numeric) is documented in
+        # affinity.py. Spark casts 'inf' to Infinity, so 'n' is right.
+        f"WHEN {t} RLIKE {_SQL_NUM_PAT} OR lower({t}) IN "
+        f"('inf', '-inf') THEN "
         f"named_struct('c', 1, 'n', TRY_CAST({t} AS DOUBLE), "
-        f"'i', {_aff_exact_int(t)}, 't', '') "
+        f"'i', {_aff_exact_int(t)}, 'e', {_aff_boundary_flag(t)}, "
+        f"'t', '') "
         f"ELSE {txt} END)"
     )
 
@@ -1813,17 +1857,32 @@ def _aff_always(d: tuple[str, str]) -> str | None:
 def _aff_key_sql(d: tuple[str, str], sqltext: str) -> str:
     kind, val = d
     if kind == "numlit":
-        if re.fullmatch(r"[+-]?[0-9]+", val) and -(2**63) <= int(val) < 2**63:
-            i_sql = f"{int(val)}L"
+        if (
+            re.fullmatch(r"[+-]?[0-9]+", val)
+            and -(2**63) <= int(val) < 2**63
+        ):
+            # SQLite stores this literal as INTEGER (int64 min fits;
+            # 2^63 itself overflows to REAL, handled below)
+            i_sql, e_sql = f"{int(val)}L", "0"
         else:
-            i_sql = f"coalesce(TRY_CAST(CAST({val} AS DOUBLE) AS BIGINT), 0L)"
+            # a REAL literal: exact truncation in python (int() on the
+            # float the SQL engines will also see), clamped like the
+            # SQL path; 'e' = the sqlite3IntFloatCompare r >= 2^63 arm
+            fv = float(val)  # finite or ±inf ('1e400'); never NaN here
+            if fv >= 2.0**63:
+                i_sql, e_sql = f"{2**63 - 1}L", "1"
+            elif fv <= -(2.0**63):
+                i_sql, e_sql = f"{-(2**63)}L", "0"
+            else:
+                i_sql, e_sql = f"{int(fv)}L", "0"
         return (
             f"named_struct('c', 1, 'n', CAST({val} AS DOUBLE), "
-            f"'i', {i_sql}, 't', '')"
+            f"'i', {i_sql}, 'e', {e_sql}, 't', '')"
         )
     if kind == "strlit":
         return (
-            f"named_struct('c', 2, 'n', CAST(0 AS DOUBLE), 'i', 0L, "
+            f"named_struct('c', 2, 'n', CAST(0 AS DOUBLE), "
+            f"'i', 0L, 'e', 0, "
             f"'t', {_quote_sql(val)})"
         )
     treat = {"long": "num", "dynamic": "dynamic",
@@ -1935,7 +1994,18 @@ _AFF_MINMAX_RE = re.compile(r"\b(min|max)\s*\(", re.IGNORECASE)
 def rewrite_affinity_minmax(stmt: str, classes: dict[str, str]) -> str:
     """``min(col)`` / ``max(col)`` aggregates over a dynamic column →
     ``min_by(col, key)`` / ``max_by(col, key)``: SQLite's aggregate
-    min/max use the storage-class order (text beats every number)."""
+    min/max use the storage-class order (text beats every number).
+
+    The ordering key carries one extra DISPLAY tiebreak the comparison
+    keys deliberately lack: at the single value-tie the class key
+    cannot split — INTEGER -2^63 vs the REAL -9223372036854775809…
+    stored as -2^63, which SQLite deems EQUAL — the two renderings
+    differ ('-9223372036854775808' vs '-9.223372036854776e+18').
+    SQLite then returns whichever row its scan met first (arrival
+    order); a distributed aggregate has no arrival order, so the
+    engine deterministically prefers the INTEGER rendering for both
+    min and max (matching SQLite whenever the INTEGER precedes — and
+    value semantics either way, since the tied values are equal)."""
     while True:
         edited = False
         for m in _AFF_MINMAX_RE.finditer(stmt):
@@ -1949,9 +2019,23 @@ def rewrite_affinity_minmax(stmt: str, classes: dict[str, str]) -> str:
             d = _aff_classify(arg, classes)
             if d != ("col", "dynamic") or not _AFF_IDENT_RE.match(arg):
                 continue
-            fn = m.group(1).lower() + "_by"
+            fn = m.group(1).lower()
             key = _aff_key_col_sql(arg, "dynamic")
-            stmt = stmt[: m.start()] + f"{fn}({arg}, {key})" + stmt[close:]
+            # 0 for integer-rendered values, 1 otherwise; negated for
+            # max so BOTH directions prefer the integer at a key tie
+            pref = (
+                f"(CASE WHEN TRY_CAST(CAST({arg} AS STRING) AS BIGINT) "
+                f"IS NULL THEN 1 ELSE 0 END)"
+            )
+            if fn == "max":
+                pref = f"(0 - {pref})"
+            tkey = (
+                f"(CASE WHEN {arg} IS NULL THEN NULL ELSE "
+                f"named_struct('k', {key}, 'p', {pref}) END)"
+            )
+            stmt = (
+                stmt[: m.start()] + f"{fn}_by({arg}, {tkey})" + stmt[close:]
+            )
             edited = True
             break
         if not edited:
