@@ -1168,26 +1168,32 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks (ordered by the integer score with a doc_id tie-break)
     cannot wiggle between engines the way raw double sums do.
 
-    Scale: query terms are plan literals; the token explode fuses with
-    the vocabulary ``isin`` filter in one codegen stage, so non-query
-    tokens are dropped inside the scan stage — nothing but
-    (doc, query-term) rows ever reach an exchange (an array-lambda
-    pre-filter variant was measured 1.4× slower: higher-order
-    functions evaluate interpreted). df is a vocabulary-sized
-    aggregate broadcast back; corpus stats are a 1-row broadcast.
-    Top-k uses the same exact two-phase salted window as
-    ``window_rank`` — a plain per-query window would funnel each
-    query's full posting list through one partition at 100 TB."""
-    t = load_tables(spark, sf_dir, ("documents",))
-    toks = t["documents"].select("doc_id", _tokens().alias("t"))
-    stats = toks.agg(
-        F.count(F.lit(1)).alias("n"), F.sum(F.size("t")).alias("tt")
+    Scale: ONE corpus scan. The scan stage tokenizes each document
+    once and reduces it to the compact per-doc frame
+    ``(doc_id, dl, hits)`` — document length plus the query-vocabulary
+    tokens it contains (duplicates kept; tf is their count) — which is
+    persisted (:data:`_BM25_CACHE`, the bigram-LM pattern: column
+    pruning gives the stats and posting branches different partial
+    outputs, so ReuseExchange cannot dedupe them and without the
+    persist each branch would re-read and re-tokenize the corpus).
+    Corpus stats (N, total tokens) roll up from the compact frame, so
+    they cost a doc-count-sized agg, not a second text scan. The
+    vocabulary pre-filter is an array lambda — interpreted, but paid
+    once inside the single scan; the earlier explode+isin codegen
+    variant was faster per-branch yet forced the second full scan,
+    which dominates at corpus scale. df is a vocabulary-sized
+    aggregate broadcast back; stats are a 1-row broadcast. Top-k uses
+    the same exact two-phase salted window as ``window_rank`` — a
+    plain per-query window would funnel each query's full posting
+    list through one partition at 100 TB."""
+    compact = _bm25_doc_hits(spark, sf_dir)
+    stats = compact.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("tt")
     )
     tf = (
-        toks.select(
-            "doc_id", F.size("t").alias("dl"), F.explode("t").alias("term")
+        compact.select(
+            "doc_id", "dl", F.explode("hits").alias("term")
         )
-        .filter(F.col("term").isin(*_BM25_TERMS))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
     )
@@ -1311,17 +1317,53 @@ def text_collapse_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # entries run-to-run via clear_caches.
 _BIGRAM_CACHE: dict[tuple[int, str], DataFrame] = {}
 
+# (doc_id, dl, hits) per document for BM25 — persisted so the corpus
+# is tokenized once while both the stats and posting-list branches
+# read it (see text_bm25_topk's docstring). Same lifecycle as
+# _BIGRAM_CACHE.
+_BM25_CACHE: dict[tuple[int, str], DataFrame] = {}
+
 
 def clear_caches(spark: SparkSession | None = None) -> None:
-    """Unpersist and drop the per-session bigram-count cache (same
-    contract as :func:`sqawk_spark.operators.dedup.clear_caches`)."""
-    for key in [
-        k for k in _BIGRAM_CACHE if spark is None or k[0] == id(spark)
-    ]:
-        try:
-            _BIGRAM_CACHE.pop(key).unpersist()
-        except Exception:  # session already stopped — nothing to free
-            pass
+    """Unpersist and drop the per-session bigram-count and BM25
+    doc-hits caches (same contract as
+    :func:`sqawk_spark.operators.dedup.clear_caches`)."""
+    for cache in (_BIGRAM_CACHE, _BM25_CACHE):
+        for key in [
+            k for k in cache if spark is None or k[0] == id(spark)
+        ]:
+            try:
+                cache.pop(key).unpersist()
+            except Exception:  # session already stopped — nothing to free
+                pass
+
+
+def _bm25_doc_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, dl, hits): document token length plus the query-
+    vocabulary tokens the document contains, duplicates kept — the
+    one corpus-derived frame text_bm25_topk needs. One row per
+    document (zero-hit docs keep an empty array), so corpus-wide
+    stats roll up from here without rescanning text. The lambda
+    filter evaluates interpreted, but once per document inside the
+    only text scan; the frame it leaves behind is doc-count-sized
+    (two ints and a near-empty array per row)."""
+    key = (id(spark), sf_dir)
+    if key not in _BM25_CACHE:
+        from pyspark import StorageLevel
+
+        t = load_tables(spark, sf_dir, ("documents",))
+        terms_sql = ", ".join("'" + x + "'" for x in _BM25_TERMS)
+        toks = t["documents"].select("doc_id", _tokens().alias("t"))
+        _BM25_CACHE[key] = (
+            toks.select(
+                "doc_id",
+                F.size("t").alias("dl"),
+                F.expr(
+                    f"filter(t, x -> x IN ({terms_sql}))"
+                ).alias("hits"),
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+        )
+    return _BM25_CACHE[key]
 
 
 def _bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
