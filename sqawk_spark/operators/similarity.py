@@ -1023,3 +1023,138 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return e.mapInPandas(project, schema="vec_id long, proj array<double>")
+
+
+KNN_K = 3
+KNN_BLOCKS = 4
+
+
+@query(
+    "embedding_knn_graph",
+    oracle=f"""
+        WITH q AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(round(
+                       CAST(x AS DOUBLE) * {_GRAM_SCALE}) AS BIGINT)) AS v
+            FROM embeddings
+        ),
+        n AS (
+            SELECT vec_id, v,
+                   sqrt(CAST(list_inner_product(v, v) AS DOUBLE)) AS nrm
+            FROM q
+        ),
+        sims AS (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   round(CAST(list_inner_product(a.v, b.v) AS DOUBLE)
+                         / (a.nrm * b.nrm), 6) AS cosine
+            FROM n a JOIN n b ON a.vec_id <> b.vec_id
+        )
+        SELECT query_id, neighbor_id, cosine,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+               ) AS INTEGER) AS rank
+        FROM sims
+        QUALIFY rank <= {KNN_K}
+    """,
+)
+def embedding_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-nearest-neighbor graph over the whole embedding corpus
+    (every vector is a query) — the substrate for graph-based
+    semantic dedup, cluster discovery, and HNSW/NN-descent seeding.
+
+    Shape: 2-D BLOCKED all-pairs, the canonical distributed exact-kNN
+    plan. Vectors are hashed into B blocks; each side is replicated B
+    ways so every (query-block, corpus-block) pair cogroups into its
+    own task, which scores an (n/B × n/B) tile with ONE float64 GEMM
+    and emits only its per-query top-k. A global per-query window then
+    merges the B·k candidates — correct because any global top-k
+    neighbor is top-k within its tile under the same total order.
+    Communication is 2·n·B rows in + n·B·k candidate rows out — never
+    the n² similarity matrix, which exists only tile-by-tile in
+    task-local memory. FLOPs stay O(n²·D): inherent to EXACT kNN —
+    the approximate entries (ann_lsh_topk / ann_ivf_topk / ann_pq_topk)
+    are the sub-quadratic path; B grows as n/B tiles are sized to
+    executor memory (B = {KNN_BLOCKS} here at test scale).
+
+    Cross-engine float discipline (gram-matrix idiom): components are
+    integer-scaled (round ×1e6) BEFORE any arithmetic, so every dot
+    product is a sum of exact integers ≤ 64·10¹² < 2^53 — exact in
+    float64 GEMM and in DuckDB alike; the one double division is
+    computed from identical integers on both engines, and ranking
+    uses the ROUNDED cosine with a neighbor_id tie-break."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    vecs = t["embeddings"].select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x ->"
+            f" CAST(round(CAST(x AS DOUBLE) * {_GRAM_SCALE}) AS BIGINT))"
+        ).alias("v"),
+        # cast to INT to match the explode(sequence(...)) replication
+        # column: cogroup pairs the two sides by grouping-KEY equality
+        # at the binary-row level, so a bigint 0 on one side and an
+        # int 0 on the other silently pair with NOTHING — tiles run
+        # against an empty side and queries lose all candidates
+        F.pmod(F.xxhash64("vec_id"), F.lit(KNN_BLOCKS))
+        .cast("int")
+        .alias("blk"),
+    )
+    rep = F.explode(
+        F.sequence(F.lit(0), F.lit(KNN_BLOCKS - 1))
+    ).alias("other")
+    # queries replicated across corpus blocks; corpus replicated
+    # across query blocks — tile key is (query_block, corpus_block)
+    q_side = vecs.select(
+        "vec_id", "v", F.col("blk").alias("qb"), rep
+    ).withColumnRenamed("other", "cb")
+    c_side = vecs.select(
+        "vec_id", "v", F.col("blk").alias("cb"), rep
+    ).withColumnRenamed("other", "qb")
+
+    def tile(qpdf, cpdf):
+        import numpy as np
+        import pandas as _pd
+
+        if not len(qpdf) or not len(cpdf):
+            return _pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "cosine": []}
+            )
+        # integer-valued float64: products ≤ 1e12, 64-dim sums
+        # ≤ 6.4e13 < 2^53 — GEMM is exact
+        Q = np.array(list(qpdf["v"]), dtype=np.float64)
+        C = np.array(list(cpdf["v"]), dtype=np.float64)
+        qn = np.sqrt((Q * Q).sum(axis=1))
+        cn = np.sqrt((C * C).sum(axis=1))
+        sims = np.round((Q @ C.T) / (qn[:, None] * cn[None, :]), 6)
+        qid = qpdf["vec_id"].to_numpy(np.int64)
+        cid = cpdf["vec_id"].to_numpy(np.int64)
+        out_q, out_c, out_s = [], [], []
+        for i in range(len(qid)):
+            row = sims[i]
+            mask = cid != qid[i]
+            ns, vs = cid[mask], row[mask]
+            # top-k by (cosine DESC, neighbor_id ASC): lexsort's last
+            # key is primary
+            order = np.lexsort((ns, -vs))[:KNN_K]
+            out_q.extend([qid[i]] * len(order))
+            out_c.extend(ns[order])
+            out_s.extend(vs[order])
+        return _pd.DataFrame(
+            {"query_id": out_q, "neighbor_id": out_c, "cosine": out_s}
+        )
+
+    cand = (
+        q_side.groupby("qb", "cb")
+        .cogroup(c_side.groupby("qb", "cb"))
+        .applyInPandas(
+            tile, schema="query_id long, neighbor_id long, cosine double"
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), "neighbor_id"
+    )
+    return cand.select(
+        "query_id",
+        "neighbor_id",
+        "cosine",
+        F.row_number().over(w).alias("rank"),
+    ).filter(F.col("rank") <= KNN_K)

@@ -660,3 +660,29 @@ def test_jpeg420_chroma_and_interleave_pins(spark, sf_dir):
         assert r.b_sum == ysum + 256 * round(1.772 * cbd)
         base0 = (r.doc_id * 7) % 160 + 48
         assert r.corner_r == base0 + 8 + round(1.402 * crd)
+
+
+def test_knn_graph_complete_at_larger_sf(spark):
+    """Every vector must receive exactly KNN_K neighbors. Pinned at
+    sf0.1 deliberately: the cogroup's two sides once carried
+    different grouping-key TYPES (bigint block id vs int replication
+    id), and key pairing silently failed only at this SF's
+    partitioning — the sf0.01 oracle stayed green while a quarter of
+    the corpus lost all its candidates. Row counts are the invariant
+    that catches tile misalignment regardless of which tiles drop."""
+    from sqawk_spark.operators.registry import REGISTRY
+    from sqawk_spark.operators.similarity import KNN_K
+
+    sf = "/root/testdata/sf0.1"
+    rows = REGISTRY["embedding_knn_graph"].builder(spark, sf).collect()
+    n_vec = (
+        spark.read.parquet(f"{sf}/embeddings.parquet").count()
+    )
+    assert len(rows) == n_vec * KNN_K
+    per_q = {}
+    for r in rows:
+        per_q[r["query_id"]] = per_q.get(r["query_id"], 0) + 1
+    assert len(per_q) == n_vec
+    assert set(per_q.values()) == {KNN_K}
+    # symmetric sanity: ranks are 1..K per query
+    assert {r["rank"] for r in rows} == set(range(1, KNN_K + 1))

@@ -707,3 +707,15 @@ def test_weighted_reservoir_is_salted_topk_not_global_sort(spark, sf_dir):
     assert "Exchange rangepartitioning" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "hashpartitioning(salt" in p
+
+
+def test_knn_graph_is_blocked_cogroup_no_cartesian(spark, sf_dir):
+    """The exact kNN graph must reach all-pairs through the 2-D
+    blocked cogroup — one FlatMapCoGroupsInPandas tile stage — never
+    a cartesian/broadcast-nested-loop join, and merge candidates with
+    a per-query window."""
+    p = plan(spark, sf_dir, "embedding_knn_graph")
+    assert "FlatMapCoGroupsInPandas" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Window" in p
