@@ -1188,3 +1188,135 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m.n_chars").alias("kept_n_chars"),
         "cluster_size",
     )
+
+
+SPAN_L = 6  # anchor gram width in tokens
+SPAN_MAX_DF = 200  # anchors this common are boilerplate, not copies
+SPAN_MIN = 8  # report maximal shared runs of at least this many tokens
+
+
+@query(
+    "dedup_common_spans",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, i - 1 AS p,
+                   array_to_string(t[i : i + {SPAN_L - 1}], ' ') AS g
+            FROM toks, UNNEST(range(1, len(t) - {SPAN_L} + 2)) AS r(i)
+        ),
+        keep AS (
+            SELECT g FROM grams GROUP BY g
+            HAVING count(*) <= {SPAN_MAX_DF}
+        ),
+        idx AS (SELECT grams.* FROM grams JOIN keep USING (g)),
+        anch AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.p AS pa, b.p AS pb
+            FROM idx a JOIN idx b USING (g)
+            WHERE a.doc_id < b.doc_id
+        ),
+        isl AS (
+            SELECT doc_a, doc_b, pa, pb, pa - pb AS diag,
+                   pa - row_number() OVER (
+                       PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa
+                   ) AS isle
+            FROM anch
+        ),
+        spans AS (
+            SELECT doc_a, doc_b,
+                   CAST(min(pa) AS BIGINT) AS start_a,
+                   CAST(min(pb) AS BIGINT) AS start_b,
+                   CAST(max(pa) - min(pa) + {SPAN_L} AS BIGINT)
+                       AS span_len
+            FROM isl GROUP BY doc_a, doc_b, diag, isle
+        )
+        SELECT doc_a, doc_b, start_a, start_b, span_len
+        FROM spans WHERE span_len >= {SPAN_MIN}
+    """,
+)
+def dedup_common_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal exact shared token spans between document pairs — the
+    substring-level dedup primitive (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): near-dup scoring
+    says two documents overlap, THIS says exactly where, so the span
+    can be cut from one copy instead of dropping a whole document.
+
+    Shape: every length-{SPAN_L} token window becomes an anchor
+    (position, xxhash64 of the window); a document-frequency cap
+    drops boilerplate anchors; the anchor index self-joins on the
+    gram id; and runs of consecutive anchors merge per
+    (pair, diagonal) with the gaps-and-islands idiom — anchor
+    position minus its rank is constant exactly along a consecutive
+    run, so one bounded window (partitioned by pair × diagonal, never
+    global) plus one groupBy yields each maximal run as
+    (start_a, start_b, span_len ≥ {SPAN_MIN}).
+
+    Scale: the only corpus-sized shuffles carry (doc_id, pos, 8-byte
+    gram id) rows; the DF cap bounds self-join fan-out exactly like
+    the n-gram index (dedup.py MAX_DF rationale), and islands windows
+    see only each pair's anchors on one diagonal. All-integer output:
+    the oracle (raw gram strings where Spark joins hashed ids — the
+    documented ~n²/2⁶⁵ collision posture of _shingle_index) matches
+    bit-for-bit, no float rounding anywhere. At production scale
+    SPAN_L/SPAN_MIN rise to ~50 tokens (the paper's setting);
+    the plan is unchanged."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    grams = (
+        t["documents"]
+        .select(
+            "doc_id",
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("t"),
+        )
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"case when size(t) >= {SPAN_L} then"
+                    f" transform(sequence(1, size(t) - {SPAN_L} + 1),"
+                    f" i -> xxhash64(concat_ws(' ',"
+                    f" slice(t, i, {SPAN_L}))))"
+                    f" else array() end"
+                )
+            ).alias("p", "g"),
+        )
+    )
+    keep = (
+        grams.groupBy("g")
+        .count()
+        .filter(F.col("count") <= SPAN_MAX_DF)
+        .select("g")
+    )
+    idx = grams.join(keep, "g")
+    a = idx.select(
+        F.col("doc_id").alias("doc_a"), F.col("p").alias("pa"), "g"
+    )
+    b = idx.select(
+        F.col("doc_id").alias("doc_b"), F.col("p").alias("pb"), "g"
+    )
+    anch = a.join(b, "g").filter(F.col("doc_a") < F.col("doc_b"))
+    diag = (F.col("pa") - F.col("pb")).alias("diag")
+    from pyspark.sql import Window as W
+
+    wi = W.partitionBy("doc_a", "doc_b", F.col("pa") - F.col("pb")).orderBy(
+        "pa"
+    )
+    isl = anch.select(
+        "doc_a", "doc_b", "pa", "pb", diag,
+        (F.col("pa") - F.row_number().over(wi)).alias("isle"),
+    )
+    return (
+        isl.groupBy("doc_a", "doc_b", "diag", "isle")
+        .agg(
+            F.min("pa").cast("long").alias("start_a"),
+            F.min("pb").cast("long").alias("start_b"),
+            (F.max("pa") - F.min("pa") + SPAN_L)
+            .cast("long")
+            .alias("span_len"),
+        )
+        .filter(F.col("span_len") >= SPAN_MIN)
+        .select("doc_a", "doc_b", "start_a", "start_b", "span_len")
+    )

@@ -719,3 +719,16 @@ def test_knn_graph_is_blocked_cogroup_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "Window" in p
+
+
+def test_common_spans_bounded_windows_hashed_anchors(spark, sf_dir):
+    """Substring-span dedup must join 8-byte hashed anchors (never
+    raw gram strings), keep its islands window partitioned by
+    pair x diagonal (no global sort), and never fall into a
+    cartesian pair join."""
+    p = plan(spark, sf_dir, "dedup_common_spans")
+    assert "xxhash64" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Exchange rangepartitioning" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
