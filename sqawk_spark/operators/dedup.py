@@ -319,6 +319,73 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CONTAINMENT_SQL = f"""
+    WITH {_SHINGLE_CTES}
+    SELECT doc_a, doc_b,
+           CAST(p.n_common AS BIGINT) AS n_common,
+           round(p.n_common * 1.0 / sa.sz, 6) AS cont_a,
+           round(p.n_common * 1.0 / sb.sz, 6) AS cont_b
+    FROM pairs p
+    JOIN sizes sa ON p.doc_a = sa.doc_id
+    JOIN sizes sb ON p.doc_b = sb.doc_id
+    WHERE 5 * p.n_common >= 4 * least(sa.sz, sb.sz)
+"""
+
+
+@query("dedup_containment", oracle=_CONTAINMENT_SQL)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional n-gram containment join: pairs where the SMALLER
+    document's shingle set is ≥ 80% covered by the other's —
+    |A ∩ B| / min(|A|, |B|) ≥ 0.8. This is the doc-inside-doc
+    detector Jaccard misses: a paragraph quoted whole inside a much
+    longer page has tiny Jaccard (union is dominated by the long
+    side) but containment ≈ 1, and training pipelines drop or trim
+    such pairs (the "containment dedup" step next to near-dup
+    removal). Output keeps BOTH directional scores (cont_a =
+    coverage of doc_a's grams, cont_b likewise) so the caller can
+    tell which side is the contained one.
+
+    Same df-capped persisted inverted index as the Jaccard join
+    (``_shingle_index`` — built once per session, shared by every
+    shingle operator), same integer threshold discipline: the 0.8
+    cut is ``5·common ≥ 4·min(sz)``, no float compare at the
+    boundary, so the engines cannot disagree on borderline pairs.
+
+    Scale: identical profile to ``dedup_ngram_jaccard`` — the pair
+    stream is generated by the MAX_DF-capped index self-join (8-byte
+    hashed gram keys, bounded per-key fan-out), sizes join on the
+    pair stream, one exchange reused across both index sides. The
+    only delta vs the Jaccard entry is the final predicate, so at
+    100 TB the two entries share every expensive stage when run in
+    the same session."""
+    filtered = _shingle_index(spark, sf_dir)
+    sizes = filtered.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = filtered.select(F.col("doc_id").alias("doc_a"), "g")
+    b = filtered.select(F.col("doc_id").alias("doc_b"), "g")
+    pairs = (
+        a.join(b, "g")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(
+            5 * F.col("n_common") >= 4 * F.least(F.col("sz_a"), F.col("sz_b"))
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            F.round(F.col("n_common") / F.col("sz_a"), 6).alias("cont_a"),
+            F.round(F.col("n_common") / F.col("sz_b"), 6).alias("cont_b"),
+        )
+    )
+
+
 @query("dedup_simhash", oracle=None)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (Hamming distance ≤ 3 on a 64-bit
@@ -646,8 +713,9 @@ def dedup_embedding_lsh(
     )
 
 
-_CLUSTER_SQL = f"""
-    WITH RECURSIVE {_SHINGLE_CTES},
+# transitive-closure component CTEs shared by the cluster oracle and
+# the cluster-safe split oracle (both sit on top of `near_dups`)
+_COMPONENT_CTES = """
     edges AS (
         SELECT doc_a AS src, doc_b AS dst FROM near_dups
         UNION
@@ -666,6 +734,11 @@ _CLUSTER_SQL = f"""
     comp AS (
         SELECT src AS doc_id, min(dst) AS canon FROM closure GROUP BY src
     )
+"""
+
+_CLUSTER_SQL = f"""
+    WITH RECURSIVE {_SHINGLE_CTES},
+    {_COMPONENT_CTES}
     SELECT c.doc_id,
            CAST(c.canon AS BIGINT) AS canonical_doc_id,
            CAST(s.n AS BIGINT) AS cluster_size

@@ -505,3 +505,65 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rank") <= _WOR_K)
     )
+
+
+def _cluster_safe_split_sql() -> str:
+    # imported lazily: dedup's CTE constants are module-level strings
+    from sqawk_spark.operators.dedup import _COMPONENT_CTES, _SHINGLE_CTES
+
+    return f"""
+        WITH RECURSIVE {_SHINGLE_CTES},
+        {_COMPONENT_CTES}
+        SELECT d.doc_id,
+               CAST(coalesce(c.canon, d.doc_id) AS BIGINT) AS split_key,
+               CASE WHEN CAST(concat('0x',
+                        substr(md5(CAST(coalesce(c.canon, d.doc_id)
+                                        AS VARCHAR)), 1, 4))
+                        AS INTEGER) % {_N_BUCKETS} < 90
+                    THEN 'train' ELSE 'val' END AS split
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    """
+
+
+@query("sample_split_cluster_safe", oracle=_cluster_safe_split_sql())
+def sample_split_cluster_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val split: hash the near-dup CLUSTER, not
+    the document. A plain per-doc hash split puts two near-identical
+    documents on opposite sides of the split ~2·p·(1-p) of the time,
+    and every such pair leaks training text into the held-out set —
+    the classic way eval numbers go quietly stale. Here every member
+    of a duplicate cluster inherits the cluster's canonical doc_id as
+    its split key (singletons key on themselves), so a cluster moves
+    to one side atomically; tests/test_extensions.py asserts no
+    near-dup pair ever straddles the split.
+
+    Reuses ``dedup_clusters``'s connected components (and therefore
+    the session-persisted shingle index and pair caches — running
+    dedup then splitting costs one extra broadcast-sized join, not a
+    recompute), then the same md5-bucket acceptance idiom as
+    ``sample_split`` keyed on the canonical id.
+
+    Scale: the component table is pair-graph-sized (far smaller than
+    the corpus — the MAX_DF cap keeps the near-dup graph sparse), so
+    the left join broadcasts under AQE; the split predicate itself is
+    map-side. No corpus shuffle beyond what the shared dedup pass
+    already did."""
+    from sqawk_spark.operators.dedup import dedup_clusters
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    comp = dedup_clusters(spark, sf_dir).select(
+        "doc_id", F.col("canonical_doc_id").alias("canon")
+    )
+    key = F.coalesce(F.col("canon"), F.col("doc_id"))
+    return (
+        t["documents"]
+        .select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            key.alias("split_key"),
+            F.when(_bucket_col(key, _N_BUCKETS) < 90, "train")
+            .otherwise("val")
+            .alias("split"),
+        )
+    )

@@ -1505,3 +1505,210 @@ def text_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("perplexity"),
         )
     )
+
+
+# Hashed-feature linear classifier: bucket = md5-derived 32-bit value
+# mod _LR_BUCKETS; weight = a fixed integer mix of the bucket id in
+# micro-logit units. The weights stand in for a trained fastText-style
+# model (the container has no model artifacts); the PLUMBING — feature
+# hashing, bucket lookup, integer-exact score aggregation — is the
+# production shape, and swapping real weights in is a broadcast of a
+# _LR_BUCKETS-row table instead of the arithmetic.
+_LR_BUCKETS = 1024
+_LR_MIX = 2654435761  # Knuth multiplicative-hash constant
+
+
+@query(
+    "text_quality_lr_score",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(t) AS INTEGER) AS n_tokens,
+               CAST(list_sum(
+                   [(CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT)
+                     % {_LR_BUCKETS} * {_LR_MIX}) % 2001 - 1000
+                    FOR tok IN t]) AS BIGINT) AS logit_micro,
+               CAST(CASE WHEN list_sum(
+                   [(CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT)
+                     % {_LR_BUCKETS} * {_LR_MIX}) % 2001 - 1000
+                    FOR tok IN t]) >= 0 THEN 1 ELSE 0 END AS INTEGER) AS keep
+        FROM toks
+    """,
+)
+def text_quality_lr_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring: a hashed bag-of-words linear
+    classifier (the fastText / CCNet quality-filter shape) scored
+    entirely inside one codegen'd scan. Each token hashes to one of
+    1024 feature buckets (md5 → 32-bit int → mod), the bucket maps to
+    an integer weight in micro-logit units, and the document's logit
+    is the exact integer sum — ``aggregate(transform(tokens, w), 0,
+    +)`` over the token array, so there is NO explode, NO shuffle,
+    and no float accumulation for the engines to disagree on. The
+    keep decision is a sign test on the logit.
+
+    The weight table here is a deterministic function of the bucket
+    id (no model artifacts ship in this container); a real model is
+    the same plan with ``w(bucket)`` replaced by a 1024-row broadcast
+    lookup — the operator's cost profile does not change.
+
+    Scale: map-only, one scan, zero exchanges (plan-pinned in
+    tests/test_plans.py); at 100 TB this runs at parquet-scan speed
+    and is embarrassingly parallel."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    w_expr = (
+        f"aggregate(transform(t, tok -> "
+        f"(cast(conv(substring(md5(tok), 1, 8), 16, 10) as bigint) "
+        f"% {_LR_BUCKETS} * {_LR_MIX}) % 2001 - 1000), "
+        f"0L, (acc, w) -> acc + w)"
+    )
+    return (
+        t["documents"]
+        .select("doc_id", _tokens().alias("t"))
+        .select(
+            "doc_id",
+            F.size("t").alias("n_tokens"),
+            F.expr(w_expr).alias("logit_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "logit_micro",
+            F.when(F.col("logit_micro") >= 0, 1).otherwise(0).alias("keep"),
+        )
+    )
+
+
+# A gram is per-source boilerplate when it appears in >= 10% of the
+# source's documents and the source has at least _BOILER_MIN_DOCS
+# docs (df on a 3-doc domain is noise, exactly like production
+# boilerplate detectors gate on sample size).
+_BOILER_MIN_DOCS = 20
+
+
+@query(
+    "text_boilerplate_strip",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, source,
+                   regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+            FROM documents
+        ),
+        occ AS (
+            SELECT doc_id, source, i AS start,
+                   t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+            FROM toks, UNNEST(generate_series(1, len(t) - 2)) u(i)
+        ),
+        sdocs AS (SELECT source, count(*) AS nd FROM documents GROUP BY 1),
+        df AS (
+            SELECT source, g, count(DISTINCT doc_id) AS cnt
+            FROM occ GROUP BY 1, 2
+        ),
+        boiler AS (
+            SELECT df.source, df.g
+            FROM df JOIN sdocs ON df.source = sdocs.source
+            WHERE df.cnt * 10 >= sdocs.nd
+              AND sdocs.nd >= {_BOILER_MIN_DOCS}
+        ),
+        cov AS (
+            SELECT DISTINCT o.doc_id, p
+            FROM occ o
+            JOIN boiler b ON o.source = b.source AND o.g = b.g,
+                 UNNEST(generate_series(o.start, o.start + 2)) v(p)
+        ),
+        covset AS (
+            SELECT doc_id, list(p) AS ps,
+                   CAST(count(*) AS BIGINT) AS n_removed
+            FROM cov GROUP BY 1
+        )
+        SELECT t.doc_id,
+               c.n_removed,
+               array_to_string(
+                   [t.t[i] FOR i IN generate_series(1, len(t.t))
+                    IF NOT list_contains(c.ps, i)], ' ') AS clean_text
+        FROM toks t JOIN covset c ON t.doc_id = c.doc_id
+    """,
+)
+def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source boilerplate removal — the CCNet/RefinedWeb "strip
+    the shared header/footer" step, reformulated over token 3-grams
+    because this corpus has no line structure: any gram occurring in
+    ≥ 10% of a source's documents (sources with ≥ 20 docs) is
+    boilerplate, and every token covered by an occurrence of a
+    boilerplate gram is deleted from the document. Output is the
+    affected documents only: (doc_id, n_removed, clean_text).
+
+    Shape: one gram scan feeds both the df aggregate and the
+    coverage join; the boilerplate gram set is tiny by construction
+    (high-df grams within a source are rare — that's what makes them
+    boilerplate) so it BROADCASTS back onto the occurrence stream;
+    covered positions collapse to a per-doc set; and only AFFECTED
+    docs join their position set back to the token array, where one
+    indexed ``filter`` lambda rewrites the text. Unaffected
+    documents never shuffle, never rejoin, never rewrite.
+
+    Integer df threshold (``10·cnt ≥ nd``) — no float ratio at the
+    boundary. Positions are engine-local (0-based Spark, 1-based
+    DuckDB) but never cross engines; the compared output is text.
+
+    Scale: the df aggregate shuffles hashed grams (8-byte longs) —
+    the same profile as the dedup index build; everything after it
+    is broadcast-sized. At 100 TB the boilerplate table is
+    per-source-bounded and the rewrite is map-only."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    toks = docs.select(
+        "doc_id", "source", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("t")
+    )
+    occ = toks.select(
+        "doc_id",
+        "source",
+        "t",
+        F.explode(
+            F.expr(
+                "case when size(t) >= 3 then"
+                " transform(sequence(0, size(t) - 3),"
+                " i -> struct(i as start,"
+                " xxhash64(concat_ws(' ', slice(t, i + 1, 3))) as g))"
+                " else array() end"
+            )
+        ).alias("o"),
+    ).select("doc_id", "source", F.col("o.start").alias("start"), F.col("o.g").alias("g"))
+    sdocs = docs.groupBy("source").agg(F.count("*").alias("nd"))
+    df = (
+        occ.select("source", "g", "doc_id")
+        .distinct()
+        .groupBy("source", "g")
+        .agg(F.count("*").alias("cnt"))
+    )
+    boiler = (
+        df.join(F.broadcast(sdocs), "source")
+        .filter((F.col("cnt") * 10 >= F.col("nd")) & (F.col("nd") >= _BOILER_MIN_DOCS))
+        .select("source", "g")
+    )
+    covered = (
+        occ.join(F.broadcast(boiler), ["source", "g"])
+        .select(
+            "doc_id",
+            F.explode(F.expr("sequence(start, start + 2)")).alias("pos"),
+        )
+        .distinct()
+    )
+    covset = covered.groupBy("doc_id").agg(
+        F.collect_set("pos").alias("ps"),
+        F.count("*").alias("n_removed"),
+    )
+    return (
+        toks.join(covset, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_removed").cast("long").alias("n_removed"),
+            F.concat_ws(
+                " ",
+                F.expr("filter(t, (x, i) -> not array_contains(ps, i))"),
+            ).alias("clean_text"),
+        )
+    )

