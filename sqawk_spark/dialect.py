@@ -239,6 +239,35 @@ def _in_quotes(s: str, pos: int) -> bool:
     return False
 
 
+_ALIAS_RES = (
+    # SQLite 3.44 string_agg(X, SEP) is group_concat's two-arg form
+    # under the PostgreSQL name; 3.38 format() is printf() verbatim
+    # (lang_corefunc.html). Both lower to the names the engine
+    # registers; string_agg keeps its mandatory separator so it maps
+    # onto the two-arg path directly.
+    (re.compile(r"\bstring_agg\s*\(", re.IGNORECASE), "group_concat2("),
+    (re.compile(r"\bformat\s*\(", re.IGNORECASE), "printf("),
+)
+
+
+def rewrite_function_aliases(stmt: str) -> str:
+    """SQLite alias names → the registered canonical functions."""
+    for pat, repl in _ALIAS_RES:
+        out = []
+        last = 0
+        for m in pat.finditer(stmt):
+            if _in_quotes(stmt, m.start()):
+                continue
+            if m.start() > 0 and _IDENT.match(stmt[m.start() - 1]):
+                continue  # suffix of a longer identifier
+            out.append(stmt[last : m.start()])
+            out.append(repl)
+            last = m.end()
+        out.append(stmt[last:])
+        stmt = "".join(out)
+    return stmt
+
+
 _GC_RE = re.compile(r"\bgroup_concat\s*\(", re.IGNORECASE)
 
 
@@ -656,7 +685,7 @@ def rewrite_filter_clause(stmt: str) -> str:
             distinct, head = "DISTINCT ", head[dm.end() :].strip()
         if head == "*":
             head = "1"
-        elif fn.lower() == "group_concat":
+        elif fn.lower() in ("group_concat", "group_concat2"):
             # SQLite renders every group_concat argument as TEXT; the
             # CASE lowering introduces NULLs, and a nullable integer
             # column reaches the Arrow-batched UDAF as float64 (ints
@@ -2153,7 +2182,10 @@ def rewrite_statement(
     columns: set[str] | None = None,
     classes: dict[str, str] | None = None,
 ) -> str:
-    # FILTER first: the CASE lowering produces plain aggregate calls
+    # aliases first so every later pass sees canonical names (e.g.
+    # string_agg FILTER (...) must hit the group_concat CAST path)
+    stmt = rewrite_function_aliases(stmt)
+    # FILTER next: the CASE lowering produces plain aggregate calls
     # the later passes (group_concat arity, GROUPS frames) then see
     stmt = rewrite_filter_clause(stmt)
     # glob next: infix GLOB lowers to glob() calls, which the regex-

@@ -1238,6 +1238,35 @@ def test_group_concat_two_arg(tmp_path):
     assert got == "x 1-2\ny 3"
 
 
+def test_string_agg_alias(tmp_path):
+    """SQLite 3.44 string_agg(X, SEP) is group_concat's 2-arg form
+    under the PostgreSQL name — the alias rewrite lowers it."""
+    f = write(tmp_path, "f", "x 1\nx 2\ny 3\n")
+    got = pysqawk(
+        "select a1, string_agg(a2, '-') as g from a group by a1 order by a1",
+        f,
+    )
+    assert got == "x 1-2\ny 3"
+
+
+def test_format_alias(tmp_path):
+    """SQLite 3.38 format() is printf() verbatim."""
+    f = write(tmp_path, "f", "3 7\n")
+    got = pysqawk("select format('%05d|%.2f', a1, a2) as s from a", f)
+    assert got == "00003|7.00"
+
+
+def test_string_agg_filter_clause(tmp_path):
+    """string_agg must reach the group_concat FILTER lowering (the
+    CAST-to-text path), not a bare CASE that floats integers."""
+    f = write(tmp_path, "f", "x 1\nx 2\nx 3\n")
+    got = pysqawk(
+        "select string_agg(a2, ',') filter (where a2 > 1) as g from a",
+        f,
+    )
+    assert got == "2,3"
+
+
 @pytest.mark.skipif(
     not __import__("os").environ.get("SQAWK_SCALE_TEST"),
     reason="large-ingest smoke: set SQAWK_SCALE_TEST=1 (adds ~1 min)",
