@@ -23,6 +23,7 @@ def load_all() -> None:
     """
     import sqawk_spark.operators.analytics  # noqa: F401
     import sqawk_spark.operators.dedup  # noqa: F401
+    import sqawk_spark.operators.graph  # noqa: F401
     import sqawk_spark.operators.multimodal  # noqa: F401
     import sqawk_spark.operators.packing  # noqa: F401
     import sqawk_spark.operators.relational  # noqa: F401

@@ -1712,3 +1712,126 @@ def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clean_text"),
         )
     )
+
+
+@query(
+    "text_ccnet_ppl_buckets",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   unnest(regexp_split_to_array(lower(trim(text)),
+                                                '\\s+')) AS w
+            FROM documents
+        ),
+        toks2 AS (SELECT doc_id, lang, w FROM toks WHERE len(w) > 0),
+        lm AS (
+            SELECT w,
+                   CAST(round(-ln(CAST(count(*) AS DOUBLE)
+                              / (SELECT count(*) FROM toks2)) * 1000000)
+                        AS BIGINT) AS nll_micro
+            FROM toks2 GROUP BY w
+        ),
+        scores AS (
+            SELECT t.doc_id, t.lang,
+                   CAST(sum(l.nll_micro) AS BIGINT)
+                       // (count(*) * 1000) AS score_milli
+            FROM toks2 t JOIN lm l USING (w)
+            GROUP BY t.doc_id, t.lang
+        ),
+        hist AS (
+            SELECT lang, score_milli, count(*) AS c
+            FROM scores GROUP BY 1, 2
+        ),
+        nl AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n FROM hist GROUP BY 1),
+        cut AS (
+            SELECT h.lang, h.score_milli,
+                   least(2, 3 * coalesce(sum(h.c) OVER (
+                       PARTITION BY h.lang ORDER BY h.score_milli
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) // nl.n) AS b
+            FROM hist h JOIN nl ON h.lang = nl.lang
+        )
+        SELECT s.doc_id, s.lang, s.score_milli,
+               CASE c.b WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+        FROM scores s
+        JOIN cut c ON s.lang = c.lang AND s.score_milli = c.score_milli
+    """,
+)
+def text_ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail split: per LANGUAGE, rank documents
+    by LM perplexity and cut the corpus into thirds — head (lowest
+    perplexity, cleanest) / middle / tail (noisiest); downstream
+    recipes train on head+middle or reweight by bucket. Scoring
+    reuses the unigram micro-nat LM (``text_perplexity_score``);
+    the per-doc score is COARSENED to integer millinats before
+    bucketing, which is the scale move: the per-language value
+    histogram is then bounded (~10⁴ distinct scores per language at
+    ANY corpus size — natural-language avg-NLL lives in single-digit
+    nats), so the cumulative window runs over a tiny histogram and
+    the cut table broadcasts back onto the corpus. No corpus-wide
+    window, no sort of the documents — the same exact-histogram
+    technique as ``sample_curriculum_buckets``.
+
+    Boundary determinism: every doc with the same (lang, millinat
+    score) lands in the same bucket — the bucket of a value is
+    ``least(2, 3·cum_before ÷ n)`` in pure integer arithmetic, so
+    neither engine can disagree at a cut point, and bucket sizes are
+    equal to within one value-group by construction."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    toks = (
+        t["documents"]
+        .select("doc_id", "lang", F.explode(_tokens()).alias("w"))
+        .filter(F.length("w") > 0)
+    )
+    total = toks.agg(F.count("*").alias("corpus_n"))
+    lm = (
+        toks.groupBy("w")
+        .agg(F.count("*").alias("wf"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w",
+            F.round(
+                -F.log(F.col("wf").cast("double") / F.col("corpus_n"))
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("nll_micro"),
+        )
+    )
+    scores = (
+        toks.join(lm, "w")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.expr("sum(nll_micro) div (count(*) * 1000)").alias(
+                "score_milli"
+            )
+        )
+    )
+    hist = scores.groupBy("lang", "score_milli").agg(
+        F.count("*").alias("c")
+    )
+    nl = hist.groupBy("lang").agg(F.sum("c").alias("n"))
+    cum_w = (
+        W.partitionBy("lang")
+        .orderBy("score_milli")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    cut = (
+        hist.withColumn("cumb", F.coalesce(F.sum("c").over(cum_w), F.lit(0)))
+        .join(F.broadcast(nl), "lang")
+        .select(
+            "lang",
+            "score_milli",
+            F.least(F.lit(2), F.expr("3 * cumb div n")).alias("b"),
+        )
+    )
+    return scores.join(cut, ["lang", "score_milli"]).select(
+        "doc_id",
+        "lang",
+        "score_milli",
+        F.when(F.col("b") == 0, "head")
+        .when(F.col("b") == 1, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )

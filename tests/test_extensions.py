@@ -748,3 +748,60 @@ def test_boilerplate_strip_removes_only_boiler_tokens(spark, sf_dir):
     )
     bad = j.filter(F.col("n0") - F.col("n1") != F.col("n_removed")).count()
     assert bad == 0
+
+
+def test_pagerank_mass_and_floor_invariants(spark, sf_dir):
+    """Rank mass is conserved up to floor-division loss (sum ≤ SCALE,
+    within N·(rounds+1) units of it), and every node's rank is at
+    least the teleport term."""
+    from sqawk_spark.operators.graph import (
+        _PR_ROUNDS,
+        _PR_SCALE,
+        graph_pagerank_dupgraph,
+    )
+
+    rows = graph_pagerank_dupgraph(spark, sf_dir).collect()
+    if not rows:
+        return
+    n = len(rows)
+    teleport = 3 * _PR_SCALE // (20 * n)
+    total = sum(r.rank_micro for r in rows)
+    assert total <= _PR_SCALE
+    # each round can lose < 1 unit per node to each of the two floor
+    # divisions plus the teleport floor
+    assert total >= _PR_SCALE - 3 * n * (_PR_ROUNDS + 1)
+    for r in rows:
+        assert r.rank_micro >= teleport
+        assert r.deg >= 1
+
+
+def test_ccnet_buckets_are_thirds_per_language(spark, sf_dir):
+    """Per language the head/middle/tail buckets are equal thirds up
+    to one value-group (ties share a bucket), and bucket order is
+    consistent with the score: max(head) ≤ min(middle) ≤ ... ."""
+    from collections import defaultdict
+
+    from sqawk_spark.operators.textstats import text_ccnet_ppl_buckets
+
+    rows = text_ccnet_ppl_buckets(spark, sf_dir).collect()
+    by_lang = defaultdict(list)
+    for r in rows:
+        by_lang[r.lang].append(r)
+    for lang, rs in by_lang.items():
+        counts = defaultdict(int)
+        scores = defaultdict(list)
+        for r in rs:
+            counts[r.bucket] += 1
+            scores[r.bucket].append(r.score_milli)
+        n = len(rs)
+        # each bucket within a third ± the largest tie-group size
+        max_group = max(
+            len([x for x in (s.score_milli for s in rs) if x == v])
+            for v in set(s.score_milli for s in rs)
+        )
+        for b in ("head", "middle", "tail"):
+            assert counts[b] <= n // 3 + max_group + 1, (lang, b, counts)
+        if scores["head"] and scores["middle"]:
+            assert max(scores["head"]) <= min(scores["middle"])
+        if scores["middle"] and scores["tail"]:
+            assert max(scores["middle"]) <= min(scores["tail"])

@@ -759,3 +759,21 @@ def test_boilerplate_strip_broadcasts_gram_set(spark, sf_dir):
     p = plan(spark, sf_dir, "text_boilerplate_strip")
     assert "BroadcastHashJoin" in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_pagerank_rounds_are_joins_no_cartesian(spark, sf_dir):
+    """Each power-iteration round is an equi-join + keyed agg — no
+    cartesian/BNL anywhere, no Python."""
+    p = plan(spark, sf_dir, "graph_pagerank_dupgraph")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_ccnet_cut_table_broadcasts_back(spark, sf_dir):
+    """The per-language cut table is histogram-sized and must reach
+    the corpus join as a broadcast; the ranking window runs over the
+    histogram, not the corpus (no corpus-wide range partitioning)."""
+    p = plan(spark, sf_dir, "text_ccnet_ppl_buckets")
+    assert "BroadcastHashJoin" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
