@@ -95,6 +95,16 @@ HEADLINE = [
     "events_late_drop",
     "pack_sequences",
     "contamination_check",
+    # round-6 additions: containment shares the persisted shingle
+    # index with dedup_ngram_jaccard (measures the shared-stage win);
+    # pagerank is the bounded-round iterative shape; the LR score is
+    # the zero-shuffle model-inference shape
+    "dedup_containment",
+    "graph_pagerank_dupgraph",
+    "text_quality_lr_score",
+    "text_boilerplate_strip",
+    "text_ccnet_ppl_buckets",
+    "market_basket_pairs",
 ]
 
 

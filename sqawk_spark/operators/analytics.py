@@ -549,3 +549,100 @@ def zorder_layout_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("o_custkey") - F.min("o_custkey")).alias("custkey_span"),
         (F.max("day") - F.min("day")).alias("day_span"),
     )
+
+
+@query(
+    "market_basket_pairs",
+    oracle="""
+        WITH li AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM li),
+        item AS (
+            SELECT l_partkey, count(*) AS supp FROM li GROUP BY 1
+        ),
+        pairs AS (
+            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                   count(*) AS support
+            FROM li a
+            JOIN li b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+        )
+        SELECT p.part_a, p.part_b,
+               CAST(p.support AS BIGINT) AS support,
+               CAST(ia.supp AS BIGINT) AS supp_a,
+               CAST(ib.supp AS BIGINT) AS supp_b,
+               round(p.support * 1.0 * n.n_orders
+                     / (ia.supp * ib.supp), 6) AS lift
+        FROM pairs p
+        JOIN item ia ON p.part_a = ia.l_partkey
+        JOIN item ib ON p.part_b = ib.l_partkey, n
+        WHERE p.support >= 2
+    """,
+)
+def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-itemset pair mining (the A-priori support/lift core)
+    over order baskets: parts that co-occur in ≥ 2 orders, with each
+    pair's support, the items' individual supports, and lift =
+    N·supp(ab) / (supp(a)·supp(b)).
+
+    The quadratic hazard of basket mining is the within-basket pair
+    expansion — here it is bounded by construction: pairs are
+    generated by an ORDER-KEYED equi-self-join of the distinct
+    (order, part) list, so the fan-out per order is C(k,2) with k =
+    basket size (~4 for this schema, and bounded by per-order line
+    limits in any retail schema) — never a part×part cross product.
+    The item-support table is part-cardinality-sized and joins the
+    pair stream (AQE broadcasts it when small); the order count is a
+    1-row broadcast. Lift's float division happens once per surviving
+    pair on integer inputs < 2⁵³ — identical in both engines;
+    support thresholds are pure integer compares.
+
+    Scale: one shuffle keyed on orderkey (the self-join), one on the
+    pair — both well-distributed; the support filter collapses the
+    pair stream before the dimension joins. At 100 TB this is the
+    textbook distributed co-occurrence plan."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    li = (
+        t["lineitem"].select("l_orderkey", "l_partkey").distinct()
+    )
+    n = li.select(F.countDistinct("l_orderkey").alias("n_orders"))
+    item = li.groupBy("l_partkey").agg(F.count("*").alias("supp"))
+    a = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= 2)
+    )
+    ia = item.select(
+        F.col("l_partkey").alias("part_a"), F.col("supp").alias("supp_a")
+    )
+    ib = item.select(
+        F.col("l_partkey").alias("part_b"), F.col("supp").alias("supp_b")
+    )
+    return (
+        pairs.join(ia, "part_a")
+        .join(ib, "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "support",
+            "supp_a",
+            "supp_b",
+            F.round(
+                F.col("support")
+                * F.col("n_orders")
+                / (F.col("supp_a") * F.col("supp_b")),
+                6,
+            ).alias("lift"),
+        )
+    )

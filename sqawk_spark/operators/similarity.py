@@ -1158,3 +1158,116 @@ def embedding_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cosine",
         F.row_number().over(w).alias("rank"),
     ).filter(F.col("rank") <= KNN_K)
+
+
+_OUTLIER_K = 5
+_OUTLIER_SCALE = 1_000_000
+_OUTLIER_SALT = 8
+
+
+@query(
+    "embedding_outlier_by_label",
+    oracle=f"""
+        WITH v AS (
+            SELECT vec_id, label, i AS dim,
+                   CAST(round(CAST(embedding[i] AS DOUBLE)
+                              * {_OUTLIER_SCALE}) AS BIGINT) AS x
+            FROM embeddings,
+                 UNNEST(generate_series(1, len(embedding))) u(i)
+        ),
+        c AS (
+            SELECT label, dim, CAST(sum(x) AS BIGINT) AS s
+            FROM v GROUP BY 1, 2
+        ),
+        nc AS (
+            SELECT label, CAST(sum(s * s) AS BIGINT) AS nrm
+            FROM c GROUP BY 1
+        ),
+        per AS (
+            SELECT v.vec_id, v.label,
+                   CAST(sum(v.x * c.s) AS BIGINT) AS num,
+                   CAST(sum(v.x * v.x) AS BIGINT) AS nv
+            FROM v JOIN c ON v.label = c.label AND v.dim = c.dim
+            GROUP BY 1, 2
+        ),
+        scored AS (
+            SELECT p.vec_id, p.label,
+                   round(p.num / sqrt(p.nv * 1.0 * nc.nrm), 6)
+                       AS cos_centroid
+            FROM per p JOIN nc ON p.label = nc.label
+        )
+        SELECT vec_id, label, cos_centroid,
+               CAST(rk AS INTEGER) AS rank
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY label ORDER BY cos_centroid, vec_id) AS rk
+            FROM scored
+        ) WHERE rk <= {_OUTLIER_K}
+    """,
+)
+def embedding_outlier_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-outlier scan — the mislabeled-data detector: for each
+    label, the {_OUTLIER_K} vectors LEAST aligned with their own
+    label's centroid direction (lowest cosine to the per-label
+    component-sum vector; cosine to the sum equals cosine to the
+    mean). The standard first pass when auditing classification /
+    clustering labels at corpus scale.
+
+    Exactness: components scale to integers (×1e6) before any
+    aggregation, so centroid sums, dot products, and norms are exact
+    integer arithmetic on both engines (products stay ≳10³ below
+    int64 overflow for any realistic corpus: |x| ≤ ~5·10⁵ per the
+    unit-ish embedding range, and per-label sums are random-walk
+    sized); the single float step is the final
+    ``round(num/sqrt(nv·nc), 6)`` on identical integers, with
+    vec_id breaking rounded ties.
+
+    Scale: the exploded (vec, dim) stream combines map-side into
+    label×D centroid cells (the ``embedding_centroid_by_label``
+    shuffle); scoring joins each vector's D cells against the
+    broadcast-sized centroid table. The per-label bottom-k is the
+    exact TWO-PHASE salted pattern (same as ``window_rank``): a
+    (label, salt) window prunes to k per salt bucket, then the final
+    per-label window ranks ≤ {_OUTLIER_SALT}·{_OUTLIER_K} survivors —
+    no label's full vector set ever funnels through one partition."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    v = t["embeddings"].select(
+        "vec_id",
+        "label",
+        F.posexplode(
+            F.expr(
+                "transform(embedding, x ->"
+                f" CAST(round(CAST(x AS DOUBLE) * {_OUTLIER_SCALE}) AS BIGINT))"
+            )
+        ).alias("pos0", "x"),
+    ).select("vec_id", "label", (F.col("pos0") + 1).alias("dim"), "x")
+    c = v.groupBy("label", "dim").agg(F.sum("x").alias("s"))
+    nc = c.groupBy("label").agg(F.sum(F.col("s") * F.col("s")).alias("nrm"))
+    per = (
+        v.join(F.broadcast(c), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(F.col("x") * F.col("s")).alias("num"),
+            F.sum(F.col("x") * F.col("x")).alias("nv"),
+        )
+    )
+    scored = per.join(F.broadcast(nc), "label").select(
+        "vec_id",
+        "label",
+        F.round(
+            F.col("num") / F.sqrt(F.col("nv") * 1.0 * F.col("nrm")), 6
+        ).alias("cos_centroid"),
+    )
+    salted = scored.withColumn(
+        "salt", F.pmod(F.xxhash64("vec_id"), F.lit(_OUTLIER_SALT))
+    )
+    w1 = W.partitionBy("label", "salt").orderBy("cos_centroid", "vec_id")
+    pruned = salted.withColumn("r1", F.row_number().over(w1)).filter(
+        F.col("r1") <= _OUTLIER_K
+    )
+    w2 = W.partitionBy("label").orderBy("cos_centroid", "vec_id")
+    return (
+        pruned.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= _OUTLIER_K)
+        .select("vec_id", "label", "cos_centroid", "rank")
+    )

@@ -805,3 +805,24 @@ def test_ccnet_buckets_are_thirds_per_language(spark, sf_dir):
             assert max(scores["head"]) <= min(scores["middle"])
         if scores["middle"] and scores["tail"]:
             assert max(scores["middle"]) <= min(scores["tail"])
+
+
+def test_nextfit_bins_never_split_and_respect_capacity(spark, sf_dir):
+    """No-straddle invariants: offsets are consistent within each
+    (bucket, bin) — docs tile the bin contiguously in order — and no
+    bin exceeds capacity unless it holds exactly one oversized doc."""
+    from collections import defaultdict
+
+    from sqawk_spark.operators.packing import PACK_TOKENS, pack_nextfit_bins
+
+    rows = pack_nextfit_bins(spark, sf_dir).collect()
+    bins = defaultdict(list)
+    for r in rows:
+        bins[(r.bucket, r.bin_in_bucket)].append(r)
+    for (bkt, b), rs in bins.items():
+        rs.sort(key=lambda r: r.offset_in_bin)
+        assert rs[0].offset_in_bin == 0
+        for prev, cur in zip(rs, rs[1:]):
+            assert cur.offset_in_bin == prev.offset_in_bin + prev.n_tokens
+        load = rs[-1].offset_in_bin + rs[-1].n_tokens
+        assert load <= PACK_TOKENS or len(rs) == 1

@@ -777,3 +777,12 @@ def test_ccnet_cut_table_broadcasts_back(spark, sf_dir):
     p = plan(spark, sf_dir, "text_ccnet_ppl_buckets")
     assert "BroadcastHashJoin" in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_outlier_bottomk_is_salted_two_phase(spark, sf_dir):
+    """The per-label bottom-k must shuffle on (label, salt) before
+    the final per-label rank — never one window over each label's
+    full vector set — and centroid/norm tables broadcast."""
+    p = plan(spark, sf_dir, "embedding_outlier_by_label")
+    assert "hashpartitioning(label" in p and "salt" in p
+    assert "BroadcastHashJoin" in p
