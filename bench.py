@@ -1,8 +1,13 @@
 #!/usr/bin/env python
 """Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
-Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+Prints ONE short JSON line on stdout:
+  {"metric": "...", "value": N, "unit": "sec", "sf": ..., "n_queries": ...,
+   "worst_vs_hist": {...top-5...}}
+Per-query detail goes to stderr AND is appended to bench_history.jsonl
+(committed), because the driver json.loads the last stdout line inside
+a bounded ~2000-char tail window — the r06 one-line-with-66-queries
+form outgrew it and the round's bench became unparseable.
 
 Each query executes end-to-end into the noop sink (all partitions
 computed, nothing collected to the driver), which is how a cluster job
@@ -108,27 +113,89 @@ HEADLINE = [
 ]
 
 
+def _timings_from_bench_record(data: dict, sf: float | None) -> dict[str, float]:
+    """Extract {query: sec} from one committed BENCH_r*.json record.
+
+    The driver nests the parsed stdout line under ``parsed`` (r06's
+    bug: this read ``data['queries']``, which never exists at the top
+    level, so the drift guards always saw ``{}`` — VERDICT r06
+    What's-wrong #3). When ``parsed`` is null (the line outgrew the
+    driver's 2000-char tail window, r06 itself) fall back to regex-
+    scavenging ``"name": sec`` pairs from the raw tail — partial is
+    fine, minima only improve."""
+    parsed = data.get("parsed") or {}
+    q = parsed.get("queries") or data.get("queries")
+    if isinstance(q, dict) and q and parsed.get("sf", data.get("sf")) == sf:
+        return {k: float(v) for k, v in q.items()}
+    tail = data.get("tail") or ""
+    if data.get("sf") != sf:
+        return {}
+    # Scavenge ONLY the queries map span — vs_historical_min holds
+    # ratio values in the identical '"name": float' shape, and a 0.98
+    # ratio mistaken for 0.98s would poison the minima forever.
+    qidx = tail.rfind('"queries": {')
+    if qidx >= 0:
+        seg = tail[qidx:]
+    elif '"queries"' not in tail and "_total" not in tail:
+        # head of the line clipped mid-queries-map (r06's shape):
+        # the map's pairs open the tail
+        seg = tail
+    else:
+        return {}
+    end = seg.find("}")
+    if end >= 0:
+        seg = seg[:end]
+    out: dict[str, float] = {}
+    for m in re.finditer(r'"([a-z][a-z0-9_]{2,60})": ([0-9]+\.[0-9]+)', seg):
+        name, v = m.group(1), float(m.group(2))
+        if name not in ("value", "sf", "queries") and v < 3600:
+            out[name] = v
+    return out
+
+
 def _prior_round_timings(sf: float | None) -> dict[str, float]:
-    """Per-query MINIMA across ALL prior BENCH_r*.json recorded at the
-    same scale factor, for drift self-validation. The min — not the
-    newest file — is the reference: two consecutively-inflated rounds
+    """Per-query MINIMA across ALL prior bench records at the same
+    scale factor, for drift self-validation. The min — not the newest
+    file — is the reference: two consecutively-inflated rounds
     otherwise validate each other (VERDICT r04: r02 and r04 were both
-    ~2× ambient-load inflated and the newest-file guard never fired)."""
+    ~2× ambient-load inflated and the newest-file guard never fired).
+    Reads the driver-committed BENCH_r*.json AND the locally-appended
+    bench_history.jsonl (full per-query detail survives there even
+    when the driver's tail window clips its own copy)."""
     import glob
 
     best: dict[str, float] = {}
+
+    def fold(timings: dict[str, float]) -> None:
+        for k, v in timings.items():
+            if k not in best or v < best[k]:
+                best[k] = v
+
     for path in sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json"))):
         try:
             with open(path) as f:
                 data = json.load(f)
-            q = data.get("queries")
-            if isinstance(q, dict) and q and data.get("sf") == sf:
-                for k, v in q.items():
-                    v = float(v)
-                    if k not in best or v < best[k]:
-                        best[k] = v
+            if isinstance(data, dict):
+                fold(_timings_from_bench_record(data, sf))
         except (OSError, ValueError):
             continue
+    hist_path = os.path.join(REPO, "bench_history.jsonl")
+    if os.path.exists(hist_path):
+        try:
+            with open(hist_path) as f:
+                for line in f:
+                    try:
+                        rec = json.loads(line)
+                    except ValueError:
+                        continue
+                    if (
+                        isinstance(rec, dict)
+                        and rec.get("sf") == sf
+                        and isinstance(rec.get("queries"), dict)
+                    ):
+                        fold({k: float(v) for k, v in rec["queries"].items()})
+        except OSError:
+            pass
     return best
 
 
@@ -216,25 +283,48 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     # per-query ratio vs the all-rounds minimum at this SF: >1 means
     # slower than the best any prior round recorded — the per-query
-    # form of the drift guard, persisted so regressions are visible
-    # in the BENCH_r*.json history without re-deriving the minima
+    # form of the drift guard
     vs_hist = {
         k: round(timings[k] / prior[k], 2)
         for k in timings
         if k in prior and prior[k] > 0
     }
+    # queries LAST: if the driver's tail window ever clips this line,
+    # the surviving suffix is the timings map, which the scavenging
+    # fallback in _timings_from_bench_record can still read
+    detail = {
+        "metric": "headline_queries_detail",
+        "sf": sf,
+        "vs_historical_min": vs_hist,
+        "queries": timings,
+    }
+    # Full per-query detail goes to STDERR and into the committed
+    # bench_history.jsonl; stdout stays exactly ONE short JSON line.
+    # The driver json.loads the last stdout line inside a bounded
+    # (~2000 char) tail window — r06's single 66-query line outgrew it
+    # and parsed came back null (VERDICT r06 "What's missing" #1).
+    print(json.dumps(detail), file=sys.stderr)
+    try:
+        with open(os.path.join(REPO, "bench_history.jsonl"), "a") as f:
+            f.write(json.dumps(detail) + "\n")
+    except OSError:
+        pass
+    worst = dict(
+        sorted(vs_hist.items(), key=lambda kv: kv[1], reverse=True)[:5]
+    )
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "sf": sf,
+                "n_queries": len(timings),
                 "loadavg_before": [round(x, 2) for x in load_before],
                 "loadavg_after": [round(x, 2) for x in os.getloadavg()],
                 "drift_rerun": reran,
-                "vs_historical_min": vs_hist,
+                "worst_vs_hist": worst,
+                "detail": "stderr + bench_history.jsonl",
             }
         )
     )

@@ -1014,15 +1014,24 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             if not len(pdf):
                 continue
             V = _np.array([list(r) for r in pdf["v"]], dtype=_np.float64)
-            P = (V - mean) @ comps.T
+            P = _np.round((V - mean) @ comps.T, 6)
+            nb, k = P.shape
+            # long form: one (vec_id, component, value) row per cell —
+            # scalar columns only, per the driver canonicalizer contract
+            # (pandas sort_values crashes on list cells; VERDICT r06 #1)
             yield _pd.DataFrame(
                 {
-                    "vec_id": pdf["vec_id"].to_numpy(),
-                    "proj": [[round(float(x), 6) for x in row] for row in P],
+                    "vec_id": _np.repeat(pdf["vec_id"].to_numpy(), k),
+                    "component": _np.tile(
+                        _np.arange(1, k + 1, dtype=_np.int32), nb
+                    ),
+                    "value": P.reshape(-1),
                 }
             )
 
-    return e.mapInPandas(project, schema="vec_id long, proj array<double>")
+    return e.mapInPandas(
+        project, schema="vec_id long, component int, value double"
+    )
 
 
 KNN_K = 3

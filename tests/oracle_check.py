@@ -44,8 +44,25 @@ def row_multiset(cols: list[str], rows: list[tuple]) -> Counter:
     return Counter(tuple(_norm(r[i]) for i in order) for r in rows)
 
 
+def assert_atomic_schema(sdf) -> None:
+    """Driver canonicalizer contract: every output column must be an
+    atomic type. The driver pandas-sorts cell values before hashing and
+    crashes on list/dict cells (``TypeError: unhashable type: 'list'``,
+    CORRECTNESS_r06 ``embedding_pca_project``) — Array/Map/Struct
+    columns are banned from every registered query's output."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    bad = [
+        f"{f.name}: {f.dataType.simpleString()}"
+        for f in sdf.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not bad, f"non-atomic output columns (driver cannot hash): {bad}"
+
+
 def compare(spark, sf_dir: str, builder, oracle: str) -> None:
     sdf = builder(spark, sf_dir)
+    assert_atomic_schema(sdf)
     spark_cols = sdf.columns
     spark_rows = [tuple(r) for r in sdf.collect()]
 

@@ -1,0 +1,100 @@
+"""Pin bench.py's historical-minima plumbing (VERDICT r06 #3).
+
+r06 shipped two defects here: ``_prior_round_timings`` read
+``data["queries"]`` while the driver nests timings under
+``parsed.queries`` (so the drift guards always saw ``{}``), and the
+single 66-query stdout line outgrew the driver's 2000-char tail window
+(so ``parsed`` came back null). These tests feed fixture BENCH records
+through the extraction path and assert the minima come out right,
+including the regex-scavenge fallback for clipped tails.
+"""
+
+from __future__ import annotations
+
+import json
+
+from bench import _timings_from_bench_record
+
+
+def test_reads_driver_nested_parsed_queries() -> None:
+    rec = {
+        "sf": 0.1,
+        "tail": "",
+        "parsed": {
+            "metric": "headline_queries_total",
+            "value": 2.0,
+            "unit": "sec",
+            "queries": {"q_a": 1.25, "q_b": 0.75},
+            "sf": 0.1,
+        },
+    }
+    assert _timings_from_bench_record(rec, 0.1) == {"q_a": 1.25, "q_b": 0.75}
+    # wrong SF → ignored
+    assert _timings_from_bench_record(rec, 0.01) == {}
+
+
+def test_scavenges_clipped_tail_without_ratio_contamination() -> None:
+    """A tail whose head is clipped mid-queries-map (r06's shape) must
+    yield the visible timings but NEVER pick up vs_historical_min
+    ratios — a 0.98 ratio mistaken for 0.98s poisons the minima."""
+    line = (
+        '"q_tail_a": 1.111, "q_tail_b": 2.222}, "sf": 0.1,'
+        ' "loadavg_before": [1.0, 1.0, 1.0], "drift_rerun": false,'
+        ' "vs_historical_min": {"q_tail_a": 0.98, "q_tail_b": 3.5}}'
+    )
+    rec = {"sf": 0.1, "tail": line, "parsed": None}
+    got = _timings_from_bench_record(rec, 0.1)
+    assert got == {"q_tail_a": 1.111, "q_tail_b": 2.222}
+
+
+def test_scavenges_tail_with_visible_queries_key() -> None:
+    rec = {
+        "sf": 0.1,
+        "parsed": None,
+        "tail": (
+            'junk warning line\n{"metric": "headline_queries_detail",'
+            ' "sf": 0.1, "vs_historical_min": {"q_x": 0.5},'
+            ' "queries": {"q_x": 4.004, "q_y": 0.101}}'
+        ),
+    }
+    got = _timings_from_bench_record(rec, 0.1)
+    assert got == {"q_x": 4.004, "q_y": 0.101}
+
+
+def test_committed_r06_tail_is_recoverable() -> None:
+    """The actual round-6 artifact (parsed: null) must scavenge to a
+    non-trivial timing map — this is the record the r06 drift guards
+    went blind on."""
+    with open("/root/repo/BENCH_r06.json") as f:
+        rec = json.load(f)
+    assert rec["parsed"] is None  # the r06 defect this guards against
+    got = _timings_from_bench_record(rec, 0.1)
+    assert len(got) >= 40
+    assert all(0 < v < 3600 for v in got.values())
+    # no ratio contamination: r06's vs_historical_min was {} and every
+    # scavenged value must be a plausible per-query second
+    assert "value" not in got and "sf" not in got
+
+
+def test_final_stdout_line_stays_inside_driver_tail_window() -> None:
+    """The driver json.loads the LAST stdout line inside a ~2000-char
+    tail. Simulate the worst case: every headline query present, worst
+    5 ratios — the final line must stay well under the window."""
+    from bench import HEADLINE
+
+    worst = {name: 9.99 for name in HEADLINE[:5]}
+    final = json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": 99999.999,
+            "unit": "sec",
+            "sf": 0.1,
+            "n_queries": len(HEADLINE),
+            "loadavg_before": [99.99, 99.99, 99.99],
+            "loadavg_after": [99.99, 99.99, 99.99],
+            "drift_rerun": True,
+            "worst_vs_hist": worst,
+            "detail": "stderr + bench_history.jsonl",
+        }
+    )
+    assert len(final) < 1000, len(final)

@@ -298,7 +298,17 @@ def test_pca_project_linear_algebra_invariants(spark, sf_dir):
     for r in gram:
         G[r["i"] - 1, r["j"] - 1] = G[r["j"] - 1, r["i"] - 1] = r["gram"]
     rows = embedding_pca_project(spark, sf_dir).collect()
-    P = np.array([list(r["proj"]) for r in rows])
+    # long form (vec_id, component, value) — scalar columns only, per
+    # the driver canonicalizer contract; pivot back to a matrix here
+    by_vec: dict[int, dict[int, float]] = {}
+    for r in rows:
+        by_vec.setdefault(r["vec_id"], {})[r["component"]] = r["value"]
+    P = np.array(
+        [
+            [by_vec[vid][c] for c in range(1, PCA_K + 1)]
+            for vid in sorted(by_vec)
+        ]
+    )
     assert P.shape == (n, PCA_K)
     # projected variance per component must match the top eigenvalues
     # of the covariance the gram entry implies (biased /n, both sides)

@@ -27,7 +27,13 @@ def test_oracle_parity(spark, sf_dir, name):
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
 def test_rows_only_runs(spark, sf_dir, name):
+    from tests.oracle_check import assert_atomic_schema
+
     df = REGISTRY[name].builder(spark, sf_dir)
+    # rows-only entries still flow through the driver canonicalizer
+    # (it hashes the Spark side even without an oracle) — the atomic-
+    # column ban applies to every registry entry, not just oracled ones
+    assert_atomic_schema(df)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
 

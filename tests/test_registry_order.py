@@ -48,10 +48,23 @@ def test_checked_entries_ordered_oldest_round_first() -> None:
     assert rounds == sorted(rounds)
 
 
-def test_r05_backlog_is_in_the_r06_window() -> None:
+def _history_as_of(max_round: int) -> dict[str, int]:
+    """Committed coverage history restricted to rounds ≤ max_round —
+    frozen, so assertions about a PAST round's window stay true no
+    matter what CORRECTNESS_r*.json files the driver writes later.
+    (The r06 version of the backlog pin recomputed the window from
+    CURRENT history, so the driver marking the backlog green — the
+    rotation working as designed — broke the test; VERDICT r06
+    What's-wrong #2.)"""
+    hist = registry.coverage_history()
+    return {n: r for n, r in hist.items() if r <= max_round}
+
+
+def test_r05_backlog_was_in_the_r06_window() -> None:
     """The 27 entries VERDICT r05 flagged as never-driver-checked must
-    all sit in the current window (they have no green row in the
-    committed r01-r05 history)."""
+    all sit in the window AS COMPUTED FROM r01-r05 HISTORY (they had no
+    green row then; CORRECTNESS_r06 subsequently marked all 27 green,
+    which must NOT break this pin)."""
     backlog = {
         "tpch_q2_min_cost_supplier",
         "tpch_q4_order_priority",
@@ -83,8 +96,29 @@ def test_r05_backlog_is_in_the_r06_window() -> None:
     }
     unknown = backlog - set(registry.REGISTRY)
     assert not unknown, sorted(unknown)
-    window = set(list(registry.queries())[:DRIVER_WINDOW])
+    order = registry.rotation_order(
+        list(registry.REGISTRY), _history_as_of(5)
+    )
+    window = set(order[:DRIVER_WINDOW])
     assert backlog <= window, sorted(backlog - window)
+
+
+def test_r07_window_leads_with_pca_then_oldest_checked() -> None:
+    """Frozen at r06 history: ``embedding_pca_project`` is the sole
+    entry without a green row after r06 (its r06 row was RED — the
+    array-column canonicalizer crash), so the r07 window must be PCA +
+    the 49 oldest-checked entries (VERDICT r06 next-round #5)."""
+    hist = _history_as_of(6)
+    names = list(registry.REGISTRY)
+    never = [n for n in names if n not in hist]
+    assert never == ["embedding_pca_project"], never
+    window = registry.rotation_order(names, hist)[:DRIVER_WINDOW]
+    assert window[0] == "embedding_pca_project"
+    # stable sort on registration order, same as rotation_order
+    checked_sorted = sorted(
+        (n for n in names if n in hist), key=lambda n: hist[n]
+    )
+    assert window[1:] == checked_sorted[: DRIVER_WINDOW - 1]
 
 
 def test_rotation_covers_everything_within_ceil_n_over_50_rounds() -> None:
