@@ -237,6 +237,79 @@ def test_affinity_text(tmp_path):
     )
 
 
+# --- storage-class comparisons through the CLI (extends the
+# datatypes-1.* family: the reference's engine is SQLite, so mixed
+# INTEGER/REAL/TEXT columns compare by STORAGE CLASS — any numeric
+# sorts below any text — and a text literal compared against an
+# INTEGER-affinity column converts to a number first. Expected outputs
+# below were derived from real SQLite (sqlite3 module, same table
+# shape sqawk builds); test_affinity_property.py fuzzes the semantics,
+# these pin the full CLI path end-to-end.) ---------------------------
+
+_MIXED = "3 x\n001 y\n20 z\nc w\n1.5 v\n"
+
+
+def test_storage_class_where_lt_number(tmp_path):
+    # 'c' (TEXT) is never < 2; 001→1 and 1.5 are
+    f = write(tmp_path, "f", _MIXED)
+    assert (
+        pysqawk("select a1 from a where a1 < 2 order by a1", f) == "1\n1.5"
+    )
+
+
+def test_storage_class_where_lt_text_literal(tmp_path):
+    # '2' converts to 2 under the column's INTEGER affinity — same rows
+    f = write(tmp_path, "f", _MIXED)
+    assert (
+        pysqawk("select a1 from a where a1 < '2' order by a1", f)
+        == "1\n1.5"
+    )
+
+
+def test_storage_class_where_gt_includes_text(tmp_path):
+    # TEXT 'c' > 2 is TRUE in SQLite: text outranks every numeric
+    f = write(tmp_path, "f", _MIXED)
+    assert (
+        pysqawk("select a1 from a where a1 > 2 order by a1", f)
+        == "3\n20\nc"
+    )
+
+
+def test_storage_class_order_by_mixed(tmp_path):
+    # numerics ascending by VALUE (1 < 1.5 < 3 < 20), then text
+    f = write(tmp_path, "f", _MIXED)
+    assert (
+        pysqawk("select a1 from a order by a1", f) == "1\n1.5\n3\n20\nc"
+    )
+
+
+def test_storage_class_order_by_desc_two_keys(tmp_path):
+    f = write(tmp_path, "f", _MIXED)
+    assert (
+        pysqawk("select a1, a2 from a order by a1 desc, a2", f)
+        == "c w\n20 z\n3 x\n1.5 v\n1 y"
+    )
+
+
+def test_storage_class_text_affinity_lexicographic(tmp_path):
+    # datatypes=text: '20' > '2' lexicographically, '001' keeps zeros
+    f = write(tmp_path, "f", _MIXED)
+    assert (
+        pysqawk(
+            "select a1 from a where a1 < '2' order by a1",
+            "datatypes=text,text",
+            f,
+        )
+        == "001\n1.5"
+    )
+    assert (
+        pysqawk(
+            "select a1 from a order by a1", "datatypes=text,text", f
+        )
+        == "001\n1.5\n20\n3\nc"
+    )
+
+
 # --- trim (tests.tcl:946-968) -------------------------------------------
 
 
