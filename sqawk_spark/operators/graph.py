@@ -132,3 +132,203 @@ def graph_pagerank_dupgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("deg").cast("long").alias("deg"),
         F.col("r").cast("long").alias("rank_micro"),
     )
+
+
+def _triangle_oracle() -> str:
+    from sqawk_spark.operators.dedup import _SHINGLE_CTES
+
+    return f"""
+        WITH {_SHINGLE_CTES},
+        ue AS (
+            SELECT doc_a AS u, doc_b AS v FROM near_dups
+        ),
+        tri AS (
+            SELECT e1.u AS a, e1.v AS b, e2.v AS c
+            FROM ue e1
+            JOIN ue e2 ON e2.u = e1.v
+            JOIN ue e3 ON e3.u = e1.u AND e3.v = e2.v
+        ),
+        members AS (
+            SELECT a AS doc_id FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+        )
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles
+        FROM members GROUP BY doc_id
+    """
+
+
+@query("graph_triangle_count", oracle=_triangle_oracle())
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document triangle participation in the near-dup graph —
+    the local-clustering signal that separates a tight duplicate
+    CLIQUE (template spam: every variant matches every other) from a
+    chain of incidental pairwise overlaps, which is how corpus audits
+    rank dup families for removal-by-cluster vs removal-by-pair.
+
+    Spark plan is the degree-ordered NODE-ITERATOR — the algorithm
+    that makes distributed triangle counting feasible: each undirected
+    edge is oriented from its lower-(degree, id) endpoint to the
+    higher, so every triangle is counted exactly once as an oriented
+    wedge a→b, a→c closed by b→c, and — the load-bound that matters —
+    each node's out-degree is bounded by O(sqrt(edges)) regardless of
+    how skewed the raw degree distribution is (a hub with a million
+    neighbors produces wedges only toward its few HIGHER-degree peers,
+    not a million² explosion). Two self-joins keyed on node ids, one
+    count; the oracle verifies against the orientation-free a<b<c
+    formulation, which must produce the identical triangle set.
+
+    Scale: edges ⋘ corpus (MAX_DF-capped index), the wedge join keys
+    on well-hashed doc ids, and AQE handles residual skew; nothing
+    collects to the driver."""
+    from pyspark import StorageLevel
+
+    from sqawk_spark.operators.dedup import _PAIRS_CACHE, _jaccard_pairs
+
+    key = (id(spark), sf_dir)
+    if key not in _PAIRS_CACHE:
+        _PAIRS_CACHE[key] = (
+            _jaccard_pairs(spark, sf_dir)
+            .select("doc_a", "doc_b")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+    pairs = _PAIRS_CACHE[key]
+    sym = pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).unionAll(
+        pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    )
+    deg = sym.groupBy("u").agg(F.count("*").alias("deg"))
+    # orient each edge from lower (deg, id) to higher (deg, id): every
+    # out-neighborhood is O(sqrt(E)) even under hub skew
+    oriented = (
+        sym.join(deg, "u")
+        .join(
+            deg.select(F.col("u").alias("v"), F.col("deg").alias("degv")),
+            "v",
+        )
+        .filter(
+            (F.col("deg") < F.col("degv"))
+            | ((F.col("deg") == F.col("degv")) & (F.col("u") < F.col("v")))
+        )
+        .select("u", "v")
+    )
+    e1 = oriented.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = oriented.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    wedges = e1.join(e2, "a").filter(F.col("b") != F.col("c"))
+    closer = oriented.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    # wedge (a→b, a→c) closes iff b→c oriented: each triangle once
+    tri = wedges.join(closer, ["b", "c"])
+    members = (
+        tri.select(F.col("a").alias("doc_id"))
+        .unionAll(tri.select(F.col("b").alias("doc_id")))
+        .unionAll(tri.select(F.col("c").alias("doc_id")))
+    )
+    return members.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_triangles")
+    )
+
+
+_CN_MIN_COMMON = 2  # co-shingle edge: >= 2 shared rare shingles
+
+
+def _common_neighbors_oracle() -> str:
+    from sqawk_spark.operators.dedup import _SHINGLE_CTES
+
+    return f"""
+        WITH {_SHINGLE_CTES},
+        e0 AS (
+            SELECT doc_a, doc_b FROM pairs WHERE n_common >= {_CN_MIN_COMMON}
+        ),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM e0
+            UNION ALL
+            SELECT doc_b, doc_a FROM e0
+        ),
+        deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+        wedge AS (
+            SELECT e1.dst AS u, e2.dst AS v, count(*) AS n_common
+            FROM edges e1 JOIN edges e2
+              ON e1.src = e2.src AND e1.dst < e2.dst
+            GROUP BY 1, 2
+        )
+        SELECT w.u AS doc_a, w.v AS doc_b,
+               CAST(w.n_common AS BIGINT) AS n_common_nbrs,
+               round(w.n_common * 1.0
+                     / (da.deg + db.deg - w.n_common), 6) AS nbr_jaccard
+        FROM wedge w
+        JOIN deg da ON da.src = w.u
+        JOIN deg db ON db.src = w.v
+        LEFT JOIN e0 a ON a.doc_a = w.u AND a.doc_b = w.v
+        WHERE a.doc_a IS NULL
+    """
+
+
+@query("graph_common_neighbors", oracle=_common_neighbors_oracle())
+def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the document CO-SHINGLE graph: two docs
+    are linked when they share >= 2 rare shingles (a much denser,
+    noisier graph than the near-dup threshold graph — exactly the
+    substrate link prediction is for); for every NON-adjacent pair
+    with at least one common neighbor, emit the common-neighbor count
+    and neighborhood Jaccard. These are the missed-duplicate
+    candidates a dedup audit reviews first: each near-matches the same
+    third documents but fell under the pairwise threshold itself.
+
+    Shape: one wedge self-join through the shared neighbor (keyed on
+    node id — candidate pairs are generated ONLY where a common
+    neighbor exists, never all-pairs), one keyed count, an anti-join
+    against the edge list to drop already-adjacent pairs, two degree
+    lookups. The Jaccard divides two exact integers, rounded
+    identically on both engines.
+
+    Scale: wedge fan-out is sum(deg^2) over the pair graph — the
+    friend-of-friend bound; hub skew goes to AQE's skew-join split,
+    and the MAX_DF cap bounds index-side fan-out upstream. Reuses the
+    persisted shingle index (_INDEX_CACHE), so a session that already
+    ran the dedup family pays only the joins."""
+    from sqawk_spark.operators.dedup import _shingle_index
+
+    filtered = _shingle_index(spark, sf_dir)
+    a = filtered.select(F.col("doc_id").alias("doc_a"), "g")
+    b = filtered.select(F.col("doc_id").alias("doc_b"), "g")
+    e0 = (
+        a.join(b, "g")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("nc"))
+        .filter(F.col("nc") >= _CN_MIN_COMMON)
+        .select("doc_a", "doc_b")
+    )
+    edges = e0.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionAll(
+        e0.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    e1 = edges.select("src", F.col("dst").alias("u"))
+    e2 = edges.select("src", F.col("dst").alias("v"))
+    wedge = (
+        e1.join(e2, "src")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("n_common"))
+    )
+    adj = e0.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    non_adj = wedge.join(adj, ["u", "v"], "left_anti")
+    da = deg.select(F.col("src").alias("u"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("src").alias("v"), F.col("deg").alias("deg_b"))
+    return (
+        non_adj.join(da, "u")
+        .join(db, "v")
+        .select(
+            F.col("u").alias("doc_a"),
+            F.col("v").alias("doc_b"),
+            F.col("n_common").cast("long").alias("n_common_nbrs"),
+            F.round(
+                F.col("n_common")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("n_common")),
+                6,
+            ).alias("nbr_jaccard"),
+        )
+    )

@@ -1985,3 +1985,72 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact_topk = _exact_topk_df(nq, nq.filter(F.col("vec_id") >= N_QUERIES))
     return _recall_output(nq, approx_topk, exact_topk)
+
+
+_VAR_SCALE = 10_000  # per-dim stats quantizer: round(x*1e4)
+
+
+@query(
+    "embedding_variance_by_dim",
+    oracle=f"""
+        WITH e AS (
+            SELECT CAST(t.pos AS INTEGER) AS dim,
+                   CAST(round(CAST(embedding[t.pos] AS DOUBLE)
+                              * {_VAR_SCALE}) AS BIGINT) AS q
+            FROM embeddings,
+                 unnest(range(1, len(embedding) + 1)) AS t(pos)
+        )
+        SELECT dim,
+               CAST(count(*) AS BIGINT) AS n,
+               round(CAST(sum(q) AS BIGINT)
+                     / (count(*) * {_VAR_SCALE}.0), 6) AS mean,
+               round((CAST(sum(q * q) AS BIGINT) * 1.0 / count(*)
+                      - (CAST(sum(q) AS BIGINT) * 1.0 / count(*))
+                        * (CAST(sum(q) AS BIGINT) * 1.0 / count(*)))
+                     / ({_VAR_SCALE}.0 * {_VAR_SCALE}.0), 6) AS variance,
+               round(min(q) / {_VAR_SCALE}.0, 4) AS vmin,
+               round(max(q) / {_VAR_SCALE}.0, 4) AS vmax
+        FROM e GROUP BY dim
+    """,
+)
+def embedding_variance_by_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension corpus statistics of the embedding column — mean,
+    population variance, min, max per coordinate: the feature-scaling
+    / whitening-diagnostics pass every vector pipeline runs before
+    indexing (dead dimensions → candidates for truncation; variance
+    outliers → normalization bugs upstream).
+
+    Cross-engine float discipline: components quantize to round(x·1e4)
+    integers BEFORE aggregation, so sum and sum-of-squares are exact
+    integer arithmetic (|q| ≤ 6e3 → Σq² ≤ ~7e10 per dim even at 10⁶
+    rows per dim — far inside int64 and f64-exact range); the variance
+    uses E[q²] − E[q]² on those exact integers, divided and rounded
+    once, identically on both engines.
+
+    Scale: posexplode fans D rows per vector but partial aggregation
+    combines them map-side immediately — the shuffle carries D=64
+    cells × partitions, not the corpus. One scan, one keyed agg,
+    nothing else."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    e = t["embeddings"].select(
+        F.posexplode(
+            F.expr(
+                f"transform(embedding, x ->"
+                f" CAST(round(CAST(x AS DOUBLE) * {_VAR_SCALE}) AS BIGINT))"
+            )
+        ).alias("pos0", "q")
+    ).select((F.col("pos0") + 1).cast("int").alias("dim"), "q")
+    n = F.count("*")
+    s = F.sum("q")
+    ss = F.sum(F.col("q") * F.col("q"))
+    return e.groupBy("dim").agg(
+        n.cast("long").alias("n"),
+        F.round(s / (n * float(_VAR_SCALE)), 6).alias("mean"),
+        F.round(
+            (ss * 1.0 / n - (s * 1.0 / n) * (s * 1.0 / n))
+            / (float(_VAR_SCALE) * float(_VAR_SCALE)),
+            6,
+        ).alias("variance"),
+        F.round(F.min("q") / float(_VAR_SCALE), 4).alias("vmin"),
+        F.round(F.max("q") / float(_VAR_SCALE), 4).alias("vmax"),
+    )

@@ -665,3 +665,132 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("cnt", F.lit(0)).alias("cnt"),
         F.col("cnt").isNull().alias("filled"),
     )
+
+
+@query(
+    "events_markov_transitions",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS next_type
+            FROM events
+        ),
+        c AS (
+            SELECT event_type AS src_type, next_type AS dst_type,
+                   count(*) AS n
+            FROM seq WHERE next_type IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        t AS (SELECT src_type, sum(n) AS tot FROM c GROUP BY 1)
+        SELECT c.src_type, c.dst_type, CAST(c.n AS BIGINT) AS n,
+               round(c.n * 1.0 / t.tot, 6) AS prob
+        FROM c JOIN t USING (src_type)
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences — P(next event type | current type) — the behavioral
+    fingerprint behind funnel diagnostics, bot detection (near-
+    deterministic transition rows), and synthetic-session generation.
+
+    Shape: ONE window (lead over user_id, the natural partition key)
+    + two keyed aggregations over the |types|² transition table —
+    tiny, value-domain-sized. The probability divides two exact
+    integers, rounded identically on both engines; ties in ts are
+    broken by event_id so the lead order is engine-deterministic.
+
+    Scale: the window shuffles on user_id (same key every sessionize
+    op uses — one exchange, reusable across the family); the
+    transition matrix itself is |event types|², independent of corpus
+    size — the canonical small-result/big-scan aggregation."""
+    t = load_tables(spark, sf_dir, ("events",))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t["events"].select(
+        F.col("event_type").alias("src_type"),
+        F.lead("event_type").over(w).alias("dst_type"),
+    )
+    c = (
+        seq.filter(F.col("dst_type").isNotNull())
+        .groupBy("src_type", "dst_type")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = c.groupBy("src_type").agg(F.sum("n").alias("tot"))
+    return c.join(F.broadcast(tot), "src_type").select(
+        "src_type",
+        "dst_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("n") / F.col("tot"), 6).alias("prob"),
+    )
+
+
+@query(
+    "events_attribution_last_touch",
+    oracle="""
+        WITH carried AS (
+            SELECT event_id, user_id, event_type, value,
+                   last_value(CASE WHEN event_type <> 'purchase'
+                                   THEN event_type END IGNORE NULLS)
+                       OVER (PARTITION BY user_id
+                             ORDER BY ts,
+                                      CAST(event_type = 'purchase'
+                                           AS INTEGER),
+                                      event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS touch_type
+            FROM events
+        )
+        SELECT coalesce(touch_type, '(direct)') AS touch_type,
+               CAST(count(*) AS BIGINT) AS n_conversions,
+               round(sum(value), 2) AS attributed_value
+        FROM carried
+        WHERE event_type = 'purchase'
+        GROUP BY 1
+    """,
+)
+def events_attribution_last_touch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Last-touch attribution: every purchase credits the user's most
+    recent preceding NON-purchase event type (or '(direct)' when the
+    purchase is the user's first event) — the standard marketing /
+    funnel attribution model, aggregated to credited conversions and
+    value per touch type.
+
+    Same carry-forward idiom as events_asof_join: one window per
+    user_id ordered by (ts, is_purchase, event_id) — the is_purchase
+    tie-break keeps a same-timestamp purchase from crediting itself —
+    with a frame ending at the previous row so the attribution is
+    STRICTLY earlier; ``last(..., ignorenulls=True)`` carries the
+    latest touch forward past intervening purchases.
+
+    Scale: one shuffle on user_id + one value-domain-sized aggregate;
+    the double sum is rounded identically on both engines (registry
+    float discipline)."""
+    t = load_tables(spark, sf_dir, ("events",))
+    is_p = F.col("event_type") == "purchase"
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", is_p.cast("int"), "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    carried = t["events"].select(
+        "event_type",
+        "value",
+        F.last(F.when(~is_p, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("touch_type"),
+    )
+    return (
+        carried.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.coalesce(F.col("touch_type"), F.lit("(direct)")).alias(
+                "touch_type"
+            )
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_conversions"),
+            F.round(F.sum("value"), 2).alias("attributed_value"),
+        )
+    )

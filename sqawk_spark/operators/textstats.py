@@ -1835,3 +1835,140 @@ def text_ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("tail")
         .alias("bucket"),
     )
+
+
+@query(
+    "text_entropy_unigram",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(trim(text)),
+                                                '\\s+')) AS w
+            FROM documents
+        ),
+        toks2 AS (SELECT doc_id, w FROM toks WHERE len(w) > 0),
+        wc AS (
+            SELECT doc_id, w, count(*) AS c
+            FROM toks2 GROUP BY doc_id, w
+        ),
+        terms AS (
+            SELECT doc_id, c,
+                   c * CAST(round(ln(CAST(c AS DOUBLE)) * 1000000)
+                            AS BIGINT) AS clnc_micro
+            FROM wc
+        )
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_types,
+               round(ln(CAST(sum(c) AS DOUBLE))
+                     - sum(clnc_micro) / (sum(c) * 1000000.0),
+                     4) AS entropy_nats
+        FROM terms GROUP BY doc_id
+    """,
+)
+def text_entropy_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram entropy over the document's OWN word
+    distribution — the intra-document diversity signal (repeated-token
+    spam collapses toward 0 nats; varied prose sits near ln(n_types)):
+    complements text_perplexity_score, which scores against the
+    CORPUS LM, not the document's self-distribution.
+
+    Uses the identity H = ln(n) − (1/n)·Σ c·ln(c), which needs ln()
+    only of INTEGER counts — so the micro-nat discipline applies
+    doubly well: each distinct (doc, word)'s c·round(ln(c)·1e6) is an
+    exact integer, per-document sums are order-independent on both
+    engines, and the single final expression rounds to 4 decimals.
+
+    Scale: one tokenize scan, one (doc_id, word)-keyed count with
+    map-side combine, one doc_id-keyed sum — no joins, no windows, no
+    corpus-global state at all (unlike the LM entries, nothing even
+    broadcasts)."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    wc = (
+        t["documents"]
+        .select("doc_id", F.explode(_tokens()).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    terms = wc.select(
+        "doc_id",
+        "c",
+        (
+            F.col("c")
+            * F.round(F.log(F.col("c").cast("double")) * 1_000_000).cast(
+                "long"
+            )
+        ).alias("clnc_micro"),
+    )
+    return terms.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+        F.round(
+            F.log(F.sum("c").cast("double"))
+            - F.sum("clnc_micro") / (F.sum("c") * 1_000_000.0),
+            4,
+        ).alias("entropy_nats"),
+    )
+
+
+@query(
+    "text_ttr_lexical_diversity",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(trim(text)),
+                                                '\\s+')) AS w
+            FROM documents
+        ),
+        toks2 AS (SELECT doc_id, w FROM toks WHERE len(w) > 0),
+        wc AS (
+            SELECT doc_id, w, count(*) AS c
+            FROM toks2 GROUP BY doc_id, w
+        )
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_types,
+               round(count(*) * 1.0 / sum(c), 6) AS ttr,
+               round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1.0
+                     / sum(c), 6) AS hapax_ratio,
+               round(count(*) * 1.0 / sqrt(CAST(sum(c) AS DOUBLE)), 6)
+                   AS guiraud_r
+        FROM wc GROUP BY doc_id
+    """,
+)
+def text_ttr_lexical_diversity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Lexical diversity per document: type-token ratio, hapax-
+    legomena ratio (fraction of tokens occurring exactly once), and
+    Guiraud's R (types/sqrt(tokens), the length-corrected variant) —
+    the classic trio of corpus-linguistics quality features: low TTR
+    flags keyword stuffing and template spam, abnormally high hapax
+    ratio flags OCR noise and gibberish.
+
+    All three divide exact integers (the sqrt runs on an exact
+    integer cast to f64 — same bits both engines), rounded to 6.
+
+    Scale: identical shape to text_entropy_unigram — tokenize scan,
+    (doc, word) count with map-side combine, doc-keyed rollup; no
+    joins, broadcasts, or windows."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    wc = (
+        t["documents"]
+        .select("doc_id", F.explode(_tokens()).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    return wc.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+        F.round(F.count("*") / F.sum("c"), 6).alias("ttr"),
+        F.round(
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0)) / F.sum("c"), 6
+        ).alias("hapax_ratio"),
+        F.round(
+            F.count("*") / F.sqrt(F.sum("c").cast("double")), 6
+        ).alias("guiraud_r"),
+    )
