@@ -936,3 +936,118 @@ def events_heavy_hitters_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     needed — the corpus-sized work all happened in the incremental
     streaming aggregation."""
     return stream_heavy_hitters(spark, sf_dir, query_name="reg_stream_hh")
+
+
+def stream_session_window(
+    spark: SparkSession, sf_dir: str, query_name: str = "stream_sesswin"
+) -> DataFrame:
+    """Built-in ``session_window`` under a REAL watermarked stream —
+    the one Structured Streaming aggregation surface the other twins
+    don't exercise: gap sessions merged INCREMENTALLY across
+    micro-batches in append mode, where a session row may only be
+    emitted once the watermark proves no further event can extend it.
+
+    Mechanics this pins down (and production jobs depend on):
+
+    - events arrive as two time-ordered files (maxFilesPerTrigger=1),
+      so sessions spanning the split are merged by the streaming state
+      store, not within one batch;
+    - append-mode emission is watermark-gated: a session flushes when
+      watermark > session end (= last event + gap). Spark commits the
+      watermark AFTER each batch and emits on the NEXT, so two
+      sentinel far-future events (user_id −1, +10 and +20 days) arrive
+      as two extra micro-batches purely to advance the watermark past
+      every real session — the streaming-analog of end-of-stream
+      flushing. The sentinels' own sessions either never emit (the
+      last one) or are filtered by user_id >= 0;
+    - the watermark delay (30 min) never drops a real event because
+      the files are split BY time: every batch-2 event's ts exceeds
+      batch-1's max, hence exceeds the committed watermark.
+
+    The final append-mode table must equal the batch
+    ``events_sessionize`` result value-for-value."""
+    import os
+    import shutil
+    import tempfile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ts_col = (
+        F.timestamp_micros(F.expr("ts div 1000"))
+        if isinstance(raw.schema["ts"].dataType, T.LongType)
+        else F.col("ts").cast("timestamp")
+    )
+    events = raw.select("user_id", ts_col.alias("ts"), "value")
+    bounds = events.agg(
+        F.unix_micros(F.min("ts")).alias("lo"),
+        F.unix_micros(F.max("ts")).alias("hi"),
+    ).first()
+    split_us = (bounds["lo"] + bounds["hi"]) // 2
+
+    stream_dir = tempfile.mkdtemp(prefix="sqawk_sesswin_")
+    in_dir = os.path.join(stream_dir, "in")
+    events.filter(F.unix_micros("ts") <= split_us).coalesce(1).write.parquet(
+        in_dir, mode="overwrite"
+    )
+    events.filter(F.unix_micros("ts") > split_us).coalesce(1).write.parquet(
+        in_dir, mode="append"
+    )
+    day_us = 86_400_000_000
+    for i, bump in enumerate((10 * day_us, 20 * day_us)):
+        spark.createDataFrame(
+            [(-1, bounds["hi"] + bump, 0.0)], "user_id long, ts_us long, value double"
+        ).select(
+            "user_id", F.timestamp_micros("ts_us").alias("ts"), "value"
+        ).coalesce(1).write.parquet(in_dir, mode="append")
+    for extra in os.listdir(in_dir):
+        if not extra.endswith(".parquet"):
+            os.remove(os.path.join(in_dir, extra))
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+        .withWatermark("ts", "30 minutes")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("first_ts").alias("session_start"),
+            F.unix_micros("last_ts").alias("session_last"),
+            "n_events",
+            "total_value",
+        )
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(stream_dir, ignore_errors=True)
+    return spark.table(query_name).filter(F.col("user_id") >= 0)
+
+
+@query(
+    "events_session_window_stream",
+    oracle=REGISTRY["events_sessionize"].oracle,
+)
+def events_session_window_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Driver-checkable wrapper for the watermarked streaming
+    ``session_window``: the real multi-micro-batch append-mode run
+    (sessions merged in the state store, flushed by watermark
+    advancement) must equal the batch gaps-and-islands oracle
+    value-for-value — the guarantee that lets one declarative session
+    definition serve both the backfill job and the live pipeline."""
+    return stream_session_window(
+        spark, sf_dir, query_name="reg_stream_sesswin"
+    )

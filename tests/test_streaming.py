@@ -184,3 +184,33 @@ def test_stream_heavy_hitters_equals_batch(spark, sf_dir):
         for r in stream_heavy_hitters(spark, sf_dir, "t_stream_hh").collect()
     }
     assert batch == streamed
+
+
+def test_stream_session_window_equals_batch(spark, sf_dir):
+    """Watermarked streaming session_window (append mode, sessions
+    merged across micro-batches and flushed by sentinel-advanced
+    watermark) must equal the batch session_window result exactly —
+    same aggregation operator, so even total_value matches bit-wise
+    per session (both sum within one session's rows)."""
+    from sqawk_spark.streaming.windows import (
+        events_sessionize,
+        stream_session_window,
+    )
+
+    batch = {
+        (r["user_id"], r["session_start"]): r
+        for r in events_sessionize(spark, sf_dir).collect()
+    }
+    streamed = {
+        (r["user_id"], r["session_start"]): r
+        for r in stream_session_window(
+            spark, sf_dir, "t_stream_sesswin"
+        ).collect()
+    }
+    assert set(batch) == set(streamed)
+    assert len(batch) > 0
+    for k, b in batch.items():
+        s = streamed[k]
+        assert s["session_last"] == b["session_last"], k
+        assert s["n_events"] == b["n_events"], k
+        assert abs(s["total_value"] - b["total_value"]) <= 0.01, k
