@@ -567,3 +567,62 @@ def sample_split_cluster_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("split"),
         )
     )
+
+
+_TIME_SPLIT_PCT = 80  # train fraction of the time RANGE, in percent
+
+
+@query(
+    "sample_time_split",
+    oracle=f"""
+        WITH b AS (
+            SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+            FROM events
+        ),
+        cut AS (
+            SELECT lo + ((hi - lo) * {_TIME_SPLIT_PCT}) // 100 AS cut_us
+            FROM b
+        )
+        SELECT e.event_id, epoch_us(e.ts) AS ts_us,
+               CASE WHEN epoch_us(e.ts) <= c.cut_us
+                    THEN 'train' ELSE 'eval' END AS split
+        FROM events e, cut c
+    """,
+)
+def sample_time_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal train/eval split: everything in the first 80% of the
+    corpus's TIME RANGE trains, the rest evaluates — the
+    leakage-free-by-construction split for forecasting and any model
+    whose eval must be strictly in the training data's future
+    (max(train ts) <= cut < min(eval ts) holds by definition of the
+    cut, unlike hash splits, which interleave time).
+
+    The cut is pure integer arithmetic on epoch-microseconds
+    (lo + (hi−lo)·80 // 100), exact on both engines; range-based
+    rather than quantile-based deliberately — a quantile cut needs a
+    global order statistic, while the range cut is two scalars from
+    one min/max aggregate, broadcast back.
+
+    Scale: one agg to a 1-row frame, one broadcast, one map-only
+    labeling pass — the corpus never shuffles. Complements the hash
+    family (sample_split / stratified / cluster_safe): time is the
+    one axis hashes must NOT be used to split on."""
+    t = load_tables(spark, sf_dir, ("events",))
+    ev = t["events"].select(
+        "event_id", F.unix_micros("ts").alias("ts_us")
+    )
+    b = ev.agg(
+        F.min("ts_us").alias("lo"), F.max("ts_us").alias("hi")
+    ).select(
+        (
+            F.col("lo")
+            + F.expr(f"((hi - lo) * {_TIME_SPLIT_PCT}) div 100")
+        ).alias("cut_us")
+    )
+    return ev.crossJoin(F.broadcast(b)).select(
+        "event_id",
+        "ts_us",
+        F.when(F.col("ts_us") <= F.col("cut_us"), "train")
+        .otherwise("eval")
+        .alias("split"),
+    )

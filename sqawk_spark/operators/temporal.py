@@ -794,3 +794,133 @@ def events_attribution_last_touch(
             F.round(F.sum("value"), 2).alias("attributed_value"),
         )
     )
+
+
+@query(
+    "events_rfm_scores",
+    oracle="""
+        WITH mx AS (SELECT max(epoch_us(ts)) AS corpus_hi FROM events),
+        u AS (
+            SELECT user_id,
+                   CAST((mx.corpus_hi - max(epoch_us(ts)))
+                        // 86400000000 AS BIGINT) AS recency_days,
+                   CAST(count(*) AS BIGINT) AS frequency,
+                   CAST(round(round(sum(value), 2), 0) AS BIGINT)
+                       AS monetary_usd
+            FROM events, mx
+            GROUP BY user_id, mx.corpus_hi
+        ),
+        n AS (SELECT count(*) AS n_users FROM u),
+        hr AS (SELECT recency_days AS v, count(*) AS c FROM u GROUP BY 1),
+        hf AS (SELECT frequency AS v, count(*) AS c FROM u GROUP BY 1),
+        hm AS (SELECT monetary_usd AS v, count(*) AS c FROM u GROUP BY 1),
+        br AS (
+            SELECT v, coalesce(sum(c) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS below
+            FROM hr
+        ),
+        bf AS (
+            SELECT v, coalesce(sum(c) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS below
+            FROM hf
+        ),
+        bm AS (
+            SELECT v, coalesce(sum(c) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS below
+            FROM hm
+        )
+        SELECT u.user_id, u.recency_days, u.frequency, u.monetary_usd,
+               CAST(5 - (5 * br.below) // n.n_users AS INTEGER) AS r_score,
+               CAST(1 + (5 * bf.below) // n.n_users AS INTEGER) AS f_score,
+               CAST(1 + (5 * bm.below) // n.n_users AS INTEGER) AS m_score,
+               CAST((5 - (5 * br.below) // n.n_users) * 100
+                    + (1 + (5 * bf.below) // n.n_users) * 10
+                    + (1 + (5 * bm.below) // n.n_users) AS INTEGER)
+                   AS rfm_cell
+        FROM u
+        JOIN br ON br.v = u.recency_days
+        JOIN bf ON bf.v = u.frequency
+        JOIN bm ON bm.v = u.monetary_usd, n
+    """,
+)
+def events_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) quintile scoring per user
+    — the classic behavioral feature-engineering rollup: days since
+    last event, event count, and whole-unit spend, each mapped to a
+    1-5 quintile by EXACT corpus rank (5 = most recent recency, 5 =
+    highest frequency/monetary), plus the combined 3-digit RFM cell.
+
+    Quintiles use the value-HISTOGRAM prefix-sum pattern
+    (sample_curriculum_buckets): each metric is quantized to a
+    value-bounded domain FIRST — recency to whole days, monetary to
+    whole currency units, frequency is already a small integer — so
+    the cumulative "users below" window runs over a domain-sized
+    histogram, never the user table, and ties share a score (a pure
+    function of the value: deterministic on both engines, no
+    ntile-on-ties ambiguity). Score arithmetic is integer floor
+    division throughout.
+
+    Scale: one user-keyed aggregate over the events scan, three
+    domain-sized histograms with prefix sums, three broadcast joins
+    back. The user table itself never globally sorts."""
+    t = load_tables(spark, sf_dir, ("events",))
+    ev = t["events"].select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "value"
+    )
+    mx = ev.agg(F.max("ts_us").alias("corpus_hi"))
+    u = (
+        ev.crossJoin(F.broadcast(mx))
+        .groupBy("user_id", "corpus_hi")
+        .agg(
+            F.max("ts_us").alias("last_us"),
+            F.count("*").alias("frequency"),
+            F.round(F.sum("value"), 2).alias("spend"),
+        )
+        .select(
+            "user_id",
+            F.expr("(corpus_hi - last_us) div 86400000000")
+            .cast("long")
+            .alias("recency_days"),
+            F.col("frequency").cast("long").alias("frequency"),
+            F.round(F.col("spend"), 0).cast("long").alias("monetary_usd"),
+        )
+    )
+    n = u.agg(F.count("*").alias("n_users"))
+
+    def below_table(metric: str) -> DataFrame:
+        h = u.groupBy(F.col(metric).alias("v")).agg(
+            F.count("*").alias("c")
+        )
+        w = W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)
+        return h.select(
+            "v", F.coalesce(F.sum("c").over(w), F.lit(0)).alias("below")
+        )
+
+    br = below_table("recency_days").withColumnRenamed("below", "below_r")
+    bf = below_table("frequency").withColumnRenamed("below", "below_f")
+    bm = below_table("monetary_usd").withColumnRenamed("below", "below_m")
+    scored = (
+        u.join(F.broadcast(br), u["recency_days"] == br["v"])
+        .drop("v")
+        .join(F.broadcast(bf), u["frequency"] == bf["v"])
+        .drop("v")
+        .join(F.broadcast(bm), u["monetary_usd"] == bm["v"])
+        .drop("v")
+        .crossJoin(F.broadcast(n))
+    )
+    r = F.expr("5 - (5 * below_r) div n_users").cast("int")
+    f = F.expr("1 + (5 * below_f) div n_users").cast("int")
+    m = F.expr("1 + (5 * below_m) div n_users").cast("int")
+    return scored.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary_usd",
+        r.alias("r_score"),
+        f.alias("f_score"),
+        m.alias("m_score"),
+        (r * 100 + f * 10 + m).cast("int").alias("rfm_cell"),
+    )

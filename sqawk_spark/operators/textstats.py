@@ -1972,3 +1972,62 @@ def text_ttr_lexical_diversity(
             F.count("*") / F.sqrt(F.sum("c").cast("double")), 6
         ).alias("guiraud_r"),
     )
+
+
+_STOPWORD_MIN_DF_PCT = 40  # document-frequency threshold, percent
+
+
+@query(
+    "text_stopword_discovery",
+    oracle=f"""
+        WITH toks AS (
+            SELECT DISTINCT doc_id,
+                   unnest(regexp_split_to_array(lower(trim(text)),
+                                                '\\s+')) AS w
+            FROM documents
+        ),
+        toks2 AS (SELECT doc_id, w FROM toks WHERE len(w) > 0),
+        n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        df AS (SELECT w, count(*) AS df FROM toks2 GROUP BY w)
+        SELECT df.w AS word,
+               CAST(df.df AS BIGINT) AS df,
+               round(df.df * 1.0 / n.n_docs, 6) AS df_ratio
+        FROM df, n
+        WHERE 100 * df.df >= {_STOPWORD_MIN_DF_PCT} * n.n_docs
+    """,
+)
+def text_stopword_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-driven stopword discovery: every word appearing in at
+    least 40% of documents, with its document frequency and ratio —
+    the data-derived stopword list TF-IDF pipelines, index pruning,
+    and language-drift monitoring start from (a corpus whose "the"
+    isn't near df_ratio 1 is telling you something).
+
+    The threshold compare is pure integer arithmetic
+    (100·df ≥ 40·n_docs — no float boundary); the ratio divides two
+    exact integers, rounded identically on both engines.
+
+    Scale: DISTINCT (doc, word) collapses within-doc repeats map-side
+    before the word-keyed count; the doc count is a 1-row broadcast.
+    Output is vocabulary-bounded and the ≥40% filter cuts it to
+    dozens of rows — the definitional small-result/big-scan shape."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    toks = (
+        docs.select("doc_id", F.explode(_tokens()).alias("w"))
+        .filter(F.length("w") > 0)
+        .distinct()
+    )
+    n = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
+    df = toks.groupBy("w").agg(F.count("*").alias("df"))
+    return (
+        df.crossJoin(F.broadcast(n))
+        .filter(
+            100 * F.col("df") >= _STOPWORD_MIN_DF_PCT * F.col("n_docs")
+        )
+        .select(
+            F.col("w").alias("word"),
+            F.col("df").cast("long").alias("df"),
+            F.round(F.col("df") / F.col("n_docs"), 6).alias("df_ratio"),
+        )
+    )

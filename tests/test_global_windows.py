@@ -63,6 +63,10 @@ WHITELIST = {
     # semantics being pinned; inputs are dimension tables
     "window_ntile": "B19 parity; dimension-table input (customer)",
     "window_range_frame": "B19 parity; dimension-table input (part)",
+    # events_rfm_scores quantile helper: frame = one row per DISTINCT
+    # quantized metric value (recency in whole days, whole-unit
+    # monetary, integer frequency) — domain-sized histograms
+    "below_table": "value histograms of quantized RFM metrics",
 }
 
 
@@ -72,12 +76,23 @@ def _global_window_sites() -> dict[str, set[str]]:
     for path in glob.glob(os.path.join(PKG, "**", "*.py"), recursive=True):
         tree = ast.parse(open(path).read())
         # map every node to its enclosing function
+        def walk_shallow(n):
+            """Children of n, not descending into nested functions —
+            each site attributes to its INNERMOST enclosing def."""
+            for child in ast.iter_child_nodes(n):
+                if isinstance(
+                    child, (ast.FunctionDef, ast.AsyncFunctionDef)
+                ):
+                    continue
+                yield child
+                yield from walk_shallow(child)
+
         for fn in [
             n
             for n in ast.walk(tree)
             if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
         ]:
-            for node in ast.walk(fn):
+            for node in walk_shallow(fn):
                 if (
                     isinstance(node, ast.Call)
                     and isinstance(node.func, ast.Attribute)
@@ -160,3 +175,16 @@ def test_parity_windows_read_dimension_tables():
         relational.window_range_frame.__doc__,
     ):
         assert doc is not None
+
+
+def test_rfm_histograms_are_domain_bounded(spark, sf_dir):
+    """The three RFM quantile histograms must stay far below user
+    cardinality — that's the whole point of quantizing the metrics
+    before ranking."""
+    from sqawk_spark.operators.temporal import events_rfm_scores
+
+    df = events_rfm_scores(spark, sf_dir)
+    rows = df.count()
+    for col in ("recency_days", "frequency", "monetary_usd"):
+        dom = df.select(col).distinct().count()
+        assert dom <= max(64, rows // 2), (col, dom, rows)
