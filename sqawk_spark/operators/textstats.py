@@ -2031,3 +2031,239 @@ def text_stopword_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("df") / F.col("n_docs"), 6).alias("df_ratio"),
         )
     )
+
+
+@query(
+    "text_ngram_novelty",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+            FROM documents
+        ),
+        grams AS (
+            SELECT DISTINCT doc_id,
+                   t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+            FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+        ),
+        firsts AS (SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY g)
+        SELECT gr.doc_id,
+               CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(sum(CASE WHEN f.first_doc = gr.doc_id
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+               round(sum(CASE WHEN f.first_doc = gr.doc_id
+                              THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+                   AS novelty_ratio
+        FROM grams gr JOIN firsts f ON gr.g = f.g
+        GROUP BY gr.doc_id
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document trigram novelty: the fraction of a document's
+    distinct trigrams whose FIRST occurrence (lowest doc_id) is this
+    document — the incremental-crawl signal dedup pipelines use to
+    decide whether a new batch adds content or re-treads the corpus
+    (boilerplate-heavy docs trend to 0; fresh material to 1).
+
+    Same trigram definition as the dedup shingle family, WITHOUT the
+    MAX_DF cap (novelty must see common grams — they are exactly the
+    un-novel mass). "First" is min(doc_id): a deterministic total
+    order both engines agree on, standing in for crawl order.
+
+    Scale: one gram-keyed min aggregate (map-side combinable), one
+    join of the gram stream back to it (same key, same partitioning —
+    Catalyst reuses the exchange), one doc-keyed rollup. The ratio
+    divides exact integers."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    toks = t["documents"].select("doc_id", _tokens().alias("t"))
+    grams = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 3),"
+                    " i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    firsts = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    joined = grams.join(firsts, "g")
+    return joined.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_grams"),
+        F.sum(
+            F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_novel"),
+        F.round(
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(
+                    0
+                )
+            )
+            / F.count("*"),
+            6,
+        ).alias("novelty_ratio"),
+    )
+
+
+@query(
+    "docs_cross_source_overlap",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, source,
+                   regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+            FROM documents
+        ),
+        sg AS (
+            SELECT DISTINCT source,
+                   t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+            FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+        ),
+        sizes AS (SELECT source, count(*) AS sz FROM sg GROUP BY source),
+        common AS (
+            SELECT a.source AS src_a, b.source AS src_b,
+                   count(*) AS n_common
+            FROM sg a JOIN sg b
+              ON a.g = b.g AND a.source < b.source
+            GROUP BY 1, 2
+        )
+        SELECT c.src_a, c.src_b,
+               CAST(c.n_common AS BIGINT) AS n_common,
+               round(c.n_common * 1.0
+                     / (sa.sz + sb.sz - c.n_common), 6) AS gram_jaccard
+        FROM common c
+        JOIN sizes sa ON sa.source = c.src_a
+        JOIN sizes sb ON sb.source = c.src_b
+    """,
+)
+def docs_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-SOURCE contamination audit: trigram-set Jaccard between
+    every pair of sources — the corpus-level view of duplication
+    (mirror sites, syndicated feeds, scraped re-posts show up as
+    source pairs with outsized overlap long before any doc-level pair
+    does). The doc-level twin is dedup_ngram_jaccard; this aggregates
+    the same shingle space by provenance.
+
+    Scale: the gram universe collapses to DISTINCT (source, gram)
+    first — the self-join's per-gram fan-out is then bounded by the
+    SOURCE count (dozens), not document frequency, so no MAX_DF cap
+    is needed; output is |sources|² at most. Jaccard divides exact
+    integers."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    toks = t["documents"].select("source", _tokens().alias("t"))
+    sg = (
+        toks.select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 3),"
+                    " i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    sizes = sg.groupBy("source").agg(F.count("*").alias("sz"))
+    a = sg.select(F.col("source").alias("src_a"), "g")
+    b = sg.select(F.col("source").alias("src_b"), "g")
+    common = (
+        a.join(b, "g")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col("source").alias("src_a"), F.col("sz").alias("sz_a")
+    )
+    sb = sizes.select(
+        F.col("source").alias("src_b"), F.col("sz").alias("sz_b")
+    )
+    return (
+        common.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("n_common").cast("long").alias("n_common"),
+            F.round(
+                F.col("n_common")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")),
+                6,
+            ).alias("gram_jaccard"),
+        )
+    )
+
+
+@query(
+    "text_langid_confusion",
+    oracle=f"""
+        WITH s AS (
+            SELECT doc_id, lang,
+                   regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+            FROM documents
+        ),
+        scored AS (
+            SELECT doc_id, lang,
+                   len(list_filter(toks, x -> x IN ({_sql_list(STOP_EN)})))
+                       AS en_hits,
+                   len(list_filter(toks, x -> x IN ({_sql_list(STOP_ES)})))
+                       AS es_hits
+            FROM s
+        ),
+        pred AS (
+            SELECT lang AS lang_declared,
+                   CASE WHEN es_hits > en_hits THEN 'es'
+                        WHEN en_hits > 0 THEN 'en'
+                        ELSE 'und' END AS lang_pred
+            FROM scored
+        ),
+        tot AS (
+            SELECT lang_declared, count(*) AS n_decl
+            FROM pred GROUP BY 1
+        )
+        SELECT p.lang_declared, p.lang_pred,
+               CAST(count(*) AS BIGINT) AS n,
+               round(count(*) * 1.0 / t.n_decl, 6) AS row_frac
+        FROM pred p JOIN tot t USING (lang_declared)
+        GROUP BY p.lang_declared, p.lang_pred, t.n_decl
+    """,
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the stopword-voting language identifier
+    against the declared language label — the calibration table every
+    langid-based corpus filter publishes before anyone trusts its
+    per-language token counts (row_frac is the per-declared-language
+    recall when lang_pred == lang_declared).
+
+    Derived from the same heuristic as text_langid (one scan, pure
+    expressions); the matrix is |langs|² — value-domain-sized — and
+    the row fraction divides exact integers.
+
+    Scale: scan + two tiny keyed aggregates; the per-language total
+    broadcasts back onto the matrix."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    toks = _tokens()
+    en_hits = F.size(F.filter(toks, lambda x: x.isin(*STOP_EN)))
+    es_hits = F.size(F.filter(toks, lambda x: x.isin(*STOP_ES)))
+    pred = t["documents"].select(
+        F.col("lang").alias("lang_declared"),
+        F.when(es_hits > en_hits, "es")
+        .when(en_hits > 0, "en")
+        .otherwise("und")
+        .alias("lang_pred"),
+    )
+    tot = pred.groupBy("lang_declared").agg(F.count("*").alias("n_decl"))
+    return (
+        pred.groupBy("lang_declared", "lang_pred")
+        .agg(F.count("*").alias("n"))
+        .join(F.broadcast(tot), "lang_declared")
+        .select(
+            "lang_declared",
+            "lang_pred",
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("n") / F.col("n_decl"), 6).alias("row_frac"),
+        )
+    )
