@@ -110,6 +110,16 @@ HEADLINE = [
     "text_boilerplate_strip",
     "text_ccnet_ppl_buckets",
     "market_basket_pairs",
+    # round-7 additions: triangle counting exercises the degree-ordered
+    # wedge join; the recall twin is the explode-formulated LSH; RFM is
+    # the histogram-quantile pattern; novelty/overlap stress the gram
+    # index at two aggregation grains
+    "graph_triangle_count",
+    "ann_lsh_recall",
+    "events_markov_transitions",
+    "events_rfm_scores",
+    "text_ngram_novelty",
+    "docs_cross_source_overlap",
 ]
 
 

@@ -604,3 +604,119 @@ def pack_nextfit_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, bucket int, n_tokens long, "
         "bin_in_bucket long, offset_in_bin long",
     )
+
+
+@query(
+    "pack_firstfit_bins",
+    oracle=f"""
+        WITH RECURSIVE t AS (
+            SELECT doc_id,
+                   CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                       1, 4)) AS INTEGER) AS h,
+                   len(regexp_split_to_array(trim(text), '\\s+')) AS n
+            FROM documents
+        ),
+        ord AS (
+            SELECT doc_id, h, n, h // {65536 // _NF_BUCKETS} AS bkt,
+                   row_number() OVER (
+                       PARTITION BY h // {65536 // _NF_BUCKETS}
+                       ORDER BY n DESC, doc_id) AS rn
+            FROM t
+        ),
+        walk(bkt, rn, doc_id, n, loads, bin, off) AS (
+            SELECT bkt, rn, doc_id, n, [CAST(n AS BIGINT)],
+                   CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+            FROM ord WHERE rn = 1
+            UNION ALL
+            SELECT o.bkt, o.rn, o.doc_id, o.n,
+                   CASE WHEN fit.fidx IS NOT NULL
+                        THEN w.loads[1:fit.fidx-1]
+                             || [w.loads[fit.fidx] + o.n]
+                             || w.loads[fit.fidx+1:]
+                        ELSE w.loads || [CAST(o.n AS BIGINT)] END,
+                   CAST(coalesce(fit.fidx, len(w.loads) + 1) - 1
+                        AS BIGINT),
+                   CAST(CASE WHEN fit.fidx IS NOT NULL
+                             THEN w.loads[fit.fidx] ELSE 0 END AS BIGINT)
+            FROM walk w
+            JOIN ord o ON o.bkt = w.bkt AND o.rn = w.rn + 1,
+            LATERAL (SELECT list_min(list_filter(
+                         list_transform(w.loads,
+                             (x, ix) -> CASE WHEN x + o.n <= {PACK_TOKENS}
+                                        THEN ix END),
+                         y -> y IS NOT NULL)) AS fidx) fit
+        )
+        SELECT doc_id, CAST(bkt AS INTEGER) AS bucket,
+               CAST(n AS BIGINT) AS n_tokens,
+               CAST(bin AS BIGINT) AS bin_in_bucket,
+               CAST(off AS BIGINT) AS offset_in_bin
+        FROM walk
+    """,
+)
+def pack_firstfit_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST-FIT-DECREASING bin packing — the padding-waste optimizer
+    over pack_nextfit_bins: within each shard, documents are placed
+    LARGEST-FIRST into the first {PACK_TOKENS}-token bin with room
+    (classic FFD, ≤ 11/9·OPT + 1 bins), so small documents backfill
+    the gaps big ones leave instead of forcing new bins. Use when the
+    padding budget matters more than preserving stream order; the
+    no-straddle guarantee is the same.
+
+    Scale design is identical to next-fit: FFD is inherently
+    sequential, so the corpus shards into {_NF_BUCKETS} deterministic
+    md5 hash buckets and one exact FFD loop runs per bucket as an
+    Arrow-batched ``applyInPandas`` task — independent tasks, no
+    cross-task state, no driver traffic. Raise _NF_BUCKETS to the
+    task-count target at cluster scale.
+
+    The oracle replays the identical recurrence as a DuckDB recursive
+    CTE whose state is the LIST of open-bin loads — the first-fit
+    index is list_min over an indexed lambda, the load update a list
+    splice — bit-identical because every quantity is an integer and
+    the within-bucket order (n DESC, doc_id) is engine-free."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"].select(
+        "doc_id",
+        _hash_key().alias("h"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n"),
+    ).withColumn("bkt", (F.col("h") / (65536 // _NF_BUCKETS)).cast("int"))
+
+    cap = PACK_TOKENS
+
+    def pack_bucket(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(
+            ["n", "doc_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        loads: list[int] = []
+        bins, offs = [], []
+        for n in pdf["n"]:
+            n = int(n)
+            placed = False
+            for i, ld in enumerate(loads):
+                if ld + n <= cap:
+                    bins.append(i)
+                    offs.append(ld)
+                    loads[i] = ld + n
+                    placed = True
+                    break
+            if not placed:
+                bins.append(len(loads))
+                offs.append(0)
+                loads.append(n)
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "bucket": pdf["bkt"].astype("int32"),
+                "n_tokens": pdf["n"].astype("int64"),
+                "bin_in_bucket": pd.Series(bins, dtype="int64"),
+                "offset_in_bin": pd.Series(offs, dtype="int64"),
+            }
+        )
+
+    return docs.groupBy("bkt").applyInPandas(
+        pack_bucket,
+        "doc_id long, bucket int, n_tokens long, "
+        "bin_in_bucket long, offset_in_bin long",
+    )

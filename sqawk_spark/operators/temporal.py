@@ -924,3 +924,81 @@ def events_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         m.alias("m_score"),
         (r * 100 + f * 10 + m).cast("int").alias("rfm_cell"),
     )
+
+
+@query(
+    "events_transition_entropy",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type AS src,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS dst
+            FROM events
+        ),
+        tc AS (
+            SELECT user_id, src, dst, count(*) AS c
+            FROM seq WHERE dst IS NOT NULL
+            GROUP BY user_id, src, dst
+        ),
+        terms AS (
+            SELECT user_id, c,
+                   c * CAST(round(ln(CAST(c AS DOUBLE)) * 1000000)
+                            AS BIGINT) AS clnc_micro
+            FROM tc
+        )
+        SELECT user_id,
+               CAST(sum(c) AS BIGINT) AS n_transitions,
+               CAST(count(*) AS BIGINT) AS n_distinct_transitions,
+               round(ln(CAST(sum(c) AS DOUBLE))
+                     - sum(clnc_micro) / (sum(c) * 1000000.0),
+                     4) AS entropy_nats
+        FROM terms GROUP BY user_id
+    """,
+)
+def events_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral entropy over (event, next-event) transition
+    pairs — the bot/script detector: automation replays the same
+    transition loop (entropy → 0 as sequences determinize), organic
+    users spread mass across the transition matrix. The per-user twin
+    of events_markov_transitions' corpus matrix, and the events-table
+    analog of text_entropy_unigram's self-distribution entropy —
+    same H = ln(n) − (1/n)·Σ c·ln(c) identity, so ln() runs only on
+    INTEGER counts and the micro-nat sums are exact and
+    aggregation-order-free on both engines.
+
+    Scale: one lead window on user_id (the shared sessionize
+    exchange), one (user, src, dst)-keyed count with map-side combine,
+    one user-keyed rollup. Users with a single event have no
+    transitions and drop out on both engines identically."""
+    t = load_tables(spark, sf_dir, ("events",))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t["events"].select(
+        "user_id",
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    )
+    tc = (
+        seq.filter(F.col("dst").isNotNull())
+        .groupBy("user_id", "src", "dst")
+        .agg(F.count("*").alias("c"))
+    )
+    terms = tc.select(
+        "user_id",
+        "c",
+        (
+            F.col("c")
+            * F.round(F.log(F.col("c").cast("double")) * 1_000_000).cast(
+                "long"
+            )
+        ).alias("clnc_micro"),
+    )
+    return terms.groupBy("user_id").agg(
+        F.sum("c").cast("long").alias("n_transitions"),
+        F.count("*").cast("long").alias("n_distinct_transitions"),
+        F.round(
+            F.log(F.sum("c").cast("double"))
+            - F.sum("clnc_micro") / (F.sum("c") * 1_000_000.0),
+            4,
+        ).alias("entropy_nats"),
+    )
