@@ -786,3 +786,95 @@ def test_outlier_bottomk_is_salted_two_phase(spark, sf_dir):
     p = plan(spark, sf_dir, "embedding_outlier_by_label")
     assert "hashpartitioning(label" in p and "salt" in p
     assert "BroadcastHashJoin" in p
+
+
+# --- round-7 additions ----------------------------------------------------
+
+
+def test_triangle_count_no_cartesian(spark, sf_dir):
+    """The wedge joins must be hash/sort-merge equi-joins on node ids,
+    never a cartesian/BNL — the degree orientation only helps if the
+    join stays keyed."""
+    p = plan(spark, sf_dir, "graph_triangle_count")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_common_neighbors_no_cartesian(spark, sf_dir):
+    p = plan(spark, sf_dir, "graph_common_neighbors")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # adjacency removal is an anti-join, not a filter on a cross
+    assert "LeftAnti" in p
+
+
+def test_markov_transitions_single_user_exchange(spark, sf_dir):
+    """One window on user_id; the transition matrix aggregates combine
+    map-side and the per-source total broadcasts back."""
+    p = plan(spark, sf_dir, "events_markov_transitions")
+    assert "Window" in p
+    assert "partial_count" in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_attribution_is_window_not_join(spark, sf_dir):
+    """Same contract as events_asof_join: the as-of lookup lowers to a
+    carry-forward window — there must be NO join in the plan."""
+    p = plan(spark, sf_dir, "events_attribution_last_touch")
+    assert "Join" not in p
+    assert "Window" in p
+
+
+def test_entropy_and_ttr_have_no_joins(spark, sf_dir):
+    """Scan → keyed count → rollup: no joins, no windows, no
+    broadcasts anywhere."""
+    for name in ("text_entropy_unigram", "text_ttr_lexical_diversity"):
+        p = plan(spark, sf_dir, name)
+        assert "Join" not in p, name
+        assert "Window" not in p, name
+        assert "partial_count" in p or "partial_sum" in p, name
+
+
+def test_time_split_is_broadcast_scalar_map_only(spark, sf_dir):
+    """The range cut is a 1-row broadcast; the corpus never shuffles
+    (no Exchange hash-partitioning on event rows)."""
+    p = plan(spark, sf_dir, "sample_time_split")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "hashpartitioning(event_id" not in p
+
+
+def test_variance_by_dim_combines_mapside(spark, sf_dir):
+    p = plan(spark, sf_dir, "embedding_variance_by_dim")
+    assert "partial_sum" in p
+    assert "Join" not in p
+
+
+def test_lsh_recall_broadcasts_model_and_queries(spark, sf_dir):
+    """The 1,024-row sign table and the 20-row query-signature side
+    must broadcast; the signature aggregation combines map-side."""
+    p = plan(spark, sf_dir, "ann_lsh_recall")
+    assert "BroadcastHashJoin" in p
+    assert "partial_sum" in p
+    assert "CartesianProduct" not in p
+
+
+def test_stopword_discovery_is_threshold_on_aggregate(spark, sf_dir):
+    p = plan(spark, sf_dir, "text_stopword_discovery")
+    assert "partial_count" in p
+    assert "CartesianProduct" not in p
+
+
+def test_cross_source_overlap_no_maxdf_needed(spark, sf_dir):
+    """Equi-join on gram with source-bounded fan-out; no cartesian."""
+    p = plan(spark, sf_dir, "docs_cross_source_overlap")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_firstfit_runs_per_bucket_python(spark, sf_dir):
+    """FFD is an applyInPandas stage keyed on the hash bucket — one
+    exchange on bkt, then Python; no global sort of the corpus."""
+    p = plan(spark, sf_dir, "pack_firstfit_bins")
+    assert "FlatMapGroupsInPandas" in p
+    assert "hashpartitioning(bkt" in p
+    assert "rangepartitioning" not in p
