@@ -1393,3 +1393,245 @@ def dedup_common_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("span_len") >= SPAN_MIN)
         .select("doc_a", "doc_b", "start_a", "start_b", "span_len")
     )
+
+
+_WINNOW_W = 4  # winnowing window: one fingerprint per w consecutive grams
+_WINNOW_POS_BITS = 20  # pos < 2^20 grams/doc — key = h*2^20 + pos < 2^52
+
+
+@query(
+    "text_winnowing_fingerprints",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, i AS pos,
+                   CAST(concat('0x', substr(md5(t[i] || ' ' || t[i+1]),
+                        1, 8)) AS BIGINT) AS h
+            FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+        ),
+        win AS (
+            SELECT doc_id, pos,
+                   min(h * {1 << _WINNOW_POS_BITS} + pos) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN {_WINNOW_W - 1} PRECEDING
+                                AND CURRENT ROW) AS sel
+            FROM grams
+        )
+        SELECT DISTINCT doc_id,
+               CAST(sel % {1 << _WINNOW_POS_BITS} AS BIGINT) AS fp_pos,
+               CAST(sel // {1 << _WINNOW_POS_BITS} AS BIGINT) AS fp_hash
+        FROM win WHERE pos >= {_WINNOW_W}
+    """,
+)
+def text_winnowing_fingerprints(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken —
+    the MOSS algorithm): hash every bigram, slide a window of
+    {_WINNOW_W} consecutive gram hashes over each document, and keep
+    the minimum per window (ties to the LEFTMOST via the composite
+    key h·2^20 + pos). The guarantee that makes this THE plagiarism /
+    near-copy primitive: any shared substring of ≥ w+k−1 tokens
+    yields at least one IDENTICAL selected fingerprint in both
+    documents, while storage drops to ~2/(w+1) of the gram stream.
+
+    Everything is integer: the gram hash is the 32-bit md5 prefix
+    (the cross-engine idiom), the window min runs on the composite
+    key (< 2^52 — exact in int64 and f64 alike), and the decode is
+    integer div/mod — so the DuckDB replay is bit-identical.
+
+    Scale: one tokenize scan, one window PARTITIONED by doc_id
+    (never global), one distinct on the selected keys — shuffle
+    carries doc-keyed gram rows once. Downstream near-dup candidate
+    generation joins fingerprints exactly like the shingle index,
+    at ~2/(w+1) the index size; positions cap at 2^20 grams per
+    document (split longer docs upstream — doc_chunk_overlap)."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    from pyspark.sql import Window as W
+
+    toks = t["documents"].select(
+        "doc_id",
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("t"),
+    )
+    grams = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, size(t) - 2),"
+                " i -> conv(substr(md5(concat(t[i], ' ', t[i+1])),"
+                " 1, 8), 16, 10))"
+            )
+        ).alias("pos0", "hs"),
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("hs").cast("long").alias("h"),
+    )
+    key = F.col("h") * (1 << _WINNOW_POS_BITS) + F.col("pos")
+    w = (
+        W.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(_WINNOW_W - 1), 0)
+    )
+    win = grams.select(
+        "doc_id", "pos", F.min(key).over(w).alias("sel")
+    )
+    return (
+        win.filter(F.col("pos") >= _WINNOW_W)
+        .select(
+            "doc_id",
+            (F.col("sel") % (1 << _WINNOW_POS_BITS)).alias("fp_pos"),
+            (
+                F.col("sel") / (1 << _WINNOW_POS_BITS)
+            ).cast("long").alias("fp_hash"),
+        )
+        .distinct()
+    )
+
+
+_SH32_BANDS, _SH32_BAND_BITS = 4, 8
+_SH32_MAX_HAMMING = 3
+
+
+@query(
+    "dedup_simhash_md5",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(trim(text)),
+                                                '\\s+')) AS tok
+            FROM documents
+        ),
+        hashed AS (
+            SELECT doc_id,
+                   CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT)
+                       AS h
+            FROM toks WHERE len(tok) > 0
+        ),
+        votes AS (
+            SELECT doc_id, b.bit,
+                   sum(((h >> b.bit) & 1) * 2 - 1) AS s
+            FROM hashed, unnest(range(0, 32)) AS b(bit)
+            GROUP BY doc_id, b.bit
+        ),
+        sketch AS (
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN s > 0
+                            THEN (CAST(1 AS BIGINT) << CAST(bit AS INTEGER))
+                            ELSE 0 END) AS BIGINT) AS simhash
+            FROM votes GROUP BY doc_id
+        ),
+        banded AS (
+            SELECT doc_id, simhash, b.band,
+                   (simhash >> (b.band * {_SH32_BAND_BITS}))
+                       & {(1 << _SH32_BAND_BITS) - 1} AS bh
+            FROM sketch, unnest(range(0, {_SH32_BANDS})) AS b(band)
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sim_a,
+                   b.doc_id AS doc_b, b.simhash AS sim_b
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.bh = b.bh
+                 AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER) AS hamming
+        FROM cand
+        WHERE bit_count(xor(sim_a, sim_b)) <= {_SH32_MAX_HAMMING}
+    """,
+)
+def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-verifiable SimHash twin: the production dedup_simhash
+    votes with xxhash64 (JVM-only, rows-only check); this one votes
+    with the 32-bit md5 prefix — the cross-engine hash idiom — so the
+    ENTIRE pipeline (±1 bit votes, sketch assembly, banded candidate
+    generation, Hamming filter) is exact integer arithmetic DuckDB
+    replays bit-for-bit, giving the SimHash family a value-level
+    driver row.
+
+    Pigeonhole contract as the production entry: Hamming ≤ 3 on a
+    32-bit sketch ⇒ at least one of 4 8-bit bands matches exactly, so
+    the band join generates a superset of true pairs and the
+    bit_count(xor) filter keeps exactly the close ones.
+
+    Scale: votes are one (doc, bit)-keyed partial sum — the shuffle
+    carries 32 longs per document; candidates shuffle on (band,
+    band-hash) buckets, never all-pairs. The md5 prefix costs more
+    CPU than xxhash64 per token — that is the twin's price, and why
+    the xxhash64 entry remains the production path."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    toks = (
+        t["documents"]
+        .select(
+            "doc_id",
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("tok"),
+        )
+        .filter(F.length("tok") > 0)
+    )
+    hashed = toks.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    bits = spark.range(0, 32).select(F.col("id").cast("int").alias("bit"))
+    votes = (
+        hashed.crossJoin(F.broadcast(bits))
+        .select(
+            "doc_id",
+            "bit",
+            (
+                F.expr("shiftright(h, bit)").bitwiseAND(F.lit(1)) * 2 - 1
+            ).alias("v"),
+        )
+        .groupBy("doc_id", "bit")
+        .agg(F.sum("v").alias("s"))
+    )
+    sketch = votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("simhash")
+    )
+    bands = spark.range(0, _SH32_BANDS).select(
+        F.col("id").cast("int").alias("band")
+    )
+    banded = sketch.crossJoin(F.broadcast(bands)).select(
+        "doc_id",
+        "simhash",
+        "band",
+        F.expr(f"shiftright(simhash, band * {_SH32_BAND_BITS})")
+        .bitwiseAND(F.lit((1 << _SH32_BAND_BITS) - 1))
+        .alias("bh"),
+    )
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash").alias("sim_a"),
+        "band",
+        "bh",
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("sim_b"),
+        "band",
+        "bh",
+    )
+    cand = (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "sim_a", "doc_b", "sim_b")
+        .distinct()
+    )
+    hamming = F.bit_count(
+        F.col("sim_a").bitwiseXOR(F.col("sim_b"))
+    ).cast("int")
+    return cand.select(
+        "doc_a", "doc_b", hamming.alias("hamming")
+    ).filter(F.col("hamming") <= _SH32_MAX_HAMMING)
