@@ -1399,6 +1399,40 @@ _WINNOW_W = 4  # winnowing window: one fingerprint per w consecutive grams
 _WINNOW_POS_BITS = 20  # pos < 2^20 grams/doc — key = h*2^20 + pos < 2^52
 
 
+_WINNOW_CTES_TMPL = """
+        toks AS (
+            SELECT doc_id,
+                   regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, i AS pos,
+                   CAST(concat('0x', substr(md5(t[i] || ' ' || t[i+1]),
+                        1, 8)) AS BIGINT) AS h
+            FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+        ),
+        win AS (
+            SELECT doc_id, pos,
+                   min(h * {shift} + pos) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN {wm1} PRECEDING
+                                AND CURRENT ROW) AS sel
+            FROM grams
+        ),
+        fps AS (
+            SELECT DISTINCT doc_id,
+                   CAST(sel % {shift} AS BIGINT) AS fp_pos,
+                   CAST(sel // {shift} AS BIGINT) AS fp_hash
+            FROM win WHERE pos >= {w}
+        )"""
+
+
+def _winnow_ctes() -> str:
+    return _WINNOW_CTES_TMPL.format(
+        shift=1 << _WINNOW_POS_BITS, wm1=_WINNOW_W - 1, w=_WINNOW_W
+    )
+
+
 @query(
     "text_winnowing_fingerprints",
     oracle=f"""
@@ -1635,3 +1669,78 @@ def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.select(
         "doc_a", "doc_b", hamming.alias("hamming")
     ).filter(F.col("hamming") <= _SH32_MAX_HAMMING)
+
+
+_WINNOW_PAIR_MIN = 2  # candidate pair: >= 2 shared fingerprint hashes
+
+
+def _winnow_pairs_oracle() -> str:
+    return f"""
+        WITH {_winnow_ctes()},
+        fph AS (SELECT DISTINCT doc_id, fp_hash FROM fps),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   count(*) AS n_shared
+            FROM fph a JOIN fph b
+              ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM fph GROUP BY doc_id)
+        SELECT p.doc_a, p.doc_b,
+               CAST(p.n_shared AS BIGINT) AS n_shared,
+               round(p.n_shared * 1.0
+                     / (sa.sz + sb.sz - p.n_shared), 6) AS fp_jaccard
+        FROM pairs p
+        JOIN sizes sa ON sa.doc_id = p.doc_a
+        JOIN sizes sb ON sb.doc_id = p.doc_b
+        WHERE p.n_shared >= {_WINNOW_PAIR_MIN}
+    """
+
+
+@query("dedup_winnowing_pairs", oracle=_winnow_pairs_oracle())
+def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-copy candidate pairs from shared winnowing fingerprints —
+    the MOSS pipeline end-to-end: documents sharing ≥ 2 selected
+    fingerprint hashes, ranked by fingerprint-set Jaccard. Same
+    inverted-index join shape as dedup_ngram_jaccard but over the
+    winnowed ~2/(w+1) subset of grams, which is exactly why winnowing
+    exists: the candidate index shrinks ~{_WINNOW_W}× while the
+    shared-substring guarantee (≥ w+k−1 tokens ⇒ shared fingerprint)
+    keeps recall for long overlaps.
+
+    Scale: fingerprint-keyed equi-self-join (per-hash fan-out bounded
+    by how many docs select that gram — already df-damped by window
+    minimization), one pair-keyed count, two size lookups; Jaccard
+    divides exact integers."""
+    fps = text_winnowing_fingerprints(spark, sf_dir)
+    fph = fps.select("doc_id", "fp_hash").distinct()
+    a = fph.select(F.col("doc_id").alias("doc_a"), "fp_hash")
+    b = fph.select(F.col("doc_id").alias("doc_b"), "fp_hash")
+    pairs = (
+        a.join(b, "fp_hash")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= _WINNOW_PAIR_MIN)
+    )
+    sizes = fph.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.round(
+                F.col("n_shared")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_shared")),
+                6,
+            ).alias("fp_jaccard"),
+        )
+    )
