@@ -96,9 +96,15 @@ def test_r05_backlog_was_in_the_r06_window() -> None:
     }
     unknown = backlog - set(registry.REGISTRY)
     assert not unknown, sorted(unknown)
-    order = registry.rotation_order(
-        list(registry.REGISTRY), _history_as_of(5)
-    )
+    hist5 = _history_as_of(5)
+    # the registry AS OF r05: entries registered later (r06/r07
+    # additions, never-checked under r01-r05 history) must not flood
+    # the reconstruction — membership then = checked by r05 ∪ the
+    # pinned backlog itself (VERDICT r05's census of never-checked)
+    names_r05 = [
+        n for n in registry.REGISTRY if n in hist5 or n in backlog
+    ]
+    order = registry.rotation_order(names_r05, hist5)
     window = set(order[:DRIVER_WINDOW])
     assert backlog <= window, sorted(backlog - window)
 
@@ -109,7 +115,14 @@ def test_r07_window_leads_with_pca_then_oldest_checked() -> None:
     array-column canonicalizer crash), so the r07 window must be PCA +
     the 49 oldest-checked entries (VERDICT r06 next-round #5)."""
     hist = _history_as_of(6)
-    names = list(registry.REGISTRY)
+    # registry AS OF r06: everything checked by r06 plus PCA (the one
+    # entry that existed then without a green row — its r06 row was
+    # red); round-7 additions are excluded from the reconstruction
+    names = [
+        n
+        for n in registry.REGISTRY
+        if n in hist or n == "embedding_pca_project"
+    ]
     never = [n for n in names if n not in hist]
     assert never == ["embedding_pca_project"], never
     window = registry.rotation_order(names, hist)[:DRIVER_WINDOW]
