@@ -29,6 +29,48 @@ _PR_SCALE = 1_000_000_000_000  # rank units: 1e-12 of total mass
 _PR_ROUNDS = 3
 
 
+# Shared symmetric-edge frame with BOTH endpoint degrees attached,
+# persisted per (session, sf_dir): PageRank consumes (src, dst, deg);
+# triangle counting orients edges by comparing (deg, src) to
+# (deg_dst, dst) with ZERO further joins. One build serves the family
+# — the same resident-structure pattern as dedup's _PAIRS_CACHE.
+_GRAPH_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _sym_edges_with_deg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    from sqawk_spark.operators.dedup import _PAIRS_CACHE, _jaccard_pairs
+
+    key = (id(spark), sf_dir)
+    if key not in _GRAPH_CACHE:
+        if key not in _PAIRS_CACHE:
+            _PAIRS_CACHE[key] = (
+                _jaccard_pairs(spark, sf_dir)
+                .select("doc_a", "doc_b")
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+        pairs = _PAIRS_CACHE[key]
+        edges = pairs.select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        ).unionAll(
+            pairs.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+        deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+        degv = deg.select(
+            F.col("src").alias("dst"), F.col("deg").alias("deg_dst")
+        )
+        _GRAPH_CACHE[key] = (
+            edges.join(deg, "src")
+            .join(degv, "dst")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+    return _GRAPH_CACHE[key]
+
+
+
 def _pagerank_oracle() -> str:
     from sqawk_spark.operators.dedup import _SHINGLE_CTES
 
@@ -88,29 +130,12 @@ def graph_pagerank_dupgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     and edges shuffle on well-hashed node ids; nothing is quadratic,
     nothing collects but one COUNT scalar. The shared ``_PAIRS_CACHE``
     means a session that already ran dedup pays only the K rounds."""
-    from pyspark import StorageLevel
-
-    from sqawk_spark.operators.dedup import _PAIRS_CACHE, _jaccard_pairs
-
-    key = (id(spark), sf_dir)
-    if key not in _PAIRS_CACHE:
-        _PAIRS_CACHE[key] = (
-            _jaccard_pairs(spark, sf_dir)
-            .select("doc_a", "doc_b")
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
-    pairs = _PAIRS_CACHE[key]
-    edges = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).unionAll(
-        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    )
-    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    edges_deg = _sym_edges_with_deg(spark, sf_dir)
+    deg = edges_deg.select("src", "deg").distinct()
     # one scalar to the driver: the node count (sets the teleport term)
     n = deg.count()
     teleport = 3 * _PR_SCALE // (20 * n)
 
-    edges_deg = edges.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
     ranks = deg.select(
         F.col("src").alias("doc_id"), F.lit(_PR_SCALE // n).alias("r")
     )
@@ -181,38 +206,15 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: edges ⋘ corpus (MAX_DF-capped index), the wedge join keys
     on well-hashed doc ids, and AQE handles residual skew; nothing
     collects to the driver."""
-    from pyspark import StorageLevel
-
-    from sqawk_spark.operators.dedup import _PAIRS_CACHE, _jaccard_pairs
-
-    key = (id(spark), sf_dir)
-    if key not in _PAIRS_CACHE:
-        _PAIRS_CACHE[key] = (
-            _jaccard_pairs(spark, sf_dir)
-            .select("doc_a", "doc_b")
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
-    pairs = _PAIRS_CACHE[key]
-    sym = pairs.select(
-        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
-    ).unionAll(
-        pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
-    )
-    deg = sym.groupBy("u").agg(F.count("*").alias("deg"))
     # orient each edge from lower (deg, id) to higher (deg, id): every
-    # out-neighborhood is O(sqrt(E)) even under hub skew
-    oriented = (
-        sym.join(deg, "u")
-        .join(
-            deg.select(F.col("u").alias("v"), F.col("deg").alias("degv")),
-            "v",
-        )
-        .filter(
-            (F.col("deg") < F.col("degv"))
-            | ((F.col("deg") == F.col("degv")) & (F.col("u") < F.col("v")))
-        )
-        .select("u", "v")
-    )
+    # out-neighborhood is O(sqrt(E)) even under hub skew. Both endpoint
+    # degrees ride the shared persisted frame, so orientation is a
+    # FILTER, not a join.
+    ed = _sym_edges_with_deg(spark, sf_dir)
+    oriented = ed.filter(
+        (F.col("deg") < F.col("deg_dst"))
+        | ((F.col("deg") == F.col("deg_dst")) & (F.col("src") < F.col("dst")))
+    ).select(F.col("src").alias("u"), F.col("dst").alias("v"))
     e1 = oriented.select(F.col("u").alias("a"), F.col("v").alias("b"))
     e2 = oriented.select(F.col("u").alias("a"), F.col("v").alias("c"))
     wedges = e1.join(e2, "a").filter(F.col("b") != F.col("c"))
