@@ -214,3 +214,31 @@ def test_stream_session_window_equals_batch(spark, sf_dir):
         assert s["session_last"] == b["session_last"], k
         assert s["n_events"] == b["n_events"], k
         assert abs(s["total_value"] - b["total_value"]) <= 0.01, k
+
+
+def test_tws_sessionize_equals_batch(spark, sf_dir):
+    """Spark 4 StatefulProcessor (transformWithStateInPandas) sessions
+    must equal the batch session_window result — skipped where
+    google.protobuf (its control-protocol dependency) is absent."""
+    import pytest
+
+    from sqawk_spark.streaming.windows import (
+        _has_protobuf,
+        stream_sessionize_tws,
+    )
+
+    if not _has_protobuf():
+        pytest.skip("google.protobuf not available in this environment")
+    batch = {
+        (r["user_id"], r["session_start"]): r
+        for r in events_sessionize(spark, sf_dir).collect()
+    }
+    streamed = {
+        (r["user_id"], r["session_start"]): r
+        for r in stream_sessionize_tws(spark, sf_dir, "t_tws").collect()
+    }
+    assert set(batch) == set(streamed)
+    for k, b in batch.items():
+        s = streamed[k]
+        assert s["n_events"] == b["n_events"], k
+        assert abs(s["total_value"] - b["total_value"]) <= 0.01, k
