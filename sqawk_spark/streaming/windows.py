@@ -1219,3 +1219,149 @@ def _has_protobuf() -> bool:
         return True
     except ImportError:
         return False
+
+
+def stream_upsert_foreachbatch(
+    spark: SparkSession, sf_dir: str, query_name: str = "stream_upsert"
+) -> DataFrame:
+    """``foreachBatch`` incremental upsert — the production streaming
+    SINK pattern none of the other twins exercise: each micro-batch
+    merges into a persistent keyed table (latest event per user), the
+    way Structured Streaming jobs maintain serving tables when the
+    sink has no native streaming MERGE. State lives in versioned
+    parquet snapshots (state/v{batch}); every batch reads the previous
+    version, merges, and writes the next — the poor man's Delta
+    commit, atomic because a version directory is never rewritten.
+
+    The merge (argmax by (ts, event_id) per user) is ASSOCIATIVE and
+    arrival-order-free, which is the property that makes streaming
+    upsert replay-safe: any batching of the input converges to the
+    same table, so the batch oracle is one window over the full
+    events table."""
+    import os
+    import shutil
+    import tempfile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ts_us = (
+        F.expr("ts div 1000")
+        if isinstance(raw.schema["ts"].dataType, T.LongType)
+        else F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    events = raw.select(
+        "event_id",
+        "user_id",
+        ts_us.cast("long").alias("ts_us"),
+        "event_type",
+        "value",
+    )
+    split_ts = events.selectExpr(
+        "percentile_approx(ts_us, 0.5, 100) AS m"
+    ).first()["m"]
+
+    stream_dir = tempfile.mkdtemp(prefix="sqawk_upsert_")
+    in_dir = os.path.join(stream_dir, "in")
+    state_root = os.path.join(stream_dir, "state")
+    os.makedirs(state_root)
+    events.filter(F.col("ts_us") <= split_ts).coalesce(1).write.parquet(
+        in_dir, mode="overwrite"
+    )
+    events.filter(F.col("ts_us") > split_ts).coalesce(1).write.parquet(
+        in_dir, mode="append"
+    )
+    for extra in os.listdir(in_dir):
+        if not extra.endswith(".parquet"):
+            os.remove(os.path.join(in_dir, extra))
+
+    def latest_per_user(df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("user_id").orderBy(
+            F.col("ts_us").desc(), F.col("event_id").desc()
+        )
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    def versions() -> list[int]:
+        return sorted(
+            int(d[1:])
+            for d in os.listdir(state_root)
+            if d.startswith("v") and d[1:].isdigit()
+        )
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        fresh = latest_per_user(batch_df)
+        vs = versions()
+        if vs:
+            prev = batch_df.sparkSession.read.parquet(
+                os.path.join(state_root, f"v{vs[-1]}")
+            )
+            merged = latest_per_user(prev.unionByName(fresh))
+        else:
+            merged = fresh
+        merged.coalesce(1).write.parquet(
+            os.path.join(state_root, f"v{batch_id}"), mode="overwrite"
+        )
+
+    q = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+        .writeStream.foreachBatch(upsert)
+        .option(
+            "checkpointLocation", os.path.join(stream_dir, "ckpt")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    vs = versions()
+    final = (
+        spark.read.parquet(os.path.join(state_root, f"v{vs[-1]}"))
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("ts_us").alias("last_ts_us"),
+            F.col("event_type").alias("last_type"),
+            F.round("value", 2).alias("last_value"),
+        )
+        .cache()
+    )
+    final.count()
+    shutil.rmtree(stream_dir, ignore_errors=True)
+    return final
+
+
+@query(
+    "events_stream_upsert_foreachbatch",
+    oracle="""
+        WITH ranked AS (
+            SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                   event_type, value,
+                   row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        )
+        SELECT user_id,
+               event_id AS last_event_id,
+               ts_us AS last_ts_us,
+               event_type AS last_type,
+               round(value, 2) AS last_value
+        FROM ranked WHERE rn = 1
+    """,
+)
+def events_stream_upsert_foreachbatch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Driver-checkable wrapper for the foreachBatch upsert: the real
+    two-micro-batch run maintaining a latest-event-per-user serving
+    table through versioned parquet snapshots must equal the batch
+    argmax window — the replay-safety contract of streaming MERGE."""
+    return stream_upsert_foreachbatch(
+        spark, sf_dir, query_name="reg_stream_upsert"
+    )
