@@ -2164,12 +2164,206 @@ def rewrite_affinity_in(stmt: str, classes: dict[str, str]) -> str:
             return stmt
 
 
+_AFF_SUMAGG_RE = re.compile(r"\b(sum|avg|total)\s*\(", re.IGNORECASE)
+# numeric PREFIX, SQLite sqlite3AtoF-style: sign, digits with optional
+# fraction, or bare fraction, each with optional exponent — matched
+# against the whitespace-trimmed value; no match ⇒ the value counts 0
+_SQL_NUM_PREFIX_PAT = (
+    r"'^[+-]?(?:[0-9]+\\.?[0-9]*(?:[eE][+-]?[0-9]+)?"
+    r"|\\.[0-9]+(?:[eE][+-]?[0-9]+)?)'"
+)
+
+
+def _aff_sum_coerce_sql(x: str, cls: str) -> str:
+    """SQLite's aggregate numeric coercion for a stored value of
+    column class ``cls`` — NULL-preserving, text parses its numeric
+    PREFIX ('3abc' → 3.0, 'c' → 0.0), always DOUBLE."""
+    if cls == "long":
+        return f"CAST({x} AS DOUBLE)"
+    t = f"regexp_replace({x}, {_AFF_TRIM_PAT}, '')"
+    prefix = (
+        f"coalesce(TRY_CAST(regexp_extract({t}, "
+        f"{_SQL_NUM_PREFIX_PAT}, 0) AS DOUBLE), CAST(0 AS DOUBLE))"
+    )
+    # 'inf' conflation (see the comparison-key note): a stored 'inf'
+    # may be an overflowed real ('9e999' → Inf, sums as Infinity in
+    # SQLite) or raw text (sums as 0.0). The AGGREGATE path takes the
+    # raw-text reading — prefix parse, 0.0 — because unlike compares,
+    # where 'inf' must order as a number for the canonicalized-real
+    # case to work at all, a fuzzable text corpus hits literal 'inf'
+    # while overflowed-real inputs sit outside the engine's documented
+    # %!.15g rendering domain anyway (affinity.py module docstring).
+    return f"(CASE WHEN {x} IS NULL THEN NULL ELSE {prefix} END)"
+
+
+_AFF_SUM_ITEM_RE = re.compile(
+    r"^\s*sum\s*\(\s*([A-Za-z_][A-Za-z_0-9$.]*)\s*\)"
+    r"(?:\s+(?:as\s+)?([A-Za-z_][A-Za-z_0-9]*))?\s*$",
+    re.IGNORECASE,
+)
+# a stored value counts INTEGER class in SQLite's sum iff its
+# whitespace-trimmed text is a pure integer literal (leading zeros and
+# sign OK: '001' → 1, '+3' → 3, ' 7 ' → 7); '2.0', '2abc', '7 8' all
+# count REAL. (An all-INTEGER group that overflows int64 raises
+# 'integer overflow' in SQLite; the engine wraps — out of the
+# documented domain, like the %!.15g rendering bounds.)
+_AFF_INT_CANON_PAT = "'^[+-]?[0-9]+$'"
+
+
+def _rewrite_sum_select_items(
+    stmt: str, classes: dict[str, str]
+) -> tuple[str, dict[str, str]]:
+    """SQLite's sum() has a PER-GROUP result class: INTEGER when every
+    summed value is integer storage class (exact int64 addition),
+    REAL otherwise — so ``sum(x)`` over a mixed column renders '1' for
+    an all-integer group and '1.0' next to it. A double can't express
+    that, so when a top-level select item IS ``sum(col)`` over a
+    string-stored column (dynamic/text/none — a TEXT-stored '2' still
+    counts INTEGER, probed against real SQLite), it lowers to the engine's dynamic-value
+    encoding — a canonical STRING: exact BIGINT sum rendered bare
+    when no non-integer value exists in the group, CPython-repr of
+    the coerced double sum otherwise.
+
+    The item's alias is registered as class 'dynamic' in the returned
+    extras map so a later ``ORDER BY alias`` gets the storage-class
+    key (numeric order over the rendered strings). Only whole select
+    items rewrite this way — sum() in HAVING/WHERE/expressions keeps
+    the double lowering, where SQLite compares the VALUE numerically
+    regardless of its class."""
+    spans = _string_spans(stmt)
+
+    def outside(i: int) -> bool:
+        return not any(s <= i < e for s, e in spans)
+
+    selects = [m for m in _SELECT_RE.finditer(stmt) if outside(m.start())]
+    if len(selects) != 1:
+        return stmt, {}
+    clauses = _top_level_clauses(stmt)
+    from_c = next((c for c in clauses if c[0] == "from"), None)
+    if from_c is None:
+        return stmt, {}
+    list_start, list_end = selects[0].end(), from_c[1]
+    sel_list = stmt[list_start:list_end]
+    if re.match(r"\s*distinct\b", sel_list, re.IGNORECASE):
+        return stmt, {}
+    items = _split_call_args("(" + sel_list + ")", 0)
+    if not items:
+        return stmt, {}
+    out_items, extras, changed = [], {}, False
+    for item in items:
+        m = _AFF_SUM_ITEM_RE.match(item)
+        if m is None:
+            out_items.append(item)
+            continue
+        col, alias = m.group(1), m.group(2)
+        cls = classes.get(col.split(".")[-1].lower())
+        if cls not in ("dynamic", "text", "none"):
+            out_items.append(item)
+            continue
+        c = _aff_sum_coerce_sql(col, cls)
+        t = f"regexp_replace(CAST({col} AS STRING), {_AFF_TRIM_PAT}, '')"
+        body = (
+            f"CASE WHEN count({col}) = 0 THEN CAST(NULL AS STRING) "
+            f"WHEN count(CASE WHEN {col} IS NOT NULL AND NOT "
+            f"({t} RLIKE {_AFF_INT_CANON_PAT}) "
+            f"THEN 1 END) = 0 "
+            f"THEN CAST(sum(TRY_CAST({t} AS BIGINT)) AS STRING) "
+            f"ELSE py_real_repr(sum({c})) END"
+        )
+        name = alias or col.split(".")[-1]
+        out_items.append(f"{body} AS {name}")
+        extras[name.lower()] = "dynamic"
+        changed = True
+    if not changed:
+        return stmt, {}
+    rebuilt = (
+        stmt[:list_start]
+        + " "
+        + ", ".join(i.strip() for i in out_items)
+        + " "
+        + stmt[from_c[1]:]
+    )
+    return rebuilt, extras
+
+
+def rewrite_affinity_aggregates(stmt: str, classes: dict[str, str]) -> str:
+    """SQLite semantics for sum/avg/total over string-stored columns
+    (datatype3.html + lang_aggfunc.html): every non-NULL value
+    participates — text coerces to its numeric prefix (0.0 when none)
+    — so ``avg`` divides by count(ALL non-NULL), not count(numeric),
+    and the result is REAL whenever any stored value is non-integer
+    (which a dynamic/text/none column guarantees by construction:
+    all-integer columns promote to 'long' at load).
+
+    - ``sum(x)``   → ``sum(coerce(x))`` (also under OVER: argument
+      substitution preserves the window call shape)
+    - ``avg(x)``   → ``(sum(coerce(x)) / count(x))`` (plain aggregate
+      position only — a window avg would need its OVER clause spliced
+      twice; left native, documented divergence)
+    - ``total(x)`` → ``coalesce(sum(coerce(x)), 0.0)`` for EVERY
+      column class — replacing the Pandas GROUPED_AGG UDAF with a
+      partial-aggregating JVM expression (the UDAF remains the
+      fallback for unclassifiable arguments)
+
+    DISTINCT arguments are left native: SQLite dedups the STORED
+    values before coercing ('1abc' and '1xyz' are distinct but both
+    coerce to 1.0), which argument-level coercion cannot express."""
+    if not classes:
+        return stmt
+    while True:
+        edited = False
+        for m in _AFF_SUMAGG_RE.finditer(stmt):
+            if _in_quotes(stmt, m.start()):
+                continue
+            fn = m.group(1).lower()
+            close = _match_paren_fwd(stmt, m.end() - 1)
+            arg = stmt[m.end() : close - 1].strip()
+            if re.match(r"^(distinct|all)\s", arg, re.IGNORECASE):
+                continue
+            if not _AFF_IDENT_RE.match(arg):
+                continue
+            cls = classes.get(arg.split(".")[-1].lower())
+            if cls is None:
+                continue
+            if fn in ("sum", "avg") and cls not in (
+                "dynamic",
+                "text",
+                "none",
+            ):
+                continue
+            windowed = re.match(
+                r"\s*over\b", stmt[close:], re.IGNORECASE
+            )
+            c = _aff_sum_coerce_sql(arg, cls)
+            if fn == "sum":
+                if stmt[m.end() : close - 1].strip() == c:
+                    continue  # already rewritten
+                repl = f"sum({c})"
+            elif fn == "avg":
+                if windowed:
+                    continue
+                repl = f"(sum({c}) / count({arg}))"
+            else:  # total
+                if windowed:
+                    continue
+                repl = f"coalesce(sum({c}), CAST(0 AS DOUBLE))"
+            stmt = stmt[: m.start()] + repl + stmt[close:]
+            edited = True
+            break
+        if not edited:
+            return stmt
+
+
 def rewrite_affinity_semantics(stmt: str, classes: dict[str, str]) -> str:
     """All SQLite storage-class passes, driven by the load-time column
     catalog (affinity.COLUMN_CLASSES, snapshotted by the CLI); a no-op
     when no affinity-typed tables are loaded."""
     if not classes:
         return stmt
+    stmt, extra = _rewrite_sum_select_items(stmt, classes)
+    if extra:
+        classes = {**classes, **extra}
+    stmt = rewrite_affinity_aggregates(stmt, classes)
     stmt = rewrite_affinity_minmax(stmt, classes)
     stmt = rewrite_affinity_order_by(stmt, classes)
     stmt = rewrite_affinity_between(stmt, classes)

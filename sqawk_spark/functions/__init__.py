@@ -482,8 +482,18 @@ def register_udfs(spark: SparkSession) -> None:
 
     @pandas_udf("double")
     def total_agg(v: pd.Series) -> float:
-        s = v.dropna().astype("float64").sum()
-        return float(s)
+        # SQLite numeric coercion, not a hard cast: text sums its
+        # numeric PREFIX ('3abc' → 3.0) and counts 0.0 otherwise —
+        # astype(float64) would raise on any non-numeric string.
+        # (The dialect lowers total() over classified columns onto a
+        # JVM sum — this UDAF is the unclassifiable-argument fallback.)
+        s = v.dropna()
+        ex = s.astype(str).str.strip().str.extract(
+            r"^([+-]?(?:[0-9]+\.?[0-9]*(?:[eE][+-]?[0-9]+)?"
+            r"|\.[0-9]+(?:[eE][+-]?[0-9]+)?))",
+            expand=False,
+        )
+        return float(pd.to_numeric(ex, errors="coerce").fillna(0.0).sum())
 
     @pandas_udf("string")
     def group_concat_agg(v: pd.Series) -> str | None:
@@ -508,6 +518,16 @@ def register_udfs(spark: SparkSession) -> None:
     spark.udf.register("total", total_agg)
     spark.udf.register("group_concat", group_concat_agg)
     spark.udf.register("group_concat2", group_concat2_agg)
+
+    # CPython repr of a double — used by the dialect's sum() rendering
+    # for dynamic columns (the REAL branch of SQLite's per-group
+    # INTEGER/REAL sum type). Row-at-a-time is fine: it runs on
+    # group-level aggregate OUTPUTS, never on the scan.
+    spark.udf.register(
+        "py_real_repr",
+        lambda d: None if d is None else repr(float(d)),
+        T.StringType(),
+    )
 
     spark.udf.register("typeof", typeof, T.StringType())
     spark.udf.register("glob", glob, T.BooleanType())

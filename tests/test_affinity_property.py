@@ -143,6 +143,11 @@ def _load_both(spark, values1, values2, decl1, decl2):
     import re as _re
 
     from sqawk_spark.affinity import INT_RE, column_class_for
+    from sqawk_spark.functions import register_udfs
+
+    # the dialect's rewrites may reference registered helpers
+    # (py_real_repr in the sum rendering) — same setup the CLI does
+    register_udfs(spark)
 
     con = sqlite3.connect(":memory:")
     con.execute(
@@ -422,3 +427,115 @@ def test_affinity_goldens_from_reference(spark):
             .first()["y"]
         )
         assert got == want, (v, d, got, want)
+
+
+# --- aggregate coercion semantics (lang_aggfunc.html) -----------------
+#
+# sum/avg/total coerce EVERY non-NULL stored value: text contributes
+# its numeric prefix ('3abc' → 3.0, 'c' → 0.0) and avg divides by
+# count(non-NULL), not count(numeric). The dialect lowers these onto
+# JVM sums over a coercion CASE (rewrite_affinity_aggregates); ground
+# truth is executable SQLite again.
+#
+# Value domain: sums are compared as Python floats, and double
+# addition is order-dependent — SQLite adds in rowid order, Spark in
+# partition order — so values are kept DYADIC (integers and .5/.25/
+# .125 fractions, magnitudes ≪ 2^40): their sums are exact in float64
+# under ANY association, making the comparison order-free.
+
+_AGG_STATEMENTS = [
+    "select sum(x1) from t",
+    "select avg(x1) from t",
+    "select total(x1) from t",
+    "select count(x1) from t",
+    "select sum(x1), avg(x2), total(x2) from t",
+    "select x2, sum(x1) as s from t group by x2 order by x2",
+    "select x2, avg(x1) as s from t group by x2"
+    " having sum(x1) > 5 order by x2",
+]
+
+_dyadic_text = st.builds(
+    lambda sign, whole, frac: f"{sign}{whole}{frac}",
+    st.sampled_from(["", "-"]),
+    st.integers(0, 1_000_000),
+    st.sampled_from(["", ".5", ".25", ".125", ".0"]),
+)
+# text whose numeric prefix is dyadic-or-absent ('c', '7q', '2.5z')
+_prefix_text = st.builds(
+    lambda num, tail: f"{num}{tail}",
+    st.one_of(st.just(""), _dyadic_text),
+    st.sampled_from(["c", "zz", "q ", "#", "e", "-"]),
+)
+_agg_value = st.one_of(
+    _dyadic_text,
+    _prefix_text,
+    st.sampled_from(["001", " 7 ", "", "0.5", ".5", "-3", "m"]),
+)
+
+
+@pytest.mark.parametrize(
+    "decl1,decl2",
+    [("integer", "text"), ("numeric", ""), ("text", "integer")],
+)
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(values=st.lists(_agg_value, min_size=10, max_size=10))
+def test_aggregate_coercion_vs_sqlite(spark, decl1, decl2, values):
+    from sqawk_spark.dialect import rewrite_statement
+
+    con, classes = _load_both(
+        spark, values, list(reversed(values)), decl1, decl2
+    )
+    try:
+        for q in _AGG_STATEMENTS:
+            want = [
+                tuple("" if c is None else str(c) for c in r)
+                for r in con.execute(q)
+            ]
+            got = [
+                tuple("" if c is None else str(c) for c in r)
+                for r in spark.sql(
+                    rewrite_statement(q, classes=classes)
+                ).collect()
+            ]
+            assert got == want, f"{q}\n sqlite={want}\n spark ={got}"
+    finally:
+        con.close()
+
+
+def test_aggregate_coercion_fixed_corpus(spark):
+    """The observed r07 divergences, pinned: avg over a mixed column
+    divides by ALL non-NULL rows ('c' counts, as 0); total() must not
+    crash on text; prefix parse ('3abc' → 3)."""
+    from sqawk_spark.dialect import rewrite_statement
+
+    con, classes = _load_both(
+        spark,
+        ["3", "001", "20", "c", "1.5", "3abc", "-1e2xyz", "inf"],
+        ["1", "1", "2", "2", "3", "3", "4", "4"],
+        "integer",
+        "integer",
+    )
+    try:
+        for q, want in [
+            # 3 + 1 + 20 + 0('c') + 1.5 + 3('3abc') - 100('-1e2xyz')
+            # + 0('inf': raw-text reading) = -71.5
+            ("select sum(x1) from t", [("-71.5",)]),
+            ("select avg(x1) from t", [(str(-71.5 / 8),)]),
+            ("select total(x1) from t", [("-71.5",)]),
+        ]:
+            got = [
+                tuple(str(c) for c in r)
+                for r in spark.sql(
+                    rewrite_statement(q, classes=classes)
+                ).collect()
+            ]
+            sqlite_got = [
+                tuple(str(c) for c in r) for r in con.execute(q)
+            ]
+            assert got == sqlite_got == want, (q, got, sqlite_got, want)
+    finally:
+        con.close()

@@ -310,6 +310,37 @@ def test_storage_class_text_affinity_lexicographic(tmp_path):
     )
 
 
+def test_storage_class_aggregates_mixed(tmp_path):
+    """Aggregates coerce EVERY non-NULL value (lang_aggfunc.html):
+    text sums its numeric prefix, avg divides by all non-NULL rows,
+    min/max use storage-class order, group_concat renders stored
+    values. Expected strings derived from real SQLite."""
+    f = write(tmp_path, "f", _MIXED)
+    assert pysqawk("select sum(a1) as s from a", f) == "25.5"
+    assert pysqawk("select avg(a1) as s from a", f) == "5.1"
+    assert pysqawk("select total(a1) as s from a", f) == "25.5"
+    assert (
+        pysqawk("select min(a1) as lo, max(a1) as hi from a", f) == "1 c"
+    )
+    assert (
+        pysqawk("select group_concat(a1) as s from a", f)
+        == "3,1,20,c,1.5"
+    )
+
+
+def test_storage_class_sum_integer_groups(tmp_path):
+    """sum()'s result class is PER GROUP: an all-integer group renders
+    bare ('23'), a group containing text or reals renders REAL
+    ('1.5', '0.0') — SQLite's dynamic result typing end-to-end."""
+    f = write(tmp_path, "f", "3 g1\n20 g1\n1.5 g2\nc g3\n")
+    assert (
+        pysqawk(
+            "select a2, sum(a1) as s from a group by a2 order by a2", f
+        )
+        == "g1 23\ng2 1.5\ng3 0.0"
+    )
+
+
 # --- trim (tests.tcl:946-968) -------------------------------------------
 
 
