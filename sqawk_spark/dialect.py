@@ -2174,6 +2174,20 @@ _SQL_NUM_PREFIX_PAT = (
 )
 
 
+def _sqlite_num_prefix_sql(t: str) -> str:
+    """DOUBLE value of SQLite's numeric-prefix parse of trimmed text
+    ``t``: the extracted prefix when one exists, else SIGNED zero —
+    sqlite3AtoF consumes a bare sign with zero digits, so '-' and
+    '-c' coerce to -0.0, not 0.0 (observable through CAST AS REAL)."""
+    return (
+        f"(CASE WHEN regexp_extract({t}, {_SQL_NUM_PREFIX_PAT}, 0) <> '' "
+        f"THEN TRY_CAST(regexp_extract({t}, {_SQL_NUM_PREFIX_PAT}, 0) "
+        f"AS DOUBLE) "
+        f"WHEN substr({t}, 1, 1) = '-' THEN CAST('-0.0' AS DOUBLE) "
+        f"ELSE CAST(0 AS DOUBLE) END)"
+    )
+
+
 def _aff_sum_coerce_sql(x: str, cls: str) -> str:
     """SQLite's aggregate numeric coercion for a stored value of
     column class ``cls`` — NULL-preserving, text parses its numeric
@@ -2181,10 +2195,7 @@ def _aff_sum_coerce_sql(x: str, cls: str) -> str:
     if cls == "long":
         return f"CAST({x} AS DOUBLE)"
     t = f"regexp_replace({x}, {_AFF_TRIM_PAT}, '')"
-    prefix = (
-        f"coalesce(TRY_CAST(regexp_extract({t}, "
-        f"{_SQL_NUM_PREFIX_PAT}, 0) AS DOUBLE), CAST(0 AS DOUBLE))"
-    )
+    prefix = _sqlite_num_prefix_sql(t)
     # 'inf' conflation (see the comparison-key note): a stored 'inf'
     # may be an overflowed real ('9e999' → Inf, sums as Infinity in
     # SQLite) or raw text (sums as 0.0). The AGGREGATE path takes the
@@ -2354,10 +2365,221 @@ def rewrite_affinity_aggregates(stmt: str, classes: dict[str, str]) -> str:
             return stmt
 
 
+_CAST_CALL_RE = re.compile(r"\bcast\s*\(", re.IGNORECASE)
+_CAST_AS_RE = re.compile(r"\bas\b", re.IGNORECASE)
+_SQL_INT_PREFIX_PAT = "'^[+-]?[0-9]+'"
+
+
+def _cast_split_as(inner: str) -> tuple[str, str] | None:
+    """Split 'expr AS typename' at the LAST top-level AS."""
+    spans = _string_spans(inner)
+    best = None
+    for m in _CAST_AS_RE.finditer(inner):
+        i = m.start()
+        if any(s <= i < e for s, e in spans):
+            continue
+        d = 0
+        for j, ch in enumerate(inner[:i]):
+            if any(s <= j < e for s, e in spans):
+                continue
+            if ch == "(":
+                d += 1
+            elif ch == ")":
+                d -= 1
+        if d == 0:
+            best = m
+    if best is None:
+        return None
+    return inner[: best.start()].strip(), inner[best.end() :].strip()
+
+
+def _cast_value_sql(x: str, aff: str, classes: dict[str, str]) -> str:
+    """SQLite CAST value semantics (lang_expr.html §4): text converts
+    by numeric-prefix parse with 0 as the no-prefix fallback, INTEGER
+    truncates toward zero, NULL stays NULL. The generic string-safe
+    forms are also correct for numeric inputs (CAST renders them to
+    their canonical text first: '2.5' → integer prefix 2 = trunc)."""
+    d = _aff_classify(x, classes)
+    t = f"regexp_replace(CAST({x} AS STRING), {_AFF_TRIM_PAT}, '')"
+    if aff == "integer":
+        if d == ("col", "long"):
+            return f"CAST({x} AS BIGINT)"
+        return (
+            f"(CASE WHEN {x} IS NULL THEN CAST(NULL AS BIGINT) "
+            f"ELSE coalesce(TRY_CAST(regexp_extract({t}, "
+            f"{_SQL_INT_PREFIX_PAT}, 0) AS BIGINT), 0L) END)"
+        )
+    if aff in ("real", "numeric"):
+        if d == ("col", "long"):
+            return f"CAST({x} AS DOUBLE)"
+        return (
+            f"(CASE WHEN {x} IS NULL THEN CAST(NULL AS DOUBLE) "
+            f"ELSE {_sqlite_num_prefix_sql(t)} END)"
+        )
+    # text / blob: render as text — stored strings ARE SQLite's text
+    # rendering (canonicalized at load); bare doubles would render
+    # Java-style here, the documented best-effort residue
+    return f"CAST({x} AS STRING)"
+
+
+def rewrite_affinity_casts(stmt: str, classes: dict[str, str]) -> str:
+    """Lower SQLite CAST onto Spark (runs for every statement — Spark
+    does not even PARSE ``CAST(x AS TEXT)``/``NUMERIC``, so the type
+    names must always translate), with SQLite's value semantics:
+    ``CAST('c' AS INTEGER)`` is 0 (not NULL), ``CAST('3abc' AS REAL)``
+    is 3.0, truncation toward zero for INTEGER. NUMERIC in a VALUE
+    position lowers to the REAL coercion (numerically equal whether
+    SQLite classes the result integer or real); the int-if-lossless
+    RENDERING lives in _rewrite_cast_select_items."""
+    from sqawk_spark.affinity import normalize_affinity
+
+    while True:
+        edited = False
+        for m in _CAST_CALL_RE.finditer(stmt):
+            if _in_quotes(stmt, m.start()):
+                continue
+            close = _match_paren_fwd(stmt, m.end() - 1)
+            parts = _cast_split_as(stmt[m.end() : close - 1])
+            if parts is None:
+                continue
+            x, tname = parts
+            if not re.fullmatch(r"[A-Za-z_][A-Za-z_0-9 ]*", tname):
+                continue
+            # Spark-native spellings stay untouched (engine-internal
+            # rewrites already emit them; they have no SQLite meaning)
+            # Spark-native spellings the engine's OWN rewrites emit
+            # stay untouched (rewriting 'AS DOUBLE' would re-match the
+            # pass's output and loop); every other name — including
+            # INT, FLOAT, VARCHAR — takes its SQLite affinity. 'long'
+            # stays Spark-native too (SQLite would class it NUMERIC;
+            # documented residue, Spark code uses it constantly).
+            if tname.strip().lower() in (
+                "string", "bigint", "double", "long", "binary",
+                "boolean", "timestamp", "date", "decimal", "interval",
+                "map", "array", "struct",
+            ):
+                continue
+            aff = normalize_affinity(tname)
+            repl = _cast_value_sql(x, aff, classes)
+            stmt = stmt[: m.start()] + repl + stmt[close:]
+            edited = True
+            break
+        if not edited:
+            return stmt
+
+
+_AFF_CAST_ITEM_RE = re.compile(
+    r"^\s*cast\s*\(\s*([A-Za-z_][A-Za-z_0-9$.]*)\s+as\s+"
+    r"([A-Za-z_][A-Za-z_0-9 ]*?)\s*\)"
+    r"(?:\s+(?:as\s+)?([A-Za-z_][A-Za-z_0-9]*))?\s*$",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_cast_select_items(
+    stmt: str, classes: dict[str, str]
+) -> tuple[str, dict[str, str]]:
+    """CAST result classes show in the OUTPUT: REAL casts render
+    CPython-repr ('3' → '3.0'), NUMERIC casts render integer when the
+    value is losslessly integral ('3.0' → 3) and real otherwise —
+    before the value pass erases the distinction, whole select items
+    of the form ``CAST(col AS REAL|NUMERIC)`` lower to the dynamic
+    string encoding, alias registered for class-aware ORDER BY."""
+    from sqawk_spark.affinity import normalize_affinity
+
+    spans = _string_spans(stmt)
+
+    def outside(i: int) -> bool:
+        return not any(s <= i < e for s, e in spans)
+
+    selects = [m for m in _SELECT_RE.finditer(stmt) if outside(m.start())]
+    if len(selects) != 1:
+        return stmt, {}
+    clauses = _top_level_clauses(stmt)
+    from_c = next((c for c in clauses if c[0] == "from"), None)
+    if from_c is None:
+        return stmt, {}
+    list_start, list_end = selects[0].end(), from_c[1]
+    sel_list = stmt[list_start:list_end]
+    if re.match(r"\s*distinct\b", sel_list, re.IGNORECASE):
+        return stmt, {}
+    items = _split_call_args("(" + sel_list + ")", 0)
+    if not items:
+        return stmt, {}
+    out_items, extras, changed = [], {}, False
+    for item in items:
+        m = _AFF_CAST_ITEM_RE.match(item)
+        if m is None:
+            out_items.append(item)
+            continue
+        col, tname, alias = m.group(1), m.group(2), m.group(3)
+        aff = normalize_affinity(tname)
+        if aff not in ("real", "numeric"):
+            out_items.append(item)
+            continue
+        cls = classes.get(col.split(".")[-1].lower())
+        v = _cast_value_sql(col, "real", classes)
+        if aff == "real":
+            body = f"py_real_repr({v})"
+        elif cls == "long":
+            # INTEGER values pass through NUMERIC untouched — and must
+            # not round-trip a >2^53 int through double
+            body = f"CAST({col} AS STRING)"
+        else:
+            # NUMERIC's int-if-lossless applies to TEXT-class values
+            # ONLY (lang_expr.html §4: a REAL value "survives" NUMERIC)
+            # — so the per-value branches follow the stored class:
+            # canonical int → int; canonical real stays real (dynamic
+            # columns); raw text coerces then drops to int if lossless
+            t = (
+                f"regexp_replace(CAST({col} AS STRING), "
+                f"{_AFF_TRIM_PAT}, '')"
+            )
+            big = f"TRY_CAST({v} AS BIGINT)"
+            lossless = (
+                f"CASE WHEN {big} IS NOT NULL "
+                f"AND CAST({big} AS DOUBLE) = {v} "
+                f"THEN CAST({big} AS STRING) "
+                f"ELSE py_real_repr({v}) END"
+            )
+            real_kept = (
+                f"WHEN {t} RLIKE {_SQL_NUM_PAT} "
+                f"OR lower({t}) IN ('inf', '-inf') "
+                f"THEN py_real_repr(TRY_CAST({t} AS DOUBLE)) "
+                if cls == "dynamic"
+                else ""
+            )
+            body = (
+                f"CASE WHEN {col} IS NULL THEN CAST(NULL AS STRING) "
+                f"WHEN {t} RLIKE {_AFF_INT_CANON_PAT} "
+                f"THEN CAST(TRY_CAST({t} AS BIGINT) AS STRING) "
+                f"{real_kept}"
+                f"ELSE {lossless} END"
+            )
+        name = alias or col.split(".")[-1]
+        out_items.append(f"{body} AS {name}")
+        extras[name.lower()] = "dynamic"
+        changed = True
+    if not changed:
+        return stmt, {}
+    rebuilt = (
+        stmt[:list_start]
+        + " "
+        + ", ".join(i.strip() for i in out_items)
+        + " "
+        + stmt[from_c[1]:]
+    )
+    return rebuilt, extras
+
+
 def rewrite_affinity_semantics(stmt: str, classes: dict[str, str]) -> str:
     """All SQLite storage-class passes, driven by the load-time column
     catalog (affinity.COLUMN_CLASSES, snapshotted by the CLI); a no-op
     when no affinity-typed tables are loaded."""
+    stmt, cast_extra = _rewrite_cast_select_items(stmt, classes)
+    stmt = rewrite_affinity_casts(stmt, classes)
+    if cast_extra:
+        classes = {**classes, **cast_extra}
     if not classes:
         return stmt
     stmt, extra = _rewrite_sum_select_items(stmt, classes)

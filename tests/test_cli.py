@@ -341,6 +341,31 @@ def test_storage_class_sum_integer_groups(tmp_path):
     )
 
 
+def test_storage_class_cast_mixed(tmp_path):
+    """CAST follows SQLite lang_expr.html §4 (expected strings derived
+    from real SQLite): INTEGER takes the integer prefix ('c' → 0, 1.5
+    truncates), REAL coerces and renders with the trailing .0, TEXT
+    renders stored values, NUMERIC drops to integer only when the
+    conversion is lossless from TEXT."""
+    f = write(tmp_path, "f", _MIXED)
+    assert (
+        pysqawk("select cast(a1 as integer) as c from a", f)
+        == "3\n1\n20\n0\n1"
+    )
+    assert (
+        pysqawk("select cast(a1 as real) as c from a", f)
+        == "3.0\n1.0\n20.0\n0.0\n1.5"
+    )
+    assert (
+        pysqawk("select cast(a1 as text) as c from a", f)
+        == "3\n1\n20\nc\n1.5"
+    )
+    assert (
+        pysqawk("select cast(a1 as numeric) as c from a", f)
+        == "3\n1\n20\n0\n1.5"
+    )
+
+
 # --- trim (tests.tcl:946-968) -------------------------------------------
 
 
