@@ -1002,3 +1002,68 @@ def events_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("entropy_nats"),
     )
+
+
+@query(
+    "events_user_growth",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id, min(CAST(ts AS DATE)) AS first_day
+            FROM events GROUP BY user_id
+        ),
+        new_by_day AS (
+            SELECT first_day AS day, count(*) AS n_new
+            FROM firsts GROUP BY first_day
+        ),
+        active AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   count(DISTINCT user_id) AS n_active
+            FROM events GROUP BY 1
+        )
+        SELECT CAST(strftime(a.day, '%Y-%m-%d') AS VARCHAR) AS day,
+               CAST(coalesce(n.n_new, 0) AS BIGINT) AS n_new_users,
+               CAST(a.n_active AS BIGINT) AS n_active_users,
+               CAST(coalesce(sum(n.n_new) OVER (
+                   ORDER BY a.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ), 0) AS BIGINT) AS cumulative_users
+        FROM active a LEFT JOIN new_by_day n ON n.day = a.day
+    """,
+)
+def events_user_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily user-growth curve: new users (first-seen that day),
+    active users, and the cumulative distinct-user count — the
+    retention/DAU dashboard primitive. The cumulative distinct is
+    EXACT without any distinct-over-window machinery via the identity
+    |users seen ≤ d| = Σ_{d'≤d} |first-seen on d'|: one user-keyed
+    min aggregate, then a prefix sum over the DAY histogram — the
+    value-domain window pattern (days, not events, and certainly not
+    users) shared with sample_curriculum_buckets and the RFM scorer.
+
+    Scale: two keyed aggregates over the events scan (user_id, then
+    day — both map-side combinable; the exact per-day distinct rides
+    Spark's expand), a days-sized window, one broadcast-sized join.
+    Nothing user- or event-cardinality-sized ever sorts."""
+    t = load_tables(spark, sf_dir, ("events",))
+    ev = t["events"].select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    new_by_day = firsts.groupBy(
+        F.col("first_day").alias("day")
+    ).agg(F.count("*").alias("n_new"))
+    active = ev.groupBy("day").agg(
+        F.countDistinct("user_id").alias("n_active")
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    joined = active.join(F.broadcast(new_by_day), "day", "left")
+    return joined.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.coalesce(F.col("n_new"), F.lit(0)).cast("long").alias(
+            "n_new_users"
+        ),
+        F.col("n_active").cast("long").alias("n_active_users"),
+        F.coalesce(
+            F.sum("n_new").over(w), F.lit(0)
+        ).cast("long").alias("cumulative_users"),
+    )

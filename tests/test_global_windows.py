@@ -67,6 +67,9 @@ WHITELIST = {
     # quantized metric value (recency in whole days, whole-unit
     # monetary, integer frequency) — domain-sized histograms
     "below_table": "value histograms of quantized RFM metrics",
+    # frame = one row per DAY (the time-domain histogram): cumulative
+    # distinct users via prefix sum over first-seen counts
+    "events_user_growth": "per-day histogram, time-domain-sized",
 }
 
 
@@ -188,3 +191,11 @@ def test_rfm_histograms_are_domain_bounded(spark, sf_dir):
     for col in ("recency_days", "frequency", "monetary_usd"):
         dom = df.select(col).distinct().count()
         assert dom <= max(64, rows // 2), (col, dom, rows)
+
+
+def test_user_growth_window_is_day_domain_sized(spark, sf_dir):
+    from sqawk_spark.operators.temporal import events_user_growth
+
+    df = events_user_growth(spark, sf_dir)
+    days = df.count()
+    assert days <= 4000, "window frame must be days, not events"
