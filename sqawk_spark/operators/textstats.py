@@ -2267,3 +2267,76 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n") / F.col("n_decl"), 6).alias("row_frac"),
         )
     )
+
+
+@query(
+    "text_length_percentiles_by_lang",
+    oracle="""
+        WITH h AS (
+            SELECT lang, n_chars, count(*) AS c
+            FROM documents GROUP BY lang, n_chars
+        ),
+        cum AS (
+            SELECT lang, n_chars,
+                   sum(c) OVER (PARTITION BY lang ORDER BY n_chars
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cc,
+                   sum(c) OVER (PARTITION BY lang) AS n
+            FROM h
+        )
+        SELECT lang,
+               CAST(min(n) AS BIGINT) AS n_docs,
+               CAST(min(CASE WHEN 4 * cc >= n THEN n_chars END)
+                    AS BIGINT) AS p25,
+               CAST(min(CASE WHEN 2 * cc >= n THEN n_chars END)
+                    AS BIGINT) AS p50,
+               CAST(min(CASE WHEN 4 * cc >= 3 * n THEN n_chars END)
+                    AS BIGINT) AS p75
+        FROM cum GROUP BY lang
+    """,
+)
+def text_length_percentiles_by_lang(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-language document-length quartiles — the corpus-profiling
+    table that catches tokenizer/segmentation skew between languages
+    (a zh p50 that suddenly halves means the segmenter changed, not
+    the data). EXACT discrete percentiles defined arithmetic-only:
+    p_q = min value whose cumulative count·k ≥ q·k·n, pure integer
+    compares identical on both engines — no reliance on either
+    engine's percentile function semantics.
+
+    Scale: the same value-histogram discipline as the quantile family
+    — one (lang, n_chars) count with map-side combine, prefix sums
+    over the PARTITIONED (per-language) histogram, one rollup. The
+    corpus never sorts; the histogram is length-domain-sized."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    from pyspark.sql import Window as W
+
+    h = t["documents"].groupBy("lang", "n_chars").agg(
+        F.count("*").alias("c")
+    )
+    wc = (
+        W.partitionBy("lang")
+        .orderBy("n_chars")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    wn = W.partitionBy("lang")
+    cum = h.select(
+        "lang",
+        "n_chars",
+        F.sum("c").over(wc).alias("cc"),
+        F.sum("c").over(wn).alias("n"),
+    )
+    return cum.groupBy("lang").agg(
+        F.min("n").cast("long").alias("n_docs"),
+        F.min(
+            F.when(4 * F.col("cc") >= F.col("n"), F.col("n_chars"))
+        ).cast("long").alias("p25"),
+        F.min(
+            F.when(2 * F.col("cc") >= F.col("n"), F.col("n_chars"))
+        ).cast("long").alias("p50"),
+        F.min(
+            F.when(4 * F.col("cc") >= 3 * F.col("n"), F.col("n_chars"))
+        ).cast("long").alias("p75"),
+    )
