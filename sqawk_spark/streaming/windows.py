@@ -986,22 +986,42 @@ def stream_session_window(
 
     stream_dir = tempfile.mkdtemp(prefix="sqawk_sesswin_")
     in_dir = os.path.join(stream_dir, "in")
-    events.filter(F.unix_micros("ts") <= split_us).coalesce(1).write.parquet(
-        in_dir, mode="overwrite"
-    )
-    events.filter(F.unix_micros("ts") > split_us).coalesce(1).write.parquet(
-        in_dir, mode="append"
-    )
+    write_order: list[str] = []
+
+    def _write(df: DataFrame, mode: str) -> None:
+        before = set(os.listdir(in_dir)) if os.path.isdir(in_dir) else set()
+        df.coalesce(1).write.parquet(in_dir, mode=mode)
+        new = [
+            f
+            for f in sorted(set(os.listdir(in_dir)) - before)
+            if f.endswith(".parquet")
+        ]
+        write_order.extend(new)
+
+    _write(events.filter(F.unix_micros("ts") <= split_us), "overwrite")
+    _write(events.filter(F.unix_micros("ts") > split_us), "append")
     day_us = 86_400_000_000
     for i, bump in enumerate((10 * day_us, 20 * day_us)):
-        spark.createDataFrame(
-            [(-1, bounds["hi"] + bump, 0.0)], "user_id long, ts_us long, value double"
-        ).select(
-            "user_id", F.timestamp_micros("ts_us").alias("ts"), "value"
-        ).coalesce(1).write.parquet(in_dir, mode="append")
+        _write(
+            spark.createDataFrame(
+                [(-1, bounds["hi"] + bump, 0.0)],
+                "user_id long, ts_us long, value double",
+            ).select("user_id", F.timestamp_micros("ts_us").alias("ts"), "value"),
+            "append",
+        )
     for extra in os.listdir(in_dir):
         if not extra.endswith(".parquet"):
             os.remove(os.path.join(in_dir, extra))
+    # The file stream source orders pickup by modification time; the
+    # watermark choreography above is only correct if the files are
+    # consumed in write order (a sentinel sorting before the second
+    # data file would advance the watermark past real events and drop
+    # them from the append output). Pin the order explicitly with
+    # strictly increasing mtimes rather than trusting write latency.
+    base = os.stat(os.path.join(in_dir, write_order[-1])).st_mtime
+    for i, fname in enumerate(write_order):
+        t = base + i + 1.0
+        os.utime(os.path.join(in_dir, fname), (t, t))
 
     stream = (
         spark.readStream.schema(events.schema)
