@@ -47,6 +47,18 @@ def test_scavenges_clipped_tail_without_ratio_contamination() -> None:
     assert got == {"q_tail_a": 1.111, "q_tail_b": 2.222}
 
 
+def test_rejects_tail_clipped_past_queries_map_entirely() -> None:
+    """An old-format tail clipped PAST the whole queries map leaves
+    only vs_historical_min ratio pairs (no '"queries"' / '_total'
+    substring). The scavenger must yield nothing rather than record a
+    0.98 ratio as a 0.98 s timing (ADVICE r07)."""
+    line = (
+        '"vs_historical_min": {"q_a": 0.98, "q_b": 3.51, "q_c": 1.02}}'
+    )
+    rec = {"sf": 0.1, "tail": line, "parsed": None}
+    assert _timings_from_bench_record(rec, 0.1) == {}
+
+
 def test_scavenges_tail_with_visible_queries_key() -> None:
     rec = {
         "sf": 0.1,
@@ -83,6 +95,10 @@ def test_final_stdout_line_stays_inside_driver_tail_window() -> None:
     from bench import HEADLINE
 
     worst = {name: 9.99 for name in HEADLINE[:5]}
+    retimed = {
+        name: {"was": 99.999, "now": 88.888, "loadavg": 99.99}
+        for name in HEADLINE[:5]
+    }
     final = json.dumps(
         {
             "metric": "headline_queries_total",
@@ -94,7 +110,8 @@ def test_final_stdout_line_stays_inside_driver_tail_window() -> None:
             "loadavg_after": [99.99, 99.99, 99.99],
             "drift_rerun": True,
             "worst_vs_hist": worst,
+            "retimed": retimed,
             "detail": "stderr + bench_history.jsonl",
         }
     )
-    assert len(final) < 1000, len(final)
+    assert len(final) < 1500, len(final)
