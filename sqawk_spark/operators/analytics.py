@@ -222,6 +222,107 @@ def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "approx_stats_bounds",
+    oracle="""
+        SELECT l_returnflag, 'distinct_orders' AS metric,
+               CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_value,
+               CAST(1 AS INTEGER) AS within_bound
+        FROM lineitem GROUP BY l_returnflag
+        UNION ALL
+        SELECT l_returnflag, 'median_price_rank' AS metric,
+               CAST(count(*) AS BIGINT) AS exact_value,
+               CAST(1 AS INTEGER) AS within_bound
+        FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def approx_stats_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable bounds twin for ``approx_stats`` (the same
+    pattern that took LSH/IVF/PQ from rows-only to hard-green): sketch
+    values are engine-specific, so the row emits only what BOTH
+    engines can agree on — the exact value and an integer flag
+    asserting the sketch landed inside its documented error bound.
+    The DuckDB oracle recomputes the exact side and pins every flag
+    to 1, so a broken sketch (or a broken bound) turns the driver row
+    red at value level.
+
+    Bounds checked, both integer-exact:
+
+    - HLL++ (``rsd=0.01``): |approx − exact| ≤ max(⌈5·rsd·exact⌉, 2)
+      — five standard deviations of the documented relative error
+      (at these cardinalities HLL++'s sparse mode is in fact exact,
+      so the flag also pins that behavior);
+    - ``approx_percentile(accuracy=10000)``: the returned value is an
+      actual element whose RANK must lie within n/accuracy of the
+      target rank n/2. The rank interval of the returned value,
+      [cnt_lt+1, cnt_le], is recovered by broadcasting the 3 group
+      medians back onto lineitem (one conditional-count pass); the
+      flag asserts it intersects [n/2 − tol, n/2 + tol] with
+      tol = ⌈n/accuracy⌉ + 1, in doubled-rank integer units so no
+      division ever happens.
+
+    Plan shape: two scans of lineitem (sketch+exact agg, rank-count
+    agg) + one broadcast join of a 3-row frame — scale-safe."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    li = t["lineitem"]
+    approx = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias(
+            "approx_orders"
+        ),
+        F.approx_percentile(
+            "l_extendedprice", F.lit(0.5), F.lit(10000)
+        ).alias("approx_median"),
+        F.count_distinct("l_orderkey").alias("exact_orders"),
+        F.count("*").alias("n"),
+    )
+    ranks = (
+        li.join(
+            F.broadcast(approx.select("l_returnflag", "approx_median")),
+            "l_returnflag",
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") < F.col("approx_median")).cast(
+                    "long"
+                )
+            ).alias("cnt_lt"),
+            F.sum(
+                (F.col("l_extendedprice") <= F.col("approx_median")).cast(
+                    "long"
+                )
+            ).alias("cnt_le"),
+        )
+    )
+    b = approx.join(ranks, "l_returnflag")
+    hll_ok = (
+        F.abs(F.col("approx_orders") - F.col("exact_orders"))
+        <= F.greatest(
+            F.ceil(F.col("exact_orders") * F.lit(0.05)), F.lit(2)
+        )
+    ).cast("int")
+    # doubled-rank units: interval [cnt_lt+1, cnt_le] must intersect
+    # [n/2 - tol, n/2 + tol], tol = ceil(n/10000) + 1
+    tol2 = 2 * (F.ceil(F.col("n") / F.lit(10000)) + F.lit(1))
+    med_ok = (
+        (2 * (F.col("cnt_lt") + 1) <= F.col("n") + tol2)
+        & (2 * F.col("cnt_le") >= F.col("n") - tol2)
+    ).cast("int")
+    return b.select(
+        "l_returnflag",
+        F.lit("distinct_orders").alias("metric"),
+        F.col("exact_orders").alias("exact_value"),
+        hll_ok.alias("within_bound"),
+    ).unionAll(
+        b.select(
+            "l_returnflag",
+            F.lit("median_price_rank").alias("metric"),
+            F.col("n").alias("exact_value"),
+            med_ok.alias("within_bound"),
+        )
+    )
+
+
+@query(
     "udtf_tokenize",
     oracle="""
         WITH s AS (
