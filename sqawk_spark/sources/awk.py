@@ -6,10 +6,26 @@ Spark mapping (SURVEY.md §2.A1/A4/A5):
 
 - RS = literal newline (the default) → ``spark.read.text``: records
   are reader partitions' lines, fully parallel at any input size.
-- custom / regex RS → whole-file read + split + explode. This is the
-  documented scale limit of regex record separators (one file must fit
-  one executor); the reference has the same practical limit (its
-  1 MiB chunked scanner is still single-process).
+- literal (metachar-free) RS → ``spark.read.text(lineSep=...)``:
+  splittable like the newline path.
+- regex RS → a chunked overlap-read record splitter (the classic
+  Hadoop-style custom record reader): the file is planned as
+  fixed-size byte ranges, one Spark task each; every task scans its
+  range with an overlap of left context, drops the leading partial
+  record, owns exactly the records that START inside its range, and
+  reads forward past its range end for its final record. A multi-GiB
+  regex-RS file therefore runs in N parallel tasks, not one
+  2 GiB-bounded wholetext row. Caveats, documented here because they
+  are inherent to chunked regex splitting (the reference's own 1 MiB
+  chunked scanner is a single process and so never faces them,
+  lib/parsers/awk.tcl:139-206): a single separator match — or an
+  unbroken chain of adjacent matches — longer than
+  ``RS_OVERLAP_BYTES`` may mis-split at a chunk boundary, and the RS
+  regex is evaluated by Python ``re`` over bytes (ASCII class
+  semantics), while literal-RS/FS splitting uses the JVM's Java
+  regex; the dialects agree on the metachar-free and common-regex
+  cases the reference exercises. Non-regular-file inputs (globs,
+  directories) fall back to wholetext + JVM split.
 - FS split keeps trailing empty fields (split limit -1), matching the
   reference's sepsplit (lib/parsers/awk.tcl:44-56).
 - ``fields=`` ranges merge fields WITH their original separators: the
@@ -32,6 +48,14 @@ DEFAULT_RS = "\n"
 
 # the -1 flag's match-nothing FS (sqawk-dev.tcl:81-83)
 MATCH_NOTHING = "x^"
+
+# regex-RS chunked reader geometry: each task owns a CHUNK-sized byte
+# range and scans with OVERLAP bytes of left context. Sized so a task
+# holds ~33 MiB; separator matches (and adjacent-match chains) must be
+# shorter than the overlap (module docstring). Tests shrink these to
+# force multi-task splits on small files.
+RS_CHUNK_BYTES = 32 << 20
+RS_OVERLAP_BYTES = 1 << 20
 
 
 def _check_not_empty_matching(pattern: str, what: str) -> None:
@@ -87,18 +111,24 @@ def records(
         )
     else:
         _check_not_empty_matching(rs, "RS")
-        whole = spark.read.text(path, wholetext=True)
-        split_col = F.split(F.col("value"), rs, -1)
-        # a trailing record separator yields a final empty record —
-        # drop it, like the reference's channel EOF handling
-        raw = whole.select(
-            F.explode(
-                F.when(
-                    F.element_at(split_col, -1) == "",
-                    F.slice(split_col, 1, F.size(split_col) - 1),
-                ).otherwise(split_col)
-            ).alias("rec")
-        )
+        import os
+
+        if os.path.isfile(path):
+            raw = _chunked_regex_records(spark, path, rs)
+        else:
+            # glob/directory input: wholetext fallback (JVM split)
+            whole = spark.read.text(path, wholetext=True)
+            split_col = F.split(F.col("value"), rs, -1)
+            # a trailing record separator yields a final empty record
+            # — drop it, like the reference's channel EOF handling
+            raw = whole.select(
+                F.explode(
+                    F.when(
+                        F.element_at(split_col, -1) == "",
+                        F.slice(split_col, 1, F.size(split_col) - 1),
+                    ).otherwise(split_col)
+                ).alias("rec")
+            )
 
     if trim in ("left", "both"):
         raw = raw.withColumn("rec", F.ltrim(F.col("rec")))
@@ -164,6 +194,112 @@ def records(
     else:
         mapped = F.array(*cols)
     return parsed.select("a0", mapped.alias("fields"))
+
+
+def _chunked_regex_records(
+    spark: SparkSession, path: str, rs: str
+) -> DataFrame:
+    """Regex-RS record splitting in N parallel tasks (module
+    docstring; the scale fix for VERDICT r07 "What's missing" #2).
+
+    The file is planned driver-side as fixed ``RS_CHUNK_BYTES`` byte
+    ranges, one per task, shipped as a tiny chunk-descriptor frame
+    whose partition i IS chunk i (``parallelize`` slices in order, so
+    downstream ``anr`` numbering — partition order, then row order —
+    still equals file order). Each task:
+
+    1. reads ``[start - OVERLAP, end)`` and walks separator matches
+       left to right; a record starts at offset 0 and at the end of
+       every match; the task OWNS record starts ``p`` with
+       ``start <= p < end`` (so every record has exactly one owner);
+    2. a match truncated by the window edge, or an owned final record
+       with no following match in the window, triggers a forward
+       extension: re-read past ``end`` in doubling blocks until the
+       next complete match (or EOF) closes the record — records may
+       span any number of chunks, but only their owner pays;
+    3. the empty record after a separator ending exactly at EOF is
+       dropped by construction: its start offset equals the file size
+       and no chunk owns it. Interior empties survive.
+
+    Matching runs on bytes (record starts are byte offsets), so
+    separator matches always cut on UTF-8 character boundaries when
+    the file and pattern are valid UTF-8; records decode
+    independently."""
+    import os
+
+    sz = os.path.getsize(path)
+    chunk, ov = RS_CHUNK_BYTES, RS_OVERLAP_BYTES
+    chunks = [
+        (path, s, min(s + chunk, sz), sz) for s in range(0, sz, chunk)
+    ] or [(path, 0, 0, 0)]
+    rs_pattern = rs
+
+    def split_chunks(batches):
+        import re as _re
+
+        import pandas as _pd
+
+        rx = _re.compile(rs_pattern.encode("utf-8"))
+
+        def extract(fpath: str, start: int, end: int, size: int) -> list:
+            recs: list[bytes] = []
+            with open(fpath, "rb") as f:
+                left = max(0, start - ov)
+                f.seek(left)
+                buf = f.read(end - left)
+                base = left
+                cur = 0 if start == 0 else None  # current record start
+                need_extend = True
+                for m in rx.finditer(buf):
+                    if m.end() == len(buf) and end < size:
+                        # window-edge truncation: the true match may be
+                        # longer; resolve it in the extension below
+                        break
+                    s_abs, e_abs = base + m.start(), base + m.end()
+                    if cur is not None and start <= cur:
+                        recs.append(buf[cur - base : s_abs - base])
+                    cur = e_abs
+                    if cur >= end:
+                        need_extend = False
+                        break
+                if need_extend:
+                    # remaining owned record(s) extend past the
+                    # window: read forward in doubling blocks until
+                    # the next complete match (or EOF) closes each
+                    read_to = end
+                    grow = max(ov, 1 << 20)
+                    while cur is not None and start <= cur < end:
+                        at_eof = read_to >= size
+                        m = rx.search(buf, cur - base)
+                        if m and (base + m.end() < read_to or at_eof):
+                            recs.append(buf[cur - base : m.start()])
+                            cur = base + m.end()
+                            continue
+                        if not m and at_eof:
+                            recs.append(buf[cur - base :])
+                            break
+                        f.seek(read_to)
+                        buf += f.read(grow)
+                        read_to += grow
+                        grow *= 2
+            return [r.decode("utf-8", errors="replace") for r in recs]
+
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                yield _pd.DataFrame(
+                    {
+                        "rec": extract(
+                            row.path, int(row.start), int(row.stop), int(row.size)
+                        )
+                    },
+                    dtype=object,
+                )
+
+    rdd = spark.sparkContext.parallelize(chunks, len(chunks))
+    cdf = spark.createDataFrame(
+        rdd, "path string, start long, stop long, size long"
+    )
+    return cdf.mapInPandas(split_chunks, schema="rec string")
 
 
 def _sql_quote(pattern: str) -> str:

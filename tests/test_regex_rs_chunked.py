@@ -1,0 +1,162 @@
+"""The chunked regex-RS record splitter (sources/awk.py) — the scale
+fix for the former wholetext cliff (VERDICT r07 "What's missing" #2).
+
+Semantics reference: ``re.split(rs, text)`` with the trailing empty
+record dropped when the file ends in a separator (the reference's
+channel-EOF handling, lib/parsers/awk.tcl:139-206). The tests shrink
+RS_CHUNK_BYTES so small files plan as many tasks, and pin:
+
+- >1 input task on a multi-chunk file (the point of the fix);
+- records identical to the single-process split across chunk
+  boundaries in every alignment (separator straddling a boundary,
+  record spanning several whole chunks, separator ending exactly on a
+  boundary, trailing/leading/interior empties);
+- ``anr`` numbering still equals file order (partition i is chunk i);
+- a randomized sweep over geometries and separator placements.
+"""
+
+from __future__ import annotations
+
+import random
+import re
+
+import pytest
+
+import sqawk_spark.sources.awk as awk
+from sqawk_spark.sources.awk import records
+from sqawk_spark.sources.base import FileSpec, with_record_numbers
+
+
+def reference_split(rs: str, text: str) -> list[str]:
+    parts = re.split(rs, text)
+    if parts and parts[-1] == "":
+        parts = parts[:-1]
+    return parts
+
+
+def chunked_records(spark, tmp_path, text: str, rs: str, chunk: int, ov: int):
+    f = tmp_path / "data.txt"
+    f.write_text(text)
+    spec = FileSpec(filename=str(f), format="awk", options={"RS": rs})
+    old_chunk, old_ov = awk.RS_CHUNK_BYTES, awk.RS_OVERLAP_BYTES
+    awk.RS_CHUNK_BYTES, awk.RS_OVERLAP_BYTES = chunk, ov
+    try:
+        df = records(spark, spec, str(f))
+        n_tasks = df.rdd.getNumPartitions()
+        recs = [r["a0"] for r in with_record_numbers(df).orderBy("anr").collect()]
+    finally:
+        awk.RS_CHUNK_BYTES, awk.RS_OVERLAP_BYTES = old_chunk, old_ov
+    return recs, n_tasks
+
+
+def test_multi_chunk_file_runs_in_many_tasks(spark, tmp_path):
+    text = "".join(f"rec{i:04d} val{i}" + ";;" for i in range(200))
+    recs, n_tasks = chunked_records(
+        spark, tmp_path, text, "[;]+", chunk=256, ov=64
+    )
+    assert n_tasks > 1, "multi-chunk file must plan more than one task"
+    assert recs == reference_split("[;]+", text)
+
+
+def test_separator_straddles_chunk_boundary(spark, tmp_path):
+    # chunk=16: the ';;;' separators land on and across boundaries
+    text = "aaaaaaaaaaaaaa;;;bbbbbbbbbbbbb;;;c"
+    recs, n_tasks = chunked_records(
+        spark, tmp_path, text, ";+", chunk=16, ov=8
+    )
+    assert n_tasks == 3
+    assert recs == ["aaaaaaaaaaaaaa", "bbbbbbbbbbbbb", "c"]
+
+
+def test_record_spans_multiple_whole_chunks(spark, tmp_path):
+    # one record longer than several chunks: only its owner task reads
+    # forward; no other task may also emit it
+    text = "x" * 100 + "|" + "y" * 5 + "|" + "z" * 100
+    recs, _ = chunked_records(spark, tmp_path, text, "[|]", chunk=16, ov=8)
+    assert recs == ["x" * 100, "y" * 5, "z" * 100]
+
+
+def test_separator_ends_exactly_on_chunk_boundary(spark, tmp_path):
+    # 'aaaaaaa;' is exactly 8 bytes: the record after the separator
+    # starts exactly at offset 8 == chunk boundary → owned by task 1
+    text = "aaaaaaa;bbbbbbb;c"
+    recs, _ = chunked_records(spark, tmp_path, text, ";", chunk=8, ov=4)
+    assert recs == ["aaaaaaa", "bbbbbbb", "c"]
+
+
+def test_trailing_leading_interior_empties(spark, tmp_path):
+    # leading separator → leading empty kept; interior double
+    # separator under a non-greedy-chain RS → interior empty kept;
+    # trailing separator → trailing empty dropped
+    text = ";a;;b;"
+    recs, _ = chunked_records(spark, tmp_path, text, ";", chunk=2, ov=2)
+    assert recs == ["", "a", "", "b"]
+
+
+def test_empty_file(spark, tmp_path):
+    recs, n_tasks = chunked_records(spark, tmp_path, "", ";", chunk=8, ov=4)
+    assert recs == []
+    assert n_tasks <= 1
+
+
+def test_no_separator_at_all(spark, tmp_path):
+    text = "abcdefghij" * 5
+    recs, _ = chunked_records(spark, tmp_path, text, ";", chunk=8, ov=4)
+    assert recs == [text]
+
+
+def test_regex_quantifier_rs_across_boundaries(spark, tmp_path):
+    # the reference's own regex-RS golden shape: '_[+]?_?'
+    text = "a b_+_c d_e f__g h_"
+    recs, _ = chunked_records(
+        spark, tmp_path, text, "_[+]?_?", chunk=4, ov=4
+    )
+    assert recs == reference_split("_[+]?_?", text)
+
+
+def test_anr_order_matches_file_order(spark, tmp_path):
+    text = "".join(f"r{i}" + ("; " if i % 3 else " ;; ") for i in range(60))
+    f = tmp_path / "ordered.txt"
+    f.write_text(text)
+    spec = FileSpec(filename=str(f), format="awk", options={"RS": "[; ]+"})
+    old = awk.RS_CHUNK_BYTES, awk.RS_OVERLAP_BYTES
+    awk.RS_CHUNK_BYTES, awk.RS_OVERLAP_BYTES = 32, 16
+    try:
+        df = with_record_numbers(records(spark, spec, str(f)))
+        rows = df.orderBy("anr").collect()
+    finally:
+        awk.RS_CHUNK_BYTES, awk.RS_OVERLAP_BYTES = old
+    expected = reference_split("[; ]+", text)
+    assert [r["a0"] for r in rows] == expected
+    assert [r["anr"] for r in rows] == list(range(1, len(expected) + 1))
+
+
+@pytest.mark.parametrize("seed", [7, 21, 99])
+def test_randomized_geometry_sweep(spark, tmp_path, seed):
+    """Randomized separators/records over random chunk geometries must
+    match the single-process split exactly."""
+    rng = random.Random(seed)
+    rs = rng.choice([";", ";+", "[;,]", "END[0-9]?"])
+    parts = []
+    for i in range(rng.randint(20, 60)):
+        parts.append(
+            "".join(
+                rng.choice("abcdef xyz")
+                for _ in range(rng.randint(0, 12))
+            )
+        )
+        sep = {
+            ";": ";",
+            ";+": ";" * rng.randint(1, 3),
+            "[;,]": rng.choice(";,"),
+            "END[0-9]?": "END" + rng.choice(["", str(rng.randint(0, 9))]),
+        }[rs]
+        parts.append(sep)
+    if rng.random() < 0.5:
+        parts.append("tailrec")
+    text = "".join(parts)
+    chunk = rng.choice([5, 9, 16, 33])
+    recs, _ = chunked_records(
+        spark, tmp_path, text, rs, chunk=chunk, ov=max(8, chunk)
+    )
+    assert recs == reference_split(rs, text), (rs, chunk, text)
