@@ -475,17 +475,92 @@ def rewrite_is_equality(stmt: str) -> str:
 _COLLATE_NOCASE_RE = re.compile(r"\s+collate\s+nocase\b", re.IGNORECASE)
 _ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
 _ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
+_NOCASE_TRANS = str.maketrans(_ASCII_UPPER, _ASCII_LOWER)
+
+# Internal marker the COLLATE passes wrap operands in: the affinity
+# passes interpret it (folded-text struct keys for dynamic columns,
+# no-op for all-numeric 'long' columns, plain ASCII fold for text
+# storage), and rewrite_statement strips any survivor to translate()
+# before the statement reaches Spark.
+_NOCASE_MARK = "__nocase__"
+_NOCASE_CALL_RE = re.compile(re.escape(_NOCASE_MARK) + r"\s*\(")
+
+
+def _nocase_wrap(expr: str) -> str:
+    return f"{_NOCASE_MARK}({expr})"
+
+
+def _unwrap_nocase(text: str) -> tuple[str, bool]:
+    """(inner expression, had-marker) for a whole-operand marker."""
+    t = text.strip()
+    m = _NOCASE_CALL_RE.match(t)
+    if m and _match_paren_fwd(t, m.end() - 1) == len(t):
+        return t[m.end() : -1].strip(), True
+    return text, False
+
+
+def _strip_nocase(stmt: str) -> str:
+    """Replace surviving markers with the literal ASCII fold — the
+    right lowering wherever no class-aware pass claimed the operand
+    (text-stored values compare bytewise after folding)."""
+    while True:
+        m = _NOCASE_CALL_RE.search(stmt)
+        if m is None:
+            return stmt
+        close = _match_paren_fwd(stmt, m.end() - 1)
+        inner = stmt[m.end() : close - 1]
+        stmt = (
+            stmt[: m.start()]
+            + f"translate({inner}, '{_ASCII_UPPER}', '{_ASCII_LOWER}')"
+            + stmt[close:]
+        )
+
+
+_OVER_OPEN_RE = re.compile(r"\bover\s*\(", re.IGNORECASE)
+
+
+def _over_spans(stmt: str) -> list[tuple[int, int]]:
+    """Character spans of every window specification's parens:
+    ``over ( ... )`` bodies, quotes-aware."""
+    spans = []
+    for m in _OVER_OPEN_RE.finditer(stmt):
+        if _in_quotes(stmt, m.start()):
+            continue
+        spans.append((m.end(), _match_paren_fwd(stmt, m.end() - 1) - 1))
+    return spans
 
 
 def rewrite_collate_nocase(stmt: str) -> str:
-    """``expr COLLATE NOCASE`` inside ORDER BY → sort on the
-    ASCII-folded key. SQLite's NOCASE collation folds ONLY ASCII A-Z
+    """``expr COLLATE NOCASE`` inside ORDER BY — statement-level or a
+    window's ``OVER (... ORDER BY ...)`` — → sort on the ASCII-folded
+    key. SQLite's NOCASE collation folds ONLY ASCII A-Z
     (datatype3.html §collation) — exactly ``translate(expr, 'A..Z',
     'a..z')``, NOT ``lower()``, whose Unicode folding would reorder
-    non-ASCII rows. Scoped to ORDER BY (including per-key, multi-key,
-    with ASC/DESC suffixes): a COLLATE in a comparison context folds
-    BOTH comparison operands, which a single-operand text rewrite
-    cannot express — those keep Spark's loud parse error."""
+    non-ASCII rows. A COLLATE in a comparison context folds BOTH
+    comparison operands — that is rewrite_collate_nocase_comparison's
+    job (it runs first); any placement neither pass understands keeps
+    Spark's loud parse error."""
+    clauses = _top_level_clauses(stmt)
+    order_c = next((c for c in clauses if c[0] == "order_by"), None)
+    matches = [
+        m
+        for m in _COLLATE_NOCASE_RE.finditer(stmt)
+        if not _in_quotes(stmt, m.start())
+    ]
+    if not matches:
+        return stmt
+    # window ORDER BY / PARTITION BY keys: mark the operand (same
+    # single-operand semantics as the statement ORDER BY — the
+    # collation names the sort/group key, there is no second operand)
+    overs = _over_spans(stmt)
+    for m in reversed(matches):
+        if not any(s <= m.start() < e for s, e in overs):
+            continue
+        lhs = _operand_back(stmt, m.start())
+        expr = stmt[lhs : m.start()].strip()
+        if not expr:
+            continue
+        stmt = stmt[:lhs] + f" {_nocase_wrap(expr)}" + stmt[m.end() :]
     clauses = _top_level_clauses(stmt)
     order_c = next((c for c in clauses if c[0] == "order_by"), None)
     matches = [
@@ -504,11 +579,7 @@ def rewrite_collate_nocase(stmt: str) -> str:
         expr = stmt[lhs : m.start()].strip()
         if not expr:
             continue
-        stmt = (
-            stmt[:lhs]
-            + f" translate({expr}, '{_ASCII_UPPER}', '{_ASCII_LOWER}')"
-            + stmt[m.end() :]
-        )
+        stmt = stmt[:lhs] + f" {_nocase_wrap(expr)}" + stmt[m.end() :]
     return stmt
 
 
@@ -550,17 +621,20 @@ _CMP_OPS = ("==", "!=", "<>", "<=", ">=", "=", "<", ">")
 
 def rewrite_collate_nocase_comparison(stmt: str) -> str:
     """``A <op> B COLLATE NOCASE`` / ``A COLLATE NOCASE <op> B`` →
-    fold BOTH operands with the same exact ASCII translate as the
-    ORDER BY rewrite (SQLite applies the collation to the whole
-    comparison, not one side — datatype3.html §collation). Scoped to
-    a COLLATE directly adjacent to a binary comparison operator;
-    every other comparison-context placement (IN lists, BETWEEN,
-    CASE arms) keeps Spark's loud parse error over a half-folded
-    silent divergence. Fuzzed against real SQLite in
-    tests/test_dialect.py."""
+    mark BOTH operands with the NOCASE marker (SQLite applies the
+    collation to the whole comparison, not one side —
+    datatype3.html §collation); the affinity comparison pass then
+    builds class-aware keys whose TEXT component is case-folded (a
+    NOCASE comparison against a numeric-affinity column still
+    compares numerics numerically and below text), and any operand
+    no class pass claims is stripped to the literal ASCII translate.
+    Scoped to a COLLATE directly adjacent to a binary comparison
+    operator; every other comparison-context placement (IN lists,
+    BETWEEN, CASE arms) keeps Spark's loud parse error over a
+    half-folded silent divergence. Fuzzed against real SQLite in
+    tests/test_dialect.py and tests/test_cli_fuzz.py."""
 
-    def fold(expr: str) -> str:
-        return f"translate({expr}, '{_ASCII_UPPER}', '{_ASCII_LOWER}')"
+    fold = _nocase_wrap
 
     while True:
         matches = [
@@ -1739,8 +1813,17 @@ def _aff_boundary_flag(x: str) -> str:
     )
 
 
-def _aff_key_col_sql(x: str, treat: str) -> str:
-    """Order-preserving SQLite-class key for operand SQL ``x``."""
+def _aff_key_col_sql(x: str, treat: str, fold: bool = False) -> str:
+    """Order-preserving SQLite-class key for operand SQL ``x``.
+
+    ``fold=True`` applies NOCASE to the text component only: SQLite's
+    NOCASE collation affects text-vs-text comparison exclusively —
+    storage-class precedence and numeric ordering are untouched
+    (datatype3.html §4.1 applies the collating function "when two TEXT
+    values are compared")."""
+    t_sql = f"CAST({x} AS STRING)"
+    if fold:
+        t_sql = f"translate({t_sql}, '{_ASCII_UPPER}', '{_ASCII_LOWER}')"
     num = (
         f"named_struct('c', 1, 'n', TRY_CAST({x} AS DOUBLE), "
         f"'i', {_aff_exact_int(x)}, 'e', {_aff_boundary_flag(x)}, "
@@ -1749,7 +1832,7 @@ def _aff_key_col_sql(x: str, treat: str) -> str:
     txt = (
         f"named_struct('c', 2, 'n', CAST(0 AS DOUBLE), "
         f"'i', 0L, 'e', 0, "
-        f"'t', CAST({x} AS STRING))"
+        f"'t', {t_sql})"
     )
     if treat == "num":
         return f"(CASE WHEN {x} IS NULL THEN NULL ELSE {num} END)"
@@ -1804,6 +1887,22 @@ def _aff_classify(
         if cls in ("long", "dynamic", "text", "none"):
             return ("col", cls)
         return None
+    # a raw CAST carries the target type's affinity (datatype3.html
+    # §3.2) and its values are numeric class under INTEGER/REAL/
+    # NUMERIC, text class under TEXT/BLOB — exactly the ('col','long')
+    # / ('col','text') treatments.  Runs on the pre-lowering text; the
+    # value pass (rewrite_affinity_casts, ordered after the
+    # comparison pass) then lowers the cast inside any emitted key.
+    cm = re.match(r"^cast\s*\(", t, re.IGNORECASE)
+    if cm is not None and _match_paren_fwd(t, cm.end() - 1) == len(t):
+        parts = _cast_split_as(t[cm.end() : -1])
+        if parts is not None:
+            from sqawk_spark.affinity import normalize_affinity
+
+            aff = normalize_affinity(parts[1])
+            if aff in ("integer", "real", "numeric"):
+                return ("col", "long")
+            return ("col", "text")
     # a min/max aggregate over a classed column yields one of the
     # column's VALUES (same storage classes) but — like every SQLite
     # function result — the expression itself has NO affinity
@@ -1883,8 +1982,10 @@ def _aff_always(d: tuple[str, str]) -> str | None:
     return None
 
 
-def _aff_key_sql(d: tuple[str, str], sqltext: str) -> str:
+def _aff_key_sql(d: tuple[str, str], sqltext: str, fold: bool = False) -> str:
     kind, val = d
+    if fold and kind == "strlit":
+        val = val.translate(_NOCASE_TRANS)
     if kind == "numlit":
         if (
             re.fullmatch(r"[+-]?[0-9]+", val)
@@ -1916,7 +2017,7 @@ def _aff_key_sql(d: tuple[str, str], sqltext: str) -> str:
         )
     treat = {"long": "num", "dynamic": "dynamic",
              "text": "text", "none": "text", "astext": "text"}[val]
-    return _aff_key_col_sql(sqltext, treat)
+    return _aff_key_col_sql(sqltext, treat, fold=fold)
 
 
 _AFF_CMP_SCAN_RE = re.compile(r"<=>|->>|->|<<|>>|==|!=|<>|<=|>=|=|<|>")
@@ -1954,9 +2055,39 @@ def rewrite_affinity_comparisons(
         if not lhs or not rhs:
             continue
         if _compound_context(stmt, ls, rend):
-            continue
-        ld = _aff_classify(lhs, classes)
-        rd = _aff_classify(rhs, classes)
+            # an adjacent ARITHMETIC operator may just mean the
+            # comparison operand is a flat arithmetic chain (looser-
+            # binding comparison owns the whole chain): extend each
+            # side across + - * / % and retry; the chain classifies
+            # like an aggregate result — always-numeric value, no
+            # affinity — with its operands value-coerced
+            ls2 = _extend_arith_back(stmt, ls)
+            rend2 = _extend_arith_fwd(stmt, rend)
+            if (ls2, rend2) == (ls, rend) or _compound_context(
+                stmt, ls2, rend2
+            ):
+                continue
+            ls, rend = ls2, rend2
+            lhs = stmt[ls : m.start()].strip()
+            rhs = stmt[m.end() : rend].strip()
+        # NOCASE markers (from rewrite_collate_nocase_comparison):
+        # classify the inner operand; the collation folds the TEXT
+        # component of BOTH keys (it governs the whole comparison)
+        lhs_core, lfold = _unwrap_nocase(lhs)
+        rhs_core, rfold = _unwrap_nocase(rhs)
+        fold = lfold or rfold
+        ld = _aff_classify(lhs_core, classes)
+        rd = _aff_classify(rhs_core, classes)
+        if ld is None and not lfold:
+            ch = _parse_arith_chain(lhs, classes)
+            if ch is not None:
+                ld = ("agg", "long")
+                lhs_core = f"({_arith_chain_coerced_sql(ch)})"
+        if rd is None and not rfold:
+            ch = _parse_arith_chain(rhs, classes)
+            if ch is not None:
+                rd = ("agg", "long")
+                rhs_core = f"({_arith_chain_coerced_sql(ch)})"
         if ld is None or rd is None:
             continue
         if ld[0] not in ("col", "agg") and rd[0] not in ("col", "agg"):
@@ -1966,12 +2097,15 @@ def rewrite_affinity_comparisons(
             # no affinity conversion fired; if both sides also share a
             # fixed storage class, Spark's own comparison already
             # matches SQLite (numeric vs numeric, or string-typed
-            # operands compared bytewise) — leave the plan native
+            # operands compared bytewise) — leave the plan native.
+            # Folded comparisons of always-text operands keep their
+            # markers: the final strip lowers both sides to the plain
+            # ASCII translate, which IS the NOCASE text comparison.
             la, ra = _aff_always(ld), _aff_always(rd)
             if la == ra and la is not None:
                 continue
-        lkey = _aff_key_sql(ld2, lhs)
-        rkey = _aff_key_sql(rd2, rhs)
+        lkey = _aff_key_sql(ld2, lhs_core, fold=fold)
+        rkey = _aff_key_sql(rd2, rhs_core, fold=fold)
         stmt = stmt[:ls] + f" {lkey} {m.group()} {rkey} " + stmt[rend:]
     return stmt
 
@@ -1980,6 +2114,24 @@ _AFF_ORDER_KEY_RE = re.compile(
     r"^(\s*)(.*?)(\s+(?:asc|desc))?(\s+nulls\s+(?:first|last))?(\s*)$",
     re.IGNORECASE | re.DOTALL,
 )
+
+
+def _aff_order_key_core(core: str, classes: dict[str, str]) -> str | None:
+    """Class-aware replacement for one ORDER BY key expression, or
+    None when the key needs no rewrite.  Handles the NOCASE marker:
+    on a dynamic column the fold applies to the text component of the
+    class key only (numerics keep numeric order — SQLite collations
+    govern text comparison exclusively); on an all-numeric 'long'
+    column NOCASE is a no-op, so the marker is dropped and the bare
+    column sorts natively; text/none storage keeps the marker for the
+    final strip (bytewise order over the folded strings)."""
+    inner, folded = _unwrap_nocase(core)
+    d = _aff_classify(inner, classes)
+    if d == ("col", "dynamic"):
+        return _aff_key_col_sql(inner.strip(), "dynamic", fold=folded)
+    if folded and d == ("col", "long"):
+        return inner.strip()
+    return None
 
 
 def rewrite_affinity_order_by(stmt: str, classes: dict[str, str]) -> str:
@@ -1997,9 +2149,9 @@ def rewrite_affinity_order_by(stmt: str, classes: dict[str, str]) -> str:
     for key in keys:
         mm = _AFF_ORDER_KEY_RE.match(key)
         core = mm.group(2)
-        d = _aff_classify(core, classes)
-        if d is not None and d == ("col", "dynamic"):
-            core = _aff_key_col_sql(core.strip(), "dynamic")
+        repl = _aff_order_key_core(core, classes)
+        if repl is not None:
+            core = repl
             changed = True
         out.append(
             (mm.group(1) or "")
@@ -2015,6 +2167,191 @@ def rewrite_affinity_order_by(stmt: str, classes: dict[str, str]) -> str:
     # between keys, " " before any trailing clause)
     rebuilt = " " + ", ".join(k.strip() for k in out) + " "
     return stmt[: order_c[2]] + rebuilt + stmt[o_end:]
+
+
+_WIN_FRAME_KW_RE = re.compile(r"\b(rows|range|groups)\b", re.IGNORECASE)
+_WINAGG_ITEM_RE = re.compile(
+    r"^\s*(sum|avg|total|min|max)\s*\(", re.IGNORECASE
+)
+_CAST_REAL_ARG_RE = re.compile(
+    r"^\s*cast\s*\(.*\s+as\s+(real|float|double(?:\s+precision)?)\s*\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _rewrite_window_class_items(
+    stmt: str, classes: dict[str, str]
+) -> tuple[str, dict[str, str]]:
+    """SQLite result classes for WINDOW aggregates in top-level select
+    items (probed against real SQLite, tests/test_cli_fuzz.py):
+
+    - ``avg``/``total`` OVER w — always REAL: wrap in py_real_repr.
+    - ``sum`` OVER w — per-FRAME class (INTEGER iff every frame member
+      is integer class): the same dynamic string encoding as the
+      grouped-sum item rewrite, with the OVER clause spliced onto each
+      branch's aggregate.  Static REAL arguments (CAST .. AS REAL)
+      wrap in py_real_repr directly.
+    - ``min``/``max`` OVER w — the winner is chosen by STORAGE-CLASS
+      order and rendered as stored: over a dynamic column the argument
+      becomes ``named_struct('k', class_key, 'v', col)`` (struct
+      comparison = class order, NULL-preserving CASE keeps SQLite's
+      NULL-skipping) and the item extracts ``.v``.  Static REAL
+      arguments wrap in py_real_repr.
+
+    Runs BEFORE rewrite_groups_frames so GROUPS/EXCLUDE frames
+    decompose each emitted window aggregate (least/greatest over
+    struct sub-minima compose exactly); FILTER was already lowered, so
+    the ``CASE WHEN cond THEN col END`` argument shape composes here
+    the same way it does in the grouped item rewrites."""
+    if not classes:
+        return stmt, {}
+    span = _select_items_span(stmt)
+    if span is None:
+        return stmt, {}
+    list_start, list_end, items = span
+    out_items, extras, changed = [], {}, False
+    for item in items:
+        m = _WINAGG_ITEM_RE.match(item)
+        if m is None:
+            out_items.append(item)
+            continue
+        fn = m.group(1).lower()
+        close = _match_paren_fwd(item, m.end() - 1)
+        win = _aff_window_suffix(item, close)
+        rest = item[win[1] :] if win else ""
+        alias_m = _ITEM_ALIAS_RE.match(rest) if rest.strip() else None
+        if win is None or (rest.strip() and alias_m is None):
+            out_items.append(item)
+            continue
+        arg = item[m.end() : close - 1].strip()
+        w = win[0]
+        name = alias_m.group(1) if alias_m else None
+        core = item[: win[1]].strip()
+
+        def emit(body: str, cls: str = "dynamic") -> None:
+            nonlocal changed
+            if name:
+                out_items.append(f"{body} AS {name}")
+                extras[name.lower()] = cls
+            else:
+                out_items.append(body)
+            changed = True
+
+        if fn in ("avg", "total"):
+            emit(f"py_real_repr(CAST({core} AS DOUBLE))")
+            continue
+        fc = _aff_filter_case_parts(arg)
+        col = fc[1] if fc else arg
+        cls = (
+            classes.get(col.split(".")[-1].lower())
+            if _AFF_IDENT_RE.match(col)
+            else None
+        )
+        if cls not in ("dynamic", "text", "none"):
+            if fc is None and _CAST_REAL_ARG_RE.match(arg):
+                emit(f"py_real_repr(CAST({core} AS DOUBLE))")
+            else:
+                out_items.append(item)
+            continue
+        if fn == "sum":
+            c = _aff_sum_coerce_sql(col, cls)
+            t = (
+                f"regexp_replace(CAST({col} AS STRING), "
+                f"{_AFF_TRIM_PAT}, '')"
+            )
+            inc = f"{col} IS NOT NULL"
+            arg_all = col
+            arg_int = f"TRY_CAST({t} AS BIGINT)"
+            arg_c = c
+            if fc is not None:
+                inc = f"({fc[0]}) AND {col} IS NOT NULL"
+                arg_all = f"CASE WHEN {fc[0]} THEN {col} END"
+                arg_int = (
+                    f"CASE WHEN {fc[0]} THEN TRY_CAST({t} AS BIGINT) END"
+                )
+                arg_c = f"CASE WHEN {fc[0]} THEN {c} END"
+            body = (
+                f"CASE WHEN count({arg_all}){w} = 0 "
+                f"THEN CAST(NULL AS STRING) "
+                f"WHEN count(CASE WHEN {inc} AND NOT "
+                f"({t} RLIKE {_AFF_INT_CANON_PAT}) THEN 1 END){w} = 0 "
+                f"THEN CAST(sum({arg_int}){w} AS STRING) "
+                f"ELSE py_real_repr(sum({arg_c}){w}) END"
+            )
+            emit(body)
+        elif cls == "dynamic":  # min/max over a dynamic column
+            key = _aff_key_col_sql(col, "dynamic")
+            struct = (
+                f"CASE WHEN {col} IS NULL THEN NULL "
+                f"ELSE named_struct('k', {key}, 'v', {col}) END"
+            )
+            if fc is not None:
+                struct = f"CASE WHEN {fc[0]} THEN {struct} END"
+            emit(f"({fn}({struct}){w}).v")
+        else:
+            # text/none storage: every value is text class — Spark's
+            # bytewise string min/max IS the SQLite order
+            out_items.append(item)
+    if not changed:
+        return stmt, {}
+    rebuilt = (
+        stmt[:list_start]
+        + " "
+        + ", ".join(i.strip() for i in out_items)
+        + " "
+        + stmt[list_end:]
+    )
+    return rebuilt, extras
+
+
+def rewrite_affinity_window_order_by(
+    stmt: str, classes: dict[str, str]
+) -> str:
+    """Storage-class ordering for window ``OVER (... ORDER BY ...)``
+    keys — the same key transformation as the statement-level pass
+    (SQLite orders window peers exactly as it orders result rows:
+    numerics by value below text, per datatype3.html §4).  Runs
+    BEFORE rewrite_groups_frames so GROUPS peer-ranking (dense_rank
+    over the same keys) inherits the class order; the struct key is
+    opaque text to that pass and to Spark's frame machinery (ROWS
+    frames and unbounded/current-row RANGE bounds order over any
+    comparable type; a numeric-offset RANGE over a mixed-class key
+    keeps a loud Spark type error, as SQLite itself errors there)."""
+    if not classes:
+        return stmt
+    for start, end in reversed(_over_spans(stmt)):
+        win = stmt[start:end]
+        om = _ORDER_BY_RE.search(win)
+        if om is None:
+            continue
+        fm = _WIN_FRAME_KW_RE.search(win, om.end())
+        keys_end = fm.start() if fm else len(win)
+        keys = _split_args_top(win[om.end() : keys_end])
+        out, changed = [], False
+        for key in keys:
+            mm = _AFF_ORDER_KEY_RE.match(key)
+            core = mm.group(2)
+            repl = _aff_order_key_core(core, classes)
+            if repl is not None:
+                core = repl
+                changed = True
+            out.append(
+                (mm.group(1) or "")
+                + core
+                + (mm.group(3) or "")
+                + (mm.group(4) or "")
+                + (mm.group(5) or "")
+            )
+        if not changed:
+            continue
+        rebuilt = " " + ", ".join(k.strip() for k in out) + " "
+        stmt = (
+            stmt[: start + om.end()]
+            + rebuilt
+            + stmt[start + keys_end : end]
+            + stmt[end:]
+        )
+    return stmt
 
 
 _AFF_MINMAX_RE = re.compile(r"\b(min|max)\s*\(", re.IGNORECASE)
@@ -2212,6 +2549,289 @@ _AFF_SUM_ITEM_RE = re.compile(
     r"(?:\s+(?:as\s+)?([A-Za-z_][A-Za-z_0-9]*))?\s*$",
     re.IGNORECASE,
 )
+_AFF_SUM_FILTER_ITEM_RE = re.compile(r"^\s*sum\s*\(", re.IGNORECASE)
+
+# --- SQLite arithmetic over classed columns ------------------------------
+#
+# sqlite3VdbeNumericValue (probed in tests/test_cli_fuzz.py): a text
+# operand contributes its numeric PREFIX ('3abc' → 3, 'c'/'' → 0), the
+# result class is INTEGER iff every operand's prefix is integer-form
+# (or empty), and int/int division truncates toward zero.  Spark's
+# implicit string→double cast yields NULL for 'c' and '3abc', and a
+# double result renders through the integral-collapse heuristic — both
+# diverge, so arithmetic gets the same two-part treatment as sums:
+# value coercion everywhere, class-aware rendering for select items.
+
+_ARITH_INT_FORM_RE = re.compile(r"^[+-]?[0-9]+$")
+
+
+def _parse_arith_chain(text: str, classes: dict[str, str]):
+    """Parse ``operand (op operand)*`` where each operand is a bare
+    classed column or numeric literal with an optional unary sign and
+    ops are + - * / %.  Returns (tokens, ops) with tokens =
+    [(sign, text, classify)] — or None for any other shape (parens,
+    calls, strings: those keep their native lowering)."""
+    s = text
+    pos, tokens, ops = 0, [], []
+    n = len(s)
+    while True:
+        j = _skip_ws(s, pos)
+        sign = ""
+        if j < n and s[j] in "+-":
+            sign = s[j]
+            j = _skip_ws(s, j + 1)
+        end = _operand_fwd(s, j)
+        if end <= j:
+            return None
+        tok = s[j:end].strip()
+        if tok.startswith("(") or tok.startswith("'"):
+            return None
+        cm = re.match(r"^cast\s*\(", tok, re.IGNORECASE)
+        if cm is not None and _match_paren_fwd(tok, cm.end() - 1) == len(
+            tok
+        ):
+            # track the cast's value class directly — the generic
+            # classify conflates INTEGER and REAL affinity casts, but
+            # arithmetic's result class needs them distinct
+            parts = _cast_split_as(tok[cm.end() : -1])
+            if parts is None:
+                return None
+            from sqawk_spark.affinity import normalize_affinity
+
+            aff = normalize_affinity(parts[1])
+            if aff == "integer":
+                d = ("castint", tok)
+            elif aff == "real":
+                d = ("castreal", tok)
+            else:
+                return None  # NUMERIC/TEXT casts: per-value class
+        else:
+            d = _aff_classify(tok, classes)
+            if d is None or d[0] not in ("col", "numlit"):
+                return None
+        tokens.append((sign, tok, d))
+        k = _skip_ws(s, end)
+        if k >= n:
+            break
+        if s[k] not in "+-*/%":
+            return None
+        ops.append(s[k])
+        pos = k + 1
+    if not ops:
+        return None
+    return tokens, ops
+
+
+def _arith_tok_val(sign: str, tok: str, d: tuple[str, str]) -> str:
+    if d[0] in ("numlit", "castint", "castreal") or d[1] == "long":
+        v = tok
+    else:
+        v = _aff_sum_coerce_sql(tok, d[1])
+    return f"{sign}{v}" if sign else v
+
+
+def _arith_tok_int_test(tok: str, d: tuple[str, str]):
+    """True / False / SQL predicate: does this operand contribute an
+    INTEGER-class value to the arithmetic?"""
+    if d[0] == "numlit":
+        return bool(_ARITH_INT_FORM_RE.match(d[1].strip()))
+    if d[0] == "castint":
+        return True
+    if d[0] == "castreal":
+        return False
+    if d[1] == "long":
+        return True
+    t = f"regexp_replace(CAST({tok} AS STRING), {_AFF_TRIM_PAT}, '')"
+    pre = f"regexp_extract({t}, {_SQL_NUM_PREFIX_PAT}, 0)"
+    return f"({pre} = '' OR {pre} RLIKE '^[+-]?[0-9]+$')"
+
+
+def _arith_chain_coerced_sql(chain) -> str:
+    tokens, ops = chain
+    parts = [_arith_tok_val(*tokens[0])]
+    for op, tok in zip(ops, tokens[1:]):
+        parts.append(op)
+        parts.append(_arith_tok_val(*tok))
+    return " ".join(parts)
+
+
+def _rewrite_arith_class_items(
+    stmt: str, classes: dict[str, str]
+) -> tuple[str, dict[str, str]]:
+    """Class-aware rendering for whole select items that are flat
+    arithmetic chains: '2.0'+1 renders '3.0' (REAL operand), 'c'+1
+    renders '1' (text coerces to INTEGER 0), anf/2 renders the
+    truncated integer.  All-integer chains without division keep
+    their native (exact BIGINT) lowering untouched."""
+    span = _select_items_span(stmt)
+    if span is None:
+        return stmt, {}
+    list_start, list_end, items = span
+    out_items, extras, changed = [], {}, False
+    for item in items:
+        alias = None
+        chain = _parse_arith_chain(item, classes)
+        if chain is None:
+            am = re.match(
+                r"^(.*?)\s+(?:as\s+)?([A-Za-z_][A-Za-z_0-9]*)\s*$",
+                item,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if am:
+                chain = _parse_arith_chain(am.group(1), classes)
+                alias = am.group(2)
+        if chain is None:
+            out_items.append(item)
+            continue
+        tokens, ops = chain
+        tests = [_arith_tok_int_test(tok, d) for _, tok, d in tokens]
+        dyn_tests = [t for t in tests if isinstance(t, str)]
+        ec = _arith_chain_coerced_sql(chain)
+        if any(t is False for t in tests):
+            body = (
+                f"CASE WHEN ({ec}) IS NULL THEN CAST(NULL AS STRING) "
+                f"ELSE py_real_repr(CAST(({ec}) AS DOUBLE)) END"
+            )
+            cls = "dynamic"
+        elif dyn_tests:
+            p = " AND ".join(dyn_tests)
+            body = (
+                f"CASE WHEN ({ec}) IS NULL THEN CAST(NULL AS STRING) "
+                f"WHEN {p} THEN "
+                f"CAST(CAST(({ec}) AS BIGINT) AS STRING) "
+                f"ELSE py_real_repr(CAST(({ec}) AS DOUBLE)) END"
+            )
+            cls = "dynamic"
+        elif "/" in ops:
+            # all-integer with division: SQLite truncates toward zero
+            body = f"CAST(({ec}) AS BIGINT)"
+            cls = "long"
+        else:
+            out_items.append(item)  # native integer arithmetic: exact
+            continue
+        if alias:
+            out_items.append(f"{body} AS {alias}")
+            extras[alias.lower()] = cls
+        else:
+            out_items.append(body)
+        changed = True
+    if not changed:
+        return stmt, {}
+    rebuilt = (
+        stmt[:list_start]
+        + " "
+        + ", ".join(i.strip() for i in out_items)
+        + " "
+        + stmt[list_end:]
+    )
+    return rebuilt, extras
+
+
+def rewrite_affinity_arithmetic(stmt: str, classes: dict[str, str]) -> str:
+    """Global VALUE coercion: every bare classed-string-column operand
+    of a binary + - * / % anywhere in the statement becomes its
+    numeric-prefix parse, so 'c'+1 computes 1 (Spark's implicit cast
+    would produce NULL).  Runs after the item/comparison passes — the
+    operands they already consumed are no longer bare identifiers."""
+    if not classes:
+        return stmt
+    while True:
+        edited = False
+        for m in re.finditer(r"[+\-*/%]", stmt):
+            i = m.start()
+            if _in_quotes(stmt, i):
+                continue
+            if stmt[i : i + 2] in ("->", "+=", "-="):
+                continue
+            ls = _operand_back(stmt, i)
+            lhs = stmt[ls:i].strip()
+            rend = _operand_fwd(stmt, i + 1)
+            rhs = stmt[i + 1 : rend].strip()
+            if not lhs or not rhs:
+                continue  # unary sign, select-star, count(*)
+            for s_, e_, txt in ((ls, i, lhs), (i + 1, rend, rhs)):
+                d = _aff_classify(txt, classes)
+                if (
+                    d is not None
+                    and d[0] == "col"
+                    and d[1] in ("dynamic", "text", "none")
+                ):
+                    repl = _aff_sum_coerce_sql(txt, d[1])
+                    stmt = stmt[:s_] + f" {repl} " + stmt[e_:]
+                    edited = True
+                    break
+            if edited:
+                break
+        if not edited:
+            return stmt
+
+
+def _extend_arith_back(s: str, ls: int) -> int:
+    while True:
+        j = ls - 1
+        while j >= 0 and s[j].isspace():
+            j -= 1
+        if j < 0 or s[j] not in "+-*/%":
+            return ls
+        ps = _operand_back(s, j)
+        if not s[ps:j].strip():
+            # nothing before the op: a unary sign ('a3 - -2') — look
+            # past it for the binary operator and ITS left operand
+            if s[j] not in "+-":
+                return ls
+            k = j - 1
+            while k >= 0 and s[k].isspace():
+                k -= 1
+            if k < 0 or s[k] not in "+-*/%":
+                return ls
+            ps = _operand_back(s, k)
+            if not s[ps:k].strip():
+                return ls
+        ls = ps
+
+
+def _extend_arith_fwd(s: str, rend: int) -> int:
+    while True:
+        k = _skip_ws(s, rend)
+        if k >= len(s) or s[k] not in "+-*/%":
+            return rend
+        j = _skip_ws(s, k + 1)
+        if j < len(s) and s[j] in "+-":  # unary sign on the operand
+            j = _skip_ws(s, j + 1)
+        ne = _operand_fwd(s, j)
+        if ne <= j:
+            return rend
+        rend = ne
+
+
+def _collect_item_alias_classes(
+    stmt: str, classes: dict[str, str]
+) -> dict[str, str]:
+    """Aliases of bare classed-column select items inherit the
+    column's storage class (``select a1 as g ... order by g`` must
+    key g exactly like a1 — SQLite result columns carry their source
+    column's class)."""
+    span = _select_items_span(stmt)
+    if span is None:
+        return {}
+    extras = {}
+    for item in span[2]:
+        am = re.match(
+            r"^\s*([A-Za-z_][A-Za-z_0-9$.]*)"
+            r"\s+(?:as\s+)?([A-Za-z_][A-Za-z_0-9]*)\s*$",
+            item,
+            re.IGNORECASE,
+        )
+        if am is None:
+            continue
+        src = am.group(1).split(".")[-1].lower()
+        alias = am.group(2).lower()
+        if src in _KEYWORDS or alias in _KEYWORDS:
+            continue
+        cls = classes.get(src)
+        if cls is not None and alias not in classes:
+            extras[alias] = cls
+    return extras
 # a stored value counts INTEGER class in SQLite's sum iff its
 # whitespace-trimmed text is a pure integer literal (leading zeros and
 # sign OK: '001' → 1, '+3' → 3, ' 7 ' → 7); '2.0', '2abc', '7 8' all
@@ -2263,23 +2883,44 @@ def _rewrite_sum_select_items(
     out_items, extras, changed = [], {}, False
     for item in items:
         m = _AFF_SUM_ITEM_RE.match(item)
-        if m is None:
-            out_items.append(item)
-            continue
-        col, alias = m.group(1), m.group(2)
+        fc = None
+        if m is not None:
+            col, alias = m.group(1), m.group(2)
+        else:
+            # sum(CASE WHEN cond THEN col END) — the FILTER lowering's
+            # shape: the per-group class test counts post-filter rows
+            fm = _AFF_SUM_FILTER_ITEM_RE.match(item)
+            if fm is None:
+                out_items.append(item)
+                continue
+            close = _match_paren_fwd(item, fm.end() - 1)
+            fc = _aff_filter_case_parts(item[fm.end() : close - 1])
+            rest = item[close:]
+            am = _ITEM_ALIAS_RE.match(rest) if rest.strip() else None
+            if fc is None or (rest.strip() and am is None):
+                out_items.append(item)
+                continue
+            col, alias = fc[1], am.group(1) if am else None
         cls = classes.get(col.split(".")[-1].lower())
         if cls not in ("dynamic", "text", "none"):
             out_items.append(item)
             continue
         c = _aff_sum_coerce_sql(col, cls)
         t = f"regexp_replace(CAST({col} AS STRING), {_AFF_TRIM_PAT}, '')"
+        inc = f"{col} IS NOT NULL"
+        arg_all, arg_int, arg_c = col, f"TRY_CAST({t} AS BIGINT)", c
+        if fc is not None:
+            inc = f"({fc[0]}) AND {col} IS NOT NULL"
+            arg_all = f"CASE WHEN {fc[0]} THEN {col} END"
+            arg_int = f"CASE WHEN {fc[0]} THEN TRY_CAST({t} AS BIGINT) END"
+            arg_c = f"CASE WHEN {fc[0]} THEN {c} END"
         body = (
-            f"CASE WHEN count({col}) = 0 THEN CAST(NULL AS STRING) "
-            f"WHEN count(CASE WHEN {col} IS NOT NULL AND NOT "
+            f"CASE WHEN count({arg_all}) = 0 THEN CAST(NULL AS STRING) "
+            f"WHEN count(CASE WHEN {inc} AND NOT "
             f"({t} RLIKE {_AFF_INT_CANON_PAT}) "
             f"THEN 1 END) = 0 "
-            f"THEN CAST(sum(TRY_CAST({t} AS BIGINT)) AS STRING) "
-            f"ELSE py_real_repr(sum({c})) END"
+            f"THEN CAST(sum({arg_int}) AS STRING) "
+            f"ELSE py_real_repr(sum({arg_c})) END"
         )
         name = alias or col.split(".")[-1]
         out_items.append(f"{body} AS {name}")
@@ -2297,6 +2938,55 @@ def _rewrite_sum_select_items(
     return rebuilt, extras
 
 
+_AFF_FILTER_CASE_RE = re.compile(
+    r"^case\s+when\s+(.*)\s+then\s+([A-Za-z_][A-Za-z_0-9$.]*)\s+end$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _aff_filter_case_parts(arg: str) -> tuple[str, str] | None:
+    """(condition, bare column) when ``arg`` is the exact CASE shape
+    the FILTER lowering emits (``CASE WHEN cond THEN col END``) —
+    the composition path for ``agg(col) FILTER (WHERE ...)`` over a
+    classed column.  The regex anchors the LAST ``then`` before the
+    final ``end``, so a nested CASE inside the condition still parses."""
+    m = _AFF_FILTER_CASE_RE.match(arg.strip())
+    if m is None:
+        return None
+    return m.group(1), m.group(2)
+
+
+_AFF_TEXT_CAST_RE = re.compile(
+    r"\bas\s+(text|char\w*|clob|varchar\w*)\b", re.IGNORECASE
+)
+_AFF_GENERIC_DONE_RE = re.compile(r"^\(+\s*CASE WHEN ")
+_AFF_IDENT_SCAN_RE = re.compile(r"[A-Za-z_][A-Za-z_0-9$.]*")
+
+
+def _aff_expr_textish(arg: str, classes: dict[str, str]) -> bool:
+    """Can this argument expression produce TEXT-class values?  True
+    when it references a string-stored column or casts to TEXT."""
+    if _AFF_TEXT_CAST_RE.search(arg):
+        return True
+    for im in _AFF_IDENT_SCAN_RE.finditer(arg):
+        if _in_quotes(arg, im.start()):
+            continue
+        cls = classes.get(im.group().split(".")[-1].lower())
+        if cls in ("dynamic", "text", "none"):
+            return True
+    return False
+
+
+def _aff_window_suffix(stmt: str, close: int) -> tuple[str, int] | None:
+    """(' over (...)' text, end index) when an OVER clause directly
+    follows the aggregate's close paren."""
+    m = re.match(r"\s*over\s*\(", stmt[close:], re.IGNORECASE)
+    if m is None:
+        return None
+    wend = _match_paren_fwd(stmt, close + m.end() - 1)
+    return stmt[close:wend], wend
+
+
 def rewrite_affinity_aggregates(stmt: str, classes: dict[str, str]) -> str:
     """SQLite semantics for sum/avg/total over string-stored columns
     (datatype3.html + lang_aggfunc.html): every non-NULL value
@@ -2308,13 +2998,18 @@ def rewrite_affinity_aggregates(stmt: str, classes: dict[str, str]) -> str:
 
     - ``sum(x)``   → ``sum(coerce(x))`` (also under OVER: argument
       substitution preserves the window call shape)
-    - ``avg(x)``   → ``(sum(coerce(x)) / count(x))`` (plain aggregate
-      position only — a window avg would need its OVER clause spliced
-      twice; left native, documented divergence)
+    - ``avg(x)``   → ``(sum(coerce(x)) / count(x))``; under OVER the
+      clause is spliced onto both halves:
+      ``(sum(coerce(x)) OVER w / count(x) OVER w)``
     - ``total(x)`` → ``coalesce(sum(coerce(x)), 0.0)`` for EVERY
       column class — replacing the Pandas GROUPED_AGG UDAF with a
       partial-aggregating JVM expression (the UDAF remains the
-      fallback for unclassifiable arguments)
+      fallback for unclassifiable arguments); under OVER the
+      coalesce wraps the windowed sum.
+
+    A FILTER-lowered argument (``CASE WHEN cond THEN col END``)
+    coerces the column in place, keeping the row filter — the
+    ``agg(col) FILTER (WHERE ...)`` composition over classed columns.
 
     DISTINCT arguments are left native: SQLite dedups the STORED
     values before coercing ('1abc' and '1xyz' are distinct but both
@@ -2331,34 +3026,68 @@ def rewrite_affinity_aggregates(stmt: str, classes: dict[str, str]) -> str:
             arg = stmt[m.end() : close - 1].strip()
             if re.match(r"^(distinct|all)\s", arg, re.IGNORECASE):
                 continue
+            fc = None
+            generic = False
             if not _AFF_IDENT_RE.match(arg):
-                continue
-            cls = classes.get(arg.split(".")[-1].lower())
-            if cls is None:
-                continue
-            if fn in ("sum", "avg") and cls not in (
-                "dynamic",
-                "text",
-                "none",
-            ):
-                continue
-            windowed = re.match(
-                r"\s*over\b", stmt[close:], re.IGNORECASE
-            )
-            c = _aff_sum_coerce_sql(arg, cls)
+                fc = _aff_filter_case_parts(arg)
+                if fc is None:
+                    # arbitrary argument expression: coerce its VALUE
+                    # generically (trim + numeric-prefix parse of the
+                    # canonical string rendering) when the expression
+                    # can produce text-class values — and for total()
+                    # ALWAYS, replacing the Pandas UDAF (which Spark
+                    # refuses to mix with JVM aggregates) with a
+                    # partial-aggregating JVM sum
+                    if fn != "total" and not _aff_expr_textish(
+                        arg, classes
+                    ):
+                        continue
+                    if _AFF_GENERIC_DONE_RE.match(arg):
+                        continue  # already rewritten
+                    generic = True
+            col = fc[1] if fc else arg
+            if generic:
+                cls = None
+            else:
+                cls = classes.get(col.split(".")[-1].lower())
+                if cls is None:
+                    continue
+                if fn in ("sum", "avg") and cls not in (
+                    "dynamic",
+                    "text",
+                    "none",
+                ):
+                    continue
+            win = _aff_window_suffix(stmt, close)
+            if generic:
+                ch = _parse_arith_chain(arg, classes)
+                if ch is not None:
+                    # arithmetic argument: coerce per OPERAND (the
+                    # outer value would be Spark's NULL-on-text)
+                    cv = f"({_arith_chain_coerced_sql(ch)})"
+                else:
+                    t = (
+                        f"regexp_replace(CAST(({arg}) AS STRING), "
+                        f"{_AFF_TRIM_PAT}, '')"
+                    )
+                    cv = (
+                        f"(CASE WHEN ({arg}) IS NULL THEN NULL "
+                        f"ELSE {_sqlite_num_prefix_sql(t)} END)"
+                    )
+            else:
+                cv = _aff_sum_coerce_sql(col, cls)
+            c = f"CASE WHEN {fc[0]} THEN {cv} END" if fc else cv
+            end = win[1] if win else close
+            w = win[0] if win else ""
             if fn == "sum":
                 if stmt[m.end() : close - 1].strip() == c:
                     continue  # already rewritten
-                repl = f"sum({c})"
+                repl = f"sum({c}){w}"
             elif fn == "avg":
-                if windowed:
-                    continue
-                repl = f"(sum({c}) / count({arg}))"
+                repl = f"(sum({c}){w} / count({arg}){w})"
             else:  # total
-                if windowed:
-                    continue
-                repl = f"coalesce(sum({c}), CAST(0 AS DOUBLE))"
-            stmt = stmt[: m.start()] + repl + stmt[close:]
+                repl = f"coalesce(sum({c}){w}, CAST(0 AS DOUBLE))"
+            stmt = stmt[: m.start()] + repl + stmt[end:]
             edited = True
             break
         if not edited:
@@ -2466,6 +3195,94 @@ def rewrite_affinity_casts(stmt: str, classes: dict[str, str]) -> str:
             break
         if not edited:
             return stmt
+
+
+def _select_items_span(stmt: str):
+    """(list_start, list_end, items) for a single-SELECT statement's
+    select list, or None (multiple SELECTs / no FROM / DISTINCT —
+    the documented single-SELECT scoping all item passes share)."""
+    spans = _string_spans(stmt)
+
+    def outside(i: int) -> bool:
+        return not any(s <= i < e for s, e in spans)
+
+    selects = [m for m in _SELECT_RE.finditer(stmt) if outside(m.start())]
+    if len(selects) != 1:
+        return None
+    clauses = _top_level_clauses(stmt)
+    from_c = next((c for c in clauses if c[0] == "from"), None)
+    if from_c is None:
+        return None
+    list_start, list_end = selects[0].end(), from_c[1]
+    dm = re.match(r"\s*distinct\b", stmt[list_start:list_end], re.IGNORECASE)
+    if dm:
+        # DISTINCT lists participate: every class rendering is
+        # value-bijective (ints bare, reals shortest-repr, text as
+        # stored), so string distinctness equals value distinctness —
+        # up to the documented int/real equal-value conflation
+        # (2 vs 2.0), which a single column or expression cannot
+        # produce (load canonicalization keeps one form per column)
+        list_start += dm.end()
+    items = _split_call_args("(" + stmt[list_start:list_end] + ")", 0)
+    if not items:
+        return None
+    return list_start, list_end, items
+
+
+_ITEM_ALIAS_RE = re.compile(
+    r"^\s*(?:as\s+)?([A-Za-z_][A-Za-z_0-9]*)\s*$", re.IGNORECASE
+)
+_REALAGG_ITEM_RE = re.compile(r"^\s*(avg|total)\s*\(", re.IGNORECASE)
+
+
+def _rewrite_real_class_items(
+    stmt: str, classes: dict[str, str]
+) -> tuple[str, dict[str, str]]:
+    """``avg(...)`` / ``total(...)`` select items ALWAYS carry SQLite
+    result class REAL (lang_aggfunc.html): ``total()`` of an empty
+    input renders '0.0', ``avg()`` over text-stored values renders
+    '0.0' — a bare Spark double would render through the integral-
+    collapse heuristic ('0').  Whole items (any argument, FILTER
+    already lowered, windowed or not) wrap in py_real_repr; the alias
+    registers as class 'dynamic' so ORDER BY on it keys numerically.
+    Probed against real SQLite in tests/test_cli_fuzz.py."""
+    span = _select_items_span(stmt)
+    if span is None:
+        return stmt, {}
+    list_start, list_end, items = span
+    out_items, extras, changed = [], {}, False
+    for item in items:
+        m = _REALAGG_ITEM_RE.match(item)
+        if m is None:
+            out_items.append(item)
+            continue
+        close = _match_paren_fwd(item, m.end() - 1)
+        win = _aff_window_suffix(item, close)
+        end = win[1] if win else close
+        rest = item[end:]
+        alias_m = _ITEM_ALIAS_RE.match(rest) if rest.strip() else None
+        if rest.strip() and alias_m is None:
+            out_items.append(item)  # part of a larger expression
+            continue
+        core = item[:end].strip()
+        body = f"py_real_repr(CAST({core} AS DOUBLE))"
+        if alias_m:
+            name = alias_m.group(1)
+            out_items.append(f"{body} AS {name}")
+            extras[name.lower()] = "dynamic"
+        else:
+            out_items.append(body)
+        changed = True
+    if not changed:
+        return stmt, {}
+    rebuilt = (
+        stmt[:list_start]
+        + " "
+        + ", ".join(i.strip() for i in out_items)
+        + " "
+        + stmt[list_end:]
+    )
+    return rebuilt, extras
 
 
 _AFF_CAST_ITEM_RE = re.compile(
@@ -2577,12 +3394,24 @@ def rewrite_affinity_semantics(stmt: str, classes: dict[str, str]) -> str:
     catalog (affinity.COLUMN_CLASSES, snapshotted by the CLI); a no-op
     when no affinity-typed tables are loaded."""
     stmt, cast_extra = _rewrite_cast_select_items(stmt, classes)
-    stmt = rewrite_affinity_casts(stmt, classes)
     if cast_extra:
         classes = {**classes, **cast_extra}
     if not classes:
-        return stmt
+        # raw SQLite type names (TEXT/NUMERIC) must always translate,
+        # even with no affinity-typed tables loaded
+        return rewrite_affinity_casts(stmt, classes)
     stmt, extra = _rewrite_sum_select_items(stmt, classes)
+    if extra:
+        classes = {**classes, **extra}
+    stmt, extra = _rewrite_real_class_items(stmt, classes)
+    if extra:
+        classes = {**classes, **extra}
+    stmt, extra = _rewrite_arith_class_items(stmt, classes)
+    if extra:
+        classes = {**classes, **extra}
+    # select-item aliases of classed columns inherit the class, so a
+    # later ORDER BY on the alias gets the storage-class key
+    extra = _collect_item_alias_classes(stmt, classes)
     if extra:
         classes = {**classes, **extra}
     stmt = rewrite_affinity_aggregates(stmt, classes)
@@ -2590,7 +3419,14 @@ def rewrite_affinity_semantics(stmt: str, classes: dict[str, str]) -> str:
     stmt = rewrite_affinity_order_by(stmt, classes)
     stmt = rewrite_affinity_between(stmt, classes)
     stmt = rewrite_affinity_in(stmt, classes)
-    return rewrite_affinity_comparisons(stmt, classes)
+    # comparisons classify RAW cast expressions (their affinity and
+    # value class), so the cast value-lowering runs after them and
+    # rewrites the casts inside any emitted keys
+    stmt = rewrite_affinity_comparisons(stmt, classes)
+    stmt = rewrite_affinity_casts(stmt, classes)
+    # last: remaining bare arithmetic over classed string columns gets
+    # its operand values coerced (the passes above consumed theirs)
+    return rewrite_affinity_arithmetic(stmt, classes)
 
 
 def rewrite_statement(
@@ -2617,9 +3453,20 @@ def rewrite_statement(
     stmt = rewrite_collate_nocase_comparison(stmt)
     stmt = rewrite_collate_nocase(stmt)
     stmt = rewrite_date_calls(stmt)
+    # window order keys get their storage-class keys BEFORE the GROUPS
+    # rewrite so dense_rank peer-ranking inherits the class order, and
+    # window-aggregate items get their result-class rendering so the
+    # GROUPS/EXCLUDE decomposition applies to each emitted branch
+    stmt = rewrite_affinity_window_order_by(stmt, classes or {})
+    stmt, win_extra = _rewrite_window_class_items(stmt, classes or {})
+    if win_extra:
+        classes = {**(classes or {}), **win_extra}
     stmt = rewrite_groups_frames(stmt)
     if columns:
         stmt = rewrite_double_quoted_idents(stmt, columns)
-    # last: the storage-class passes classify bare identifiers, so they
+    # the storage-class passes classify bare identifiers, so they
     # must see the double-quoted-ident resolution's output
-    return rewrite_affinity_semantics(stmt, classes or {})
+    stmt = rewrite_affinity_semantics(stmt, classes or {})
+    # last: any NOCASE marker no class-aware pass claimed lowers to
+    # the literal ASCII fold
+    return _strip_nocase(stmt)

@@ -1,0 +1,415 @@
+"""Composed-script differential fuzzer: random multi-feature SELECTs
+through the FULL pysqawk CLI vs real SQLite (stdlib sqlite3) on
+identically-loaded tables, stdout byte-compared.
+
+Every dialect feature is property-tested in isolation elsewhere
+(test_affinity_property, test_groups_property, test_filter_clause,
+...), but the reference's actual contract is arbitrary COMPOSED SQL
+evaluated verbatim (lib/classes/sqawk.tcl:216).  This harness
+generates compositions: mixed-affinity ``datatypes=`` tables x CAST x
+COLLATE NOCASE x aggregate FILTER x bare-column min/max x
+``LIMIT n, m`` x IS x GLOB/LIKE x window frames (ROWS, GROUPS and
+integer RANGE) x CASE, on top of storage-class WHERE / ORDER BY /
+GROUP BY semantics.
+
+Determinism (byte-compare must be well defined):
+
+- seeded rng (``SQAWK_FUZZ_SEED``, default 20240815) — any failure
+  replays exactly; the failure message carries the script index, the
+  SQL, the file content and both outputs.
+- every generated query carries a TOTAL order: plain/window queries
+  append ``anr`` as the final sort key; aggregate queries sort on the
+  group key, which is unique per group by construction (see the
+  affinity note below); DISTINCT queries sort on every output column.
+- numeric pools are small integers and dyadic rationals (k/8 .. k/2):
+  their double sums are EXACT at these magnitudes in any evaluation
+  order, so Spark's partial aggregation and SQLite's serial loop
+  produce bit-identical doubles, and both sides render reals via
+  shortest-repr (sqawk_spark/affinity.py module docstring).  Text
+  values never start with a digit, so SQLite's sum/avg coercion maps
+  them to exactly 0.
+- int/real equal-value group-key collisions (int 2 vs real 2.0, which
+  SQLite groups together with an order-dependent representative)
+  cannot arise: INTEGER/NUMERIC affinity converts every lossless real
+  text ('2.0') to an int, REAL affinity converts every int, and TEXT
+  affinity converts nothing, so a single column or single generated
+  expression never yields both storage classes at an equal value.
+
+Oracle-side loading replicates the reference's table builder
+(lib/classes/table.tcl:59-78): ``anr INTEGER PRIMARY KEY, anf
+INTEGER, a0 TEXT, a1..aN`` with declared datatypes (default INTEGER),
+missing trailing fields NULL.  Inserting Python ``str`` values lets
+real SQLite apply declared-type affinity exactly as Tcl's driver
+does, and rendering ``None -> ''``, ``int -> str``, ``float ->
+repr`` mirrors the awk serializer contract the affinity property
+suite pins.
+
+Run size: ``SQAWK_FUZZ_N`` (default 200 scripts) — the driver brief's
+minimum; set it lower while iterating locally.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import random
+import sqlite3
+
+import pytest
+
+import sqawk_spark.cli as cli
+
+SEED = int(os.environ.get("SQAWK_FUZZ_SEED", "20240815"))
+N_SCRIPTS = int(os.environ.get("SQAWK_FUZZ_N", "200"))
+
+# --- value pools ---------------------------------------------------------
+
+INT_TEXTS = ["0", "1", "3", "20", "001", "007", "-7", "42", "-15", "100"]
+# dyadic rationals only: exact in double arithmetic under any order
+REAL_TEXTS = ["1.5", "0.25", "2.75", "-0.5", "10.125", "3.5", "-2.25"]
+# never digit-prefixed: sum/avg coercion maps each to exactly 0
+TEXT_TEXTS = ["c", "x", "ab", "AB", "Abc", "zz", "Q", "ba", "aB", ""]
+DATATYPES = ["integer", "real", "text", "numeric", ""]
+
+STR_LITS = ["'ab'", "'AB'", "'c'", "'z'", "'2'", "''", "'Abc'"]
+NUM_LITS = ["0", "1", "2", "5", "-3", "20", "1.5", "0.25", "-0.5"]
+LIKE_PATS = ["%b%", "a%", "_b", "%5", "A%", "%2%", "__"]
+GLOB_PATS = ["*b*", "[abc]*", "?b", "2*", "*5", "[A-Z]*"]
+CMP_OPS = ["<", "<=", ">", ">=", "=", "<>"]
+
+
+def _field(rng: random.Random) -> str:
+    r = rng.random()
+    if r < 0.4:
+        return rng.choice(INT_TEXTS)
+    if r < 0.7:
+        return rng.choice(REAL_TEXTS)
+    return rng.choice(TEXT_TEXTS)
+
+
+def make_dataset(rng: random.Random) -> tuple[str, list[str]]:
+    """(file text, per-column datatypes).  3 columns, ragged tail rows."""
+    datatypes = [rng.choice(DATATYPES) for _ in range(3)]
+    lines = []
+    for _ in range(rng.randint(10, 24)):
+        nf = 3 if rng.random() < 0.85 else rng.randint(1, 2)
+        lines.append(",".join(_field(rng) for _ in range(nf)))
+    return "\n".join(lines) + "\n", datatypes
+
+
+# --- expression / predicate generators -----------------------------------
+
+COLS = ["a1", "a2", "a3", "anr", "anf"]
+INT_COLS = ["anr", "anf"]
+
+
+def col(rng: random.Random) -> str:
+    return rng.choice(COLS)
+
+
+def scalar(rng: random.Random, depth: int = 0) -> str:
+    r = rng.random()
+    if r < 0.35:
+        return col(rng)
+    if r < 0.55:
+        return f"cast({col(rng)} as {rng.choice(['integer', 'real', 'text', 'numeric'])})"
+    if r < 0.7:
+        return f"{col(rng)} {rng.choice(['+', '-', '*'])} {rng.randint(-3, 9)}"
+    if r < 0.8:
+        return rng.choice(NUM_LITS + STR_LITS)
+    if r < 0.9 and depth == 0:
+        return (
+            f"case when {pred(rng, 1)} then {scalar(rng, 1)} "
+            f"else {scalar(rng, 1)} end"
+        )
+    return col(rng)
+
+
+def pred(rng: random.Random, depth: int = 0) -> str:
+    r = rng.random()
+    if r < 0.3:
+        lhs = scalar(rng, 1) if rng.random() < 0.3 else col(rng)
+        return f"{lhs} {rng.choice(CMP_OPS)} {rng.choice(NUM_LITS + STR_LITS)}"
+    if r < 0.4:
+        return f"{col(rng)} is {rng.choice(['null', 'not null'])}"
+    if r < 0.48:
+        return f"{col(rng)} is {rng.choice(NUM_LITS + STR_LITS)}"
+    if r < 0.58:
+        return f"{col(rng)} like '{rng.choice(LIKE_PATS)}'"
+    if r < 0.68:
+        return f"{col(rng)} glob '{rng.choice(GLOB_PATS)}'"
+    if r < 0.78:
+        c, s = col(rng), rng.choice(STR_LITS)
+        if rng.random() < 0.5:
+            return f"{c} collate nocase {rng.choice(['=', '<>', '<', '>'])} {s}"
+        return f"{c} {rng.choice(['=', '<>'])} {s} collate nocase"
+    if depth >= 2:
+        return f"{col(rng)} {rng.choice(CMP_OPS)} {rng.choice(NUM_LITS)}"
+    a, b = pred(rng, depth + 1), pred(rng, depth + 1)
+    j = rng.choice(["and", "or"])
+    neg = "not " if rng.random() < 0.25 else ""
+    return f"{neg}({a} {j} {b})"
+
+
+def agg(rng: random.Random) -> str:
+    fn = rng.choice(["sum", "avg", "total", "min", "max", "count"])
+    arg = "*" if fn == "count" and rng.random() < 0.4 else scalar(rng, 1)
+    out = f"{fn}({arg})"
+    if rng.random() < 0.45:
+        out += f" filter (where {pred(rng, 1)})"
+    return out
+
+
+def limit_clause(rng: random.Random) -> str:
+    r = rng.random()
+    if r < 0.5:
+        return ""
+    n, m = rng.randint(0, 12), rng.randint(0, 5)
+    if r < 0.7:
+        return f" limit {n}"
+    if r < 0.85:
+        return f" limit {n}, {m}"
+    return f" limit {n} offset {m}"
+
+
+def order_key(rng: random.Random) -> str:
+    k = col(rng)
+    if rng.random() < 0.3:
+        k += " collate nocase"
+    if rng.random() < 0.4:
+        k += " desc"
+    return k
+
+
+# --- query shapes --------------------------------------------------------
+
+
+def q_plain(rng: random.Random) -> str:
+    items = ", ".join(
+        f"{scalar(rng)} as c{i}" for i in range(rng.randint(1, 3))
+    )
+    where = f" where {pred(rng)}" if rng.random() < 0.75 else ""
+    okeys = ", ".join(order_key(rng) for _ in range(rng.randint(1, 2)))
+    return (
+        f"select {items} from a{where} "
+        f"order by {okeys}, anr{limit_clause(rng)}"
+    )
+
+
+def q_distinct(rng: random.Random) -> str:
+    n = rng.randint(1, 2)
+    items = ", ".join(f"{scalar(rng)} as c{i}" for i in range(n))
+    okeys = ", ".join(f"c{i}" for i in range(n))
+    where = f" where {pred(rng)}" if rng.random() < 0.5 else ""
+    return (
+        f"select distinct {items} from a{where} "
+        f"order by {okeys}{limit_clause(rng)}"
+    )
+
+
+def q_agg(rng: random.Random) -> str:
+    g = col(rng) if rng.random() < 0.6 else f"cast({col(rng)} as text)"
+    aggs = ", ".join(
+        f"{agg(rng)} as s{i}" for i in range(rng.randint(1, 3))
+    )
+    where = f" where {pred(rng)}" if rng.random() < 0.5 else ""
+    having = (
+        f" having count(*) {rng.choice(['>=', '>'])} {rng.randint(1, 2)}"
+        if rng.random() < 0.35
+        else ""
+    )
+    desc = " desc" if rng.random() < 0.3 else ""
+    return (
+        f"select {g} as g, {aggs} from a{where} group by {g}{having} "
+        f"order by g{desc}{limit_clause(rng)}"
+    )
+
+
+def q_global_agg(rng: random.Random) -> str:
+    aggs = ", ".join(
+        f"{agg(rng)} as s{i}" for i in range(rng.randint(1, 4))
+    )
+    where = f" where {pred(rng)}" if rng.random() < 0.5 else ""
+    return f"select {aggs} from a{where}"
+
+
+def q_bare_minmax(rng: random.Random) -> str:
+    """SQLite bare-column semantics: with a single min/max aggregate the
+    other columns come from the winning row.  Aggregate over anr (unique
+    per row) so the winning row — and the byte output — is unique."""
+    fn = rng.choice(["min", "max"])
+    bare = ", ".join(
+        f"{col(rng)} as b{i}" for i in range(rng.randint(1, 2))
+    )
+    g = rng.choice(["a2", "a3", "anf"])
+    where = f" where {pred(rng)}" if rng.random() < 0.5 else ""
+    return (
+        f"select {g} as g, {fn}(anr) as m, {bare} from a{where} "
+        f"group by {g} order by g"
+    )
+
+
+ROWS_FRAMES = [
+    "rows between 1 preceding and current row",
+    "rows between 2 preceding and 1 following",
+    "rows between unbounded preceding and current row",
+    "rows between current row and 2 following",
+    "rows between unbounded preceding and unbounded following",
+]
+GROUPS_FRAMES = [
+    "groups between 1 preceding and current row",
+    "groups between 2 preceding and 1 following",
+    "groups between unbounded preceding and 1 following",
+    "groups between current row and unbounded following",
+]
+GROUPS_EXCLUDE = ["", "", " exclude current row", " exclude group", " exclude ties"]
+RANGE_FRAMES = [
+    "range between 2 preceding and current row",
+    "range between 1 preceding and 1 following",
+    "range between unbounded preceding and current row",
+]
+
+
+def q_window(rng: random.Random) -> str:
+    part = rng.choice(["", "partition by a2 ", "partition by anf "])
+    fn = rng.choice(["sum", "count", "min", "max", "avg"])
+    arg = scalar(rng, 1)
+    kind = rng.random()
+    if kind < 0.45:
+        k = f"{col(rng)}, anr"
+        frame = rng.choice(ROWS_FRAMES)
+    elif kind < 0.8:
+        k = col(rng)
+        frame = rng.choice(GROUPS_FRAMES) + rng.choice(GROUPS_EXCLUDE)
+    else:
+        k = rng.choice(INT_COLS)
+        frame = rng.choice(RANGE_FRAMES)
+    win = f"{fn}({arg}) over ({part}order by {k} {frame})"
+    where = f" where {pred(rng)}" if rng.random() < 0.5 else ""
+    return f"select anr, a1, {win} as w from a{where} order by anr"
+
+
+def q_ranking(rng: random.Random) -> str:
+    part = rng.choice(["", "partition by anf "])
+    k = order_key(rng)
+    fn = rng.choice(
+        [
+            f"rank() over ({part}order by {k})",
+            f"dense_rank() over ({part}order by {k})",
+            f"row_number() over ({part}order by {k}, anr)",
+            f"ntile(3) over ({part}order by {k}, anr)",
+            f"lead(a1) over ({part}order by {k}, anr)",
+            f"lag(a1, 2) over ({part}order by {k}, anr)",
+        ]
+    )
+    where = f" where {pred(rng)}" if rng.random() < 0.4 else ""
+    return f"select anr, a1, {fn} as w from a{where} order by anr"
+
+
+SHAPES = [
+    (q_plain, 5),
+    (q_distinct, 2),
+    (q_agg, 4),
+    (q_global_agg, 2),
+    (q_bare_minmax, 2),
+    (q_window, 4),
+    (q_ranking, 2),
+]
+SHAPE_POOL = [fn for fn, w in SHAPES for _ in range(w)]
+
+
+# --- oracle: real SQLite on an identically-loaded table ------------------
+
+
+def load_sqlite(text: str, datatypes: list[str]) -> sqlite3.Connection:
+    con = sqlite3.connect(":memory:")
+    decls = [
+        f"a{i + 1} {datatypes[i].upper() if datatypes[i] else 'INTEGER'}"
+        for i in range(3)
+    ]
+    con.execute(
+        "create table a (anr INTEGER PRIMARY KEY, anf INTEGER, a0 TEXT, "
+        + ", ".join(decls)
+        + ")"
+    )
+    for nr, line in enumerate(text.splitlines(), start=1):
+        fields = line.split(",")
+        row = [nr, len(fields), line] + [
+            fields[i] if i < len(fields) else None for i in range(3)
+        ]
+        con.execute("insert into a values (?,?,?,?,?,?)", row)
+    return con
+
+
+def render_sqlite(rows) -> str:
+    out_lines = []
+    for row in rows:
+        cells = []
+        for v in row:
+            if v is None:
+                cells.append("")
+            elif isinstance(v, float):
+                cells.append(repr(v))
+            else:
+                cells.append(str(v))
+        out_lines.append(" ".join(cells))
+    return "\n".join(out_lines)
+
+
+def run_cli(argv: list[str]) -> str:
+    out = io.StringIO()
+    rc = cli.run(argv, out=out)
+    assert rc == 0, f"CLI failed rc={rc} argv={argv}"
+    got = out.getvalue()
+    return got[:-1] if got.endswith("\n") else got
+
+
+# --- the harness ---------------------------------------------------------
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _warm_session(spark):
+    yield
+
+
+def _run_batch(rng: random.Random, n: int, tmp_path, start: int = 0):
+    """Generate n scripts; each dataset serves a handful of queries."""
+    i = start
+    failures = []
+    while i < start + n:
+        text, datatypes = make_dataset(rng)
+        f = tmp_path / f"fuzz_{i}.csv"
+        f.write_text(text)
+        dt_opt = "datatypes=" + ",".join(t or "integer" for t in datatypes)
+        con = load_sqlite(text, datatypes)
+        for _ in range(min(8, start + n - i)):
+            sql = rng.choice(SHAPE_POOL)(rng)
+            want = render_sqlite(con.execute(sql).fetchall())
+            try:
+                got = run_cli(["-FS", ",", sql, dt_opt, str(f)])
+            except Exception as exc:  # noqa: BLE001 — collect, then fail
+                got = f"<EXCEPTION: {type(exc).__name__}: {str(exc)[:300]}>"
+            if got != want:
+                failures.append(
+                    f"--- script {i} (seed {SEED}) ---\n"
+                    f"sql: {sql}\ndatatypes: {datatypes}\n"
+                    f"file:\n{text}"
+                    f"sqlite:\n{want!r}\npysqawk:\n{got!r}\n"
+                )
+            i += 1
+        con.close()
+    if failures:
+        import pathlib
+        import tempfile
+
+        dump = pathlib.Path(tempfile.gettempdir()) / "sqawk_fuzz_failures.txt"
+        dump.write_text("\n".join(failures))
+        raise AssertionError(
+            f"{len(failures)} divergence(s) (full dump: {dump}):\n"
+            + "\n".join(failures[:3])
+        )
+
+
+def test_cli_fuzz_composed(tmp_path):
+    rng = random.Random(SEED)
+    _run_batch(rng, N_SCRIPTS, tmp_path)

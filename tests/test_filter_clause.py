@@ -281,18 +281,25 @@ def test_collate_nocase_comparison_vs_sqlite(spark):
 
 
 def test_collate_nocase_comparison_string_forms():
-    from sqawk_spark.dialect import rewrite_collate_nocase_comparison as r
+    # the comparison pass emits NOCASE markers; with no classed
+    # columns the full pipeline strips them to the ASCII translate
+    from sqawk_spark.dialect import (
+        rewrite_collate_nocase_comparison as r,
+        rewrite_statement,
+    )
 
     U = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
     L = "abcdefghijklmnopqrstuvwxyz"
     assert (
-        r("select * from t where a = b collate nocase")
+        rewrite_statement("select * from t where a = b collate nocase")
         == f"select * from t where  translate(a, '{U}', '{L}')"
         f" = translate(b, '{U}', '{L}')"
     )
     # LHS-attached; function-call operand on the right
     assert (
-        r("select * from t where a collate nocase = trim(b)")
+        rewrite_statement(
+            "select * from t where a collate nocase = trim(b)"
+        )
         == f"select * from t where  translate(a, '{U}', '{L}')"
         f" = translate(trim(b), '{U}', '{L}')"
     )
