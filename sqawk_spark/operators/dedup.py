@@ -805,7 +805,10 @@ def dedup_clusters(
 
 
 def _connected_components(
-    spark: SparkSession, pairs: DataFrame, driver_limit: int
+    spark: SparkSession,
+    pairs: DataFrame,
+    driver_limit: int,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Resolve a (doc_a, doc_b) edge list into connected components:
     (doc_id, canonical_doc_id, cluster_size), canonical = component
@@ -857,6 +860,13 @@ def _connected_components(
         .persist()
     )
     cached = labels  # the persisted plan the current `labels` rides on
+    if stats is not None:
+        # plan-pin instrumentation (tests/test_extensions.py): rounds
+        # until convergence and per-round Exchange count — a growing
+        # count would mean the cache is broken and each round re-runs
+        # the whole lineage
+        stats["rounds"] = 0
+        stats["exchanges"] = []
 
     for _ in range(20):
         neighbor_min = (
@@ -881,6 +891,10 @@ def _connected_components(
         # round's cache is released — unpersisting new_labels itself
         # would silently re-execute the whole lineage every round
         changed = new_labels.filter(F.col("changed")).limit(1).count()
+        if stats is not None:
+            stats["rounds"] += 1
+            plan = new_labels._jdf.queryExecution().executedPlan().toString()
+            stats["exchanges"].append(plan.count("Exchange"))
         cached.unpersist()
         cached = new_labels
         labels = new_labels.select("node", "label")

@@ -97,6 +97,51 @@ def test_dedup_clusters_invariants(spark, sf_dir):
     }
 
 
+def test_cc_distributed_path_at_bench_scale(spark):
+    """The min-label-propagation fallback exercised at sf0.1 (the
+    bench scale), not just the tiny fixture SF: forced via
+    driver_limit=0 it must equal the driver union-find exactly, AND
+    the plan must hold its shape round over round —
+
+    - rounds <= a shallow diameter bound (near-dup clusters are tiny
+      cliques; a growing chain would mean the pair generator leaks),
+    - the per-round Exchange count is CONSTANT after the first round:
+      each round's join reads the PREVIOUS round's persisted labels,
+      so a growing count would mean the cache is broken and round N
+      re-executes the whole lineage (the quadratic-work failure mode
+      at 100 TB),
+    - the driver sees only the changed-row count (limit(1).count() in
+      the loop; asserted structurally by the rounds counter matching
+      the loop iterations)."""
+    import os
+
+    from sqawk_spark.operators.dedup import (
+        _connected_components,
+        _jaccard_pairs,
+        dedup_clusters,
+    )
+
+    sf_dir = os.environ.get("SQAWK_CC_SF_DIR", "/root/testdata/sf0.1")
+    base = {
+        (r.doc_id, r.canonical_doc_id, r.cluster_size)
+        for r in dedup_clusters(spark, sf_dir).collect()
+    }
+    assert base, "sf0.1 corpus contains near-dups"
+    pairs = _jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    stats: dict = {}
+    dist = {
+        (r.doc_id, r.canonical_doc_id, r.cluster_size)
+        for r in _connected_components(spark, pairs, 0, stats=stats).collect()
+    }
+    assert dist == base
+    # +1: convergence is detected one round after the last change
+    assert 1 <= stats["rounds"] <= 8, stats
+    tail = stats["exchanges"][1:]
+    assert all(e == tail[0] for e in tail), (
+        f"per-round Exchange count grew — broken cache: {stats}"
+    )
+
+
 def test_ann_ivf_recall_vs_brute_force(spark, sf_dir):
     """IVF with query-side probing (6 of 16 cells) AND corpus-side
     multi-assignment (each vector indexed under its 2 nearest cells)
