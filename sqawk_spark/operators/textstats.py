@@ -2340,3 +2340,309 @@ def text_length_percentiles_by_lang(
             F.when(4 * F.col("cc") >= 3 * F.col("n"), F.col("n_chars"))
         ).cast("long").alias("p75"),
     )
+
+
+# ---------------------------------------------------------------------
+# Unigram-LM (SentencePiece-style) tokenizer training — the OTHER
+# tokenizer-training algorithm production pipelines run (Kudo 2018),
+# sibling of text_bpe_learn (reference scope: sqawk evaluates scripts
+# verbatim, lib/classes/sqawk.tcl:216; this is extension surface).
+#
+# Deterministic hard-EM variant, engineered for oracle parity:
+# - seed vocabulary: every substring of length 1..4 of the word-freq
+#   table, all single characters kept, top-N multi-character pieces
+#   by (freq DESC, piece ASC);
+# - E-step: VITERBI segmentation of each word under integer MICRONAT
+#   piece costs (floor(-ln(cnt/total)*1e6 + 0.5) — ln() is bit-equal
+#   between CPython and DuckDB, probed; explicit floor(+0.5) dodges
+#   the banker's-rounding mismatch), ties broken toward the SHORTEST
+#   piece ending at each position (CASE order, identical both sides);
+# - M-step: piece counts = freq-weighted piece occurrences in the
+#   best segmentations; unused multi-char pieces are pruned, single
+#   characters persist with a count floor of 1 (SentencePiece keeps
+#   required characters), costs recomputed from the new counts.
+#
+# Spark execution: the corpus collapses ONCE to the word-frequency
+# table (same move as BPE); each round is one scan of that table —
+# the DP and the backwalk are pure JVM `aggregate` folds over a
+# broadcast cost-map literal (vocab ≤ ~90 entries, collected per
+# round: bounded driver traffic like BPE's one-row-per-round).  At
+# 100 TB the corpus scan happens once and rounds cost O(|words|).
+#
+# Oracle: the SAME rounds unrolled in DuckDB — the DP as a recursive
+# CTE carrying a sliding 4-slot window of dp values, the backwalk as
+# a second recursive CTE re-deriving each step's piece from the dp
+# equality, counts as plain aggregation.  Output is all-integer
+# (rank, piece, cnt): no float ever crosses the comparison boundary.
+
+UNIGRAM_ROUNDS = 2
+UNIGRAM_SEED_MULTI = 40
+UNIGRAM_MAX_PIECE = 4
+UNIGRAM_MAX_WORD = 12
+UNIGRAM_INF = 10**12
+
+
+def _unigram_cost_map_sql(costs: dict[str, int]) -> str:
+    esc = lambda s: s.replace("\\", "\\\\").replace("'", "\\'")  # noqa: E731
+    pairs = ", ".join(
+        f"'{esc(p)}', {c}L" for p, c in sorted(costs.items())
+    )
+    return f"map({pairs})"
+
+
+def _unigram_dp_sql(m: str) -> str:
+    """dp array fold: dp[0]=0; dp[j] = min over piece length k of
+    dp[j-k] + cost(piece ending at j); missing pieces cost INF."""
+    branches = []
+    for k in range(1, UNIGRAM_MAX_PIECE + 1):
+        start = f"cast(j as int) - {k} + 1"
+        branches.append(
+            f"IF(j >= {k}, element_at(acc, {start}) + "
+            f"coalesce(element_at({m}, substring(w, {start}, {k})), "
+            f"{UNIGRAM_INF}L), {UNIGRAM_INF}L)"
+        )
+    return (
+        "aggregate(sequence(1, length(w)), array(0L), "
+        f"(acc, j) -> concat(acc, array(least({', '.join(branches)}))))"
+    )
+
+
+def _unigram_walk_sql(m: str) -> str:
+    """Backwalk fold over the dp column: at position j pick the
+    SHORTEST piece length k whose cost closes the dp equality, emit
+    the piece, step to j-k.  CASE order = the tie-break."""
+    whens = []
+    for k in range(1, UNIGRAM_MAX_PIECE + 1):
+        piece = f"substring(w, s.j - {k} + 1, {k})"
+        cond = (
+            f"s.j >= {k} AND element_at(dp, s.j - {k} + 1) + "
+            f"coalesce(element_at({m}, {piece}), {UNIGRAM_INF}L) "
+            f"= element_at(dp, s.j + 1)"
+        )
+        whens.append(
+            f"WHEN {cond} THEN named_struct('j', s.j - {k}, "
+            f"'parts', concat(array({piece}), s.parts))"
+        )
+    return (
+        "aggregate(sequence(1, length(w)), "
+        "named_struct('j', cast(length(w) as int), "
+        "'parts', cast(array() as array<string>)), "
+        f"(s, x) -> IF(s.j <= 0, s, CASE {' '.join(whens)} "
+        "ELSE named_struct('j', 0, 'parts', s.parts) END)"
+        ").parts"
+    )
+
+
+def _unigram_final_counts(words: DataFrame) -> list[tuple[str, int]]:
+    """Run the seed + UNIGRAM_ROUNDS hard-EM rounds; return the final
+    round's (piece, freq-weighted count) list."""
+    import math
+
+    words = words.localCheckpoint(eager=True)
+    subs_expr = (
+        "flatten(transform(sequence(1, length(w)), i -> "
+        f"filter(transform(sequence(1, {UNIGRAM_MAX_PIECE}), l -> "
+        "IF(cast(i as int) + cast(l as int) - 1 <= length(w), "
+        "substring(w, cast(i as int), cast(l as int)), NULL)), "
+        "x -> x IS NOT NULL)))"
+    )
+    seed = (
+        words.select("freq", F.explode(F.expr(subs_expr)).alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("freq").alias("cnt"))
+        .collect()
+    )
+    singles = {r["piece"]: int(r["cnt"]) for r in seed if len(r["piece"]) == 1}
+    multis = sorted(
+        (r for r in seed if len(r["piece"]) > 1),
+        key=lambda r: (-int(r["cnt"]), r["piece"]),
+    )[:UNIGRAM_SEED_MULTI]
+    vocab = dict(singles)
+    vocab.update({r["piece"]: int(r["cnt"]) for r in multis})
+
+    counts: dict[str, int] = {}
+    for _ in range(UNIGRAM_ROUNDS):
+        total = float(sum(vocab.values()))
+        costs = {
+            p: int(math.floor(-math.log(c / total) * 1e6 + 0.5))
+            for p, c in vocab.items()
+        }
+        m = _unigram_cost_map_sql(costs)
+        seg = words.select(
+            "w", "freq", F.expr(_unigram_dp_sql(m)).alias("dp")
+        )
+        parts = seg.select(
+            "freq", F.explode(F.expr(_unigram_walk_sql(m))).alias("piece")
+        )
+        counts = {
+            r["piece"]: int(r["cnt"])
+            for r in parts.groupBy("piece")
+            .agg(F.sum("freq").alias("cnt"))
+            .collect()
+        }
+        vocab = dict(counts)
+        for ch in singles:
+            vocab.setdefault(ch, 1)
+    return sorted(counts.items(), key=lambda pc: (-pc[1], pc[0]))
+
+
+def _unigram_dp_round_sql(r: int) -> str:
+    """One round's DP + backwalk + counts as DuckDB CTE text."""
+    inf = UNIGRAM_INF
+    # dp/walk lookups as LEFT JOINs (x.-qualified dp fields — a bare
+    # d0 would resolve against this select item's own `AS d0` alias;
+    # correlated scalar subqueries inside DuckDB recursive terms
+    # proved unreliable over the materialized chain, joins are exact)
+    dp_branches = [f"coalesce(x.d0 + c1.cost, {inf})"]
+    dp_joins = [
+        f"LEFT JOIN costs{r} c1 ON c1.piece = substr(x.w, x.j + 1, 1)"
+    ]
+    for k in range(2, UNIGRAM_MAX_PIECE + 1):
+        dp_branches.append(
+            f"CASE WHEN x.j >= {k - 1} THEN "
+            f"coalesce(x.d{k - 1} + c{k}.cost, {inf}) "
+            f"ELSE {inf} END"
+        )
+        dp_joins.append(
+            f"LEFT JOIN costs{r} c{k} ON c{k}.piece = "
+            f"substr(x.w, x.j + 2 - {k}, {k})"
+        )
+    dp_step = ",\n             ".join(dp_branches)
+    walk_whens, walk_joins = [], [
+        f"LEFT JOIN dpfull{r} f0 ON f0.w = x.w AND f0.j = x.j"
+    ]
+    for k in range(1, UNIGRAM_MAX_PIECE + 1):
+        walk_whens.append(
+            f"WHEN x.j >= {k} AND "
+            f"f{k}.d + coalesce(c{k}.cost, {inf}) = f0.d THEN {k}"
+        )
+        walk_joins.append(
+            f"LEFT JOIN dpfull{r} f{k} ON f{k}.w = x.w "
+            f"AND f{k}.j = x.j - {k}"
+        )
+        walk_joins.append(
+            f"LEFT JOIN costs{r} c{k} ON c{k}.piece = "
+            f"substr(x.w, x.j - {k} + 1, {k})"
+        )
+    walk_case = " ".join(walk_whens)
+    nl = "\n    "
+    return f"""
+dp{r} AS (
+  SELECT w, freq, 0 AS j, CAST(0 AS BIGINT) AS d0,
+         CAST({inf} AS BIGINT) AS d1, CAST({inf} AS BIGINT) AS d2,
+         CAST({inf} AS BIGINT) AS d3
+  FROM words
+  UNION ALL
+  SELECT x.w, x.freq, x.j + 1,
+         least({dp_step}) AS d0,
+         x.d0 AS d1, x.d1 AS d2, x.d2 AS d3
+  FROM dp{r} x
+  {nl.join(dp_joins)}
+  WHERE x.j < len(x.w)
+),
+dpfull{r} AS MATERIALIZED (SELECT w, j, d0 AS d FROM dp{r}),
+walk{r} AS (
+  SELECT w, freq, len(w) AS j, CAST(NULL AS VARCHAR) AS piece
+  FROM words
+  UNION ALL
+  SELECT s.w, s.freq, s.j - s.k,
+         substr(s.w, s.j - s.k + 1, s.k) AS piece
+  FROM (
+    SELECT x.w, x.freq, x.j,
+           CASE {walk_case} END AS k
+    FROM walk{r} x
+    {nl.join(walk_joins)}
+    WHERE x.j > 0
+  ) s
+  WHERE s.k IS NOT NULL
+),
+counts{r} AS MATERIALIZED (
+  SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt
+  FROM walk{r} WHERE piece IS NOT NULL GROUP BY piece
+)"""
+
+
+def _unigram_oracle_sql() -> str:
+    inf = UNIGRAM_INF
+    rounds, links = [], []
+    for r in range(1, UNIGRAM_ROUNDS + 1):
+        if r == 1:
+            links.append("""
+vocab1 AS MATERIALIZED (
+  SELECT piece, cnt FROM singles
+  UNION ALL
+  SELECT piece, cnt FROM multis
+)""")
+        else:
+            links.append(f"""
+vocab{r} AS MATERIALIZED (
+  SELECT piece, cnt FROM counts{r - 1}
+  UNION ALL
+  SELECT s.piece, CAST(1 AS BIGINT) AS cnt FROM singles s
+  WHERE s.piece NOT IN (SELECT piece FROM counts{r - 1})
+)""")
+        links.append(f"""
+costs{r} AS MATERIALIZED (
+  SELECT piece,
+         CAST(floor(-ln(CAST(cnt AS DOUBLE) /
+              (SELECT CAST(sum(cnt) AS DOUBLE) FROM vocab{r}))
+              * 1000000 + 0.5) AS BIGINT) AS cost
+  FROM vocab{r}
+)""")
+        rounds.append(_unigram_dp_round_sql(r))
+    body = ",".join(links[:2]) + "," + rounds[0]
+    for r in range(2, UNIGRAM_ROUNDS + 1):
+        body += "," + ",".join(links[2 * r - 2 : 2 * r]) + "," + rounds[r - 1]
+    last = UNIGRAM_ROUNDS
+    return f"""
+WITH RECURSIVE
+toks AS MATERIALIZED (
+  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+  FROM documents
+),
+words AS MATERIALIZED (
+  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM toks
+  WHERE len(w) BETWEEN 1 AND {UNIGRAM_MAX_WORD} GROUP BY w
+),
+seedsub AS MATERIALIZED (
+  SELECT substr(w, CAST(i AS INT), CAST(l AS INT)) AS piece,
+         CAST(sum(freq) AS BIGINT) AS cnt
+  FROM words,
+       unnest(range(1, len(w) + 1)) AS ti(i),
+       unnest(range(1, {UNIGRAM_MAX_PIECE + 1})) AS tl(l)
+  WHERE i + l - 1 <= len(w)
+  GROUP BY 1
+),
+singles AS MATERIALIZED (SELECT piece, cnt FROM seedsub WHERE len(piece) = 1),
+multis AS MATERIALIZED (
+  SELECT piece, cnt FROM seedsub WHERE len(piece) > 1
+  ORDER BY cnt DESC, piece LIMIT {UNIGRAM_SEED_MULTI}
+),{body}
+SELECT CAST(row_number() OVER (ORDER BY cnt DESC, piece) AS INT) AS rank,
+       piece, cnt
+FROM counts{last}
+ORDER BY rank
+"""
+
+
+@query("text_unigram_lm_learn", oracle=_unigram_oracle_sql())
+def text_unigram_lm_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) tokenizer-vocabulary training:
+    deterministic hard-EM — Viterbi E-step over integer micronat piece
+    costs, count M-step with single-character floor, multi-char
+    pruning (see the section comment above for the full spec and the
+    100 TB rationale).  Output: the final round's piece table,
+    all-integer, ranked by (count DESC, piece ASC)."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    words = (
+        t["documents"]
+        .select(F.explode(_tokens()).alias("w"))
+        .filter(
+            (F.length("w") >= 1) & (F.length("w") <= UNIGRAM_MAX_WORD)
+        )
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    ranked = _unigram_final_counts(words)
+    rows = [(i + 1, p, c) for i, (p, c) in enumerate(ranked)]
+    return spark.createDataFrame(rows, "rank int, piece string, cnt long")
