@@ -74,27 +74,9 @@ def _match_paren_fwd(s: str, i: int) -> int:
     return n
 
 
-def _operand_fwd(s: str, i: int) -> int:
-    """End index of one primary expression starting at s[i]."""
-    i = _skip_ws(s, i)
-    n = len(s)
-    if i >= n:
-        return i
-    c = s[i]
-    if c in "'\"`":
-        return _scan_string(s, i)
-    if c == "(":
-        return _match_paren_fwd(s, i)
-    if c in "+-":  # signed number
-        return _operand_fwd(s, i + 1)
-    j = i
-    while j < n and _IDENT.match(s[j]):
-        j += 1
-    # function call?
-    k = _skip_ws(s, j)
-    if k < n and s[k] == "(" and j > i:
-        return _match_paren_fwd(s, k)
-    return j
+# (the canonical _operand_fwd lives below, next to _operand_back —
+# keywords-aware and call-consuming; a second simpler definition here
+# once shadowed it and silently broke signed-operand parsing)
 
 
 def _string_spans(s: str) -> list[tuple[int, int]]:
@@ -601,6 +583,9 @@ def _operand_fwd(s: str, i: int) -> int:
         return j + 1
     if c == "(":
         return min(_match_paren_fwd(s, j), len(s))
+    if c in "+-":  # unary sign: the operand continues after it
+        e = _operand_fwd(s, j + 1)
+        return e if e > j + 1 else j
     k = j
     while k < len(s) and (_IDENT.match(s[k]) or s[k] == "."):
         k += 1
@@ -975,6 +960,15 @@ def _top_level_clauses(stmt: str) -> list[tuple[str, int, int]]:
                 for name, rex in _CLAUSE_RES:
                     m = rex.match(stmt, i)
                     if m:
+                        # 'FROM' inside IS [NOT] DISTINCT FROM is an
+                        # operator token, not the statement clause
+                        if name == "from" and re.search(
+                            r"\bdistinct\s*$",
+                            stmt[max(0, i - 12) : i],
+                            re.IGNORECASE,
+                        ):
+                            i = m.end()
+                            break
                         found.append((name, m.start(), m.end()))
                         i = m.end()
                         break
@@ -2021,6 +2015,9 @@ def _aff_key_sql(d: tuple[str, str], sqltext: str, fold: bool = False) -> str:
 
 
 _AFF_CMP_SCAN_RE = re.compile(r"<=>|->>|->|<<|>>|==|!=|<>|<=|>=|=|<|>")
+_AFF_ISDF_RE = re.compile(
+    r"\bIS\s+(NOT\s+)?DISTINCT\s+FROM\b", re.IGNORECASE
+)
 
 
 def rewrite_affinity_comparisons(
@@ -2031,6 +2028,42 @@ def rewrite_affinity_comparisons(
     coercion. Right-to-left so earlier spans stay valid; anything
     adjacent to a tighter-binding operator is left verbatim
     (:func:`_compound_context` — a fragment rewrite would regroup)."""
+    # SQLite IS <expr> applies the SAME affinity/class comparison as
+    # '=' plus null-safety (lang_expr.html); the IS rewrite lowered it
+    # to Spark's [NOT] DISTINCT FROM, so key those operands too
+    isdf = [
+        m
+        for m in _AFF_ISDF_RE.finditer(stmt)
+        if not _in_quotes(stmt, m.start())
+    ]
+    for m in reversed(isdf):
+        ls = _operand_back(stmt, m.start())
+        lhs = stmt[ls : m.start()].strip()
+        rend = _operand_fwd(stmt, m.end())
+        rhs = stmt[m.end() : rend].strip()
+        if not lhs or not rhs or _compound_context(stmt, ls, rend):
+            continue
+        ld = _aff_classify(lhs, classes)
+        rd = _aff_classify(rhs, classes)
+        if ld is None or rd is None:
+            continue
+        if ld[0] not in ("col", "agg") and rd[0] not in ("col", "agg"):
+            continue
+        ld2, rd2 = _aff_treatments(ld, rd)
+        if ld2 == ld and rd2 == rd:
+            la, ra = _aff_always(ld), _aff_always(rd)
+            if la == ra and la is not None:
+                continue
+        lkey = _aff_key_sql(ld2, lhs)
+        rkey = _aff_key_sql(rd2, rhs)
+        eq = f"({lkey} <=> {rkey})"
+        neg = m.group(1) is None  # IS DISTINCT FROM == inequality
+        stmt = (
+            stmt[:ls]
+            + (f" NOT {eq} " if neg else f" {eq} ")
+            + stmt[rend:]
+        )
+
     matches = [
         m
         for m in _AFF_CMP_SCAN_RE.finditer(stmt)
@@ -2655,6 +2688,110 @@ def _arith_chain_coerced_sql(chain) -> str:
     return " ".join(parts)
 
 
+def _arith_chain_class_body(chain) -> tuple[str, str] | None:
+    """(rendered-string SQL, class) for a parsed arithmetic chain, or
+    None when the native lowering is already class-exact."""
+    tokens, ops = chain
+    tests = [_arith_tok_int_test(tok, d) for _, tok, d in tokens]
+    dyn_tests = [t for t in tests if isinstance(t, str)]
+    ec = _arith_chain_coerced_sql(chain)
+    if any(t is False for t in tests):
+        return (
+            f"CASE WHEN ({ec}) IS NULL THEN CAST(NULL AS STRING) "
+            f"ELSE py_real_repr(CAST(({ec}) AS DOUBLE)) END",
+            "dynamic",
+        )
+    if dyn_tests:
+        p = " AND ".join(dyn_tests)
+        return (
+            f"CASE WHEN ({ec}) IS NULL THEN CAST(NULL AS STRING) "
+            f"WHEN {p} THEN "
+            f"CAST(CAST(({ec}) AS BIGINT) AS STRING) "
+            f"ELSE py_real_repr(CAST(({ec}) AS DOUBLE)) END",
+            "dynamic",
+        )
+    if "/" in ops:
+        # all-integer with division: SQLite truncates toward zero
+        return f"CAST(({ec}) AS BIGINT)", "long"
+    return None
+
+
+_CASE_ITEM_RE = re.compile(
+    r"^\s*case\s+when\s+(.+?)\s+then\s+(.+?)\s+else\s+(.+?)\s+end"
+    r"(?:\s+(?:as\s+)?([A-Za-z_][A-Za-z_0-9]*))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _rewrite_case_class_item(
+    item: str, classes: dict[str, str]
+) -> tuple[str, str | None] | None:
+    """``CASE WHEN cond THEN X ELSE Y END`` select items where a
+    branch is an arithmetic chain: SQLite's CASE result is DYNAMIC
+    (each row keeps its branch's value class), but Spark coerces the
+    branches to one type — a string THEN with a numeric ELSE turns
+    0 into '0.0'.  Render every branch as its class-exact STRING: the
+    chain branches get the per-value int/real encoding, numeric
+    literals and long columns their canonical integer rendering, and
+    string-stored columns pass through.  Returns (body, alias), or
+    None when the item is not such a CASE (or no branch needs it)."""
+    m = _CASE_ITEM_RE.match(item)
+    if m is None:
+        return None
+    cond, then_b, else_b, alias = m.groups()
+    encs, any_chain = [], False
+    for b in (then_b.strip(), else_b.strip()):
+        chain = _parse_arith_chain(b, classes)
+        if chain is not None:
+            cb = _arith_chain_class_body(chain)
+            if cb is None:  # native-exact (all-int, no division)
+                encs.append(f"CAST(({b}) AS STRING)")
+            else:
+                encs.append(f"({cb[0]})")
+            any_chain = True
+            continue
+        cm = _AFF_CAST_ITEM_RE.match(b)
+        if cm is not None:
+            from sqawk_spark.affinity import normalize_affinity
+
+            aff = normalize_affinity(cm.group(2))
+            if aff in ("real", "numeric"):
+                encs.append(
+                    f"({_cast_class_body(cm.group(1), aff, classes)})"
+                )
+                any_chain = True
+                continue
+            # INTEGER/TEXT casts render class-exact natively once
+            # stringified (int casts lower to BIGINT, text to STRING)
+            encs.append(f"CAST(({b}) AS STRING)")
+            continue
+        d = _aff_classify(b, classes)
+        if d is None:
+            return None
+        kind, val = d
+        if kind == "col":
+            encs.append(
+                b if val in ("dynamic", "text", "none")
+                else f"CAST({b} AS STRING)"
+            )
+        elif kind == "strlit":
+            encs.append(b)
+        elif kind == "numlit":
+            t = val.strip()
+            if _ARITH_INT_FORM_RE.match(t):
+                encs.append(f"'{int(t)}'")
+            else:
+                encs.append(f"'{repr(float(t))}'")
+        else:
+            return None
+    if not any_chain:
+        return None  # Spark's own string coercion already matches
+    body = (
+        f"CASE WHEN {cond} THEN {encs[0]} ELSE {encs[1]} END"
+    )
+    return body, alias
+
+
 def _rewrite_arith_class_items(
     stmt: str, classes: dict[str, str]
 ) -> tuple[str, dict[str, str]]:
@@ -2669,6 +2806,16 @@ def _rewrite_arith_class_items(
     list_start, list_end, items = span
     out_items, extras, changed = [], {}, False
     for item in items:
+        case_r = _rewrite_case_class_item(item, classes)
+        if case_r is not None:
+            body, alias = case_r
+            if alias:
+                out_items.append(f"{body} AS {alias}")
+                extras[alias.lower()] = "dynamic"
+            else:
+                out_items.append(body)
+            changed = True
+            continue
         alias = None
         chain = _parse_arith_chain(item, classes)
         if chain is None:
@@ -2683,32 +2830,11 @@ def _rewrite_arith_class_items(
         if chain is None:
             out_items.append(item)
             continue
-        tokens, ops = chain
-        tests = [_arith_tok_int_test(tok, d) for _, tok, d in tokens]
-        dyn_tests = [t for t in tests if isinstance(t, str)]
-        ec = _arith_chain_coerced_sql(chain)
-        if any(t is False for t in tests):
-            body = (
-                f"CASE WHEN ({ec}) IS NULL THEN CAST(NULL AS STRING) "
-                f"ELSE py_real_repr(CAST(({ec}) AS DOUBLE)) END"
-            )
-            cls = "dynamic"
-        elif dyn_tests:
-            p = " AND ".join(dyn_tests)
-            body = (
-                f"CASE WHEN ({ec}) IS NULL THEN CAST(NULL AS STRING) "
-                f"WHEN {p} THEN "
-                f"CAST(CAST(({ec}) AS BIGINT) AS STRING) "
-                f"ELSE py_real_repr(CAST(({ec}) AS DOUBLE)) END"
-            )
-            cls = "dynamic"
-        elif "/" in ops:
-            # all-integer with division: SQLite truncates toward zero
-            body = f"CAST(({ec}) AS BIGINT)"
-            cls = "long"
-        else:
+        cb = _arith_chain_class_body(chain)
+        if cb is None:
             out_items.append(item)  # native integer arithmetic: exact
             continue
+        body, cls = cb
         if alias:
             out_items.append(f"{body} AS {alias}")
             extras[alias.lower()] = cls
@@ -2831,6 +2957,21 @@ def _collect_item_alias_classes(
         cls = classes.get(src)
         if cls is not None and alias not in classes:
             extras[alias] = cls
+    # CASE items whose branches all classify carry per-row dynamic
+    # class — the alias must key by storage class in ORDER BY
+    for item in span[2]:
+        cm = _CASE_ITEM_RE.match(item)
+        if cm is None or cm.group(4) is None:
+            continue
+        branches = (cm.group(2).strip(), cm.group(3).strip())
+        if all(
+            _aff_classify(b, classes) is not None
+            or _parse_arith_chain(b, classes) is not None
+            for b in branches
+        ):
+            alias = cm.group(4).lower()
+            if alias not in classes and alias not in _KEYWORDS:
+                extras.setdefault(alias, "dynamic")
     return extras
 # a stored value counts INTEGER class in SQLite's sum iff its
 # whitespace-trimmed text is a pure integer literal (leading zeros and
@@ -2965,8 +3106,9 @@ _AFF_IDENT_SCAN_RE = re.compile(r"[A-Za-z_][A-Za-z_0-9$.]*")
 
 def _aff_expr_textish(arg: str, classes: dict[str, str]) -> bool:
     """Can this argument expression produce TEXT-class values?  True
-    when it references a string-stored column or casts to TEXT."""
-    if _AFF_TEXT_CAST_RE.search(arg):
+    when it references a string-stored column, casts to TEXT, or
+    contains a string literal (``avg('')`` coerces '' to 0.0)."""
+    if _AFF_TEXT_CAST_RE.search(arg) or "'" in arg:
         return True
     for im in _AFF_IDENT_SCAN_RE.finditer(arg):
         if _in_quotes(arg, im.start()):
@@ -3042,8 +3184,17 @@ def rewrite_affinity_aggregates(stmt: str, classes: dict[str, str]) -> str:
                         arg, classes
                     ):
                         continue
-                    if _AFF_GENERIC_DONE_RE.match(arg):
-                        continue  # already rewritten
+                    if _AFF_GENERIC_DONE_RE.match(arg) or re.search(
+                        r"\b(try_cast|py_real_repr|named_struct"
+                        r"|regexp_extract|regexp_replace)\s*\(",
+                        arg,
+                        re.IGNORECASE,
+                    ):
+                        # engine-emitted machinery (Spark-only
+                        # spellings a SQLite script cannot contain):
+                        # already coerced — rewrapping would erase the
+                        # per-group INTEGER result class
+                        continue
                     generic = True
             col = fc[1] if fc else arg
             if generic:
@@ -3232,7 +3383,9 @@ def _select_items_span(stmt: str):
 _ITEM_ALIAS_RE = re.compile(
     r"^\s*(?:as\s+)?([A-Za-z_][A-Za-z_0-9]*)\s*$", re.IGNORECASE
 )
-_REALAGG_ITEM_RE = re.compile(r"^\s*(avg|total)\s*\(", re.IGNORECASE)
+_REALAGG_ITEM_RE = re.compile(
+    r"^\s*(avg|total|min|max)\s*\(", re.IGNORECASE
+)
 
 
 def _rewrite_real_class_items(
@@ -3256,6 +3409,7 @@ def _rewrite_real_class_items(
         if m is None:
             out_items.append(item)
             continue
+        fn = m.group(1).lower()
         close = _match_paren_fwd(item, m.end() - 1)
         win = _aff_window_suffix(item, close)
         end = win[1] if win else close
@@ -3264,6 +3418,16 @@ def _rewrite_real_class_items(
         if rest.strip() and alias_m is None:
             out_items.append(item)  # part of a larger expression
             continue
+        if fn in ("min", "max"):
+            # min/max return a VALUE, so the class follows the
+            # argument: only statically-REAL arguments (CAST .. AS
+            # REAL) need the repr rendering; everything else keeps
+            # its native lowering (dynamic columns go through
+            # rewrite_affinity_minmax / the window items pass)
+            arg = item[m.end() : close - 1].strip()
+            if win is not None or not _CAST_REAL_ARG_RE.match(arg):
+                out_items.append(item)
+                continue
         core = item[:end].strip()
         body = f"py_real_repr(CAST({core} AS DOUBLE))"
         if alias_m:
@@ -3291,6 +3455,49 @@ _AFF_CAST_ITEM_RE = re.compile(
     r"(?:\s+(?:as\s+)?([A-Za-z_][A-Za-z_0-9]*))?\s*$",
     re.IGNORECASE,
 )
+
+
+def _cast_class_body(
+    col: str, aff: str, classes: dict[str, str]
+) -> str:
+    """Class-exact STRING rendering of ``CAST(col AS REAL|NUMERIC)``:
+    REAL casts render CPython-repr ('3' → '3.0'); NUMERIC's
+    int-if-lossless applies to TEXT-class values ONLY
+    (lang_expr.html §4: a REAL value "survives" NUMERIC) — the
+    per-value branches follow the stored class: canonical int → int;
+    canonical real stays real (dynamic columns); raw text coerces
+    then drops to int if lossless.  Shared by the whole-item rewrite
+    and the CASE-branch encoder."""
+    cls = classes.get(col.split(".")[-1].lower())
+    v = _cast_value_sql(col, "real", classes)
+    if aff == "real":
+        return f"py_real_repr({v})"
+    if cls == "long":
+        # INTEGER values pass through NUMERIC untouched — and must
+        # not round-trip a >2^53 int through double
+        return f"CAST({col} AS STRING)"
+    t = f"regexp_replace(CAST({col} AS STRING), {_AFF_TRIM_PAT}, '')"
+    big = f"TRY_CAST({v} AS BIGINT)"
+    lossless = (
+        f"CASE WHEN {big} IS NOT NULL "
+        f"AND CAST({big} AS DOUBLE) = {v} "
+        f"THEN CAST({big} AS STRING) "
+        f"ELSE py_real_repr({v}) END"
+    )
+    real_kept = (
+        f"WHEN {t} RLIKE {_SQL_NUM_PAT} "
+        f"OR lower({t}) IN ('inf', '-inf') "
+        f"THEN py_real_repr(TRY_CAST({t} AS DOUBLE)) "
+        if cls == "dynamic"
+        else ""
+    )
+    return (
+        f"CASE WHEN {col} IS NULL THEN CAST(NULL AS STRING) "
+        f"WHEN {t} RLIKE {_AFF_INT_CANON_PAT} "
+        f"THEN CAST(TRY_CAST({t} AS BIGINT) AS STRING) "
+        f"{real_kept}"
+        f"ELSE {lossless} END"
+    )
 
 
 def _rewrite_cast_select_items(
@@ -3334,45 +3541,7 @@ def _rewrite_cast_select_items(
         if aff not in ("real", "numeric"):
             out_items.append(item)
             continue
-        cls = classes.get(col.split(".")[-1].lower())
-        v = _cast_value_sql(col, "real", classes)
-        if aff == "real":
-            body = f"py_real_repr({v})"
-        elif cls == "long":
-            # INTEGER values pass through NUMERIC untouched — and must
-            # not round-trip a >2^53 int through double
-            body = f"CAST({col} AS STRING)"
-        else:
-            # NUMERIC's int-if-lossless applies to TEXT-class values
-            # ONLY (lang_expr.html §4: a REAL value "survives" NUMERIC)
-            # — so the per-value branches follow the stored class:
-            # canonical int → int; canonical real stays real (dynamic
-            # columns); raw text coerces then drops to int if lossless
-            t = (
-                f"regexp_replace(CAST({col} AS STRING), "
-                f"{_AFF_TRIM_PAT}, '')"
-            )
-            big = f"TRY_CAST({v} AS BIGINT)"
-            lossless = (
-                f"CASE WHEN {big} IS NOT NULL "
-                f"AND CAST({big} AS DOUBLE) = {v} "
-                f"THEN CAST({big} AS STRING) "
-                f"ELSE py_real_repr({v}) END"
-            )
-            real_kept = (
-                f"WHEN {t} RLIKE {_SQL_NUM_PAT} "
-                f"OR lower({t}) IN ('inf', '-inf') "
-                f"THEN py_real_repr(TRY_CAST({t} AS DOUBLE)) "
-                if cls == "dynamic"
-                else ""
-            )
-            body = (
-                f"CASE WHEN {col} IS NULL THEN CAST(NULL AS STRING) "
-                f"WHEN {t} RLIKE {_AFF_INT_CANON_PAT} "
-                f"THEN CAST(TRY_CAST({t} AS BIGINT) AS STRING) "
-                f"{real_kept}"
-                f"ELSE {lossless} END"
-            )
+        body = _cast_class_body(col, aff, classes)
         name = alias or col.split(".")[-1]
         out_items.append(f"{body} AS {name}")
         extras[name.lower()] = "dynamic"

@@ -49,12 +49,19 @@ def make_serializer(spec: str, out):
 def render_value(v) -> str:
     """SQLite-flavored value rendering: NULL → "".
 
-    Integral floats print as integers: aggregate results over
-    INTEGER-affinity columns arrive as Spark doubles (the columns are
-    canonicalized strings), and SQLite would have returned an integer
-    — `sum(a1)` must print 30000, not 30000.0 (tests.tcl:505-525).
-    Conscious divergence: a sum over a REAL-affinity column also
-    prints 3 instead of SQLite's 3.0."""
+    Integral floats print as integers: this is the FALLBACK for
+    doubles that reach the serializer untyped — aggregate results
+    over INTEGER-affinity columns arrive as Spark doubles (the
+    columns are canonicalized strings), and SQLite would have
+    returned an integer — `sum(a1)` must print 30000, not 30000.0
+    (tests.tcl:505-525).  Expressions whose SQLite result class is
+    statically or dynamically known (sum/avg/total/min-max/CAST/
+    arithmetic select items, windowed or not) never hit this branch:
+    the dialect's result-class item rewrites pre-render them as
+    class-exact STRINGS (dialect.py, fuzzed against real SQLite in
+    tests/test_cli_fuzz.py), so the residual divergence is confined
+    to shapes no item pass classifies (e.g. function-call composites
+    like abs(x) over a REAL column)."""
     if v is None:
         return ""
     if isinstance(v, bool):

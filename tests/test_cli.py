@@ -1188,11 +1188,12 @@ def test_output_table_cjk_width(tmp_path):
 
 def test_sqlite_aggregate_names(tmp_path):
     f = write(tmp_path, "f", "1 x\n2 y\n3 z\n")
-    # integral floats render as integers (serializers.render_value's
-    # documented divergence), so total()'s REAL result prints bare
-    assert pysqawk("select total(a1) as t from a", f) == "6"
+    # total() always carries result class REAL (lang_aggfunc.html):
+    # '6.0', not '6' — matches real SQLite (the old integral-collapse
+    # divergence was removed by the result-class item rendering)
+    assert pysqawk("select total(a1) as t from a", f) == "6.0"
     assert pysqawk("select group_concat(a2) as g from a", f) == "x,y,z"
-    assert pysqawk("select total(a3) as t from a", f) == "0"
+    assert pysqawk("select total(a3) as t from a", f) == "0.0"
 
 
 def test_iif_unicode_version(tmp_path):
@@ -1780,18 +1781,15 @@ def test_filter_clause_aggregates(tmp_path):
         )
         == "x 2\ny 2"
     )
-    # total() is a Python UDAF; Spark rejects native FILTER on it —
-    # the CASE lowering makes it work (separate query: Spark cannot
-    # mix pandas and JVM aggregates in one aggregation, FILTER or
-    # not). Integral REALs print bare per the documented divergence
-    # (see the total() golden above).
+    # total() lowers to a JVM sum with FILTER's CASE composition, and
+    # its REAL result class renders '8.0' — matching real SQLite.
     assert (
         pysqawk(
             "select a1, total(a2) filter (where a2 > 2) as s "
             "from a group by a1 order by a1",
             f,
         )
-        == "x 8\ny 4"
+        == "x 8.0\ny 4.0"
     )
 
 
