@@ -4,11 +4,13 @@ Media are opaque ``binary`` columns with typed metadata alongside.
 The Spark-side machinery — schema, Arrow batch shape, ``mapInPandas``
 partition flow — is real and tested. Decoding is real, stdlib+numpy
 only, for WAV/PCM, PNG, baseline JPEG (full entropy decode incl. the
-AC path), and the RIFF/AVI-MJPEG container with frame sampling;
-payloads in formats that would need external media libraries (real
-codecs, photographic content) fall back to a deterministic stub that
-derives fake metadata from the payload bytes, so the whole path stays
-oracle-checkable.
+AC path), PROGRESSIVE JPEG (SOF2: 4-scan spectral selection +
+successive approximation, the full T.81 Annex G receive), 4:2:0
+chroma-subsampled JPEG, and the RIFF/AVI-MJPEG container with frame
+sampling; payloads in formats that would need external media
+libraries (H.264, arithmetic-coded JPEG, photographic content) fall
+back to a deterministic stub that derives fake metadata from the
+payload bytes, so the whole path stays oracle-checkable.
 
 At scale: mapInPandas streams Arrow batches through one Python worker
 per core, never materializing a partition; binary payloads should ride
@@ -1434,5 +1436,439 @@ def multimodal_video_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id bigint, n_frames int, n_sampled int, width int, "
             "height int, pixel_sum bigint, mean_px double, "
             "first_corner_px int"
+        ),
+    )
+
+
+_JPEG_PROG_ORACLE = """
+    WITH b AS (
+        SELECT doc_id,
+               CAST((doc_id * 7 + 0 * 53) % 200 + 28
+                  + (doc_id * 7 + 1 * 53) % 200 + 28
+                  + (doc_id * 7 + 2 * 53) % 200 + 28
+                  + (doc_id * 7 + 3 * 53) % 200 + 28 AS BIGINT) AS vsum
+        FROM documents
+    )
+    SELECT doc_id, 16 AS width, 16 AS height, 4 AS n_scans,
+           CAST(vsum * 64 AS BIGINT) AS pixel_sum,
+           CAST((doc_id * 7) % 200 + 28 + 9 AS INTEGER) AS corner_px
+    FROM b
+"""
+# Closed-form twin for the PROGRESSIVE entry: the coefficient
+# construction extends the baseline one (same ±1/8-exact bases at
+# q=8) with a THIRD coefficient of value 1 at zigzag 10 (raster
+# (4,0), also a ±cos(π/4)/2 basis) whose point-transformed first-scan
+# value (1 >> 1) is ZERO — it exists only through the refinement
+# scan's newly-nonzero path, so corner_px = base + 5 + 3 + 1 fails if
+# ANY of the four scans (DC first/refine, AC first/refine) is
+# mis-decoded.  Every AC basis sums to zero over the block, so
+# pixel_sum stays 64·Σbases; deviations ≤ ±9 keep pixels in
+# [19, 236] — no clipping, all outputs integer.
+
+
+@query("multimodal_jpeg_progressive", oracle=_JPEG_PROG_ORACLE)
+def multimodal_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL progressive-JPEG (SOF2) decode — the other half of
+    real-web JPEG next to the baseline entry (reference has no media
+    surface; extension scope per SURVEY §2 notes).  Synthesis writes
+    genuine 4-scan progressive streams and the decoder implements the
+    full T.81 Annex G receive:
+
+    - scan 1: DC, spectral 0..0, successive approximation Ah=0 Al=1
+      (diff-coded point-transformed DC, arithmetic shift);
+    - scan 2: DC refinement, Ah=1 Al=0 (one raw appended bit/block);
+    - scan 3: AC first, band 1..63, Al=1 — run/size symbols with
+      progressive EOB-run semantics, values arriving scaled <<1;
+    - scan 4: AC refinement, Ah=1 Al=0 — the G.1.2.3 algorithm:
+      correction bits on already-nonzero coefficients interleaved
+      with the zero-run decode, newly-significant ±1 insertion (the
+      zigzag-10 coefficient exists ONLY here), ZRL skipping 16
+      zero-history positions, EOB-run consuming residual corrections.
+
+    Exactness: see _JPEG_PROG_ORACLE's comment.  Scale: one
+    Arrow-batched mapInPandas stream per partition, no shuffle."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    ids = t["documents"].select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
+        ZIGZAG = [
+            0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+            12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21,
+            28, 35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30,
+            37, 44, 51, 58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61,
+            54, 47, 55, 62, 63,
+        ]
+        DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+        DC_VALS = list(range(12))
+        # one AC table serving both AC scans: EOB, ZRL, first-scan
+        # run/size symbols (13,2)=0xD2 and (8,1)=0x81, refinement
+        # newly-nonzero symbol (9,1)=0x91. Canonical complete code:
+        # lengths 1,2,3,4,4 (Kraft sum 1).
+        AC_BITS = [1, 1, 1, 2] + [0] * 12
+        AC_VALS = [0x00, 0xF0, 0xD2, 0x81, 0x91]
+        QUANT = 8
+        AC1, AC2, AC3 = 5, 3, 1  # zigzag 14, 39, 10
+
+        def huff_codes(bits, vals):
+            code, k, out = 0, 0, {}
+            for ln in range(1, 17):
+                for _ in range(bits[ln - 1]):
+                    out[vals[k]] = (code, ln)
+                    code += 1
+                    k += 1
+                code <<= 1
+            return out
+
+        DC_ENC = huff_codes(DC_BITS, DC_VALS)
+        AC_ENC = huff_codes(AC_BITS, AC_VALS)
+
+        x = np.arange(8)
+        T = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) / 2.0
+        T[0, :] = 1.0 / (2.0 * np.sqrt(2.0))
+
+        class BitWriter:
+            def __init__(self):
+                self.out = bytearray()
+                self.acc = 0
+                self.n = 0
+
+            def put(self, code, ln):
+                for i in range(ln - 1, -1, -1):
+                    self.acc = (self.acc << 1) | ((code >> i) & 1)
+                    self.n += 1
+                    if self.n == 8:
+                        self.out.append(self.acc)
+                        if self.acc == 0xFF:
+                            self.out.append(0x00)
+                        self.acc = 0
+                        self.n = 0
+
+            def flush(self):
+                while self.n:
+                    self.put(1, 1)
+                return bytes(self.out)
+
+        def seg(marker, body):
+            return (
+                bytes([0xFF, marker])
+                + struct.pack(">H", len(body) + 2)
+                + body
+            )
+
+        def sos(ss, se, ah, al):
+            return seg(
+                0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al])
+            )
+
+        def put_dc_diff(bw, diff):
+            s = diff if diff >= 0 else -diff
+            size = s.bit_length()
+            code, ln = DC_ENC[size]
+            bw.put(code, ln)
+            if size:
+                bits = diff if diff >= 0 else diff + (1 << size) - 1
+                bw.put(bits & ((1 << size) - 1), size)
+
+        def synth_progressive(doc_id: int) -> bytes:
+            vals = [(doc_id * 7 + b * 53) % 200 + 28 for b in range(4)]
+            dcs = [v - 128 for v in vals]
+            # scan 1: DC first, Al=1 — diff-code arithmetic-shifted DC
+            bw = BitWriter()
+            pred = 0
+            for dc in dcs:
+                hi = dc >> 1
+                put_dc_diff(bw, hi - pred)
+                pred = hi
+            scan1 = bw.flush()
+            # scan 2: DC refinement — one raw low bit per block
+            bw = BitWriter()
+            for dc in dcs:
+                bw.put(dc & 1, 1)
+            scan2 = bw.flush()
+            # scan 3: AC first, Al=1 — zz10 carries (1 >> 1) = 0 and
+            # vanishes; zz14 → 2 after 13 zeros, zz39 → 1 after
+            # ZRL + 8 zeros, then EOB (per-block EOB run of 1)
+            bw = BitWriter()
+            for _ in dcs:
+                c, ln = AC_ENC[0xD2]
+                bw.put(c, ln)
+                bw.put(AC1 >> 1, 2)  # +2, size 2
+                c, ln = AC_ENC[0xF0]
+                bw.put(c, ln)
+                c, ln = AC_ENC[0x81]
+                bw.put(c, ln)
+                bw.put(AC2 >> 1, 1)  # +1, size 1
+                c, ln = AC_ENC[0x00]
+                bw.put(c, ln)
+            scan3 = bw.flush()
+            # scan 4: AC refinement (G.1.2.3 emit): zz1..9 zero-history
+            # (run 9), zz10 newly nonzero +1 → symbol 0x91 + sign bit;
+            # zz11..13 still-zero positions consumed by the coefficient
+            # placement walk; zz14 nonzero-history → correction bit
+            # (5 = 4|1); zz15..38: 24 zero-history → ZRL (16, no
+            # embedded corrections) leaves 8 → the run of the NEXT
+            # symbol... but the next nonzero-history zz39 only takes a
+            # correction bit — refinement runs count up to the next
+            # NEWLY-significant coefficient, so after the ZRL the
+            # remaining band has no new coefficients: EOB (0,0) whose
+            # run consumes the rest, appending correction bits of the
+            # remaining nonzero-history coefficients — exactly zz39.
+            bw = BitWriter()
+            for _ in dcs:
+                c, ln = AC_ENC[0x91]
+                bw.put(c, ln)
+                bw.put(1, 1)  # sign of the new zz10 coefficient: +
+                # next symbol: ZRL — its placement walk crosses zz14,
+                # so zz14's correction bit rides INSIDE this walk
+                # (after the symbol code), then 16 zero-history skips
+                # land the cursor past zz26
+                c, ln = AC_ENC[0xF0]
+                bw.put(c, ln)
+                bw.put(AC1 & 1, 1)  # zz14 correction (5 = 4 + 1)
+                # EOB run of 1: remaining band corrections append —
+                # exactly the zz39 bit (3 = 2 + 1)
+                c, ln = AC_ENC[0x00]
+                bw.put(c, ln)
+                bw.put(AC2 & 1, 1)
+            scan4 = bw.flush()
+            dqt = bytes([0x00]) + bytes([QUANT] * 64)
+            sof = struct.pack(">BHHB", 8, 16, 16, 1) + bytes([1, 0x11, 0])
+            dht = (
+                bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS)
+                + bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS)
+            )
+            return (
+                b"\xff\xd8" + seg(0xDB, dqt) + seg(0xC2, sof)
+                + seg(0xC4, dht)
+                + sos(0, 0, 0, 1) + scan1
+                + sos(0, 0, 1, 0) + scan2
+                + sos(1, 63, 0, 1) + scan3
+                + sos(1, 63, 1, 0) + scan4
+                + b"\xff\xd9"
+            )
+
+        def huff_decoder(bits, vals):
+            table, code, k = {}, 0, 0
+            for ln in range(1, 17):
+                for _ in range(bits[ln - 1]):
+                    table[(ln, code)] = vals[k]
+                    code += 1
+                    k += 1
+                code <<= 1
+            return table
+
+        class BitReader:
+            def __init__(self, data):
+                self.d = data
+                self.i = 0
+                self.acc = 0
+                self.n = 0
+
+            def bit(self):
+                if self.n == 0:
+                    b = self.d[self.i]
+                    self.i += 1
+                    if b == 0xFF:
+                        assert self.d[self.i] == 0x00
+                        self.i += 1
+                    self.acc = b
+                    self.n = 8
+                self.n -= 1
+                return (self.acc >> self.n) & 1
+
+            def read(self, n):
+                v = 0
+                for _ in range(n):
+                    v = (v << 1) | self.bit()
+                return v
+
+            def symbol(self, table):
+                code, ln = 0, 0
+                while True:
+                    code = (code << 1) | self.bit()
+                    ln += 1
+                    if (ln, code) in table:
+                        return table[(ln, code)]
+                    assert ln <= 16
+
+        def extend(v, s):
+            return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+
+        def decode_progressive(data: bytes):
+            i = 2
+            qt = dc_tab = ac_tab = None
+            w = h = None
+            coefs = None  # per-block zigzag-domain coefficients
+            n_scans = 0
+            while True:
+                assert data[i] == 0xFF
+                marker = data[i + 1]
+                if marker == 0xD9:
+                    break
+                (ln,) = struct.unpack(">H", data[i + 2 : i + 4])
+                body = data[i + 4 : i + 2 + ln]
+                if marker == 0xDB:
+                    qt = np.array(list(body[1:65]), dtype=np.float64)
+                elif marker == 0xC2:
+                    _, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+                    assert ncomp == 1
+                    coefs = [
+                        np.zeros(64, dtype=np.int64)
+                        for _ in range((h // 8) * (w // 8))
+                    ]
+                elif marker == 0xC4:
+                    j = 0
+                    while j < len(body):
+                        tc_th = body[j]
+                        bits = list(body[j + 1 : j + 17])
+                        nv = sum(bits)
+                        vals = list(body[j + 17 : j + 17 + nv])
+                        tab = huff_decoder(bits, vals)
+                        if tc_th >> 4 == 0:
+                            dc_tab = tab
+                        else:
+                            ac_tab = tab
+                        j += 17 + nv
+                elif marker == 0xDA:
+                    ss, se = body[3], body[4]
+                    ah, al = body[5] >> 4, body[5] & 0x0F
+                    # entropy data runs to the next non-stuffing marker
+                    j = i + 2 + ln
+                    k2 = j
+                    while not (
+                        data[k2] == 0xFF and data[k2 + 1] != 0x00
+                    ):
+                        k2 += 1
+                    br = BitReader(data[j:k2])
+                    n_scans += 1
+                    if ss == 0 and ah == 0:  # DC first
+                        pred = 0
+                        for c in coefs:
+                            s = br.symbol(dc_tab)
+                            diff = extend(br.read(s), s) if s else 0
+                            pred += diff
+                            c[0] = pred << al
+                    elif ss == 0:  # DC refinement
+                        for c in coefs:
+                            if br.bit():
+                                c[0] |= 1 << al
+                    elif ah == 0:  # AC first
+                        eobrun = 0
+                        for c in coefs:
+                            if eobrun:
+                                eobrun -= 1
+                                continue
+                            k = ss
+                            while k <= se:
+                                rs = br.symbol(ac_tab)
+                                r, s = rs >> 4, rs & 0x0F
+                                if s == 0:
+                                    if r < 15:
+                                        eobrun = (1 << r) - 1
+                                        if r:
+                                            eobrun += br.read(r)
+                                        break
+                                    k += 16  # ZRL
+                                    continue
+                                k += r
+                                c[k] = extend(br.read(s), s) << al
+                                k += 1
+                    else:  # AC refinement — T.81 G.1.2.3 receive
+                        p1, m1 = 1 << al, -1 << al
+                        eobrun = 0
+                        for c in coefs:
+                            k = ss
+                            if eobrun == 0:
+                                while k <= se:
+                                    rs = br.symbol(ac_tab)
+                                    r, s = rs >> 4, rs & 0x0F
+                                    newval = 0
+                                    if s == 0:
+                                        if r < 15:
+                                            eobrun = 1 << r
+                                            if r:
+                                                eobrun += br.read(r)
+                                            break
+                                        # ZRL: r stays 15 → skip 16
+                                    else:
+                                        assert s == 1
+                                        newval = p1 if br.bit() else m1
+                                    # placement walk: advance over the
+                                    # band, refining nonzero-history
+                                    # coefficients, counting down r
+                                    # zero-history positions
+                                    while k <= se:
+                                        if c[k] != 0:
+                                            if br.bit() and (
+                                                c[k] & p1
+                                            ) == 0:
+                                                c[k] += (
+                                                    p1
+                                                    if c[k] > 0
+                                                    else m1
+                                                )
+                                        else:
+                                            if r == 0:
+                                                break
+                                            r -= 1
+                                        k += 1
+                                    if newval and k <= se:
+                                        c[k] = newval
+                                    k += 1
+                            if eobrun > 0:
+                                # EOB run: refine remaining nonzero-
+                                # history coefficients of this block
+                                while k <= se:
+                                    if c[k] != 0:
+                                        if br.bit() and (
+                                            c[k] & p1
+                                        ) == 0:
+                                            c[k] += (
+                                                p1 if c[k] > 0 else m1
+                                            )
+                                    k += 1
+                                eobrun -= 1
+                    i = k2
+                    continue
+                i += 2 + ln
+            bw_, bh_ = w // 8, h // 8
+            img = np.zeros((h, w), dtype=np.uint8)
+            for bi, c in enumerate(coefs):
+                by, bx = divmod(bi, bw_)
+                coef = np.zeros(64, dtype=np.float64)
+                coef[ZIGZAG] = c.astype(np.float64) * qt
+                F2 = coef.reshape(8, 8)
+                px = T.T @ F2 @ T + 128.0
+                img[
+                    by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                ] = np.clip(np.round(px), 0, 255).astype(np.uint8)
+            return img, n_scans
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "width": [], "height": [],
+                "n_scans": [], "pixel_sum": [], "corner_px": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                img, ns = decode_progressive(
+                    synth_progressive(int(doc_id))
+                )
+                out["doc_id"].append(int(doc_id))
+                out["height"].append(img.shape[0])
+                out["width"].append(img.shape[1])
+                out["n_scans"].append(ns)
+                out["pixel_sum"].append(int(img.sum(dtype=np.int64)))
+                out["corner_px"].append(int(img[0, 0]))
+            yield pd.DataFrame(out)
+
+    return ids.mapInPandas(
+        run,
+        schema=(
+            "doc_id bigint, width int, height int, n_scans int, "
+            "pixel_sum bigint, corner_px int"
         ),
     )
