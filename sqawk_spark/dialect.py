@@ -512,6 +512,52 @@ def _over_spans(stmt: str) -> list[tuple[int, int]]:
     return spans
 
 
+_LIKE_KW_RE = re.compile(r"\blike\b", re.IGNORECASE)
+
+
+def rewrite_like_nocase(stmt: str) -> str:
+    """SQLite's default LIKE is ASCII-case-insensitive
+    (lang_expr.html §5: A-Z fold, no ICU) while Spark's is exact:
+    fold BOTH operands with the NOCASE translate — ``%`` and ``_``
+    are not letters, so pattern semantics are unchanged, and numeric
+    operands pass through Spark's implicit string cast first exactly
+    as SQLite renders them to text.  ``NOT LIKE`` keeps its NOT; an
+    ESCAPE clause skips the rewrite (folding would change the escape
+    character — documented residual divergence); compound left
+    operands (``a || b LIKE p``) skip too, where a single-primary
+    fold would regroup."""
+    matches = [
+        m
+        for m in _LIKE_KW_RE.finditer(stmt)
+        if not _in_quotes(stmt, m.start())
+    ]
+    for m in reversed(matches):
+        rend = _operand_fwd(stmt, m.end())
+        rhs = stmt[m.end() : rend].strip()
+        if not rhs:
+            continue
+        k = _skip_ws(stmt, rend)
+        if re.match(r"escape\b", stmt[k:], re.IGNORECASE):
+            continue
+        ls = _operand_back(stmt, m.start())
+        lhs = stmt[ls : m.start()].strip()
+        neg = ""
+        if lhs.lower() == "not":
+            ls2 = _operand_back(stmt, ls)
+            inner = stmt[ls2:ls].strip()
+            if not inner:
+                continue
+            neg, ls, lhs = "not ", ls2, inner
+        if not lhs or lhs.lower() in _KEYWORDS:
+            continue
+        if _compound_context(stmt, ls, rend):
+            continue
+        fl = f"translate({lhs}, '{_ASCII_UPPER}', '{_ASCII_LOWER}')"
+        fr = f"translate({rhs}, '{_ASCII_UPPER}', '{_ASCII_LOWER}')"
+        stmt = stmt[:ls] + f" {fl} {neg}like {fr}" + stmt[rend:]
+    return stmt
+
+
 def rewrite_collate_nocase(stmt: str) -> str:
     """``expr COLLATE NOCASE`` inside ORDER BY — statement-level or a
     window's ``OVER (... ORDER BY ...)`` — → sort on the ASCII-folded
@@ -1867,6 +1913,15 @@ def _aff_classify(
     t = text.strip()
     if not t:
         return None
+    # redundant parens around a single operand classify as the operand
+    # (the GROUPS/EXCLUDE decomposition emits ``coalesce((arg), 0)``)
+    while (
+        t.startswith("(")
+        and _match_paren_fwd(t, 0) == len(t)
+    ):
+        t = t[1:-1].strip()
+        if not t:
+            return None
     if t.startswith("'") and t.endswith("'") and len(t) >= 2:
         inner = t[1:-1]
         if "'" in inner.replace("''", ""):
@@ -2124,7 +2179,11 @@ def rewrite_affinity_comparisons(
         if ld is None or rd is None:
             continue
         if ld[0] not in ("col", "agg") and rd[0] not in ("col", "agg"):
-            continue  # two literals — nothing class-dependent
+            # two literals: class-dependent only when the kinds MIX —
+            # SQLite says 'AB' >= 1 is TRUE (text outranks numeric)
+            # where Spark's implicit cast yields NULL
+            if ld[0] == rd[0]:
+                continue
         ld2, rd2 = _aff_treatments(ld, rd)
         if ld2 == ld and rd2 == rd:
             # no affinity conversion fired; if both sides also share a
@@ -2164,6 +2223,11 @@ def _aff_order_key_core(core: str, classes: dict[str, str]) -> str | None:
         return _aff_key_col_sql(inner.strip(), "dynamic", fold=folded)
     if folded and d == ("col", "long"):
         return inner.strip()
+    # alias registered with a precomputed branch-aware key (mixed-
+    # class CASE items)
+    cls = classes.get(inner.strip().split(".")[-1].lower())
+    if cls is not None and cls.startswith("key:"):
+        return cls[4:]
     return None
 
 
@@ -2271,9 +2335,54 @@ def _rewrite_window_class_items(
             changed = True
 
         if fn in ("avg", "total"):
+            # classed string-col arguments coerce HERE, before the
+            # GROUPS/EXCLUDE decomposition clones the aggregate into
+            # sub-frame sums and a raw current-row term — the
+            # post-decomposition pass cannot reach inside coalesce()
+            afc = _aff_filter_case_parts(arg)
+            acol = afc[1] if afc else arg
+            acls = (
+                classes.get(acol.split(".")[-1].lower())
+                if _AFF_IDENT_RE.match(acol)
+                else None
+            )
+            if acls in ("dynamic", "text", "none"):
+                cv = _aff_sum_coerce_sql(acol, acls)
+                c = (
+                    f"CASE WHEN {afc[0]} THEN {cv} END" if afc else cv
+                )
+                if fn == "avg":
+                    core = f"(sum({c}){w} / count({arg}){w})"
+                else:
+                    core = (
+                        f"coalesce(sum({c}){w}, CAST(0 AS DOUBLE))"
+                    )
             emit(f"py_real_repr(CAST({core} AS DOUBLE))")
             continue
         fc = _aff_filter_case_parts(arg)
+        if fn in ("min", "max") and fc is None:
+            # CAST(col AS NUMERIC) argument: the winner keeps ITS
+            # class (a REAL value survives NUMERIC, an int drops) —
+            # pick by numeric value, render via the shared cast body
+            cm = _AFF_CAST_ITEM_RE.match(arg)
+            if cm is not None and cm.group(3) is None:
+                from sqawk_spark.affinity import normalize_affinity
+
+                caff = normalize_affinity(cm.group(2))
+                ccol = cm.group(1)
+                ccls = classes.get(ccol.split(".")[-1].lower())
+                if caff == "numeric" and ccls in (
+                    "dynamic", "text", "none"
+                ):
+                    kv = _cast_value_sql(ccol, "real", classes)
+                    vv = _cast_class_body(ccol, "numeric", classes)
+                    struct = (
+                        f"CASE WHEN {ccol} IS NULL THEN NULL "
+                        f"ELSE named_struct('k', {kv}, 'v', ({vv})) "
+                        f"END"
+                    )
+                    emit(f"({fn}({struct}){w}).v")
+                    continue
         col = fc[1] if fc else arg
         cls = (
             classes.get(col.split(".")[-1].lower())
@@ -2415,22 +2524,39 @@ def rewrite_affinity_minmax(stmt: str, classes: dict[str, str]) -> str:
             arg = re.sub(
                 r"^(distinct|all)\s+", "", inner, flags=re.IGNORECASE
             )
-            d = _aff_classify(arg, classes)
-            if d != ("col", "dynamic") or not _AFF_IDENT_RE.match(arg):
-                continue
+            fc = None
+            col = arg
+            if not (
+                _AFF_IDENT_RE.match(arg)
+                and _aff_classify(arg, classes) == ("col", "dynamic")
+            ):
+                # FILTER-lowered argument: the filtered subset still
+                # picks its winner by storage-class order
+                fc = _aff_filter_case_parts(arg)
+                if fc is None or _aff_classify(
+                    fc[1], classes
+                ) != ("col", "dynamic"):
+                    continue
+                col = fc[1]
             fn = m.group(1).lower()
-            key = _aff_key_col_sql(arg, "dynamic")
+            key = _aff_key_col_sql(col, "dynamic")
             # 0 for integer-rendered values, 1 otherwise; negated for
             # max so BOTH directions prefer the integer at a key tie
             pref = (
-                f"(CASE WHEN TRY_CAST(CAST({arg} AS STRING) AS BIGINT) "
+                f"(CASE WHEN TRY_CAST(CAST({col} AS STRING) AS BIGINT) "
                 f"IS NULL THEN 1 ELSE 0 END)"
             )
             if fn == "max":
                 pref = f"(0 - {pref})"
+            alive = (
+                f"({fc[0]}) AND {col} IS NOT NULL"
+                if fc
+                else f"{col} IS NOT NULL"
+            )
             tkey = (
-                f"(CASE WHEN {arg} IS NULL THEN NULL ELSE "
-                f"named_struct('k', {key}, 'p', {pref}) END)"
+                f"(CASE WHEN {alive} THEN "
+                f"named_struct('k', {key}, 'p', {pref}) "
+                f"ELSE NULL END)"
             )
             stmt = (
                 stmt[: m.start()] + f"{fn}_by({arg}, {tkey})" + stmt[close:]
@@ -2957,21 +3083,62 @@ def _collect_item_alias_classes(
         cls = classes.get(src)
         if cls is not None and alias not in classes:
             extras[alias] = cls
-    # CASE items whose branches all classify carry per-row dynamic
-    # class — the alias must key by storage class in ORDER BY
+    # CASE items whose branches all classify carry per-row class —
+    # the alias must key by storage class in ORDER BY.  Uniformly
+    # numeric-ish branches key 'dynamic'; a MIX of numeric and
+    # text-class branches gets a branch-aware key over the underlying
+    # columns ("key:<sql>", understood by _aff_order_key_core) —
+    # except under DISTINCT, where ORDER BY may only reference the
+    # projected value and '007'-style text is indistinguishable from
+    # a number (documented residual divergence, tests/test_cli_fuzz
+    # keeps CASE out of its DISTINCT shapes for exactly this reason).
+    is_distinct = re.search(
+        r"\bselect\s+distinct\b", stmt, re.IGNORECASE
+    )
     for item in span[2]:
         cm = _CASE_ITEM_RE.match(item)
         if cm is None or cm.group(4) is None:
             continue
+        alias = cm.group(4).lower()
+        if alias in classes or alias in _KEYWORDS:
+            continue
         branches = (cm.group(2).strip(), cm.group(3).strip())
-        if all(
-            _aff_classify(b, classes) is not None
-            or _parse_arith_chain(b, classes) is not None
-            for b in branches
-        ):
-            alias = cm.group(4).lower()
-            if alias not in classes and alias not in _KEYWORDS:
-                extras.setdefault(alias, "dynamic")
+        ds = []
+        for b in branches:
+            d = _aff_classify(b, classes)
+            if d is None and _parse_arith_chain(b, classes):
+                d = ("agg", "long")  # arith chain: numeric class
+            ds.append(d)
+        if any(d is None for d in ds):
+            continue
+
+        def numeric_ish(d):
+            return (d[0] in ("numlit", "agg")) or (
+                d[0] == "col" and d[1] in ("dynamic", "long")
+            )
+
+        def text_ish(d):
+            return d[0] == "strlit" or (
+                d[0] == "col" and d[1] in ("text", "none")
+            )
+
+        if all(numeric_ish(d) for d in ds):
+            extras.setdefault(alias, "dynamic")
+        elif all(text_ish(d) for d in ds):
+            pass  # bytewise string sort IS the text-class order
+        elif not is_distinct:
+            keys = [
+                _aff_key_sql(
+                    d if d[0] != "agg" else ("col", "long"), b
+                )
+                for d, b in zip(ds, branches)
+            ]
+            extras.setdefault(
+                alias,
+                "key:CASE WHEN "
+                + cm.group(1)
+                + f" THEN {keys[0]} ELSE {keys[1]} END",
+            )
     return extras
 # a stored value counts INTEGER class in SQLite's sum iff its
 # whitespace-trimmed text is a pure integer literal (leading zeros and
@@ -3002,25 +3169,10 @@ def _rewrite_sum_select_items(
     items rewrite this way — sum() in HAVING/WHERE/expressions keeps
     the double lowering, where SQLite compares the VALUE numerically
     regardless of its class."""
-    spans = _string_spans(stmt)
-
-    def outside(i: int) -> bool:
-        return not any(s <= i < e for s, e in spans)
-
-    selects = [m for m in _SELECT_RE.finditer(stmt) if outside(m.start())]
-    if len(selects) != 1:
+    span = _select_items_span(stmt)
+    if span is None:
         return stmt, {}
-    clauses = _top_level_clauses(stmt)
-    from_c = next((c for c in clauses if c[0] == "from"), None)
-    if from_c is None:
-        return stmt, {}
-    list_start, list_end = selects[0].end(), from_c[1]
-    sel_list = stmt[list_start:list_end]
-    if re.match(r"\s*distinct\b", sel_list, re.IGNORECASE):
-        return stmt, {}
-    items = _split_call_args("(" + sel_list + ")", 0)
-    if not items:
-        return stmt, {}
+    list_start, list_end, items = span
     out_items, extras, changed = [], {}, False
     for item in items:
         m = _AFF_SUM_ITEM_RE.match(item)
@@ -3074,7 +3226,7 @@ def _rewrite_sum_select_items(
         + " "
         + ", ".join(i.strip() for i in out_items)
         + " "
-        + stmt[from_c[1]:]
+        + stmt[list_end:]
     )
     return rebuilt, extras
 
@@ -3350,8 +3502,18 @@ def rewrite_affinity_casts(stmt: str, classes: dict[str, str]) -> str:
 
 def _select_items_span(stmt: str):
     """(list_start, list_end, items) for a single-SELECT statement's
-    select list, or None (multiple SELECTs / no FROM / DISTINCT —
-    the documented single-SELECT scoping all item passes share)."""
+    select list, or None for multiple SELECTs / no FROM.
+
+    KNOWN DIVERGENCE (shared by every result-class item pass riding
+    this helper): the class-exact rendering applies to the TOP-LEVEL
+    select list of single-SELECT statements only.  A subquery or
+    set-operation wrapping — e.g. ``select s from (select sum(x1) as
+    s from t)`` — falls back to the plain double lowering and renders
+    '23.0' where SQLite renders '23'.  Applying the item rewrite per
+    SELECT would need alias-class propagation across derived-table
+    boundaries; until then the scoping is documented here and in the
+    fuzzer (which generates single-SELECT statements for exactly this
+    reason)."""
     spans = _string_spans(stmt)
 
     def outside(i: int) -> bool:
@@ -3384,7 +3546,7 @@ _ITEM_ALIAS_RE = re.compile(
     r"^\s*(?:as\s+)?([A-Za-z_][A-Za-z_0-9]*)\s*$", re.IGNORECASE
 )
 _REALAGG_ITEM_RE = re.compile(
-    r"^\s*(avg|total|min|max)\s*\(", re.IGNORECASE
+    r"^\s*(avg|total|min|max|sum)\s*\(", re.IGNORECASE
 )
 
 
@@ -3426,6 +3588,25 @@ def _rewrite_real_class_items(
             # rewrite_affinity_minmax / the window items pass)
             arg = item[m.end() : close - 1].strip()
             if win is not None or not _CAST_REAL_ARG_RE.match(arg):
+                out_items.append(item)
+                continue
+        elif fn == "sum":
+            # sum() is per-group class and handled by the dynamic
+            # item machinery — EXCEPT for statically non-integer
+            # arguments, which SQLite classes REAL in every group:
+            # constants (sum('z') / sum(1.5) — also dodges Spark's
+            # DECIMAL rendering '0.50') and CAST .. AS REAL
+            arg = item[m.end() : close - 1].strip()
+            d = _aff_classify(arg, {})
+            is_real_static = bool(
+                (
+                    d is not None
+                    and d[0] in ("strlit", "numlit")
+                    and not _ARITH_INT_FORM_RE.match(d[1].strip())
+                )
+                or _CAST_REAL_ARG_RE.match(arg)
+            )
+            if not is_real_static:
                 out_items.append(item)
                 continue
         core = item[:end].strip()
@@ -3511,25 +3692,10 @@ def _rewrite_cast_select_items(
     string encoding, alias registered for class-aware ORDER BY."""
     from sqawk_spark.affinity import normalize_affinity
 
-    spans = _string_spans(stmt)
-
-    def outside(i: int) -> bool:
-        return not any(s <= i < e for s, e in spans)
-
-    selects = [m for m in _SELECT_RE.finditer(stmt) if outside(m.start())]
-    if len(selects) != 1:
+    span = _select_items_span(stmt)
+    if span is None:
         return stmt, {}
-    clauses = _top_level_clauses(stmt)
-    from_c = next((c for c in clauses if c[0] == "from"), None)
-    if from_c is None:
-        return stmt, {}
-    list_start, list_end = selects[0].end(), from_c[1]
-    sel_list = stmt[list_start:list_end]
-    if re.match(r"\s*distinct\b", sel_list, re.IGNORECASE):
-        return stmt, {}
-    items = _split_call_args("(" + sel_list + ")", 0)
-    if not items:
-        return stmt, {}
+    list_start, list_end, items = span
     out_items, extras, changed = [], {}, False
     for item in items:
         m = _AFF_CAST_ITEM_RE.match(item)
@@ -3553,7 +3719,7 @@ def _rewrite_cast_select_items(
         + " "
         + ", ".join(i.strip() for i in out_items)
         + " "
-        + stmt[from_c[1]:]
+        + stmt[list_end:]
     )
     return rebuilt, extras
 
@@ -3621,6 +3787,7 @@ def rewrite_statement(
     stmt = rewrite_is_equality(stmt)
     stmt = rewrite_collate_nocase_comparison(stmt)
     stmt = rewrite_collate_nocase(stmt)
+    stmt = rewrite_like_nocase(stmt)
     stmt = rewrite_date_calls(stmt)
     # window order keys get their storage-class keys BEFORE the GROUPS
     # rewrite so dense_rank peer-ranking inherits the class order, and

@@ -2562,38 +2562,40 @@ counts{r} AS MATERIALIZED (
 )"""
 
 
-def _unigram_oracle_sql() -> str:
-    inf = UNIGRAM_INF
-    rounds, links = [], []
-    for r in range(1, UNIGRAM_ROUNDS + 1):
-        if r == 1:
-            links.append("""
-vocab1 AS MATERIALIZED (
-  SELECT piece, cnt FROM singles
-  UNION ALL
-  SELECT piece, cnt FROM multis
-)""")
-        else:
-            links.append(f"""
-vocab{r} AS MATERIALIZED (
-  SELECT piece, cnt FROM counts{r - 1}
-  UNION ALL
-  SELECT s.piece, CAST(1 AS BIGINT) AS cnt FROM singles s
-  WHERE s.piece NOT IN (SELECT piece FROM counts{r - 1})
-)""")
-        links.append(f"""
+def _unigram_costs_sql(r: int, vocab_body: str) -> str:
+    return f"""
+vocab{r} AS MATERIALIZED ({vocab_body}),
 costs{r} AS MATERIALIZED (
   SELECT piece,
          CAST(floor(-ln(CAST(cnt AS DOUBLE) /
               (SELECT CAST(sum(cnt) AS DOUBLE) FROM vocab{r}))
               * 1000000 + 0.5) AS BIGINT) AS cost
   FROM vocab{r}
-)""")
-        rounds.append(_unigram_dp_round_sql(r))
-    body = ",".join(links[:2]) + "," + rounds[0]
-    for r in range(2, UNIGRAM_ROUNDS + 1):
-        body += "," + ",".join(links[2 * r - 2 : 2 * r]) + "," + rounds[r - 1]
-    last = UNIGRAM_ROUNDS
+)"""
+
+
+def _unigram_chain_sql(rounds: int) -> str:
+    """The shared WITH-chain: tokenize → word freqs → seed → the
+    training rounds, ending at counts{rounds}."""
+    body = ""
+    for r in range(1, rounds + 1):
+        if r == 1:
+            vb = (
+                "\n  SELECT piece, cnt FROM singles"
+                "\n  UNION ALL"
+                "\n  SELECT piece, cnt FROM multis\n"
+            )
+        else:
+            vb = (
+                f"\n  SELECT piece, cnt FROM counts{r - 1}"
+                "\n  UNION ALL"
+                "\n  SELECT s.piece, CAST(1 AS BIGINT) AS cnt"
+                " FROM singles s"
+                f"\n  WHERE s.piece NOT IN"
+                f" (SELECT piece FROM counts{r - 1})\n"
+            )
+        body += "," + _unigram_costs_sql(r, vb)
+        body += "," + _unigram_dp_round_sql(r)
     return f"""
 WITH RECURSIVE
 toks AS MATERIALIZED (
@@ -2617,7 +2619,12 @@ singles AS MATERIALIZED (SELECT piece, cnt FROM seedsub WHERE len(piece) = 1),
 multis AS MATERIALIZED (
   SELECT piece, cnt FROM seedsub WHERE len(piece) > 1
   ORDER BY cnt DESC, piece LIMIT {UNIGRAM_SEED_MULTI}
-),{body}
+){body}"""
+
+
+def _unigram_oracle_sql() -> str:
+    last = UNIGRAM_ROUNDS
+    return f"""{_unigram_chain_sql(last)}
 SELECT CAST(row_number() OVER (ORDER BY cnt DESC, piece) AS INT) AS rank,
        piece, cnt
 FROM counts{last}
@@ -2646,3 +2653,85 @@ def text_unigram_lm_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = _unigram_final_counts(words)
     rows = [(i + 1, p, c) for i, (p, c) in enumerate(ranked)]
     return spark.createDataFrame(rows, "rank int, piece string, cnt long")
+
+
+def _unigram_encode_oracle_sql() -> str:
+    """Training chain + one APPLICATION round: the encode vocabulary
+    is the final counts table verbatim (no single-character floor —
+    every word's round-{R} segmentation uses only counted pieces, so
+    coverage is guaranteed on the training corpus), and per-document
+    piece totals come from joining the per-word segmentation back to
+    the document token stream."""
+    train = UNIGRAM_ROUNDS
+    enc = train + 1
+    enc_vocab = f"\n  SELECT piece, cnt FROM counts{train}\n"
+    enc_costs = _unigram_costs_sql(enc, enc_vocab)
+    return f"""{_unigram_chain_sql(train)},{enc_costs},{_unigram_dp_round_sql(enc)},
+wseg AS MATERIALIZED (
+  SELECT w, CAST(count(*) AS BIGINT) AS n_pieces
+  FROM walk{enc} WHERE piece IS NOT NULL GROUP BY w
+),
+doctoks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+  FROM documents
+)
+SELECT d.doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(s.n_pieces) AS BIGINT) AS n_pieces
+FROM doctoks d JOIN wseg s ON s.w = d.w
+WHERE len(d.w) BETWEEN 1 AND {UNIGRAM_MAX_WORD}
+GROUP BY d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+@query("text_unigram_lm_encode", oracle=_unigram_encode_oracle_sql())
+def text_unigram_lm_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained unigram-LM tokenizer: Viterbi-segment every
+    word under the FINAL vocabulary's micronat costs and emit
+    per-document word and piece totals — the token-counting step a
+    data pipeline runs with the trained model (sibling of
+    text_bpe_encode).  Same JVM-fold execution and per-word
+    segmentation-join shape; the corpus is scanned once for words and
+    once for the doc join."""
+    import math
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    words = (
+        t["documents"]
+        .select(F.explode(_tokens()).alias("w"))
+        .filter(
+            (F.length("w") >= 1) & (F.length("w") <= UNIGRAM_MAX_WORD)
+        )
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    final_counts = _unigram_final_counts(words)
+    total = float(sum(c for _, c in final_counts))
+    costs = {
+        p: int(math.floor(-math.log(c / total) * 1e6 + 0.5))
+        for p, c in final_counts
+    }
+    m = _unigram_cost_map_sql(costs)
+    seg = (
+        words.select("w", F.expr(_unigram_dp_sql(m)).alias("dp"))
+        .select(
+            "w", F.size(F.expr(_unigram_walk_sql(m))).alias("n_pieces")
+        )
+    )
+    doctoks = (
+        t["documents"]
+        .select("doc_id", F.explode(_tokens()).alias("w"))
+        .filter(
+            (F.length("w") >= 1) & (F.length("w") <= UNIGRAM_MAX_WORD)
+        )
+    )
+    return (
+        doctoks.join(seg, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("n_pieces").cast("long").alias("n_pieces"),
+        )
+    )

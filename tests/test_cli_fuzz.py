@@ -143,6 +143,17 @@ def pred(rng: random.Random, depth: int = 0) -> str:
         if rng.random() < 0.5:
             return f"{c} collate nocase {rng.choice(['=', '<>', '<', '>'])} {s}"
         return f"{c} {rng.choice(['=', '<>'])} {s} collate nocase"
+    if r < 0.84:
+        lo, hi = sorted(rng.sample(range(-5, 25), 2))
+        neg = "not " if rng.random() < 0.3 else ""
+        if rng.random() < 0.3:
+            return f"{col(rng)} {neg}between '{lo}' and '{hi}'"
+        return f"{col(rng)} {neg}between {lo} and {hi}"
+    if r < 0.9:
+        pool = NUM_LITS if rng.random() < 0.5 else STR_LITS
+        items = ", ".join(rng.sample(pool, rng.randint(1, 3)))
+        neg = "not " if rng.random() < 0.3 else ""
+        return f"{col(rng)} {neg}in ({items})"
     if depth >= 2:
         return f"{col(rng)} {rng.choice(CMP_OPS)} {rng.choice(NUM_LITS)}"
     a, b = pred(rng, depth + 1), pred(rng, depth + 1)
@@ -197,8 +208,11 @@ def q_plain(rng: random.Random) -> str:
 
 
 def q_distinct(rng: random.Random) -> str:
+    # depth=1 keeps CASE out of DISTINCT items: ORDER BY over a
+    # DISTINCT alias of a mixed-class CASE is the one documented
+    # residual ordering divergence (dialect._collect_item_alias_classes)
     n = rng.randint(1, 2)
-    items = ", ".join(f"{scalar(rng)} as c{i}" for i in range(n))
+    items = ", ".join(f"{scalar(rng, 1)} as c{i}" for i in range(n))
     okeys = ", ".join(f"c{i}" for i in range(n))
     where = f" where {pred(rng)}" if rng.random() < 0.5 else ""
     return (
