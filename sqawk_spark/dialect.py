@@ -2390,7 +2390,22 @@ def _rewrite_window_class_items(
             else None
         )
         if cls not in ("dynamic", "text", "none"):
-            if fc is None and _CAST_REAL_ARG_RE.match(arg):
+            d0 = _aff_classify(arg, {})
+            # sum() coerces ANY non-integer constant to REAL; min/max
+            # return the VALUE, so only numeric REAL constants (and
+            # CAST .. AS REAL) class REAL there — min('c') stays 'c'
+            kinds = ("strlit", "numlit") if fn == "sum" else ("numlit",)
+            real_const = (
+                d0 is not None
+                and d0[0] in kinds
+                and not _ARITH_INT_FORM_RE.match(d0[1].strip())
+            )
+            if fc is None and (
+                _CAST_REAL_ARG_RE.match(arg) or real_const
+            ):
+                # statically-REAL argument: wrap HERE, pre-GROUPS —
+                # the frame rewrite's derived table would hide the
+                # item from the post-GROUPS class passes
                 emit(f"py_real_repr(CAST({core} AS DOUBLE))")
             else:
                 out_items.append(item)
@@ -3181,19 +3196,29 @@ def _rewrite_sum_select_items(
             col, alias = m.group(1), m.group(2)
         else:
             # sum(CASE WHEN cond THEN col END) — the FILTER lowering's
-            # shape: the per-group class test counts post-filter rows
+            # shape (per-group class counts post-filter rows) — and
+            # sum(CAST(col AS TEXT)) with or without the FILTER: a
+            # text-cast's value IS the stored canonical string
             fm = _AFF_SUM_FILTER_ITEM_RE.match(item)
             if fm is None:
                 out_items.append(item)
                 continue
             close = _match_paren_fwd(item, fm.end() - 1)
-            fc = _aff_filter_case_parts(item[fm.end() : close - 1])
+            inner = item[fm.end() : close - 1].strip()
             rest = item[close:]
             am = _ITEM_ALIAS_RE.match(rest) if rest.strip() else None
-            if fc is None or (rest.strip() and am is None):
+            if rest.strip() and am is None:
                 out_items.append(item)
                 continue
-            col, alias = fc[1], am.group(1) if am else None
+            alias = am.group(1) if am else None
+            fc = _aff_filter_case_parts(inner)
+            src = fc[1] if fc else inner
+            col = _sum_arg_col(src)
+            if col is None:
+                out_items.append(item)
+                continue
+            if fc is not None:
+                fc = (fc[0], col)
         cls = classes.get(col.split(".")[-1].lower())
         if cls not in ("dynamic", "text", "none"):
             out_items.append(item)
@@ -3232,9 +3257,27 @@ def _rewrite_sum_select_items(
 
 
 _AFF_FILTER_CASE_RE = re.compile(
-    r"^case\s+when\s+(.*)\s+then\s+([A-Za-z_][A-Za-z_0-9$.]*)\s+end$",
+    r"^case\s+when\s+(.*)\s+then\s+"
+    r"(cast\s*\([^()]*\)|'(?:[^']|'')*'|[A-Za-z_][A-Za-z_0-9$.]*)"
+    r"\s+end$",
     re.IGNORECASE | re.DOTALL,
 )
+_TEXT_CAST_ARG_RE = re.compile(
+    r"^cast\s*\(\s*([A-Za-z_][A-Za-z_0-9$.]*)\s+as\s+"
+    r"(text|char\w*|clob|varchar\w*)\s*\)$",
+    re.IGNORECASE,
+)
+
+
+def _sum_arg_col(argtext: str) -> str | None:
+    """The classed column a sum argument reduces to: a bare column,
+    or CAST(col AS TEXT) — whose value IS the stored canonical string,
+    so the per-group class machinery applies unchanged."""
+    t = argtext.strip()
+    if _AFF_IDENT_RE.match(t):
+        return t
+    m = _TEXT_CAST_ARG_RE.match(t)
+    return m.group(1) if m else None
 
 
 def _aff_filter_case_parts(arg: str) -> tuple[str, str] | None:
@@ -3324,6 +3367,14 @@ def rewrite_affinity_aggregates(stmt: str, classes: dict[str, str]) -> str:
             generic = False
             if not _AFF_IDENT_RE.match(arg):
                 fc = _aff_filter_case_parts(arg)
+                if fc is not None and (
+                    not _AFF_IDENT_RE.match(fc[1])
+                    or classes.get(fc[1].split(".")[-1].lower()) is None
+                ):
+                    # FILTER shape whose payload is not a classed bare
+                    # column (CAST / literal): the whole CASE coerces
+                    # generically — excluded rows are NULL either way
+                    fc = None
                 if fc is None:
                     # arbitrary argument expression: coerce its VALUE
                     # generically (trim + numeric-prefix parse of the
@@ -3583,11 +3634,14 @@ def _rewrite_real_class_items(
         if fn in ("min", "max"):
             # min/max return a VALUE, so the class follows the
             # argument: only statically-REAL arguments (CAST .. AS
-            # REAL) need the repr rendering; everything else keeps
-            # its native lowering (dynamic columns go through
-            # rewrite_affinity_minmax / the window items pass)
+            # REAL, bare or under a FILTER lowering) need the repr
+            # rendering; everything else keeps its native lowering
+            # (dynamic columns go through rewrite_affinity_minmax /
+            # the window items pass)
             arg = item[m.end() : close - 1].strip()
-            if win is not None or not _CAST_REAL_ARG_RE.match(arg):
+            fcx = _aff_filter_case_parts(arg)
+            target = fcx[1] if fcx else arg
+            if win is not None or not _CAST_REAL_ARG_RE.match(target):
                 out_items.append(item)
                 continue
         elif fn == "sum":
@@ -3597,14 +3651,16 @@ def _rewrite_real_class_items(
             # constants (sum('z') / sum(1.5) — also dodges Spark's
             # DECIMAL rendering '0.50') and CAST .. AS REAL
             arg = item[m.end() : close - 1].strip()
-            d = _aff_classify(arg, {})
+            fcx = _aff_filter_case_parts(arg)
+            target = fcx[1] if fcx else arg
+            d = _aff_classify(target, {})
             is_real_static = bool(
                 (
                     d is not None
                     and d[0] in ("strlit", "numlit")
                     and not _ARITH_INT_FORM_RE.match(d[1].strip())
                 )
-                or _CAST_REAL_ARG_RE.match(arg)
+                or _CAST_REAL_ARG_RE.match(target)
             )
             if not is_real_static:
                 out_items.append(item)
