@@ -2407,8 +2407,29 @@ def _rewrite_window_class_items(
                 # the frame rewrite's derived table would hide the
                 # item from the post-GROUPS class passes
                 emit(f"py_real_repr(CAST({core} AS DOUBLE))")
-            else:
-                out_items.append(item)
+                continue
+            if fn in ("min", "max", "sum"):
+                # aggregate over an arithmetic chain (bare or under
+                # FILTER): min/max pick a per-row-class winner via
+                # the value-keyed struct; sum gets the per-frame
+                # 3-branch class encoding
+                tgt = fc[1] if fc else arg
+                chain = _parse_arith_chain(tgt, classes)
+                fcs = fc
+                if chain is None and fc is None:
+                    g = _fc_chain_parts(arg, classes)
+                    if g is not None:
+                        fcs, chain = (g[0], None), g[1]
+                if chain is not None:
+                    if fn == "sum":
+                        body = _sum_chain_item_body(chain, fcs, w)
+                    else:
+                        st = _arith_minmax_struct(chain, fcs, fn)
+                        body = f"({fn}({st}){w}).v" if st else None
+                    if body is not None:
+                        emit(body)
+                        continue
+            out_items.append(item)
             continue
         if fn == "sum":
             c = _aff_sum_coerce_sql(col, cls)
@@ -2857,6 +2878,88 @@ def _arith_chain_class_body(chain) -> tuple[str, str] | None:
     return None
 
 
+_FC_GENERIC_RE = re.compile(
+    r"^case\s+when\s+(.*)\s+then\s+(.*?)\s+end$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _fc_chain_parts(arg: str, classes: dict[str, str]):
+    """(condition, parsed chain) when ``arg`` is a FILTER-lowered CASE
+    whose payload is an arithmetic chain (greedy cond + lazy payload
+    splits at the LAST ``then``; the chain parse validates the
+    split)."""
+    m = _FC_GENERIC_RE.match(arg.strip())
+    if m is None:
+        return None
+    ch = _parse_arith_chain(m.group(2), classes)
+    return (m.group(1), ch) if ch is not None else None
+
+
+def _sum_chain_item_body(chain, fc, w: str = "") -> str | None:
+    """Per-group/per-frame result class for sum() over an arithmetic
+    chain: INTEGER iff every summed row's operands are integer class.
+    Same 3-branch string encoding as the column machinery, with the
+    chain's coerced value and per-row intness predicate.  None when
+    the native lowering is exact (all-integer chain)."""
+    tokens, ops = chain
+    ec = f"({_arith_chain_coerced_sql(chain)})"
+    tests = [_arith_tok_int_test(tok, d) for _, tok, d in tokens]
+    dyn = [t for t in tests if isinstance(t, str)]
+    argx = f"CASE WHEN {fc[0]} THEN {ec} END" if fc else ec
+    if any(t is False for t in tests):
+        # a static REAL operand: every row is REAL class
+        return f"py_real_repr(sum({argx}){w})"
+    if not dyn:
+        return None  # all-integer: native long arithmetic is exact
+    p = " AND ".join(dyn)
+    inc = (
+        f"({fc[0]}) AND {ec} IS NOT NULL"
+        if fc
+        else f"{ec} IS NOT NULL"
+    )
+    int_arg = f"CAST({ec} AS BIGINT)"
+    if fc:
+        int_arg = f"CASE WHEN {fc[0]} THEN {int_arg} END"
+    return (
+        f"CASE WHEN count({argx}){w} = 0 THEN CAST(NULL AS STRING) "
+        f"WHEN count(CASE WHEN {inc} AND NOT ({p}) THEN 1 END){w} = 0 "
+        f"THEN CAST(sum({int_arg}){w} AS STRING) "
+        f"ELSE py_real_repr(sum({argx}){w}) END"
+    )
+
+
+def _arith_minmax_struct(chain, fc, fn: str) -> str | None:
+    """min/max over an arithmetic chain return the winning VALUE with
+    its per-row class: pick the winner by coerced numeric value (with
+    the integer-preference tiebreak the column min/max rewrite uses)
+    and carry the class-exact rendered string alongside.  None when
+    the native lowering is already exact (all-integer, no division)."""
+    cb = _arith_chain_class_body(chain)
+    if cb is None:
+        return None
+    tokens, ops = chain
+    ec = _arith_chain_coerced_sql(chain)
+    tests = [_arith_tok_int_test(tok, d) for _, tok, d in tokens]
+    dyn = [t for t in tests if isinstance(t, str)]
+    if any(t is False for t in tests):
+        p = "1"
+    elif dyn:
+        p = f"(CASE WHEN {' AND '.join(dyn)} THEN 0 ELSE 1 END)"
+    else:
+        p = "0"
+    if fn == "max":
+        p = f"(0 - {p})"
+    struct = (
+        f"CASE WHEN ({ec}) IS NULL THEN NULL ELSE "
+        f"named_struct('k', CAST(({ec}) AS DOUBLE), 'p', {p}, "
+        f"'v', ({cb[0]})) END"
+    )
+    if fc is not None:
+        struct = f"CASE WHEN {fc[0]} THEN {struct} END"
+    return struct
+
+
 _CASE_ITEM_RE = re.compile(
     r"^\s*case\s+when\s+(.+?)\s+then\s+(.+?)\s+else\s+(.+?)\s+end"
     r"(?:\s+(?:as\s+)?([A-Za-z_][A-Za-z_0-9]*))?\s*$",
@@ -3215,7 +3318,27 @@ def _rewrite_sum_select_items(
             src = fc[1] if fc else inner
             col = _sum_arg_col(src)
             if col is None:
-                out_items.append(item)
+                # arithmetic-chain argument (bare or under FILTER):
+                # the per-group class encoding over the chain's
+                # coerced value and per-row intness
+                chain = _parse_arith_chain(src, classes)
+                fcs = fc
+                if chain is None and fc is None:
+                    g = _fc_chain_parts(inner, classes)
+                    if g is not None:
+                        fcs, chain = (g[0], None), g[1]
+                body = (
+                    _sum_chain_item_body(chain, fcs)
+                    if chain is not None
+                    else None
+                )
+                if body is None:
+                    out_items.append(item)
+                    continue
+                name = alias or "sum"
+                out_items.append(f"{body} AS {name}")
+                extras[name.lower()] = "dynamic"
+                changed = True
                 continue
             if fc is not None:
                 fc = (fc[0], col)
@@ -3641,6 +3764,31 @@ def _rewrite_real_class_items(
             arg = item[m.end() : close - 1].strip()
             fcx = _aff_filter_case_parts(arg)
             target = fcx[1] if fcx else arg
+            if win is None:
+                # arithmetic-chain argument (bare or under FILTER):
+                # winner keeps its per-row class — value-keyed struct
+                # with the rendered string
+                chain = _parse_arith_chain(target, classes)
+                fcs = fcx
+                if chain is None and fcx is None:
+                    g = _fc_chain_parts(arg, classes)
+                    if g is not None:
+                        fcs, chain = (g[0], None), g[1]
+                st = (
+                    _arith_minmax_struct(chain, fcs, fn)
+                    if chain is not None
+                    else None
+                )
+                if st is not None:
+                    body = f"({fn}({st})).v"
+                    if alias_m:
+                        name = alias_m.group(1)
+                        out_items.append(f"{body} AS {name}")
+                        extras[name.lower()] = "dynamic"
+                    else:
+                        out_items.append(body)
+                    changed = True
+                    continue
             if win is not None or not _CAST_REAL_ARG_RE.match(target):
                 out_items.append(item)
                 continue

@@ -320,6 +320,34 @@ def q_ranking(rng: random.Random) -> str:
     return f"select anr, a1, {fn} as w from a{where} order by anr"
 
 
+def q_join(rng: random.Random) -> str:
+    """Two-table join (files → tables a and b): the join condition
+    compares classed columns ACROSS tables — equality under storage
+    classes, plus a cross-table WHERE.  Total order via both anr's."""
+    jk = rng.choice(
+        [
+            ("a1", "b1"),
+            ("a2", "b2"),
+            ("a1", "b2"),
+            ("anf", "bnf"),
+        ]
+    )
+    kind = rng.choice(["join", "left join"])
+    items = ", ".join(
+        f"{c} as c{i}"
+        for i, c in enumerate(
+            rng.sample(["a1", "a2", "b1", "b2", "anr", "bnr"], 3)
+        )
+    )
+    where = (
+        f" where {pred(rng)}" if rng.random() < 0.5 else ""
+    )
+    return (
+        f"select {items} from a {kind} b on {jk[0]} = {jk[1]}"
+        f"{where} order by anr, bnr{limit_clause(rng)}"
+    )
+
+
 SHAPES = [
     (q_plain, 5),
     (q_distinct, 2),
@@ -328,6 +356,7 @@ SHAPES = [
     (q_bare_minmax, 2),
     (q_window, 4),
     (q_ranking, 2),
+    (q_join, 3),
 ]
 SHAPE_POOL = [fn for fn, w in SHAPES for _ in range(w)]
 
@@ -335,14 +364,21 @@ SHAPE_POOL = [fn for fn, w in SHAPES for _ in range(w)]
 # --- oracle: real SQLite on an identically-loaded table ------------------
 
 
-def load_sqlite(text: str, datatypes: list[str]) -> sqlite3.Connection:
-    con = sqlite3.connect(":memory:")
+def load_sqlite(
+    text: str,
+    datatypes: list[str],
+    con: sqlite3.Connection | None = None,
+    prefix: str = "a",
+) -> sqlite3.Connection:
+    con = con or sqlite3.connect(":memory:")
     decls = [
-        f"a{i + 1} {datatypes[i].upper() if datatypes[i] else 'INTEGER'}"
+        f"{prefix}{i + 1} "
+        f"{datatypes[i].upper() if datatypes[i] else 'INTEGER'}"
         for i in range(3)
     ]
     con.execute(
-        "create table a (anr INTEGER PRIMARY KEY, anf INTEGER, a0 TEXT, "
+        f"create table {prefix} ({prefix}nr INTEGER PRIMARY KEY, "
+        f"{prefix}nf INTEGER, {prefix}0 TEXT, "
         + ", ".join(decls)
         + ")"
     )
@@ -351,7 +387,9 @@ def load_sqlite(text: str, datatypes: list[str]) -> sqlite3.Connection:
         row = [nr, len(fields), line] + [
             fields[i] if i < len(fields) else None for i in range(3)
         ]
-        con.execute("insert into a values (?,?,?,?,?,?)", row)
+        con.execute(
+            f"insert into {prefix} values (?,?,?,?,?,?)", row
+        )
     return con
 
 
@@ -392,15 +430,25 @@ def _run_batch(rng: random.Random, n: int, tmp_path, start: int = 0):
     failures = []
     while i < start + n:
         text, datatypes = make_dataset(rng)
+        text_b, datatypes_b = make_dataset(rng)
         f = tmp_path / f"fuzz_{i}.csv"
         f.write_text(text)
+        fb = tmp_path / f"fuzz_{i}_b.csv"
+        fb.write_text(text_b)
         dt_opt = "datatypes=" + ",".join(t or "integer" for t in datatypes)
+        dt_opt_b = "datatypes=" + ",".join(
+            t or "integer" for t in datatypes_b
+        )
         con = load_sqlite(text, datatypes)
+        load_sqlite(text_b, datatypes_b, con=con, prefix="b")
         for _ in range(min(8, start + n - i)):
             sql = rng.choice(SHAPE_POOL)(rng)
             want = render_sqlite(con.execute(sql).fetchall())
+            argv = ["-FS", ",", sql, dt_opt, str(f)]
+            if " join b " in sql:  # only q_join references table b
+                argv += [dt_opt_b, str(fb)]
             try:
-                got = run_cli(["-FS", ",", sql, dt_opt, str(f)])
+                got = run_cli(argv)
             except Exception as exc:  # noqa: BLE001 — collect, then fail
                 got = f"<EXCEPTION: {type(exc).__name__}: {str(exc)[:300]}>"
             if got != want:
