@@ -515,47 +515,151 @@ def _over_spans(stmt: str) -> list[tuple[int, int]]:
 _LIKE_KW_RE = re.compile(r"\blike\b", re.IGNORECASE)
 
 
+def _like_pattern_regex(pat: str, esc: str | None) -> str:
+    """SQLite LIKE pattern → anchored Java regex text.  ``(?i)`` is
+    Java's DEFAULT (ASCII-only) case fold — exactly SQLite's default
+    LIKE (lang_expr.html §5: A-Z fold, no ICU); ``(?s)`` lets ``%``
+    and ``_`` cross newlines as SQLite's matcher does.  An ESCAPE
+    character makes the NEXT pattern character literal (still
+    case-folded, as in SQLite's patternCompare); a trailing escape
+    character matches nothing."""
+    out, i, n = [], 0, len(pat)
+    while i < n:
+        c = pat[i]
+        if esc is not None and c == esc:
+            i += 1
+            if i >= n:
+                out.append("(?!)")  # dangling escape: never matches
+                break
+            out.append(re.escape(pat[i]))
+        elif c == "%":
+            out.append(".*")
+        elif c == "_":
+            out.append(".")
+        else:
+            out.append(re.escape(c))
+        i += 1
+    return "(?is)^(?:" + "".join(out) + ")$"
+
+
+def _extend_concat_fwd(s: str, rend: int) -> int:
+    """Extend an operand end over ``|| operand`` continuations."""
+    while True:
+        k = _skip_ws(s, rend)
+        if s[k : k + 2] == "||":
+            e2 = _operand_fwd(s, k + 2)
+            if e2 > k + 2 and s[k + 2 : e2].strip():
+                rend = e2
+                continue
+        return rend
+
+
 def rewrite_like_nocase(stmt: str) -> str:
-    """SQLite's default LIKE is ASCII-case-insensitive
-    (lang_expr.html §5: A-Z fold, no ICU) while Spark's is exact:
-    fold BOTH operands with the NOCASE translate — ``%`` and ``_``
-    are not letters, so pattern semantics are unchanged, and numeric
-    operands pass through Spark's implicit string cast first exactly
-    as SQLite renders them to text.  ``NOT LIKE`` keeps its NOT; an
-    ESCAPE clause skips the rewrite (folding would change the escape
-    character — documented residual divergence); compound left
-    operands (``a || b LIKE p``) skip too, where a single-primary
-    fold would regroup."""
+    """SQLite LIKE, lowered exactly (lang_expr.html §5).
+
+    - literal pattern (with optional literal single-char ESCAPE):
+      ``X [NOT] LIKE 'pat' [ESCAPE 'e']`` → ``X [not] rlike
+      '(?is)^…$'`` — an in-place operator swap, so compound LEFT
+      operands (``a || b LIKE p``) need no operand surgery (``||``
+      binds tighter than RLIKE), and Java's default ``(?i)`` IS
+      SQLite's ASCII-only fold.  JVM regex, codegen'd: the hot path.
+    - non-literal pattern or escape (column patterns, ``||`` composed
+      patterns): ``sqlite_like(P, X, E)`` — the registered UDF
+      implementing patternCompare semantics (functions/__init__.py).
+    - function form ``like(P, X[, E])`` (callable in SQLite):
+      lowered to the same UDF.
+
+    Numeric operands pass through Spark's implicit string cast first,
+    exactly as SQLite renders them to text."""
     matches = [
         m
         for m in _LIKE_KW_RE.finditer(stmt)
         if not _in_quotes(stmt, m.start())
     ]
+    n = len(stmt)
     for m in reversed(matches):
-        rend = _operand_fwd(stmt, m.end())
-        rhs = stmt[m.end() : rend].strip()
-        if not rhs:
-            continue
-        k = _skip_ws(stmt, rend)
-        if re.match(r"escape\b", stmt[k:], re.IGNORECASE):
-            continue
         ls = _operand_back(stmt, m.start())
         lhs = stmt[ls : m.start()].strip()
         neg = ""
         if lhs.lower() == "not":
             ls2 = _operand_back(stmt, ls)
             inner = stmt[ls2:ls].strip()
-            if not inner:
-                continue
-            neg, ls, lhs = "not ", ls2, inner
+            if inner and inner.lower() not in _KEYWORDS:
+                neg, ls, lhs = "NOT ", ls2, inner
+            else:
+                lhs = ""
         if not lhs or lhs.lower() in _KEYWORDS:
+            # function-call position: SQLite's like(P, X[, E])
+            k0 = _skip_ws(stmt, m.end())
+            if k0 >= n or stmt[k0] != "(":
+                continue
+            close = _match_paren_fwd(stmt, k0)
+            args = _split_call_args(stmt, k0)
+            if args is None or len(args) not in (2, 3):
+                continue
+            e = (
+                args[2].strip()
+                if len(args) == 3
+                else "CAST(NULL AS STRING)"
+            )
+            repl = f"sqlite_like({args[0].strip()}, {args[1].strip()}, {e})"
+            stmt = stmt[: m.start()] + repl + stmt[close:]
             continue
-        if _compound_context(stmt, ls, rend):
+        rend = _extend_concat_fwd(stmt, _operand_fwd(stmt, m.end()))
+        rhs = stmt[m.end() : rend].strip()
+        if not rhs:
             continue
-        fl = f"translate({lhs}, '{_ASCII_UPPER}', '{_ASCII_LOWER}')"
-        fr = f"translate({rhs}, '{_ASCII_UPPER}', '{_ASCII_LOWER}')"
-        stmt = stmt[:ls] + f" {fl} {neg}like {fr}" + stmt[rend:]
+        end = rend
+        esc_text = None
+        k = _skip_ws(stmt, rend)
+        em = re.match(r"escape\b", stmt[k:], re.IGNORECASE)
+        if em is not None:
+            e_end = _extend_concat_fwd(
+                stmt, _operand_fwd(stmt, k + em.end())
+            )
+            esc_text = stmt[k + em.end() : e_end].strip()
+            if not esc_text:
+                continue
+            end = e_end
+        pat = _sql_literal_text(rhs)
+        esc = _sql_literal_text(esc_text) if esc_text else None
+        if pat is not None and (
+            esc_text is None or (esc is not None and len(esc) == 1)
+        ):
+            # literal pattern/escape → JVM regex, operator swapped in
+            # place (the 'not' of NOT LIKE stays where it was)
+            k2 = _skip_ws(stmt, end)
+            if k2 < n and stmt[k2] in _COMPOUND_OPS:
+                continue  # expression continues past the pattern
+            rx = _quote_regex_sql(_like_pattern_regex(pat, esc))
+            stmt = stmt[: m.start()] + f"rlike {rx}" + stmt[end:]
+            continue
+        # non-literal pattern or escape → UDF over the full operands
+        ls_full = _extend_concat_back_like(stmt, ls)
+        lhs_full = stmt[ls_full : m.start()]
+        lhs_full = re.sub(
+            r"\bnot\s*$", "", lhs_full, flags=re.IGNORECASE
+        ).strip()
+        if not lhs_full or _compound_context(stmt, ls_full, end):
+            continue
+        e_sql = esc_text if esc_text else "CAST(NULL AS STRING)"
+        repl = f"{neg}sqlite_like({rhs}, {lhs_full}, {e_sql})"
+        stmt = stmt[:ls_full] + repl + stmt[end:]
     return stmt
+
+
+def _extend_concat_back_like(s: str, ls: int) -> int:
+    """Extend an operand start back over ``operand ||`` prefixes."""
+    while True:
+        j = ls - 1
+        while j >= 0 and s[j].isspace():
+            j -= 1
+        if j >= 1 and s[j - 1 : j + 1] == "||":
+            ps = _operand_back(s, j - 1)
+            if s[ps : j - 1].strip():
+                ls = ps
+                continue
+        return ls
 
 
 def rewrite_collate_nocase(stmt: str) -> str:
@@ -836,17 +940,58 @@ def _split_call_args(stmt: str, open_paren: int) -> list[str] | None:
     return args
 
 
+def _escape_backslash_literals(stmt: str) -> str:
+    """SQLite string literals are verbatim — backslash is an ordinary
+    character ('a\\nb' is four characters) — while Spark's default
+    literal parser processes escape sequences.  Double every backslash
+    inside single-quoted literals so Spark reads exactly the user's
+    text.  Runs FIRST in rewrite_statement: passes that read literal
+    TEXT (_sql_literal_text) collapse the doubling back to the user's
+    characters, and passes that re-embed raw literal segments
+    round-trip unchanged.  Double-quoted/backtick spans are left alone
+    (identifiers after rewrite_double_quoted_idents)."""
+    if "\\" not in stmt:
+        return stmt
+    out = []
+    i = 0
+    n = len(stmt)
+    while i < n:
+        c = stmt[i]
+        if c == "'":
+            j = _scan_string(stmt, i)
+            out.append(stmt[i:j].replace("\\", "\\\\"))
+            i = j
+        elif c in '"`':
+            j = _scan_string(stmt, i)
+            out.append(stmt[i:j])
+            i = j
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
 def _sql_literal_text(arg: str) -> str | None:
-    """The unescaped text of a single-quoted SQL string literal, or
-    None when ``arg`` is any other expression."""
+    """The unescaped text of a single-quoted SQL string literal —
+    the characters the USER wrote (quote-undoubled, and backslash-
+    undoubled to invert _escape_backslash_literals) — or None when
+    ``arg`` is any other expression."""
     a = arg.strip()
     if len(a) >= 2 and a[0] == "'" and _scan_string(a, 0) == len(a):
-        return a[1:-1].replace("''", "'")
+        return a[1:-1].replace("''", "'").replace("\\\\", "\\")
     return None
 
 
 def _quote_sql(text: str) -> str:
     return "'" + text.replace("'", "''") + "'"
+
+
+def _quote_regex_sql(text: str) -> str:
+    """Embed engine-built regex TEXT as a Spark string literal: the
+    session keeps Spark's default escape-processing literals, so
+    regex backslashes must double (``\\.`` would otherwise reach the
+    matcher as a bare ``.``)."""
+    return "'" + text.replace("\\", "\\\\").replace("'", "''") + "'"
 
 
 # regex constructs whose meaning differs between the Python ``re``
@@ -945,7 +1090,7 @@ def rewrite_regex_calls(stmt: str) -> str:
                 if len(args) != 2:
                     continue
                 repl = (
-                    f"({args[1]} RLIKE {_quote_sql(glob_to_regex(pat))})"
+                    f"({args[1]} RLIKE {_quote_regex_sql(glob_to_regex(pat))})"
                 )
             elif name == "regexp":
                 if len(args) != 2 or not _java_safe_regex(pat):
@@ -2276,6 +2421,48 @@ _CAST_REAL_ARG_RE = re.compile(
 )
 
 
+_FRAME_BETWEEN_RE = re.compile(
+    r"\b(rows|groups|range)(\s+between\s+)(.+?)(\s+and\b)",
+    re.IGNORECASE | re.DOTALL,
+)
+_FRAME_SHORT_RE = re.compile(
+    r"\b(rows|groups|range)\s+((?:unbounded|\d+)\s+preceding"
+    r"|current\s+row)",
+    re.IGNORECASE,
+)
+
+
+def _sticky_over_sql(w: str) -> str:
+    """OVER clause for the windowed-sum REAL-class detector.  SQLite's
+    window sum adds rows as they enter the frame and inverse-removes
+    them as they leave, and the accumulator flips to approximate on
+    the FIRST non-integer added without ever flipping back
+    (sumInverse keeps the flag) — so the result class is REAL iff any
+    non-integer occurred in [partition start .. frame END] in window
+    order, NOT merely in the current frame.  EXCLUDE frames are the
+    exception: SQLite recomputes those per frame, so the frame's own
+    window is the correct detector.  Probed against SQLite 3.40
+    (tests/test_window_sum_sticky.py)."""
+    if re.search(r"\bexclude\b", w, re.IGNORECASE):
+        return w
+    m = _FRAME_BETWEEN_RE.search(w)
+    if m is not None:
+        return (
+            w[: m.start(3)] + "unbounded preceding" + w[m.end(3) :]
+        )
+    m = _FRAME_SHORT_RE.search(w)
+    if m is not None:
+        # short form: implicit end is CURRENT ROW
+        return (
+            w[: m.start(2)]
+            + "between unbounded preceding and current row"
+            + w[m.end(2) :]
+        )
+    # no frame spec: default RANGE UNBOUNDED PRECEDING .. CURRENT ROW
+    # is already anchored at the partition start
+    return w
+
+
 def _rewrite_window_class_items(
     stmt: str, classes: dict[str, str]
 ) -> tuple[str, dict[str, str]]:
@@ -2448,11 +2635,12 @@ def _rewrite_window_class_items(
                     f"CASE WHEN {fc[0]} THEN TRY_CAST({t} AS BIGINT) END"
                 )
                 arg_c = f"CASE WHEN {fc[0]} THEN {c} END"
+            ws = _sticky_over_sql(w)
             body = (
                 f"CASE WHEN count({arg_all}){w} = 0 "
                 f"THEN CAST(NULL AS STRING) "
                 f"WHEN count(CASE WHEN {inc} AND NOT "
-                f"({t} RLIKE {_AFF_INT_CANON_PAT}) THEN 1 END){w} = 0 "
+                f"({t} RLIKE {_AFF_INT_CANON_PAT}) THEN 1 END){ws} = 0 "
                 f"THEN CAST(sum({arg_int}){w} AS STRING) "
                 f"ELSE py_real_repr(sum({arg_c}){w}) END"
             )
@@ -2781,6 +2969,11 @@ def _parse_arith_chain(text: str, classes: dict[str, str]):
         tok = s[j:end].strip()
         if tok.startswith("(") or tok.startswith("'"):
             return None
+        if tok.startswith("sqk_"):
+            # engine-emitted fold lambda variables (sqk_a.d etc.) —
+            # never a user operand; rescanning generated SQL must not
+            # re-parse them as classed columns
+            return None
         cm = re.match(r"^cast\s*\(", tok, re.IGNORECASE)
         if cm is not None and _match_paren_fwd(tok, cm.end() - 1) == len(
             tok
@@ -2841,7 +3034,144 @@ def _arith_tok_int_test(tok: str, d: tuple[str, str]):
     return f"({pre} = '' OR {pre} RLIKE '^[+-]?[0-9]+$')"
 
 
+def _arith_chain_sensitivity(chain):
+    """How SQLite's per-step typed evaluation can diverge from a
+    single double-coerced lowering of the chain: ``/`` truncates
+    between INTEGER operands at EVERY step (``3/2*2`` is 2, not 3),
+    and ``%`` casts BOTH operands to int64 regardless of class
+    (``7.5 % 2`` is 1.0, not fmod's 1.5 — verified vs SQLite 3.40).
+    Returns None (the coerced double chain is value-exact: no ``/``,
+    and ``%`` only between statically-INTEGER operands), ``"allint"``
+    (every operand statically INTEGER and ``/`` present: swap in
+    Spark's ``div``, which shares ``/``'s precedence tier and
+    truncates toward zero with NULL-on-zero exactly like SQLite), or
+    ``"fold"`` (per-row typed evaluation needed)."""
+    tokens, ops = chain
+    if "/" not in ops and "%" not in ops:
+        return None
+    tests = [_arith_tok_int_test(tok, d) for _, tok, d in tokens]
+    if all(t is True for t in tests):
+        # int % int is native-exact in Spark (sign of dividend,
+        # NULL on zero); only '/' needs the div rewrite
+        return "allint" if "/" in ops else None
+    return "fold"
+
+
+def _arith_chain_div_sql(chain) -> str:
+    """Statically-all-INTEGER chain containing ``/``: the chain with
+    ``/`` swapped for Spark's integral ``div`` — exact int64
+    arithmetic at every step, matching SQLite."""
+    tokens, ops = chain
+    parts = [_arith_tok_val(*tokens[0])]
+    for op, tok in zip(ops, tokens[1:]):
+        parts.append("div" if op == "/" else op)
+        parts.append(_arith_tok_val(*tok))
+    return " ".join(parts)
+
+
+def _arith_operand_struct(sign: str, tok: str, d: tuple[str, str]) -> str:
+    """Operand as named_struct('i' int64-or-NULL, 'd' double,
+    'n' is-INTEGER-class) for the typed fold."""
+    v = _arith_tok_val(sign, tok, d)
+    t = _arith_tok_int_test(tok, d)
+    if t is True:
+        n, i = "true", f"CAST(({v}) AS BIGINT)"
+    elif t is False:
+        n, i = "false", "CAST(NULL AS BIGINT)"
+    else:
+        n = f"({t})"
+        i = f"CASE WHEN {t} THEN CAST(({v}) AS BIGINT) END"
+    return (
+        f"named_struct('i', {i}, 'd', CAST(({v}) AS DOUBLE), 'n', {n})"
+    )
+
+
+# combine one multiplicative step (o: 0 = '*', 1 = '/', 2 = '%'):
+# '%' always computes on int64 operands (SQLite lang_expr); '*' and
+# '/' run in int64 while both sides are INTEGER class, else double.
+_ARITH_MULT_STEP = (
+    "CASE WHEN sqk_x.o = 2 THEN named_struct("
+    "'i', CAST(sqk_a.d AS BIGINT) % CAST(sqk_x.s.d AS BIGINT), "
+    "'d', CAST(CAST(sqk_a.d AS BIGINT) % CAST(sqk_x.s.d AS BIGINT) AS DOUBLE), "
+    "'n', sqk_a.n AND sqk_x.s.n) "
+    "WHEN sqk_a.n AND sqk_x.s.n THEN named_struct("
+    "'i', CASE WHEN sqk_x.o = 0 THEN sqk_a.i * sqk_x.s.i ELSE sqk_a.i div sqk_x.s.i END, "
+    "'d', CAST((CASE WHEN sqk_x.o = 0 THEN sqk_a.i * sqk_x.s.i "
+    "ELSE sqk_a.i div sqk_x.s.i END) AS DOUBLE), "
+    "'n', true) "
+    "ELSE named_struct('i', CAST(NULL AS BIGINT), "
+    "'d', CASE WHEN sqk_x.o = 0 THEN sqk_a.d * sqk_x.s.d ELSE sqk_a.d / sqk_x.s.d END, "
+    "'n', false) END"
+)
+
+# combine one additive step (o: 0 = '+', 1 = '-')
+_ARITH_ADD_STEP = (
+    "CASE WHEN sqk_oa.n AND sqk_ox.s.n THEN named_struct("
+    "'i', CASE WHEN sqk_ox.o = 0 THEN sqk_oa.i + sqk_ox.s.i ELSE sqk_oa.i - sqk_ox.s.i END, "
+    "'d', CAST((CASE WHEN sqk_ox.o = 0 THEN sqk_oa.i + sqk_ox.s.i "
+    "ELSE sqk_oa.i - sqk_ox.s.i END) AS DOUBLE), "
+    "'n', true) "
+    "ELSE named_struct('i', CAST(NULL AS BIGINT), "
+    "'d', CASE WHEN sqk_ox.o = 0 THEN sqk_oa.d + sqk_ox.s.d ELSE sqk_oa.d - sqk_ox.s.d END, "
+    "'n', false) END"
+)
+
+
+def _arith_chain_fold_sql(chain) -> str:
+    """The chain evaluated with SQLite's per-step dynamic typing as a
+    struct<i bigint, d double, n boolean>: multiplicative runs fold
+    first (one ``aggregate`` HOF each, matching the shared * / %
+    precedence tier), then the additive ops fold the term structs.
+    Pure JVM higher-order functions — linear SQL size, codegen'd, no
+    Python in the row path."""
+    tokens, ops = chain
+    terms, term_ops, add_ops = [[tokens[0]]], [[]], []
+    for op, tok in zip(ops, tokens[1:]):
+        if op in "+-":
+            add_ops.append(op)
+            terms.append([tok])
+            term_ops.append([])
+        else:
+            terms[-1].append(tok)
+            term_ops[-1].append(op)
+    term_sqls = []
+    for toks, tops in zip(terms, term_ops):
+        s0 = _arith_operand_struct(*toks[0])
+        if not tops:
+            term_sqls.append(s0)
+            continue
+        elems = ", ".join(
+            f"named_struct('o', {'*/%'.index(o)}, "
+            f"'s', {_arith_operand_struct(*t)})"
+            for o, t in zip(tops, toks[1:])
+        )
+        term_sqls.append(
+            f"aggregate(array({elems}), {s0}, "
+            f"(sqk_a, sqk_x) -> {_ARITH_MULT_STEP})"
+        )
+    if not add_ops:
+        return term_sqls[0]
+    elems = ", ".join(
+        f"named_struct('o', {'+-'.index(o)}, 's', {t})"
+        for o, t in zip(add_ops, term_sqls[1:])
+    )
+    return (
+        f"aggregate(array({elems}), {term_sqls[0]}, "
+        f"(sqk_oa, sqk_ox) -> {_ARITH_ADD_STEP})"
+    )
+
+
 def _arith_chain_coerced_sql(chain) -> str:
+    """DOUBLE-valued SQL for the chain under SQLite's per-step typed
+    evaluation.  Division-free chains keep the flat coerced lowering
+    (exact: + - * on int-valued doubles, int %); chains where '/' or
+    a mixed-class '%' changes intermediate values route through the
+    div rewrite or the typed struct fold."""
+    sens = _arith_chain_sensitivity(chain)
+    if sens == "allint":
+        return f"CAST(({_arith_chain_div_sql(chain)}) AS DOUBLE)"
+    if sens == "fold":
+        return f"({_arith_chain_fold_sql(chain)}).d"
     tokens, ops = chain
     parts = [_arith_tok_val(*tokens[0])]
     for op, tok in zip(ops, tokens[1:]):
@@ -2873,8 +3203,9 @@ def _arith_chain_class_body(chain) -> tuple[str, str] | None:
             "dynamic",
         )
     if "/" in ops:
-        # all-integer with division: SQLite truncates toward zero
-        return f"CAST(({ec}) AS BIGINT)", "long"
+        # all-integer with division: int64 arithmetic at every step
+        # (SQLite truncates between steps, not once at the end)
+        return f"({_arith_chain_div_sql(chain)})", "long"
     return None
 
 
@@ -2911,7 +3242,15 @@ def _sum_chain_item_body(chain, fc, w: str = "") -> str | None:
         # a static REAL operand: every row is REAL class
         return f"py_real_repr(sum({argx}){w})"
     if not dyn:
-        return None  # all-integer: native long arithmetic is exact
+        if _arith_chain_sensitivity(chain) == "allint":
+            # all-integer WITH division: the native lowering would sum
+            # Spark's double quotients; sum the per-row int64-truncated
+            # values instead (SQLite sums per-row truncated ints)
+            arg = f"({_arith_chain_div_sql(chain)})"
+            if fc:
+                arg = f"CASE WHEN {fc[0]} THEN {arg} END"
+            return f"CAST(sum({arg}){w} AS STRING)"
+        return None  # all-integer + - * %: native long arithmetic is exact
     p = " AND ".join(dyn)
     inc = (
         f"({fc[0]}) AND {ec} IS NOT NULL"
@@ -2921,9 +3260,10 @@ def _sum_chain_item_body(chain, fc, w: str = "") -> str | None:
     int_arg = f"CAST({ec} AS BIGINT)"
     if fc:
         int_arg = f"CASE WHEN {fc[0]} THEN {int_arg} END"
+    ws = _sticky_over_sql(w) if w else w
     return (
         f"CASE WHEN count({argx}){w} = 0 THEN CAST(NULL AS STRING) "
-        f"WHEN count(CASE WHEN {inc} AND NOT ({p}) THEN 1 END){w} = 0 "
+        f"WHEN count(CASE WHEN {inc} AND NOT ({p}) THEN 1 END){ws} = 0 "
         f"THEN CAST(sum({int_arg}){w} AS STRING) "
         f"ELSE py_real_repr(sum({argx}){w}) END"
     )
@@ -3509,7 +3849,17 @@ def rewrite_affinity_aggregates(stmt: str, classes: dict[str, str]) -> str:
                     if fn != "total" and not _aff_expr_textish(
                         arg, classes
                     ):
-                        continue
+                        # numeric-only argument: native eval is exact
+                        # UNLESS the expression is a '/'-or-'%' chain
+                        # whose per-step int truncation Spark's double
+                        # arithmetic misses (avg(a1/2) averages the
+                        # per-row truncated quotients in SQLite)
+                        ch0 = _parse_arith_chain(arg, classes)
+                        if (
+                            ch0 is None
+                            or _arith_chain_sensitivity(ch0) is None
+                        ):
+                            continue
                     if _AFF_GENERIC_DONE_RE.match(arg) or re.search(
                         r"\b(try_cast|py_real_repr|named_struct"
                         r"|regexp_extract|regexp_replace)\s*\(",
@@ -3674,26 +4024,42 @@ def rewrite_affinity_casts(stmt: str, classes: dict[str, str]) -> str:
             return stmt
 
 
-def _select_items_span(stmt: str):
-    """(list_start, list_end, items) for a single-SELECT statement's
-    select list, or None for multiple SELECTs / no FROM.
+def _stmt_depth(stmt: str, pos: int) -> int:
+    """Paren depth at ``pos``, counting only parens outside strings."""
+    depth = 0
+    i = 0
+    while i < pos:
+        c = stmt[i]
+        if c in "'\"`":
+            i = _scan_string(stmt, i)
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        i += 1
+    return depth
 
-    KNOWN DIVERGENCE (shared by every result-class item pass riding
-    this helper): the class-exact rendering applies to the TOP-LEVEL
-    select list of single-SELECT statements only.  A subquery or
-    set-operation wrapping — e.g. ``select s from (select sum(x1) as
-    s from t)`` — falls back to the plain double lowering and renders
-    '23.0' where SQLite renders '23'.  Applying the item rewrite per
-    SELECT would need alias-class propagation across derived-table
-    boundaries; until then the scoping is documented here and in the
-    fuzzer (which generates single-SELECT statements for exactly this
-    reason)."""
+
+def _select_items_span(stmt: str):
+    """(list_start, list_end, items) for the select list of THIS
+    scope's SELECT — the unique depth-0 ``select`` — or None when the
+    scope is not a single SELECT with a FROM (set-op compound, DML,
+    no-table select).  Subqueries (parenthesized selects) don't
+    disqualify the scope: derived tables are item-rewritten per scope
+    by ``_rewrite_scoped_items`` before the whole-statement passes,
+    and expression subqueries pass through item classification
+    untouched (a '('-prefixed item never classifies)."""
     spans = _string_spans(stmt)
 
     def outside(i: int) -> bool:
         return not any(s <= i < e for s, e in spans)
 
-    selects = [m for m in _SELECT_RE.finditer(stmt) if outside(m.start())]
+    selects = [
+        m
+        for m in _SELECT_RE.finditer(stmt)
+        if outside(m.start()) and _stmt_depth(stmt, m.start()) == 0
+    ]
     if len(selects) != 1:
         return None
     clauses = _top_level_clauses(stmt)
@@ -3714,6 +4080,254 @@ def _select_items_span(stmt: str):
     if not items:
         return None
     return list_start, list_end, items
+
+
+def _apply_item_passes(
+    stmt: str, classes: dict[str, str]
+) -> tuple[str, dict[str, str]]:
+    """The select-item result-class passes + alias-class collection
+    for ONE select scope.  Returns (stmt, extras): extras maps this
+    scope's output aliases to their value classes, for propagation to
+    an enclosing scope (derived-table boundary) or to the ORDER BY /
+    comparison passes."""
+    extras: dict[str, str] = {}
+    stmt, ex = _rewrite_cast_select_items(stmt, classes)
+    if ex:
+        classes = {**classes, **ex}
+        extras.update(ex)
+    if not classes:
+        return stmt, extras
+    stmt, ex = _rewrite_sum_select_items(stmt, classes)
+    if ex:
+        classes = {**classes, **ex}
+        extras.update(ex)
+    stmt, ex = _rewrite_real_class_items(stmt, classes)
+    if ex:
+        classes = {**classes, **ex}
+        extras.update(ex)
+    stmt, ex = _rewrite_arith_class_items(stmt, classes)
+    if ex:
+        classes = {**classes, **ex}
+        extras.update(ex)
+    ex = _collect_item_alias_classes(stmt, classes)
+    if ex:
+        extras.update(ex)
+    return stmt, extras
+
+
+def _from_subselect_spans(stmt: str) -> list[tuple[int, int]]:
+    """Depth-0 ``(`` in FROM position (immediately preceded by FROM or
+    JOIN) opening a SELECT: [(open_idx, past_close_idx)] in source
+    order.  Nested derived tables inside each span are found by the
+    caller's recursion; expression subqueries (IN / EXISTS / scalar)
+    are deliberately NOT matched — their native lowering is exact."""
+    out: list[tuple[int, int]] = []
+    depth = 0
+    i = 0
+    n = len(stmt)
+    while i < n:
+        c = stmt[i]
+        if c in "'\"`":
+            i = _scan_string(stmt, i)
+            continue
+        if c == "(":
+            if (
+                depth == 0
+                and re.search(r"\b(from|join)\s*$", stmt[:i], re.IGNORECASE)
+                and re.match(r"\(\s*select\b", stmt[i:], re.IGNORECASE)
+            ):
+                j = _match_paren_fwd(stmt, i)
+                if j > i:
+                    out.append((i, j))
+                    i = j
+                    continue
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        i += 1
+    return out
+
+
+_SETOP_RE = re.compile(
+    r"\b(union\s+all|union|intersect|except)\b", re.IGNORECASE
+)
+
+
+def _setop_cuts(stmt: str) -> list[tuple[int, int]]:
+    """Depth-0, outside-strings set-operation connectors."""
+    return [
+        (m.start(), m.end())
+        for m in _SETOP_RE.finditer(stmt)
+        if not _in_quotes(stmt, m.start())
+        and _stmt_depth(stmt, m.start()) == 0
+    ]
+
+
+def _stringify_expr(b: str, classes: dict[str, str]) -> str | None:
+    """``b`` rendered as its SQLite class-exact STRING, or None when
+    the expression's result class cannot be determined statically.
+    Used on set-operation branch items: with every branch item
+    string-rendered, UNION/INTERSECT/EXCEPT compare canonical strings
+    — value-bijective per class — and the compound's output columns
+    are 'dynamic' canonical strings the ORDER BY class keys parse."""
+    b = b.strip()
+    if re.match(r"^null$", b, re.IGNORECASE):
+        return "CAST(NULL AS STRING)"
+    chain = _parse_arith_chain(b, classes)
+    if chain is not None:
+        cb = _arith_chain_class_body(chain)
+        if cb is None:  # all-integer, native-exact
+            return f"CAST(({b}) AS STRING)"
+        return f"({cb[0]})"
+    d = _aff_classify(b, classes)
+    if d is not None:
+        kind, val = d
+        if kind == "col":
+            if val in ("dynamic", "text", "none"):
+                return b  # stored canonical string
+            return f"CAST({b} AS STRING)"
+        if kind == "strlit":
+            return b
+        if kind == "numlit":
+            t = val.strip()
+            if _ARITH_INT_FORM_RE.match(t):
+                return f"'{int(t)}'"
+            return f"'{float(t)!r}'"
+        return None
+    if re.search(r"\b(py_real_repr|named_struct)\s*\(", b, re.IGNORECASE):
+        return b  # engine-emitted string body from an earlier pass
+    cm = _AFF_CAST_ITEM_RE.match(b)
+    if cm is not None:
+        from sqawk_spark.affinity import normalize_affinity
+
+        aff = normalize_affinity(cm.group(2))
+        if aff in ("real", "numeric"):
+            return f"({_cast_class_body(cm.group(1), aff, classes)})"
+        # INTEGER casts lower to int64, TEXT casts to the stored
+        # string: stringified natively, both render class-exact
+        return f"CAST(({b}) AS STRING)"
+    if re.match(r"^(sum|min|max|count)\s*\(", b, re.IGNORECASE):
+        # post-item-pass residue: sum/min/max over INTEGER-class
+        # arguments (int64) and count (int64) — the dynamic-argument
+        # forms were already rewritten to string bodies; min/max over
+        # a dynamic column lowers to min_by/max_by of the stored
+        # string later, for which the CAST is a no-op
+        return f"CAST(({b}) AS STRING)"
+    if re.match(r"^case\b", b, re.IGNORECASE):
+        # un-rewritten CASE: every branch classed INTEGER/text (the
+        # mixed-class forms were rewritten to string encodings)
+        return f"CAST(({b}) AS STRING)"
+    return None
+
+
+def _stringify_branch_items(
+    stmt: str, classes: dict[str, str]
+) -> str | None:
+    """Every select item of one compound branch rendered to its
+    class-exact string, or None when any item can't be (the whole
+    compound then keeps its native lowering)."""
+    span = _select_items_span(stmt)
+    if span is None:
+        return None
+    list_start, list_end, items = span
+    out = []
+    for item in items:
+        body, alias = item.strip(), None
+        s = _stringify_expr(body, classes)
+        if s is None:
+            am = re.match(
+                r"^(.*?)\s+(?:as\s+)?([A-Za-z_][A-Za-z_0-9]*)\s*$",
+                body,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if am and am.group(2).lower() not in _KEYWORDS:
+                s = _stringify_expr(am.group(1), classes)
+                alias = am.group(2)
+        if s is None:
+            return None
+        out.append(f"{s} AS {alias}" if alias else s)
+    return (
+        stmt[:list_start]
+        + " "
+        + ", ".join(out)
+        + " "
+        + stmt[list_end:]
+    )
+
+
+def _branch_aliases(stmt: str) -> list[str]:
+    """Output aliases of one branch's select list."""
+    span = _select_items_span(stmt)
+    if span is None:
+        return []
+    names = []
+    for item in span[2]:
+        am = re.match(
+            r"^(.*?)\s+(?:as\s+)?([A-Za-z_][A-Za-z_0-9]*)\s*$",
+            item.strip(),
+            re.IGNORECASE | re.DOTALL,
+        )
+        if am and am.group(2).lower() not in _KEYWORDS:
+            names.append(am.group(2))
+    return names
+
+
+def _rewrite_scoped_items(
+    stmt: str, classes: dict[str, str]
+) -> tuple[str, dict[str, str]]:
+    """Item-class rendering PER SELECT SCOPE: derived tables rewrite
+    innermost-first (their alias classes propagate outward — a
+    subquery-wrapped ``sum(real_col) as s`` renders '5.0' and the
+    outer scope sees ``s`` as a 'dynamic' canonical string), then
+    set-operation compounds rewrite per branch with every item
+    string-rendered, then a plain scope gets the standard item passes.
+    Returns (stmt, extras) with every scope's alias classes merged.
+
+    Residual divergences, both documented here deliberately: UNION /
+    INTERSECT / EXCEPT compare rendered strings, so the single
+    cross-class equal-value pair (INTEGER 2 vs REAL 2.0 arriving from
+    DIFFERENT branches) dedups in SQLite but not here; and positional
+    ``ORDER BY 1`` over a compound orders the rendered strings
+    bytewise (alias keys get the dynamic class keys)."""
+    local = dict(classes)
+    spans = _from_subselect_spans(stmt)
+    if spans:
+        pieces = []
+        pos = 0
+        for a, b in spans:
+            inner, ex = _rewrite_scoped_items(stmt[a + 1 : b - 1], local)
+            local.update(ex)
+            pieces.append(stmt[pos : a + 1])
+            pieces.append(inner)
+            pos = b - 1
+        pieces.append(stmt[pos:])
+        stmt = "".join(pieces)
+    cuts = _setop_cuts(stmt)
+    inherited = {k: v for k, v in local.items() if classes.get(k) != v}
+    if not cuts:
+        stmt, ex = _apply_item_passes(stmt, local)
+        return stmt, {**inherited, **ex}
+    bounds = []
+    pos = 0
+    for a, b in cuts:
+        bounds.append((pos, a))
+        pos = b
+    bounds.append((pos, len(stmt)))
+    new_texts = []
+    for a, b in bounds:
+        t, _ = _apply_item_passes(stmt[a:b], local)
+        t = _stringify_branch_items(t, local)
+        if t is None:
+            return stmt, inherited  # native fallback, documented
+        new_texts.append(t)
+    glue = [stmt[a:b] for a, b in cuts]
+    out = [new_texts[0]]
+    for g, t in zip(glue, new_texts[1:]):
+        out.append(g)
+        out.append(t)
+    rebuilt = "".join(out)
+    first = {a.lower(): "dynamic" for a in _branch_aliases(new_texts[0])}
+    return rebuilt, {**inherited, **first}
 
 
 _ITEM_ALIAS_RE = re.compile(
@@ -3928,29 +4542,71 @@ def _rewrite_cast_select_items(
     return rebuilt, extras
 
 
+_DIV_MOD_RE = re.compile(r"[/%]")
+
+
+def rewrite_arith_div_chains(stmt: str, classes: dict[str, str]) -> str:
+    """Residual '/'-or-'%' arithmetic chains anywhere in the statement
+    (WHERE / HAVING / GROUP BY / scalar-function arguments — the
+    select-item, aggregate and comparison passes consumed theirs)
+    evaluate with SQLite's per-step dynamic typing: ``a1/2*2 = 2``
+    must truncate the quotient BEFORE multiplying.  Replace each such
+    chain with its exact DOUBLE value.  Single left-to-right cursor —
+    match positions come from the pristine statement and emitted SQL
+    is never rescanned (the round-8 comparison pass's restart loop
+    revisits generated text; this pass does not repeat that)."""
+    if not _DIV_MOD_RE.search(stmt):
+        return stmt
+    repls = []
+    i = 0
+    while True:
+        m = _DIV_MOD_RE.search(stmt, i)
+        if m is None:
+            break
+        i = m.start() + 1
+        if _in_quotes(stmt, m.start()):
+            continue
+        ls = _operand_back(stmt, m.start())
+        if not stmt[ls : m.start()].strip():
+            continue  # unary sign / no left operand
+        rend = _operand_fwd(stmt, m.start() + 1)
+        if rend <= m.start() + 1 or not stmt[m.start() + 1 : rend].strip():
+            continue
+        ls2 = _extend_arith_back(stmt, ls)
+        rend2 = _extend_arith_fwd(stmt, rend)
+        if repls and ls2 < repls[-1][1]:
+            continue  # inside the previous claim
+        ch = _parse_arith_chain(stmt[ls2:rend2], classes)
+        if ch is None or _arith_chain_sensitivity(ch) is None:
+            continue
+        repls.append(
+            (ls2, rend2, f"({_arith_chain_coerced_sql(ch)})")
+        )
+        i = rend2
+    if not repls:
+        return stmt
+    out, pos = [], 0
+    for a, b, t in repls:
+        out.append(stmt[pos:a])
+        out.append(t)
+        pos = b
+    out.append(stmt[pos:])
+    return "".join(out)
+
+
 def rewrite_affinity_semantics(stmt: str, classes: dict[str, str]) -> str:
     """All SQLite storage-class passes, driven by the load-time column
     catalog (affinity.COLUMN_CLASSES, snapshotted by the CLI); a no-op
     when no affinity-typed tables are loaded."""
-    stmt, cast_extra = _rewrite_cast_select_items(stmt, classes)
-    if cast_extra:
-        classes = {**classes, **cast_extra}
     if not classes:
         # raw SQLite type names (TEXT/NUMERIC) must always translate,
         # even with no affinity-typed tables loaded
+        stmt, _ = _rewrite_cast_select_items(stmt, classes)
         return rewrite_affinity_casts(stmt, classes)
-    stmt, extra = _rewrite_sum_select_items(stmt, classes)
-    if extra:
-        classes = {**classes, **extra}
-    stmt, extra = _rewrite_real_class_items(stmt, classes)
-    if extra:
-        classes = {**classes, **extra}
-    stmt, extra = _rewrite_arith_class_items(stmt, classes)
-    if extra:
-        classes = {**classes, **extra}
-    # select-item aliases of classed columns inherit the class, so a
-    # later ORDER BY on the alias gets the storage-class key
-    extra = _collect_item_alias_classes(stmt, classes)
+    # item-class rendering per SELECT scope (derived tables innermost
+    # first, set-op compounds per branch); scope aliases join the
+    # class catalog so the ORDER BY / comparison passes below key them
+    stmt, extra = _rewrite_scoped_items(stmt, classes)
     if extra:
         classes = {**classes, **extra}
     stmt = rewrite_affinity_aggregates(stmt, classes)
@@ -3962,6 +4618,12 @@ def rewrite_affinity_semantics(stmt: str, classes: dict[str, str]) -> str:
     # value class), so the cast value-lowering runs after them and
     # rewrites the casts inside any emitted keys
     stmt = rewrite_affinity_comparisons(stmt, classes)
+    # residual '/'-or-'%' chains (WHERE / HAVING / function args) get
+    # their per-step-typed exact value; before the cast lowering so
+    # raw CAST operands still classify, and the casts inside emitted
+    # chain SQL are value-lowered by the next pass (same contract as
+    # the comparison keys)
+    stmt = rewrite_arith_div_chains(stmt, classes)
     stmt = rewrite_affinity_casts(stmt, classes)
     # last: remaining bare arithmetic over classed string columns gets
     # its operand values coerced (the passes above consumed theirs)
@@ -3973,7 +4635,10 @@ def rewrite_statement(
     columns: set[str] | None = None,
     classes: dict[str, str] | None = None,
 ) -> str:
-    # aliases first so every later pass sees canonical names (e.g.
+    # literal backslashes first: every later pass (and Spark's
+    # parser) then sees SQLite's verbatim-literal semantics
+    stmt = _escape_backslash_literals(stmt)
+    # aliases next so every later pass sees canonical names (e.g.
     # string_agg FILTER (...) must hit the group_concat CAST path)
     stmt = rewrite_function_aliases(stmt)
     # FILTER next: the CASE lowering produces plain aggregate calls

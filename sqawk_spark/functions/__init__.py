@@ -223,6 +223,54 @@ def register_udfs(spark: SparkSession) -> None:
             i += 1
         return _re.fullmatch("".join(out), x, flags=_re.DOTALL) is not None
 
+    _like_cache: dict = {}
+
+    def sqlite_like(pattern, x, esc) -> bool | None:
+        """SQLite like(B, A[, E]) — patternCompare semantics
+        (src/func.c): ASCII-only case fold, ``%``/``_`` wildcards
+        crossing newlines, ESCAPE making the next pattern character
+        literal (still case-folded), single-character escape enforced
+        like SQLite's 'ESCAPE expression must be a single character'.
+        The UDF is the fallback for non-literal patterns; literal
+        patterns lower to a JVM RLIKE in dialect.rewrite_like_nocase."""
+        import re as _re
+
+        if esc is not None and len(str(esc)) != 1:
+            raise ValueError(
+                "ESCAPE expression must be a single character"
+            )
+        if pattern is None or x is None:
+            return None
+        p = str(pattern)
+        e = str(esc) if esc is not None else None
+        key = (p, e)
+        rx = _like_cache.get(key)
+        if rx is None:
+            out, i, n = [], 0, len(p)
+            while i < n:
+                c = p[i]
+                if e is not None and c == e:
+                    i += 1
+                    if i >= n:
+                        out.append("(?!)")
+                        break
+                    out.append(_re.escape(p[i]))
+                elif c == "%":
+                    out.append(".*")
+                elif c == "_":
+                    out.append(".")
+                else:
+                    out.append(_re.escape(c))
+                i += 1
+            rx = _re.compile(
+                "(?:" + "".join(out) + ")\\Z",
+                _re.IGNORECASE | _re.DOTALL | _re.ASCII,
+            )
+            if len(_like_cache) > 4096:
+                _like_cache.clear()
+            _like_cache[key] = rx
+        return rx.match(str(x)) is not None
+
     def _parse_timevalue(tv):
         from datetime import datetime, timedelta, timezone
 
@@ -531,6 +579,7 @@ def register_udfs(spark: SparkSession) -> None:
 
     spark.udf.register("typeof", typeof, T.StringType())
     spark.udf.register("glob", glob, T.BooleanType())
+    spark.udf.register("sqlite_like", sqlite_like, T.BooleanType())
     spark.udf.register("strftime", strftime, T.StringType())
     spark.udf.register("date", date_fn, T.StringType())
     spark.udf.register("time", time_fn, T.StringType())

@@ -107,14 +107,46 @@ def col(rng: random.Random) -> str:
     return rng.choice(COLS)
 
 
-def scalar(rng: random.Random, depth: int = 0) -> str:
+def scalar(
+    rng: random.Random,
+    depth: int = 0,
+    chain_cols: list[str] | None = None,
+    distinct_safe: bool = False,
+) -> str:
+    # distinct_safe: every generated expression must keep ONE storage
+    # class per equal value across rows — NUMERIC casts over REAL-ish
+    # columns map text rows to INTEGER 0 while keeping stored reals
+    # REAL (cast(x as numeric) is a no-op on reals), so 0 and 0.0 can
+    # co-occur and SQLite's DISTINCT dedups them cross-class with an
+    # arrival-order representative no distributed engine reproduces.
+    affs = ["integer", "real", "text"] if distinct_safe else [
+        "integer", "real", "text", "numeric"
+    ]
     r = rng.random()
     if r < 0.35:
         return col(rng)
     if r < 0.55:
-        return f"cast({col(rng)} as {rng.choice(['integer', 'real', 'text', 'numeric'])})"
+        return f"cast({col(rng)} as {rng.choice(affs)})"
     if r < 0.7:
-        return f"{col(rng)} {rng.choice(['+', '-', '*'])} {rng.randint(-3, 9)}"
+        # '/' and '%' are the per-step-typed operators (SQLite
+        # truncates int division at EVERY step and casts '%' operands
+        # to int64); chains of two ops exercise the step order.
+        # Division keeps the exact-double-sum contract (module
+        # docstring): divisors are nonzero powers of two, so a REAL
+        # quotient stays dyadic; '%' computes on int64 either way.
+        def term(r2: random.Random) -> str:
+            op = r2.choice(["+", "-", "*", "/", "%"])
+            if op == "/":
+                lit = r2.choice([1, 2, 4, -2, 8])
+            else:
+                lit = r2.choice([1, 2, 3, 4, -3, 7])
+            return f"{op} {lit}"
+
+        c = rng.choice(chain_cols) if chain_cols else col(rng)
+        out = f"{c} {term(rng)}"
+        if rng.random() < 0.4:
+            out += f" {term(rng)}"
+        return out
     if r < 0.8:
         return rng.choice(NUM_LITS + STR_LITS)
     if r < 0.9 and depth == 0:
@@ -210,9 +242,18 @@ def q_plain(rng: random.Random) -> str:
 def q_distinct(rng: random.Random) -> str:
     # depth=1 keeps CASE out of DISTINCT items: ORDER BY over a
     # DISTINCT alias of a mixed-class CASE is the one documented
-    # residual ordering divergence (dialect._collect_item_alias_classes)
+    # residual ordering divergence (dialect._collect_item_alias_classes).
+    # Chains stay on guaranteed-INTEGER columns: a chain over a REAL/
+    # NUMERIC column maps text rows to one INT result while a real row
+    # can equal it (a1+1-7 → -6 vs -6.0), which SQLite's DISTINCT
+    # dedups cross-class with an arrival-order representative no
+    # distributed engine can reproduce (the same documented conflation
+    # as the int/real group-key note in the module docstring).
     n = rng.randint(1, 2)
-    items = ", ".join(f"{scalar(rng, 1)} as c{i}" for i in range(n))
+    items = ", ".join(
+        f"{scalar(rng, 1, chain_cols=INT_COLS, distinct_safe=True)} as c{i}"
+        for i in range(n)
+    )
     okeys = ", ".join(f"c{i}" for i in range(n))
     where = f" where {pred(rng)}" if rng.random() < 0.5 else ""
     return (
