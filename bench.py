@@ -278,38 +278,57 @@ def main() -> None:
             k: min(timings[k], second.get(k, timings[k])) for k in timings
         }
 
-    # Surgical pass: any single query >1.3× its all-rounds minimum is
+    # Surgical pass: any single query >1.25× its all-rounds minimum is
     # re-timed alone — catches load that ARRIVES mid-run, which the
     # whole-run guards above can miss (per-query min-of-2 doesn't help
     # when contention persists for that query's whole slot). r07 ran
     # under loadavg ~8.7 and four sub-0.35 s queries drifted 1.26-1.32×
-    # under the old >2× trigger; 1.3× catches that signature. Bounded
-    # to the 5 worst offenders so the cost stays small, and each
-    # re-time records the loadavg it ran under so a still-slow entry
-    # is distinguishable from a still-busy machine.
-    suspects = sorted(
-        (k for k in timings if k in prior and timings[k] > 1.3 * prior[k]),
-        key=lambda k: timings[k] / prior[k],
-        reverse=True,
-    )[:5]
+    # under the old >2× trigger. Suspects are re-picked from the
+    # POST-retime ratios after every pass, so no >1.25 survivor goes
+    # unannotated (the r08 gap: suspects chosen once, pre-retime, left
+    # two >1.25 entries without records); bounded to 10 retimed
+    # queries total so the cost stays small.  Each re-time records the
+    # loadavg it ran under so a still-slow entry is distinguishable
+    # from a still-busy machine.
     retimed: dict[str, dict] = {}
-    for name in suspects:
-        spec = REGISTRY.get(name)
-        if spec is None:
-            continue
-        reran = True
-        before = timings[name]
-        best = before
-        for _ in range(2):
-            t0 = time.perf_counter()
-            run_once(spec)
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
-        retimed[name] = {
-            "was": before,
-            "now": timings[name],
-            "loadavg": round(os.getloadavg()[0], 2),
-        }
+    budget = 10
+    while budget > 0:
+        suspects = sorted(
+            (
+                k
+                for k in timings
+                if k in prior
+                and k not in retimed
+                and REGISTRY.get(k) is not None
+                and timings[k] > 1.25 * prior[k]
+            ),
+            key=lambda k: timings[k] / prior[k],
+            reverse=True,
+        )[:budget]
+        if not suspects:
+            break
+        for name in suspects:
+            reran = True
+            budget -= 1
+            before = timings[name]
+            best = before
+            for _ in range(2):
+                t0 = time.perf_counter()
+                run_once(REGISTRY[name])
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 3)
+            retimed[name] = {
+                "was": before,
+                "now": timings[name],
+                "loadavg": round(os.getloadavg()[0], 2),
+            }
+    retime_exhausted = budget <= 0 and any(
+        k in prior
+        and k not in retimed
+        and prior[k] > 0
+        and timings[k] > 1.25 * prior[k]
+        for k in timings
+    )
 
     total = round(sum(timings.values()), 3)
     # per-query ratio vs the all-rounds minimum at this SF: >1 means
@@ -357,6 +376,7 @@ def main() -> None:
                 "drift_rerun": reran,
                 "worst_vs_hist": worst,
                 "retimed": retimed,
+                "retime_exhausted": retime_exhausted,
                 "detail": "stderr + bench_history.jsonl",
             }
         )

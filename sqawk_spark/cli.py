@@ -69,7 +69,11 @@ def substitute_escapes(s: str) -> str:
 
 def split_statements(script: str) -> list[str]:
     """Quote-aware split on ';' ('...;...' and "..." protected,
-    SQL '' escaping honored)."""
+    SQL '' escaping honored).  Each statement's string literals get
+    their backslashes doubled here — the one place every user
+    statement passes through — so Spark's escape-processing literal
+    parser reads SQLite's verbatim-literal semantics; dialect passes
+    that read literal TEXT undo the doubling (_sql_literal_text)."""
     stmts: list[str] = []
     cur: list[str] = []
     i, n = 0, len(script)
@@ -94,7 +98,13 @@ def split_statements(script: str) -> list[str]:
             cur.append(c)
         i += 1
     stmts.append("".join(cur))
-    return [s.strip() for s in stmts if s.strip()]
+    from sqawk_spark.dialect import _escape_backslash_literals
+
+    return [
+        _escape_backslash_literals(s.strip())
+        for s in stmts
+        if s.strip()
+    ]
 
 
 class UsageError(Exception):

@@ -2236,6 +2236,11 @@ def rewrite_affinity_comparisons(
         for m in _AFF_ISDF_RE.finditer(stmt)
         if not _in_quotes(stmt, m.start())
     ]
+    # spans the IS [NOT] DISTINCT FROM pre-pass emits: the main
+    # comparison scan below must not revisit '>='/'>' tokens inside
+    # this generated key SQL (right-to-left splices keep positions
+    # left of each edit valid; spans to the right shift by the delta)
+    emitted: list[list[int]] = []
     for m in reversed(isdf):
         ls = _operand_back(stmt, m.start())
         lhs = stmt[ls : m.start()].strip()
@@ -2258,16 +2263,21 @@ def rewrite_affinity_comparisons(
         rkey = _aff_key_sql(rd2, rhs)
         eq = f"({lkey} <=> {rkey})"
         neg = m.group(1) is None  # IS DISTINCT FROM == inequality
-        stmt = (
-            stmt[:ls]
-            + (f" NOT {eq} " if neg else f" {eq} ")
-            + stmt[rend:]
-        )
+        new_text = f" NOT {eq} " if neg else f" {eq} "
+        delta = len(new_text) - (rend - ls)
+        for sp in emitted:
+            if sp[0] >= ls:
+                sp[0] += delta
+                sp[1] += delta
+        emitted.append([ls, ls + len(new_text)])
+        stmt = stmt[:ls] + new_text + stmt[rend:]
 
     matches = [
         m
         for m in _AFF_CMP_SCAN_RE.finditer(stmt)
-        if m.group() in _CMP_OPS and not _in_quotes(stmt, m.start())
+        if m.group() in _CMP_OPS
+        and not _in_quotes(stmt, m.start())
+        and not any(a <= m.start() < b for a, b in emitted)
     ]
     for m in reversed(matches):
         ls = _operand_back(stmt, m.start())
@@ -3597,6 +3607,15 @@ def _collect_item_alias_classes(
                 + cm.group(1)
                 + f" THEN {keys[0]} ELSE {keys[1]} END",
             )
+        else:
+            # DISTINCT: the output column IS the class-exact rendered
+            # string (_rewrite_case_class_item), and ORDER BY must key
+            # the output, not the pre-DISTINCT branch expressions.
+            # The dynamic canonical-string key recovers value and
+            # class exactly EXCEPT digit-prefixed TEXT-class branch
+            # values ('007' stored text keys numeric here) — the
+            # narrowed residue, noted in COVERAGE.md.
+            extras.setdefault(alias, "dynamic")
     return extras
 # a stored value counts INTEGER class in SQLite's sum iff its
 # whitespace-trimmed text is a pure integer literal (leading zeros and
@@ -3675,9 +3694,18 @@ def _rewrite_sum_select_items(
                 if body is None:
                     out_items.append(item)
                     continue
-                name = alias or "sum"
-                out_items.append(f"{body} AS {name}")
-                extras[name.lower()] = "dynamic"
+                if alias:
+                    out_items.append(f"{body} AS {alias}")
+                    extras[alias.lower()] = "dynamic"
+                else:
+                    # synthetic alias, unique per item position: two
+                    # unaliased chain sums must not collide on one
+                    # output name, and a synthetic name must not
+                    # shadow a real column in later class lookups —
+                    # so extras registers EXPLICIT aliases only
+                    out_items.append(
+                        f"{body} AS sqk_sum_{len(out_items)}"
+                    )
                 changed = True
                 continue
             if fc is not None:
@@ -4116,11 +4144,15 @@ def _apply_item_passes(
 
 
 def _from_subselect_spans(stmt: str) -> list[tuple[int, int]]:
-    """Depth-0 ``(`` in FROM position (immediately preceded by FROM or
-    JOIN) opening a SELECT: [(open_idx, past_close_idx)] in source
-    order.  Nested derived tables inside each span are found by the
+    """Depth-0 ``(`` opening a SELECT in FROM position (immediately
+    preceded by FROM or JOIN) — or, in a WITH-led query, a CTE body
+    (preceded by ``<name> AS``): [(open_idx, past_close_idx)] in
+    source order.  Nested subselects inside each span are found by the
     caller's recursion; expression subqueries (IN / EXISTS / scalar)
-    are deliberately NOT matched — their native lowering is exact."""
+    are deliberately NOT matched — their native lowering is exact —
+    and ``AS (`` outside a WITH-led query (CREATE ... AS) stays
+    untouched: rewriting a DDL body would change STORED values."""
+    is_with = re.match(r"\s*with\b", stmt, re.IGNORECASE) is not None
     out: list[tuple[int, int]] = []
     depth = 0
     i = 0
@@ -4131,9 +4163,20 @@ def _from_subselect_spans(stmt: str) -> list[tuple[int, int]]:
             i = _scan_string(stmt, i)
             continue
         if c == "(":
+            prefix_ok = re.search(
+                r"\b(from|join)\s*$", stmt[:i], re.IGNORECASE
+            ) is not None or (
+                is_with
+                and re.search(
+                    r"\b[A-Za-z_][A-Za-z_0-9]*\s+as\s*$",
+                    stmt[:i],
+                    re.IGNORECASE,
+                )
+                is not None
+            )
             if (
                 depth == 0
-                and re.search(r"\b(from|join)\s*$", stmt[:i], re.IGNORECASE)
+                and prefix_ok
                 and re.match(r"\(\s*select\b", stmt[i:], re.IGNORECASE)
             ):
                 j = _match_paren_fwd(stmt, i)
@@ -4163,113 +4206,128 @@ def _setop_cuts(stmt: str) -> list[tuple[int, int]]:
     ]
 
 
-def _stringify_expr(b: str, classes: dict[str, str]) -> str | None:
+def _stringify_expr(
+    b: str, classes: dict[str, str]
+) -> tuple[str, str] | None:
     """``b`` rendered as its SQLite class-exact STRING, or None when
     the expression's result class cannot be determined statically.
-    Used on set-operation branch items: with every branch item
-    string-rendered, UNION/INTERSECT/EXCEPT compare canonical strings
-    — value-bijective per class — and the compound's output columns
-    are 'dynamic' canonical strings the ORDER BY class keys parse."""
+    Returns (sql, kind): kind 'text' when every value is TEXT class
+    (compound ORDER BY must stay bytewise), else 'dyn' (the ORDER BY
+    class keys parse the canonical string).  Used on set-operation
+    branch items: with every branch item string-rendered, UNION/
+    INTERSECT/EXCEPT compare canonical strings — value-bijective per
+    class."""
     b = b.strip()
     if re.match(r"^null$", b, re.IGNORECASE):
-        return "CAST(NULL AS STRING)"
+        return "CAST(NULL AS STRING)", "dyn"
     chain = _parse_arith_chain(b, classes)
     if chain is not None:
         cb = _arith_chain_class_body(chain)
         if cb is None:  # all-integer, native-exact
-            return f"CAST(({b}) AS STRING)"
-        return f"({cb[0]})"
+            return f"CAST(({b}) AS STRING)", "dyn"
+        return f"({cb[0]})", "dyn"
     d = _aff_classify(b, classes)
     if d is not None:
         kind, val = d
         if kind == "col":
-            if val in ("dynamic", "text", "none"):
-                return b  # stored canonical string
-            return f"CAST({b} AS STRING)"
+            if val in ("text", "none"):
+                return b, "text"  # stored verbatim: all TEXT class
+            if val == "dynamic":
+                return b, "dyn"  # stored canonical string
+            return f"CAST({b} AS STRING)", "dyn"
         if kind == "strlit":
-            return b
+            return b, "text"
         if kind == "numlit":
             t = val.strip()
             if _ARITH_INT_FORM_RE.match(t):
-                return f"'{int(t)}'"
-            return f"'{float(t)!r}'"
+                return f"'{int(t)}'", "dyn"
+            return f"'{float(t)!r}'", "dyn"
         return None
     if re.search(r"\b(py_real_repr|named_struct)\s*\(", b, re.IGNORECASE):
-        return b  # engine-emitted string body from an earlier pass
+        return b, "dyn"  # engine-emitted string body, earlier pass
     cm = _AFF_CAST_ITEM_RE.match(b)
     if cm is not None:
         from sqawk_spark.affinity import normalize_affinity
 
         aff = normalize_affinity(cm.group(2))
         if aff in ("real", "numeric"):
-            return f"({_cast_class_body(cm.group(1), aff, classes)})"
-        # INTEGER casts lower to int64, TEXT casts to the stored
-        # string: stringified natively, both render class-exact
-        return f"CAST(({b}) AS STRING)"
-    if re.match(r"^(sum|min|max|count)\s*\(", b, re.IGNORECASE):
+            return f"({_cast_class_body(cm.group(1), aff, classes)})", "dyn"
+        if aff == "text":
+            return f"CAST(({b}) AS STRING)", "text"
+        # INTEGER casts lower to int64: stringified class-exact
+        return f"CAST(({b}) AS STRING)", "dyn"
+    mm = re.match(r"^(sum|min|max|count)\s*\(", b, re.IGNORECASE)
+    if mm is not None:
         # post-item-pass residue: sum/min/max over INTEGER-class
         # arguments (int64) and count (int64) — the dynamic-argument
         # forms were already rewritten to string bodies; min/max over
         # a dynamic column lowers to min_by/max_by of the stored
-        # string later, for which the CAST is a no-op
-        return f"CAST(({b}) AS STRING)"
+        # string later, for which the CAST is a no-op.  min/max over
+        # a TEXT column return stored text.
+        k = "dyn"
+        if mm.group(1).lower() in ("min", "max"):
+            close = _match_paren_fwd(b, mm.end() - 1)
+            arg = b[mm.end() : close - 1].strip()
+            da = _aff_classify(arg, classes)
+            if da is not None and da[0] == "col" and da[1] in (
+                "text", "none"
+            ):
+                k = "text"
+        return f"CAST(({b}) AS STRING)", k
     if re.match(r"^case\b", b, re.IGNORECASE):
         # un-rewritten CASE: every branch classed INTEGER/text (the
         # mixed-class forms were rewritten to string encodings)
-        return f"CAST(({b}) AS STRING)"
+        return f"CAST(({b}) AS STRING)", "dyn"
     return None
 
 
 def _stringify_branch_items(
     stmt: str, classes: dict[str, str]
-) -> str | None:
+) -> tuple[str, list[tuple[str | None, str]]] | None:
     """Every select item of one compound branch rendered to its
     class-exact string, or None when any item can't be (the whole
-    compound then keeps its native lowering)."""
+    compound then keeps its native lowering).  Returns (stmt, cols)
+    with cols = per-position (alias-or-None, kind)."""
     span = _select_items_span(stmt)
     if span is None:
         return None
     list_start, list_end, items = span
-    out = []
+    out: list[str] = []
+    cols: list[tuple[str | None, str]] = []
     for item in items:
         body, alias = item.strip(), None
-        s = _stringify_expr(body, classes)
+        # alias split FIRST — stringifying 'sum(x) as c0' whole would
+        # swallow the alias into the CAST; the split is validated by
+        # the candidate expression stringifying on its own (with
+        # balanced parens, so a fragment can't slip through)
+        s = None
+        am = re.match(
+            r"^(.*?)\s+(?:as\s+)?([A-Za-z_][A-Za-z_0-9]*)\s*$",
+            body,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if am and am.group(2).lower() not in _KEYWORDS:
+            cand = am.group(1).strip()
+            if cand.count("(") == cand.count(")"):
+                s = _stringify_expr(cand, classes)
+                if s is not None:
+                    alias = am.group(2)
         if s is None:
-            am = re.match(
-                r"^(.*?)\s+(?:as\s+)?([A-Za-z_][A-Za-z_0-9]*)\s*$",
-                body,
-                re.IGNORECASE | re.DOTALL,
-            )
-            if am and am.group(2).lower() not in _KEYWORDS:
-                s = _stringify_expr(am.group(1), classes)
-                alias = am.group(2)
+            alias = None
+            s = _stringify_expr(body, classes)
         if s is None:
             return None
-        out.append(f"{s} AS {alias}" if alias else s)
+        sql, kind = s
+        cols.append((alias, kind))
+        out.append(f"{sql} AS {alias}" if alias else sql)
     return (
         stmt[:list_start]
         + " "
         + ", ".join(out)
         + " "
-        + stmt[list_end:]
+        + stmt[list_end:],
+        cols,
     )
-
-
-def _branch_aliases(stmt: str) -> list[str]:
-    """Output aliases of one branch's select list."""
-    span = _select_items_span(stmt)
-    if span is None:
-        return []
-    names = []
-    for item in span[2]:
-        am = re.match(
-            r"^(.*?)\s+(?:as\s+)?([A-Za-z_][A-Za-z_0-9]*)\s*$",
-            item.strip(),
-            re.IGNORECASE | re.DOTALL,
-        )
-        if am and am.group(2).lower() not in _KEYWORDS:
-            names.append(am.group(2))
-    return names
 
 
 def _rewrite_scoped_items(
@@ -4314,19 +4372,35 @@ def _rewrite_scoped_items(
         pos = b
     bounds.append((pos, len(stmt)))
     new_texts = []
+    branch_cols: list[list[tuple[str | None, str]]] = []
     for a, b in bounds:
         t, _ = _apply_item_passes(stmt[a:b], local)
-        t = _stringify_branch_items(t, local)
-        if t is None:
+        r = _stringify_branch_items(t, local)
+        if r is None:
             return stmt, inherited  # native fallback, documented
-        new_texts.append(t)
+        new_texts.append(r[0])
+        branch_cols.append(r[1])
     glue = [stmt[a:b] for a, b in cuts]
     out = [new_texts[0]]
     for g, t in zip(glue, new_texts[1:]):
         out.append(g)
         out.append(t)
     rebuilt = "".join(out)
-    first = {a.lower(): "dynamic" for a in _branch_aliases(new_texts[0])}
+    # the compound's output columns take the FIRST branch's aliases;
+    # an alias keys 'dynamic' (canonical-string class keys in ORDER
+    # BY) only when some branch at that position can produce a
+    # non-TEXT value — an all-text position (e.g. a TEXT-affinity
+    # column intersected with itself) must keep SQLite's bytewise
+    # order, which dynamic keys would mis-sort for digit-looking text
+    first: dict[str, str] = {}
+    for pos_i, (alias, _k) in enumerate(branch_cols[0]):
+        if alias is None:
+            continue
+        kinds = {
+            bc[pos_i][1] for bc in branch_cols if pos_i < len(bc)
+        }
+        if kinds != {"text"}:
+            first[alias.lower()] = "dynamic"
     return rebuilt, {**inherited, **first}
 
 
@@ -4635,10 +4709,7 @@ def rewrite_statement(
     columns: set[str] | None = None,
     classes: dict[str, str] | None = None,
 ) -> str:
-    # literal backslashes first: every later pass (and Spark's
-    # parser) then sees SQLite's verbatim-literal semantics
-    stmt = _escape_backslash_literals(stmt)
-    # aliases next so every later pass sees canonical names (e.g.
+    # aliases first so every later pass sees canonical names (e.g.
     # string_agg FILTER (...) must hit the group_concat CAST path)
     stmt = rewrite_function_aliases(stmt)
     # FILTER next: the CASE lowering produces plain aggregate calls

@@ -2366,8 +2366,12 @@ def text_length_percentiles_by_lang(
 # table (same move as BPE); each round is one scan of that table —
 # the DP and the backwalk are pure JVM `aggregate` folds over a
 # broadcast cost-map literal (vocab ≤ ~90 entries, collected per
-# round: bounded driver traffic like BPE's one-row-per-round).  At
-# 100 TB the corpus scan happens once and rounds cost O(|words|).
+# round: bounded driver traffic like BPE's one-row-per-round).  The
+# SEED cut is in-cluster too: single-char pieces filter down to the
+# alphabet, multi-char pieces take a distributed ordered top-k
+# (TakeOrderedAndProject), so no step collects more than ~|alphabet|
+# + UNIGRAM_SEED_MULTI rows.  At 100 TB the corpus scan happens once
+# and rounds cost O(|words|).
 #
 # Oracle: the SAME rounds unrolled in DuckDB — the DP as a recursive
 # CTE carrying a sliding 4-slot window of dp values, the backwalk as
@@ -2446,17 +2450,28 @@ def _unigram_final_counts(words: DataFrame) -> list[tuple[str, int]]:
         "substring(w, cast(i as int), cast(l as int)), NULL)), "
         "x -> x IS NOT NULL)))"
     )
-    seed = (
+    # seed histogram stays in-cluster: singles are alphabet-bounded,
+    # and the multi-piece cut is a distributed ordered top-k (Spark
+    # plans orderBy+limit as TakeOrderedAndProject — per-partition
+    # heaps, only UNIGRAM_SEED_MULTI rows reach the driver).  The
+    # (-cnt, piece) tiebreak is total, so the cut — and every EM
+    # round after it — is deterministic and identical to sorting the
+    # full histogram driver-side.
+    seed_base = (
         words.select("freq", F.explode(F.expr(subs_expr)).alias("piece"))
         .groupBy("piece")
         .agg(F.sum("freq").alias("cnt"))
+    )
+    singles = {
+        r["piece"]: int(r["cnt"])
+        for r in seed_base.filter(F.length("piece") == 1).collect()
+    }
+    multis = (
+        seed_base.filter(F.length("piece") > 1)
+        .orderBy(F.desc("cnt"), F.asc("piece"))
+        .limit(UNIGRAM_SEED_MULTI)
         .collect()
     )
-    singles = {r["piece"]: int(r["cnt"]) for r in seed if len(r["piece"]) == 1}
-    multis = sorted(
-        (r for r in seed if len(r["piece"]) > 1),
-        key=lambda r: (-int(r["cnt"]), r["piece"]),
-    )[:UNIGRAM_SEED_MULTI]
     vocab = dict(singles)
     vocab.update({r["piece"]: int(r["cnt"]) for r in multis})
 

@@ -20,12 +20,17 @@ Spark mapping (SURVEY.md §2.A1/A4/A5):
   chunked scanner is a single process and so never faces them,
   lib/parsers/awk.tcl:139-206): a single separator match — or an
   unbroken chain of adjacent matches — longer than
-  ``RS_OVERLAP_BYTES`` may mis-split at a chunk boundary, and the RS
-  regex is evaluated by Python ``re`` over bytes (ASCII class
-  semantics), while literal-RS/FS splitting uses the JVM's Java
-  regex; the dialects agree on the metachar-free and common-regex
-  cases the reference exercises. Non-regular-file inputs (globs,
-  directories) fall back to wholetext + JVM split.
+  ``RS_OVERLAP_BYTES`` back-extends the window in doubling blocks
+  until the edge-touching match is disambiguated, and RAISES a loud
+  error past ``RS_BACK_MAX`` (the task refuses rather than
+  mis-split), and the RS regex is evaluated by
+  Python ``re`` over bytes (ASCII class semantics), while
+  literal-RS/FS splitting uses the JVM's Java regex; the dialects
+  agree on the metachar-free and common-regex cases the reference
+  exercises. Local globs and directories expand driver-side and plan
+  per-file chunk descriptors into ONE frame (file order → partition
+  order, so ``anr`` numbers continuously across files); only
+  non-local URIs fall back to wholetext + JVM split.
 - FS split keeps trailing empty fields (split limit -1), matching the
   reference's sepsplit (lib/parsers/awk.tcl:44-56).
 - ``fields=`` ranges merge fields WITH their original separators: the
@@ -56,6 +61,10 @@ MATCH_NOTHING = "x^"
 # force multi-task splits on small files.
 RS_CHUNK_BYTES = 32 << 20
 RS_OVERLAP_BYTES = 1 << 20
+# ceiling on the left back-extension that disambiguates a separator
+# match touching the overlap window's edge; a chain still touching
+# after this many bytes raises instead of mis-splitting
+RS_BACK_MAX = 64 << 20
 
 
 def _check_not_empty_matching(pattern: str, what: str) -> None:
@@ -111,12 +120,13 @@ def records(
         )
     else:
         _check_not_empty_matching(rs, "RS")
-        import os
-
-        if os.path.isfile(path):
-            raw = _chunked_regex_records(spark, path, rs)
+        local = _expand_local_paths(path)
+        if local:
+            raw = _chunked_regex_records(spark, local, rs)
         else:
-            # glob/directory input: wholetext fallback (JVM split)
+            # non-local URI (hdfs://, s3a://…): wholetext fallback
+            # (JVM split) — the chunk planner needs seekable local
+            # files
             whole = spark.read.text(path, wholetext=True)
             split_col = F.split(F.col("value"), rs, -1)
             # a trailing record separator yields a final empty record
@@ -196,8 +206,29 @@ def records(
     return parsed.select("a0", mapped.alias("fields"))
 
 
+def _expand_local_paths(path: str) -> list[str]:
+    """Local regular files behind ``path``: the file itself, a
+    directory's visible files (lexicographic, skipping the ``_``/``.``
+    names Hadoop's input formats hide — parity with what the wholetext
+    reader would have listed), or glob matches.  Empty for non-local
+    URIs."""
+    import glob as _glob
+    import os
+
+    if os.path.isfile(path):
+        return [path]
+    if os.path.isdir(path):
+        return sorted(
+            os.path.join(path, n)
+            for n in os.listdir(path)
+            if not n.startswith((".", "_"))
+            and os.path.isfile(os.path.join(path, n))
+        )
+    return sorted(p for p in _glob.glob(path) if os.path.isfile(p))
+
+
 def _chunked_regex_records(
-    spark: SparkSession, path: str, rs: str
+    spark: SparkSession, paths: list[str], rs: str
 ) -> DataFrame:
     """Regex-RS record splitting in N parallel tasks (module
     docstring; the scale fix for VERDICT r07 "What's missing" #2).
@@ -224,14 +255,24 @@ def _chunked_regex_records(
     Matching runs on bytes (record starts are byte offsets), so
     separator matches always cut on UTF-8 character boundaries when
     the file and pattern are valid UTF-8; records decode
-    independently."""
+    independently.
+
+    Several files (a glob or directory) plan into the SAME descriptor
+    frame, file order first and byte order within each file — so
+    partition order is file order and ``anr`` numbers continuously
+    across files; records never span files (each file splits exactly
+    as it would alone, per-file trailing empty dropped)."""
     import os
 
-    sz = os.path.getsize(path)
     chunk, ov = RS_CHUNK_BYTES, RS_OVERLAP_BYTES
-    chunks = [
-        (path, s, min(s + chunk, sz), sz) for s in range(0, sz, chunk)
-    ] or [(path, 0, 0, 0)]
+    chunks = []
+    for p in paths:
+        sz = os.path.getsize(p)
+        chunks.extend(
+            (p, s, min(s + chunk, sz), sz) for s in range(0, sz, chunk)
+        )
+    if not chunks:
+        chunks = [(paths[0], 0, 0, 0)]
     rs_pattern = rs
 
     def split_chunks(batches):
@@ -247,6 +288,32 @@ def _chunked_regex_records(
                 left = max(0, start - ov)
                 f.seek(left)
                 buf = f.read(end - left)
+                base = left
+                # a match flush against the window's left edge may be
+                # the TAIL of a longer match (or adjacent-match chain)
+                # that began before the window — its end offset, and
+                # with it the first owned record start, would be
+                # unprovable.  Back-extend in doubling blocks until the
+                # window's first match no longer touches its start (or
+                # the window reaches the file start); past RS_BACK_MAX
+                # refuse LOUDLY rather than mis-split.
+                back = max(ov, 1)
+                while left > 0 and rx.match(buf) is not None:
+                    if back > RS_BACK_MAX:
+                        raise RuntimeError(
+                            "regex RS: separator match (or adjacent-"
+                            f"match chain) at byte {left} of {fpath} "
+                            f"still touches the window edge after "
+                            f"{back} bytes of back-extension; "
+                            "separator chains longer than "
+                            "RS_BACK_MAX are unsupported — use a "
+                            "literal RS or split the input"
+                        )
+                    new_left = max(0, left - back)
+                    f.seek(new_left)
+                    buf = f.read(left - new_left) + buf
+                    back *= 2
+                    left = new_left
                 base = left
                 cur = 0 if start == 0 else None  # current record start
                 need_extend = True

@@ -160,3 +160,78 @@ def test_randomized_geometry_sweep(spark, tmp_path, seed):
         spark, tmp_path, text, rs, chunk=chunk, ov=max(8, chunk)
     )
     assert recs == reference_split(rs, text), (rs, chunk, text)
+
+
+def test_glob_input_chunks_per_file_with_continuous_anr(spark, tmp_path):
+    """Round-9: glob/directory regex-RS inputs plan through the chunked
+    splitter — >1 task per file, ``anr`` continuous ACROSS files in
+    lexicographic file order, records never spanning files."""
+    texts = [
+        "".join(f"f0r{i};;" for i in range(30)),
+        "".join(f"f1r{i};;" for i in range(25)) + "tail",
+        "lonely",
+    ]
+    for i, t in enumerate(texts):
+        (tmp_path / f"part{i}.txt").write_text(t)
+    spec = FileSpec(
+        filename=str(tmp_path / "part*.txt"),
+        format="awk",
+        options={"RS": "[;]+"},
+    )
+    old = awk.RS_CHUNK_BYTES, awk.RS_OVERLAP_BYTES
+    awk.RS_CHUNK_BYTES, awk.RS_OVERLAP_BYTES = 64, 32
+    try:
+        df = records(spark, spec, str(tmp_path / "part*.txt"))
+        n_tasks = df.rdd.getNumPartitions()
+        rows = with_record_numbers(df).orderBy("anr").collect()
+    finally:
+        awk.RS_CHUNK_BYTES, awk.RS_OVERLAP_BYTES = old
+    expected = [r for t in texts for r in reference_split("[;]+", t)]
+    assert n_tasks > len(texts), "each multi-chunk file needs >1 task"
+    assert [r["a0"] for r in rows] == expected
+    assert [r["anr"] for r in rows] == list(range(1, len(expected) + 1))
+
+
+def test_directory_input_skips_hidden_files(spark, tmp_path):
+    d = tmp_path / "indir"
+    d.mkdir()
+    (d / "b.txt").write_text("b1;;b2")
+    (d / "a.txt").write_text("a1;;a2;;")
+    (d / "_hidden").write_text("nope;;nope")
+    (d / ".dot").write_text("nope")
+    spec = FileSpec(filename=str(d), format="awk", options={"RS": ";;"})
+    df = records(spark, spec, str(d))
+    rows = with_record_numbers(df).orderBy("anr").collect()
+    assert [r["a0"] for r in rows] == ["a1", "a2", "b1", "b2"]
+
+
+def test_chain_longer_than_overlap_back_extends_correctly(spark, tmp_path):
+    """A separator chain LONGER than the overlap no longer mis-splits:
+    the owner back-extends until the edge-touching match resolves."""
+    text = "head" + ";" * 200 + "tail"  # one 200-byte separator run
+    recs, n_tasks = chunked_records(
+        spark, tmp_path, text, "[;]+", chunk=32, ov=8
+    )
+    assert n_tasks > 1
+    assert recs == reference_split("[;]+", text) == ["head", "tail"]
+
+
+def test_chain_past_back_max_raises_loudly(spark, tmp_path):
+    """Past RS_BACK_MAX the task refuses with the documented error
+    instead of mis-splitting."""
+    text = "head" + ";" * 300 + "tail"
+    f = tmp_path / "pathological.txt"
+    f.write_text(text)
+    spec = FileSpec(filename=str(f), format="awk", options={"RS": "[;]+"})
+    old = awk.RS_CHUNK_BYTES, awk.RS_OVERLAP_BYTES, awk.RS_BACK_MAX
+    awk.RS_CHUNK_BYTES, awk.RS_OVERLAP_BYTES, awk.RS_BACK_MAX = 32, 8, 16
+    try:
+        df = records(spark, spec, str(f))
+        with pytest.raises(Exception, match="RS_BACK_MAX|back-extension"):
+            df.collect()
+    finally:
+        (
+            awk.RS_CHUNK_BYTES,
+            awk.RS_OVERLAP_BYTES,
+            awk.RS_BACK_MAX,
+        ) = old
