@@ -1237,6 +1237,11 @@ def _rewrite_excluded_agg(
     alias: str,
     frame_body: str,
     kind: str,
+    *,
+    order_by: str | None = None,
+    frame_kw: str = "range",
+    unit_gap: bool = True,
+    self_contig: bool = False,
 ) -> tuple[int, int, str] | None:
     """Replacement edit for ``fn(arg) OVER (... GROUPS fr EXCLUDE k)``
     when the current peer group IS inside the frame.
@@ -1277,7 +1282,29 @@ def _rewrite_excluded_agg(
     with the separator — exact up to tie order, which SQLite leaves
     unspecified too.
 
-    Fuzzed against real SQLite in tests/test_groups_property.py."""
+    Fuzzed against real SQLite in tests/test_groups_property.py.
+
+    Generalized (round 9) beyond the dense-rank alias so the same
+    algebra serves plain ROWS/RANGE frames with EXCLUDE (SQLite
+    accepts EXCLUDE on every frame type; Spark parses none of them):
+
+    - ``order_by`` — full ``order by <expr>`` clause to use verbatim
+      instead of ``order by {alias}``; when given, ``alias`` is only
+      the peer-partition key (pass the bare order expression).
+    - ``frame_kw`` — ``range`` (GROUPS alias / value units) or
+      ``rows`` (row units) for the cloned frame and the directional
+      sub-frames.
+    - ``unit_gap`` — whether ``1 preceding``/``1 following`` in the
+      frame unit exactly steps over the current peer run (true for
+      the gap-free dense rank and for INTEGER-classed value keys;
+      false e.g. for REAL keys, where min/max and group_concat must
+      bail because their directional sub-frames need an open
+      interval).
+    - ``self_contig`` — ROWS mode: the frame is row-contiguous and
+      the current row is a single frame unit, so EXCLUDE CURRENT ROW
+      is exactly the two directional sub-frames with NO peer terms
+      (and GROUP/TIES are not representable here — the caller bails
+      before reaching this function)."""
     fn_start = _operand_back(stmt, over_start)
     fn_m = re.match(r"([A-Za-z_][A-Za-z_0-9]*)\s*\(", stmt[fn_start:])
     if fn_m is None:
@@ -1307,9 +1334,12 @@ def _rewrite_excluded_agg(
     if star and fn != "count":
         return None
 
+    if self_contig and kind != "current row":
+        return None  # ROWS GROUP/TIES: peer runs straddle row frames
     part = f"{partition} " if partition else ""
-    wf = f"{part}order by {alias} range {frame_body.strip()}"
-    wg = f"{part}order by {alias} range between current row and current row"
+    ord_sql = order_by or f"order by {alias}"
+    wf = f"{part}{ord_sql} {frame_kw} {frame_body.strip()}"
+    wg = f"{part}{ord_sql} range between current row and current row"
     cnt = "count(*)" if star else f"count({arg})"
     c_f = f"{cnt} over ({wf})"
     c_g = f"{cnt} over ({wg})"
@@ -1319,6 +1349,8 @@ def _rewrite_excluded_agg(
     row_val = f"coalesce(({arg}), 0)"
 
     if fn in ("min", "max"):
+        if not unit_gap:
+            return None  # directional sub-frames need a unit gap
         b = _frame_bounds(frame_body)
         if b is None:
             return None
@@ -1326,17 +1358,17 @@ def _rewrite_excluded_agg(
         parts: list[str] = []
         if s_off <= -1:
             parts.append(
-                f"{fn}({arg}) over ({part}order by {alias}"
-                f" range between {b1} and 1 preceding)"
+                f"{fn}({arg}) over ({part}{ord_sql}"
+                f" {frame_kw} between {b1} and 1 preceding)"
             )
         if e_off >= 1:
             parts.append(
-                f"{fn}({arg}) over ({part}order by {alias}"
-                f" range between 1 following and {b2})"
+                f"{fn}({arg}) over ({part}{ord_sql}"
+                f" {frame_kw} between 1 following and {b2})"
             )
         if kind == "ties":
             parts.append(f"({arg})")
-        elif kind == "current row":
+        elif kind == "current row" and not self_contig:
             # peers minus self: rows before me ∪ rows after me inside
             # the peer partition, under any order (min/max are
             # direction-agnostic, so arbitrary tie order is fine)
@@ -1371,6 +1403,8 @@ def _rewrite_excluded_agg(
         # window ORDER BY, concatenation order is unspecified in both
         # engines; with distinct keys the result is exact (fuzzed vs
         # real SQLite in tests/test_groups_property.py).
+        if not unit_gap:
+            return None  # directional sub-frames need a unit gap
         b = _frame_bounds(frame_body)
         if b is None:
             return None
@@ -1380,15 +1414,15 @@ def _rewrite_excluded_agg(
         parts = []
         if s_off <= -1:
             parts.append(
-                f"{call} over ({part}order by {alias}"
-                f" range between {b1} and 1 preceding)"
+                f"{call} over ({part}{ord_sql}"
+                f" {frame_kw} between {b1} and 1 preceding)"
             )
         if kind == "ties":
             parts.append(
-                f"{call} over ({part}order by {alias}"
+                f"{call} over ({part}{ord_sql}"
                 f" rows between current row and current row)"
             )
-        elif kind == "current row":
+        elif kind == "current row" and not self_contig:
             peer_part = (
                 f"{partition.strip()}, {alias}"
                 if partition.strip()
@@ -1403,8 +1437,8 @@ def _rewrite_excluded_agg(
                 )
         if e_off >= 1:
             parts.append(
-                f"{call} over ({part}order by {alias}"
-                f" range between 1 following and {b2})"
+                f"{call} over ({part}{ord_sql}"
+                f" {frame_kw} between 1 following and {b2})"
             )
         if not parts:
             repl = "null"  # frame was exactly the excluded group
@@ -1614,6 +1648,174 @@ def rewrite_groups_frames(stmt: str) -> str:
     return stmt
 
 
+_FRAME_KW_RE = re.compile(r"\b(rows|range)\b", re.IGNORECASE)
+_ORDER_DIR_RE = re.compile(r"\s+(asc|desc)\s*$", re.IGNORECASE)
+
+
+def rewrite_plain_frame_excludes(stmt: str, classes: dict[str, str]) -> str:
+    """Emulate EXCLUDE on plain ROWS/RANGE window frames (SQLite
+    ≥ 3.28 accepts EXCLUDE on every frame type — lang_window.html
+    §frame_exclusion; Spark parses EXCLUDE on none). Runs after
+    rewrite_groups_frames, so any window still carrying EXCLUDE here
+    is ROWS- or RANGE-framed. All edits come from one scan of the
+    pristine statement; emitted SQL is never rescanned.
+
+    Decompositions, each exact:
+
+    - ``EXCLUDE NO OTHERS`` — semantic no-op; strip the clause.
+    - RANGE whose bounds are only UNBOUNDED/CURRENT ROW (any kind),
+      and ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING —
+      such frames span whole peer groups (RANGE CURRENT ROW reaches
+      the first/last peer; an unbounded-both ROWS frame is the whole
+      partition), so each IS the GROUPS frame with the same bounds:
+      swap the keyword and let the dense-rank GROUPS pass decompose.
+    - RANGE with integer offsets, current row outside the frame
+      (start > 0 or end < 0) — the peer group (value distance 0) is
+      outside too, so EXCLUDE is a no-op for every kind: strip it.
+      Likewise ROWS + EXCLUDE CURRENT ROW when the current row is
+      outside its frame.
+    - RANGE with integer offsets, current row inside — the GROUPS
+      algebra applies verbatim with the ORDER BY expression itself as
+      the rank: ``RANGE CURRENT ROW .. CURRENT ROW`` over the value
+      key is exactly the peer group (sum/count/avg/total subtract it
+      for any numeric key), and for an INTEGER-classed key the
+      directional min/max/group_concat sub-frames ``[start ..
+      1 PRECEDING]`` / ``[1 FOLLOWING .. end]`` step exactly over the
+      peer run (gaps in the key are harmless — RANGE is value-based).
+      REAL/dynamic keys would need open intervals, so min/max and
+      group_concat bail loudly there.
+    - ROWS + EXCLUDE CURRENT ROW, current row inside — the frame is
+      row-contiguous and self is one frame unit: f(frame) ⊖ self for
+      the distributive aggregates, the two directional ROWS sub-frames
+      for min/max/group_concat (no peer terms — direction-agnostic, so
+      DESC and multi-key orders are fine).
+    - ROWS + EXCLUDE GROUP/TIES with any bounded edge stays
+      unrewritten → Spark raises on the EXCLUDE keyword. That shape is
+      tie-order-dependent in SQLite itself (frame membership of a
+      straddling peer run follows the sorter's unspecified tie order),
+      so there is no deterministic answer to match; with distinct keys
+      a user can write EXCLUDE CURRENT ROW / NO OTHERS instead, which
+      are equivalent there.
+
+    All-or-nothing like the GROUPS pass: one unsupported window leaves
+    the whole statement for Spark's loud parse error. Probed against
+    real SQLite in tests/test_groups_property.py."""
+    if not re.search(r"\bexclude\b", stmt, re.IGNORECASE):
+        return stmt
+    edits: list[tuple[int, int, str]] = []
+    swapped = False
+    for m in _OVER_RE.finditer(stmt):
+        if _in_quotes(stmt, m.start()):
+            continue
+        open_p = m.end() - 1
+        close = _match_paren_fwd(stmt, open_p)
+        win = stmt[open_p + 1 : close - 1]
+        if not re.search(r"\bexclude\b", win, re.IGNORECASE):
+            continue
+        ex_m = next(
+            (
+                g
+                for g in _EXCLUDE_RE.finditer(win)
+                if not _in_quotes(win, g.start())
+            ),
+            None,
+        )
+        if ex_m is None or win[ex_m.end() :].strip():
+            return stmt  # malformed / trailing text — Spark raises
+        fm = next(
+            (
+                g
+                for g in _FRAME_KW_RE.finditer(win)
+                if not _in_quotes(win, g.start())
+            ),
+            None,
+        )
+        if fm is None or fm.start() > ex_m.start():
+            return stmt  # no ROWS/RANGE frame — not a shape we handle
+        kw = fm.group(1).lower()
+        kind = " ".join(ex_m.group(1).lower().split())
+        frame_body = win[fm.end() : ex_m.start()].strip()
+        win_keep = win[: ex_m.start()].rstrip()
+        if kind == "no others":
+            edits.append((open_p + 1, close - 1, win_keep))
+            continue
+        b = _frame_bounds(frame_body)
+        if b is None:
+            return stmt  # dynamic bound — bail
+        s_off, e_off, b1, b2 = b
+        unb = (float("-inf"), float("inf"))
+        if (kw == "range" and s_off in (unb[0], 0.0) and e_off in (0.0, unb[1])) or (
+            kw == "rows" and s_off == unb[0] and e_off == unb[1]
+        ):
+            edits.append(
+                (open_p + 1 + fm.start(), open_p + 1 + fm.end(), "groups")
+            )
+            swapped = True
+            continue
+        om = next(
+            (
+                g
+                for g in _ORDER_BY_RE.finditer(win)
+                if not _in_quotes(win, g.start())
+            ),
+            None,
+        )
+        if om is None or om.start() > fm.start():
+            return stmt  # frame precedes ORDER BY — malformed
+        outside = s_off > 0 or e_off < 0
+        if kw == "rows" and kind != "current row":
+            return stmt  # tie-order-dependent (see docstring)
+        if outside:
+            # current row (and, for RANGE, its whole peer group at
+            # value distance 0) is not in the frame: EXCLUDE no-op
+            edits.append((open_p + 1, close - 1, win_keep))
+            continue
+        partition = win[: om.start()].strip()
+        order_clause = win[om.start() : fm.start()].strip()
+        key_expr = _ORDER_DIR_RE.sub("", win[om.end() : fm.start()].strip())
+        if kw == "range":
+            if "," in key_expr:
+                return stmt  # RANGE offsets need exactly one key
+            cls = (
+                classes.get(key_expr.split(".")[-1].lower())
+                if _AFF_IDENT_RE.match(key_expr)
+                else None
+            )
+            edit = _rewrite_excluded_agg(
+                stmt,
+                m.start(),
+                close,
+                partition,
+                key_expr,
+                frame_body,
+                kind,
+                order_by=order_clause,
+                frame_kw="range",
+                unit_gap=cls == "integer",
+            )
+        else:
+            edit = _rewrite_excluded_agg(
+                stmt,
+                m.start(),
+                close,
+                partition,
+                order_clause,  # alias unused: self_contig skips peers
+                frame_body,
+                kind,
+                order_by=order_clause,
+                frame_kw="rows",
+                self_contig=True,
+            )
+        if edit is None:
+            return stmt  # unsupported aggregate/key — bail hard
+        edits.append(edit)
+    if not edits:
+        return stmt
+    for start, end, repl in sorted(edits, reverse=True):
+        stmt = stmt[:start] + repl + stmt[end:]
+    return rewrite_groups_frames(stmt) if swapped else stmt
+
+
 def rewrite_double_quoted_idents(stmt: str, columns: set[str]) -> str:
     """SQLite's misfeature, reproduced deliberately: a double-quoted
     token is an identifier when it resolves to a column, else a string
@@ -1764,6 +1966,242 @@ def rewrite_two_arg_trim(stmt: str) -> str:
         mode = _TRIM_MODE[m.group(1).lower()]
         repl = f"TRIM({mode} {args[1]} FROM {args[0]})"
         stmt = stmt[: m.start()] + repl + stmt[close:]
+
+
+_SUBSTR_RE = re.compile(r"\b(substring|substr)\s*\(", re.IGNORECASE)
+
+
+def rewrite_substr_calls(stmt: str) -> str:
+    """SQLite ``substr(X, Y[, Z])`` differs from Spark's substring()
+    on the Y=0 form (position 0 starts LEFT of the first character:
+    substr('abc', 0, 2) is 'a', Spark says 'ab') and on negative Z
+    (the |Z| characters BEFORE position Y; Spark returns ''). Lower
+    every comma-form substr/substring call to the sqlite_substr UDF
+    (functions/__init__.py — the exact func.c walk, grid-verified
+    against real sqlite3), arity-split like group_concat. The SQL-
+    standard ``SUBSTRING(x FROM y FOR z)`` form has no top-level
+    comma and stays native."""
+    while True:
+        m = next(
+            (
+                m
+                for m in _SUBSTR_RE.finditer(stmt)
+                if not _in_quotes(stmt, m.start())
+                and (m.start() == 0 or not _IDENT.match(stmt[m.start() - 1]))
+            ),
+            None,
+        )
+        if m is None:
+            return stmt
+        open_p = m.end() - 1
+        close = _match_paren_fwd(stmt, open_p)
+        inner = stmt[open_p + 1 : close - 1]
+        args = _split_args_top(inner)
+        if len(args) not in (2, 3) or (
+            # fast path: positive literal Y (and non-negative literal
+            # Z) — Spark's substring IS SQLite's substr there, so the
+            # common shape stays JVM-side / codegen'd; only the
+            # divergent corners (Y ≤ 0, negative Z, dynamic offsets)
+            # pay the exact UDF
+            re.fullmatch(r"[1-9][0-9]*", args[1])
+            and (len(args) == 2 or re.fullmatch(r"[0-9]+", args[2]))
+        ):
+            tail = rewrite_substr_calls(stmt[close:])
+            return stmt[:close] + tail
+        stmt = (
+            stmt[: m.start()]
+            + f"sqlite_substr{len(args)}({inner})"
+            + stmt[close:]
+        )
+
+
+_ROUND_RE = re.compile(r"\bround\s*\(", re.IGNORECASE)
+
+
+def rewrite_round_calls(stmt: str) -> str:
+    """SQLite ``round(X[, Y])`` → the sqlite_round UDF: SQLite (3.26+)
+    rounds the SHORTEST-DECIMAL rendering half-away-from-zero —
+    round(2.675, 2) is 2.68 though the double is 2.67499…, where
+    Spark's binary HALF_UP gives 2.67 — and coerces text through the
+    numeric-prefix parse (round('3abc') is 3.0, Spark returns NULL).
+    Arity-split like substr. Runs on user SQL only, before the
+    date-family pass emits its own native round()."""
+    while True:
+        m = next(
+            (
+                m
+                for m in _ROUND_RE.finditer(stmt)
+                if not _in_quotes(stmt, m.start())
+                and (m.start() == 0 or not _IDENT.match(stmt[m.start() - 1]))
+            ),
+            None,
+        )
+        if m is None:
+            return stmt
+        open_p = m.end() - 1
+        close = _match_paren_fwd(stmt, open_p)
+        inner = stmt[open_p + 1 : close - 1]
+        args = _split_args_top(inner)
+        if len(args) not in (1, 2) or not inner.strip():
+            tail = rewrite_round_calls(stmt[close:])
+            return stmt[:close] + tail
+        stmt = (
+            stmt[: m.start()]
+            + f"sqlite_round{len(args)}({inner})"
+            + stmt[close:]
+        )
+
+
+_UPPERLOWER_RE = re.compile(r"\b(upper|lower)\s*\(", re.IGNORECASE)
+
+
+def rewrite_upper_lower(stmt: str) -> str:
+    """SQLite's upper()/lower() fold ASCII only (lang_corefunc: "only
+    ASCII characters are case folded" without ICU); Spark's are full
+    Unicode ('ß' → 'SS', even changing length). Lower to translate()
+    over the ASCII alphabet — JVM-side, NULL-preserving, and numeric
+    arguments render through the string cast exactly like SQLite's
+    text conversion. Runs on user SQL only (before the affinity
+    passes emit their own lower() probes)."""
+    while True:
+        m = next(
+            (
+                m
+                for m in _UPPERLOWER_RE.finditer(stmt)
+                if not _in_quotes(stmt, m.start())
+                and (m.start() == 0 or not _IDENT.match(stmt[m.start() - 1]))
+            ),
+            None,
+        )
+        if m is None:
+            return stmt
+        open_p = m.end() - 1
+        close = _match_paren_fwd(stmt, open_p)
+        inner = stmt[open_p + 1 : close - 1]
+        if not inner.strip() or len(_split_args_top(inner)) != 1:
+            tail = rewrite_upper_lower(stmt[close:])
+            return stmt[:close] + tail
+        a = f"'{_ASCII_LOWER}'"
+        b = f"'{_ASCII_UPPER}'"
+        if m.group(1).lower() == "lower":
+            a, b = b, a
+        stmt = (
+            stmt[: m.start()]
+            + f"translate(CAST(({inner}) AS STRING), {a}, {b})"
+            + stmt[close:]
+        )
+
+
+_NULLIF_RE = re.compile(r"\bnullif\s*\(", re.IGNORECASE)
+
+
+def rewrite_nullif_calls(stmt: str, classes: dict[str, str]) -> str:
+    """SQLite ``nullif(X, Y)`` compares WITHOUT affinity conversion —
+    function arguments carry no affinity (datatype3.html §3.2), so
+    ``nullif(a, '7')`` over INTEGER a returns 7 even though
+    ``a = '7'`` is TRUE. It DOES compare numerics across storage
+    classes (``nullif(7, 7.0)`` is NULL). Spark's nullif over the
+    canonicalized strings gets both wrong (string equality), so
+    classifiable operands lower to a null-safe storage-class key
+    compare::
+
+        CASE WHEN key(X) <=> key(Y) THEN NULL ELSE X END
+
+    with NO affinity treatment applied to either side. Two always-text
+    operands keep native nullif (string equality IS the BINARY text
+    compare). Runs AFTER the comparison passes so the emitted key SQL
+    (which contains ``>=`` probes) is never rescanned — the ADVICE-r08
+    trap. Unclassifiable operands keep native nullif."""
+    while True:
+        m = next(
+            (
+                m
+                for m in _NULLIF_RE.finditer(stmt)
+                if not _in_quotes(stmt, m.start())
+                and (m.start() == 0 or not _IDENT.match(stmt[m.start() - 1]))
+            ),
+            None,
+        )
+        if m is None:
+            return stmt
+        open_p = m.end() - 1
+        close = _match_paren_fwd(stmt, open_p)
+        args = _split_call_args(stmt, open_p)
+        bail = args is None or len(args) != 2
+        if not bail:
+            x, y = args[0].strip(), args[1].strip()
+            xd = _aff_classify(x, classes)
+            yd = _aff_classify(y, classes)
+            bail = (
+                xd is None
+                or yd is None
+                or (_aff_always(xd) == "text" and _aff_always(yd) == "text")
+            )
+        if bail:
+            tail = rewrite_nullif_calls(stmt[close:], classes)
+            return stmt[:close] + tail
+        lkey = _aff_key_sql(xd, x)
+        rkey = _aff_key_sql(yd, y)
+        stmt = (
+            stmt[: m.start()]
+            + f"(CASE WHEN {lkey} <=> {rkey} THEN NULL ELSE {x} END)"
+            + stmt[close:]
+        )
+
+
+_TYPEOF_RE = re.compile(r"\btypeof\s*\(", re.IGNORECASE)
+
+
+def rewrite_typeof_calls(stmt: str, classes: dict[str, str]) -> str:
+    """``typeof(col)`` over a classed column: the storage class is a
+    LOAD-TIME property the runtime string can't always recover —
+    '007' in a TEXT-affinity column is 'text' in SQLite though it
+    looks numeric, which the string-classifying UDF gets wrong.
+    text/none columns are 'text' for every non-NULL value, long
+    columns 'integer'; dynamic columns classify their CANONICAL
+    string JVM-side (integer-canon → 'integer', numeric-canon →
+    'real', else 'text' — the same patterns as the Python UDF, which
+    remains the fallback for unclassifiable arguments)."""
+    while True:
+        m = next(
+            (
+                m
+                for m in _TYPEOF_RE.finditer(stmt)
+                if not _in_quotes(stmt, m.start())
+                and (m.start() == 0 or not _IDENT.match(stmt[m.start() - 1]))
+            ),
+            None,
+        )
+        if m is None:
+            return stmt
+        open_p = m.end() - 1
+        close = _match_paren_fwd(stmt, open_p)
+        inner = stmt[open_p + 1 : close - 1].strip()
+        cls = (
+            classes.get(inner.split(".")[-1].lower())
+            if _AFF_IDENT_RE.match(inner)
+            else None
+        )
+        if cls not in ("text", "none", "long", "dynamic"):
+            tail = rewrite_typeof_calls(stmt[close:], classes)
+            return stmt[:close] + tail
+        if cls in ("text", "none"):
+            branch = "'text'"
+        elif cls == "long":
+            branch = "'integer'"
+        else:
+            t = f"CAST({inner} AS STRING)"
+            branch = (
+                f"CASE WHEN {t} RLIKE {_AFF_INT_CANON_PAT} "
+                f"THEN 'integer' "
+                f"WHEN {t} RLIKE {_SQL_NUM_PAT} THEN 'real' "
+                f"ELSE 'text' END"
+            )
+        stmt = (
+            stmt[: m.start()]
+            + f"(CASE WHEN {inner} IS NULL THEN 'null' ELSE {branch} END)"
+            + stmt[close:]
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -2557,11 +2995,12 @@ def _rewrite_window_class_items(
             emit(f"py_real_repr(CAST({core} AS DOUBLE))")
             continue
         fc = _aff_filter_case_parts(arg)
-        if fn in ("min", "max") and fc is None:
-            # CAST(col AS NUMERIC) argument: the winner keeps ITS
-            # class (a REAL value survives NUMERIC, an int drops) —
-            # pick by numeric value, render via the shared cast body
-            cm = _AFF_CAST_ITEM_RE.match(arg)
+        if fn in ("min", "max"):
+            # CAST(col AS NUMERIC) argument (bare or FILTER-lowered):
+            # the winner keeps ITS class (a REAL value survives
+            # NUMERIC, an int drops) — pick by numeric value, render
+            # via the shared cast body
+            cm = _AFF_CAST_ITEM_RE.match(fc[1] if fc else arg)
             if cm is not None and cm.group(3) is None:
                 from sqawk_spark.affinity import normalize_affinity
 
@@ -2578,6 +3017,8 @@ def _rewrite_window_class_items(
                         f"ELSE named_struct('k', {kv}, 'v', ({vv})) "
                         f"END"
                     )
+                    if fc is not None:
+                        struct = f"CASE WHEN {fc[0]} THEN {struct} END"
                     emit(f"({fn}({struct}){w}).v")
                     continue
         col = fc[1] if fc else arg
@@ -2744,10 +3185,14 @@ def rewrite_affinity_minmax(stmt: str, classes: dict[str, str]) -> str:
     stored as -2^63, which SQLite deems EQUAL — the two renderings
     differ ('-9223372036854775808' vs '-9.223372036854776e+18').
     SQLite then returns whichever row its scan met first (arrival
-    order); a distributed aggregate has no arrival order, so the
-    engine deterministically prefers the INTEGER rendering for both
-    min and max (matching SQLite whenever the INTEGER precedes — and
-    value semantics either way, since the tied values are equal)."""
+    order). When the scope's scan order is statically known (single
+    loaded table, its promoted row counter in scope —
+    _scope_arrival_col) the tiebreak IS that arrival order, exact;
+    otherwise the engine deterministically prefers the INTEGER
+    rendering for both min and max (matching SQLite whenever the
+    INTEGER precedes — and value semantics either way, since the
+    tied values are equal)."""
+    arrival = _scope_arrival_col(stmt, classes)
     while True:
         edited = False
         for m in _AFF_MINMAX_RE.finditer(stmt):
@@ -2774,9 +3219,11 @@ def rewrite_affinity_minmax(stmt: str, classes: dict[str, str]) -> str:
                 col = fc[1]
             fn = m.group(1).lower()
             key = _aff_key_col_sql(col, "dynamic")
-            # 0 for integer-rendered values, 1 otherwise; negated for
-            # max so BOTH directions prefer the integer at a key tie
-            pref = (
+            # arrival column when known (first tied row in scan order,
+            # SQLite-exact); else 0 for integer-rendered values, 1
+            # otherwise — negated for max so BOTH directions prefer
+            # the first/integer at a key tie
+            pref = arrival or (
                 f"(CASE WHEN TRY_CAST(CAST({col} AS STRING) AS BIGINT) "
                 f"IS NULL THEN 1 ELSE 0 END)"
             )
@@ -3279,12 +3726,50 @@ def _sum_chain_item_body(chain, fc, w: str = "") -> str | None:
     )
 
 
-def _arith_minmax_struct(chain, fc, fn: str) -> str | None:
+def _scope_arrival_col(stmt: str, classes: dict[str, str]) -> str | None:
+    """SQLite's aggregate min/max keep the FIRST row of a value tie in
+    SCAN order — rowid order for sqawk tables (anr is the INTEGER
+    PRIMARY KEY alias), preserved through WHERE and (probed: the
+    sorter merges equal group keys FIFO) GROUP BY.  Returns the
+    scope's arrival column when that order is statically known: one
+    top-level FROM naming a single loaded table whose ``<name>nr``
+    column is the promoted row counter, no set operator, and no
+    nested select in the scope text (a subquery's min/max would
+    capture the OUTER table's counter — or fail to resolve at all).
+    None → callers keep the deterministic integer-preference tiebreak
+    (the documented residue, reachable only through joins/subqueries
+    where SQLite's own scan order is plan-dependent)."""
+    if re.search(r"\(\s*select\b", stmt, re.IGNORECASE):
+        return None
+    clauses = _top_level_clauses(stmt)
+    names = [c[0] for c in clauses]
+    if names.count("from") != 1 or "setop" in names:
+        return None
+    idx = names.index("from")
+    from_end = (
+        clauses[idx + 1][1] if idx + 1 < len(clauses) else len(stmt)
+    )
+    src = stmt[_skip_ws(stmt, clauses[idx][2]) : from_end].strip()
+    m = _SIMPLE_FROM_RE.match(src)
+    if m is None or (m.group(2) or "").lower() in _NOT_ALIAS:
+        return None
+    col = f"{m.group(1)}nr".lower()
+    return col if classes.get(col) == "long" else None
+
+
+def _arith_minmax_struct(
+    chain, fc, fn: str, arrival: str | None = None
+) -> str | None:
     """min/max over an arithmetic chain return the winning VALUE with
-    its per-row class: pick the winner by coerced numeric value (with
-    the integer-preference tiebreak the column min/max rewrite uses)
-    and carry the class-exact rendered string alongside.  None when
-    the native lowering is already exact (all-integer, no division)."""
+    its per-row class: pick the winner by coerced numeric value and
+    carry the class-exact rendered string alongside.  At a cross-class
+    value tie (x % 1 yields INTEGER 0 on int-form rows and REAL 0.0 on
+    real-form rows — equal keys, different renderings) SQLite returns
+    the FIRST row in scan order; when the caller statically knows that
+    order (``arrival`` = the scope's row-counter column,
+    _scope_arrival_col) the tiebreak reproduces it exactly, else it
+    falls back to the deterministic integer preference.  None when the
+    native lowering is already exact (all-integer, no division)."""
     cb = _arith_chain_class_body(chain)
     if cb is None:
         return None
@@ -3292,7 +3777,9 @@ def _arith_minmax_struct(chain, fc, fn: str) -> str | None:
     ec = _arith_chain_coerced_sql(chain)
     tests = [_arith_tok_int_test(tok, d) for _, tok, d in tokens]
     dyn = [t for t in tests if isinstance(t, str)]
-    if any(t is False for t in tests):
+    if arrival is not None:
+        p = arrival
+    elif any(t is False for t in tests):
         p = "1"
     elif dyn:
         p = f"(CASE WHEN {' AND '.join(dyn)} THEN 0 ELSE 1 END)"
@@ -4242,7 +4729,12 @@ def _stringify_expr(
             if _ARITH_INT_FORM_RE.match(t):
                 return f"'{int(t)}'", "dyn"
             return f"'{float(t)!r}'", "dyn"
-        return None
+        if kind != "agg":
+            return None
+        # 'agg' (bare min/max over a classed column) falls through to
+        # the aggregate-residue branch below — returning None here
+        # made the caller stringify the whole ALIASED item, swallowing
+        # ``as c0`` inside the CAST (fuzz seed 20240815 script 195)
     if re.search(r"\b(py_real_repr|named_struct)\s*\(", b, re.IGNORECASE):
         return b, "dyn"  # engine-emitted string body, earlier pass
     cm = _AFF_CAST_ITEM_RE.match(b)
@@ -4408,7 +4900,8 @@ _ITEM_ALIAS_RE = re.compile(
     r"^\s*(?:as\s+)?([A-Za-z_][A-Za-z_0-9]*)\s*$", re.IGNORECASE
 )
 _REALAGG_ITEM_RE = re.compile(
-    r"^\s*(avg|total|min|max|sum)\s*\(", re.IGNORECASE
+    r"^\s*(avg|total|min|max|sum|sqlite_round1|sqlite_round2)\s*\(",
+    re.IGNORECASE,
 )
 
 
@@ -4426,6 +4919,7 @@ def _rewrite_real_class_items(
     span = _select_items_span(stmt)
     if span is None:
         return stmt, {}
+    arrival = _scope_arrival_col(stmt, classes)
     list_start, list_end, items = span
     out_items, extras, changed = [], {}, False
     for item in items:
@@ -4463,10 +4957,48 @@ def _rewrite_real_class_items(
                     if g is not None:
                         fcs, chain = (g[0], None), g[1]
                 st = (
-                    _arith_minmax_struct(chain, fcs, fn)
+                    _arith_minmax_struct(chain, fcs, fn, arrival)
                     if chain is not None
                     else None
                 )
+                if st is None:
+                    # CAST(col AS NUMERIC) argument (bare or under
+                    # FILTER): the winner keeps ITS class — a stored
+                    # REAL survives NUMERIC ('20.0' wins as '20.0'),
+                    # raw text coerces then drops to int if lossless
+                    # (lang_expr.html §4) — so pick by coerced value
+                    # (integer-preferred at class ties, as in
+                    # rewrite_affinity_minmax) and carry the rendered
+                    # string alongside
+                    cm = _AFF_CAST_ITEM_RE.match(target)
+                    if cm is not None and cm.group(3) is None:
+                        from sqawk_spark.affinity import (
+                            normalize_affinity,
+                        )
+
+                        caff = normalize_affinity(cm.group(2))
+                        ccol = cm.group(1)
+                        ccls = classes.get(ccol.split(".")[-1].lower())
+                        if caff == "numeric" and ccls in (
+                            "dynamic", "text", "none"
+                        ):
+                            kv = _cast_value_sql(ccol, "real", classes)
+                            vv = _cast_class_body(
+                                ccol, "numeric", classes
+                            )
+                            pref = arrival or (
+                                f"(CASE WHEN TRY_CAST(({vv}) AS"
+                                f" BIGINT) IS NULL THEN 1 ELSE 0 END)"
+                            )
+                            if fn == "max":
+                                pref = f"(0 - {pref})"
+                            st = (
+                                f"CASE WHEN {ccol} IS NULL THEN NULL "
+                                f"ELSE named_struct('k', {kv}, "
+                                f"'p', {pref}, 'v', ({vv})) END"
+                            )
+                            if fcx is not None:
+                                st = f"CASE WHEN {fcx[0]} THEN {st} END"
                 if st is not None:
                     body = f"({fn}({st})).v"
                     if alias_m:
@@ -4720,6 +5252,12 @@ def rewrite_statement(
     stmt = rewrite_group_concat(rewrite_regex_calls(rewrite_glob(stmt)))
     stmt = rewrite_hint_funcs(stmt)
     stmt = rewrite_scalar_minmax(rewrite_two_arg_trim(stmt))
+    # user-SQL-only scalar exactness: SQLite's ASCII-only case fold,
+    # the func.c substr() walk, and decimal-exact round() (all before
+    # the affinity/date passes, whose emitted lower()/round() probes
+    # must stay native)
+    stmt = rewrite_substr_calls(rewrite_upper_lower(stmt))
+    stmt = rewrite_round_calls(stmt)
     # after scalar min/max lowering: any remaining 1-arg min/max is an
     # aggregate, which is what the bare-column rule keys on
     stmt = rewrite_bare_minmax_columns(stmt)
@@ -4738,11 +5276,19 @@ def rewrite_statement(
     if win_extra:
         classes = {**(classes or {}), **win_extra}
     stmt = rewrite_groups_frames(stmt)
+    # any EXCLUDE still present rides a plain ROWS/RANGE frame; the
+    # class gate (integer keys unlock the min/max directional
+    # sub-frames) is why this pass takes the storage-class catalog
+    stmt = rewrite_plain_frame_excludes(stmt, classes or {})
     if columns:
         stmt = rewrite_double_quoted_idents(stmt, columns)
     # the storage-class passes classify bare identifiers, so they
     # must see the double-quoted-ident resolution's output
+    stmt = rewrite_typeof_calls(stmt, classes or {})
     stmt = rewrite_affinity_semantics(stmt, classes or {})
+    # after the comparison passes: the nullif lowering emits key SQL
+    # containing >= probes that the comparison scan must never revisit
+    stmt = rewrite_nullif_calls(stmt, classes or {})
     # last: any NOCASE marker no class-aware pass claimed lowers to
     # the literal ASCII fold
     return _strip_nocase(stmt)

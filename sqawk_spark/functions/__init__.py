@@ -115,6 +115,145 @@ def register_udfs(spark: SparkSession) -> None:
             cur = m[k]
         return True
 
+    def _substr_text(x) -> str:
+        """X as SQLite renders it: integers bare, floats shortest-repr
+        (CPython repr matches SQLite's shortest-round-trip rendering on
+        everything the canonicalized-string storage produces), strings
+        verbatim — the engine's dynamic columns arrive pre-canonical."""
+        if isinstance(x, bool):
+            return "1" if x else "0"
+        if isinstance(x, float):
+            return repr(x)
+        return str(x)
+
+    def _substr_i64(v) -> int:
+        """sqlite3_value_int64 of a Y/Z operand: ints pass through,
+        reals truncate toward zero, text parses its numeric PREFIX
+        (sqlite3AtoF — 'x' counts 0, '2.9' counts 2)."""
+        import re as _re
+
+        if isinstance(v, bool):
+            return int(v)
+        if isinstance(v, int):
+            return v
+        if isinstance(v, float):
+            return int(v)
+        m = _re.match(
+            r"[+-]?(\d+\.?\d*([eE][+-]?\d+)?|\.\d+([eE][+-]?\d+)?)",
+            str(v).strip(),
+        )
+        if not m:
+            return 0
+        t = m.group(0)
+        try:
+            return int(t) if _re.fullmatch(r"[+-]?\d+", t) else int(float(t))
+        except (ValueError, OverflowError):
+            return 0
+
+    def _sqlite_substr(x, y, z) -> str | None:
+        """SQLite substr(X, Y[, Z]) — the exact func.c substrFunc walk
+        (position 0 starts LEFT of the first character, negative Y
+        counts from the right, negative Z takes the |Z| characters
+        BEFORE position Y; 2-arg leaves Z at the db length limit).
+        Grid-verified against real sqlite3 over every (Y, Z) in
+        [-9, 9] ∪ {None} for four string lengths — zero mismatches.
+        Spark's substring() differs on the Y=0 and negative-Z forms,
+        hence the rewrite (dialect.rewrite_substr_calls)."""
+        s = _substr_text(x)
+        n = len(s)
+        p1 = _substr_i64(y)
+        if z is None:
+            p2, neg_p2 = 2**31, False
+        else:
+            p2 = _substr_i64(z)
+            neg_p2 = p2 < 0
+            if neg_p2:
+                p2 = -p2
+        if p1 < 0:
+            p1 += n
+            if p1 < 0:
+                p2 += p1
+                if p2 < 0:
+                    p2 = 0
+                p1 = 0
+        elif p1 > 0:
+            p1 -= 1
+        elif p2 > 0:
+            p2 -= 1
+        if neg_p2:
+            p1 -= p2
+            if p1 < 0:
+                p2 += p1
+                p1 = 0
+        if p2 < 0:
+            p2 = 0
+        return s[p1 : p1 + p2]
+
+    def _sqlite_round(x, y) -> float | None:
+        """SQLite round(X[, Y]) — func.c roundFunc (3.40+): X coerces
+        via the numeric-prefix parse ('3abc' → 3.0, 'x' → 0.0), Y
+        clamps to [0, 30]. Y=0 takes the ±0.5-and-truncate int64 path
+        (so round(-0.4) is +0.0, sign dropped through the integer);
+        Y>0 rounds the SHORTEST-DECIMAL rendering half-away-from-zero
+        — round(2.675, 2) is 2.68 even though the double is
+        2.67499…, where C printf (and Spark's binary HALF_UP) give
+        2.67. |X| > 2^52 passes through unchanged (already integral).
+        Probed against real sqlite3 in tests/test_dialect.py."""
+        from decimal import ROUND_HALF_UP, Decimal
+
+        if x is None or y is None:
+            return None
+        if isinstance(x, (int, float)) and not isinstance(x, bool):
+            r = float(x)
+        else:
+            s = str(x).strip()
+            import re as _re
+
+            m = _re.match(
+                r"[+-]?(\d+\.?\d*([eE][+-]?\d+)?|\.\d+([eE][+-]?\d+)?)",
+                s,
+            )
+            if m:
+                try:
+                    r = float(m.group(0))
+                except (ValueError, OverflowError):
+                    r = 0.0
+            elif s[:1] == "-":
+                r = -0.0
+            else:
+                r = 0.0
+        n = _substr_i64(y)
+        if n > 30:
+            n = 30
+        if n < 0:
+            n = 0
+        if r != r or r in (float("inf"), float("-inf")):
+            return r
+        if abs(r) > 4503599627370496.0:  # 2^52: integral already
+            return r
+        if n == 0:
+            return float(int(r + (-0.5 if r < 0 else 0.5)))
+        d = Decimal(repr(r)).quantize(
+            Decimal(1).scaleb(-n), rounding=ROUND_HALF_UP
+        )
+        return float(d)
+
+    def sqlite_round1(x) -> float | None:
+        return _sqlite_round(x, 0)
+
+    def sqlite_round2(x, y) -> float | None:
+        return _sqlite_round(x, y)
+
+    def sqlite_substr2(x, y) -> str | None:
+        if x is None or y is None:
+            return None
+        return _sqlite_substr(x, y, None)
+
+    def sqlite_substr3(x, y, z) -> str | None:
+        if x is None or y is None or z is None:
+            return None
+        return _sqlite_substr(x, y, z)
+
     def sqlite_printf(fmt: str, *args) -> str | None:
         """SQLite printf(): NULL under %s prints empty, non-numeric
         text under %d/%f coerces to 0 (reference relies on this —
@@ -586,6 +725,10 @@ def register_udfs(spark: SparkSession) -> None:
     spark.udf.register("datetime", datetime_fn, T.StringType())
     spark.udf.register("julianday", julianday, T.DoubleType())
     spark.udf.register("printf", sqlite_printf, T.StringType())
+    spark.udf.register("sqlite_substr2", sqlite_substr2, T.StringType())
+    spark.udf.register("sqlite_substr3", sqlite_substr3, T.StringType())
+    spark.udf.register("sqlite_round1", sqlite_round1, T.DoubleType())
+    spark.udf.register("sqlite_round2", sqlite_round2, T.DoubleType())
     spark.udf.register("lindex", lindex, T.StringType())
     spark.udf.register("llength", llength, T.IntegerType())
     spark.udf.register("lrange", lrange, T.StringType())

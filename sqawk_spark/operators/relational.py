@@ -1694,6 +1694,166 @@ def window_groups_exclude(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "window_rows_exclude",
+    oracle="""
+        SELECT p_partkey, p_size,
+               CAST(sum(cents) OVER (
+                   PARTITION BY p_brand ORDER BY p_partkey
+                   ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING
+                   EXCLUDE CURRENT ROW) AS BIGINT) AS s_excl,
+               CAST(count(*) OVER (
+                   PARTITION BY p_brand ORDER BY p_partkey
+                   ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING
+                   EXCLUDE CURRENT ROW) AS BIGINT) AS c_excl,
+               CAST(min(cents) OVER (
+                   PARTITION BY p_brand ORDER BY p_partkey
+                   ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING
+                   EXCLUDE CURRENT ROW) AS BIGINT) AS mn_excl,
+               CAST(max(cents) OVER (
+                   PARTITION BY p_brand ORDER BY p_partkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   EXCLUDE CURRENT ROW) AS BIGINT) AS mx_run_excl
+        FROM (SELECT p_partkey, p_size, p_brand,
+                     CAST(round(p_retailprice * 100) AS BIGINT)
+                         AS cents
+              FROM part)
+    """,
+)
+def window_rows_exclude(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B19 ROWS frame + EXCLUDE CURRENT ROW (SQLite ≥ 3.28,
+    lang_window.html §frame_exclusion; reachable in the reference
+    because scripts are evaled verbatim — lib/classes/sqawk.tcl:216).
+    A ROWS frame is row-contiguous and the current row is one frame
+    unit, so excluding self decomposes exactly — the same lowering the
+    dialect applies to CLI scripts (dialect.py:
+    rewrite_plain_frame_excludes):
+
+        sum/count →  f(frame) ⊖ current row   (NULL-guarded on the
+                     remaining count)
+        min/max   →  NULL-skipping combine of the two directional
+                     sub-frames [start .. 1 PRECEDING] and
+                     [1 FOLLOWING .. end]
+
+    ORDER BY the unique p_partkey makes frame membership — and hence
+    the result — deterministic (with tied keys, ROWS membership
+    follows the sorter's unspecified tie order in SQLite too). DuckDB
+    implements EXCLUDE natively, so the oracle is the verbatim SQL;
+    the construction is additionally fuzzed against real SQLite in
+    tests/test_groups_property.py.
+
+    Scale: every column rides one (p_brand)-keyed window exchange —
+    Catalyst evaluates all four specs in a single WindowExec chain
+    over one sort; no join, no driver traffic."""
+    t = load_tables(spark, sf_dir, ("part",))
+    base = t["part"].select(
+        "p_partkey",
+        "p_size",
+        "p_brand",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("cents"),
+    )
+    wf = (
+        W.partitionBy("p_brand").orderBy("p_partkey").rowsBetween(-2, 1)
+    )
+    wl = (
+        W.partitionBy("p_brand").orderBy("p_partkey").rowsBetween(-2, -1)
+    )
+    wr = W.partitionBy("p_brand").orderBy("p_partkey").rowsBetween(1, 1)
+    wrun = (
+        W.partitionBy("p_brand")
+        .orderBy("p_partkey")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    fs, fc = F.sum("cents").over(wf), F.count("*").over(wf)
+    mnl, mnr = F.min("cents").over(wl), F.min("cents").over(wr)
+    return base.select(
+        "p_partkey",
+        "p_size",
+        F.when(fc > 1, fs - F.col("cents")).alias("s_excl"),
+        (fc - 1).alias("c_excl"),
+        F.least(F.coalesce(mnl, mnr), F.coalesce(mnr, mnl)).alias(
+            "mn_excl"
+        ),
+        F.max("cents").over(wrun).alias("mx_run_excl"),
+    )
+
+
+@query(
+    "window_range_exclude",
+    oracle="""
+        SELECT p_partkey, p_size,
+               CAST(sum(cents) OVER (
+                   PARTITION BY p_brand ORDER BY p_size
+                   RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING
+                   EXCLUDE GROUP) AS BIGINT) AS s_grp,
+               CAST(sum(cents) OVER (
+                   PARTITION BY p_brand ORDER BY p_size
+                   RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING
+                   EXCLUDE TIES) AS BIGINT) AS s_ties,
+               CAST(count(*) OVER (
+                   PARTITION BY p_brand ORDER BY p_size
+                   RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING
+                   EXCLUDE CURRENT ROW) AS BIGINT) AS c_cur,
+               CAST(min(cents) OVER (
+                   PARTITION BY p_brand ORDER BY p_size
+                   RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING
+                   EXCLUDE GROUP) AS BIGINT) AS mn_grp
+        FROM (SELECT p_partkey, p_size, p_brand,
+                     CAST(round(p_retailprice * 100) AS BIGINT)
+                         AS cents
+              FROM part)
+    """,
+)
+def window_range_exclude(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B19 RANGE frame (integer value offsets) + EXCLUDE — the GROUPS
+    algebra with the ORDER BY value itself as the rank, exactly the
+    dialect lowering (dialect.py:rewrite_plain_frame_excludes): the
+    peer group is RANGE CURRENT ROW..CURRENT ROW over p_size, and the
+    integer key makes the directional min/max sub-frames
+    [1 PRECEDING .. 1 PRECEDING] / [1 FOLLOWING .. 1 FOLLOWING] step
+    exactly over the peer run (RANGE is value-based, so key gaps are
+    harmless):
+
+        EXCLUDE GROUP        →  f(frame) ⊖ f(peers)
+        EXCLUDE TIES         →  f(frame) ⊖ f(peers) ⊕ current row
+        EXCLUDE CURRENT ROW  →  f(frame) ⊖ current row
+        min + GROUP          →  least over the directional sub-frames
+
+    RANGE membership is value-based, so results are deterministic even
+    with tied p_size keys — unlike ROWS GROUP/TIES, which the engine
+    rejects loudly. DuckDB implements EXCLUDE natively (verbatim
+    oracle); fuzzed against real SQLite in
+    tests/test_groups_property.py.
+
+    Scale: one (p_brand)-keyed window exchange; the peer window and
+    all sub-frames share its sort. No join, no driver traffic."""
+    t = load_tables(spark, sf_dir, ("part",))
+    base = t["part"].select(
+        "p_partkey",
+        "p_size",
+        "p_brand",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("cents"),
+    )
+    wf = W.partitionBy("p_brand").orderBy("p_size").rangeBetween(-1, 1)
+    wg = W.partitionBy("p_brand").orderBy("p_size").rangeBetween(0, 0)
+    wl = W.partitionBy("p_brand").orderBy("p_size").rangeBetween(-1, -1)
+    wr = W.partitionBy("p_brand").orderBy("p_size").rangeBetween(1, 1)
+    fs, fc = F.sum("cents").over(wf), F.count("*").over(wf)
+    gs, gc = F.sum("cents").over(wg), F.count("*").over(wg)
+    cur = F.col("cents")
+    mnl, mnr = F.min("cents").over(wl), F.min("cents").over(wr)
+    return base.select(
+        "p_partkey",
+        "p_size",
+        F.when(fc - gc > 0, fs - gs).alias("s_grp"),
+        (fs - gs + cur).alias("s_ties"),
+        (fc - 1).alias("c_cur"),
+        F.least(F.coalesce(mnl, mnr), F.coalesce(mnr, mnl)).alias(
+            "mn_grp"
+        ),
+    )
+
+
+@query(
     "tpch_q10_returned_items",
     oracle="""
         SELECT c.c_custkey, c.c_name,

@@ -347,10 +347,26 @@ GROUPS_FRAMES = [
     "groups between current row and unbounded following",
 ]
 GROUPS_EXCLUDE = ["", "", " exclude current row", " exclude group", " exclude ties"]
+# ROWS frames: EXCLUDE CURRENT ROW decomposes exactly (frame ⊖ self /
+# directional sub-frames); GROUP and TIES over a bounded ROWS edge are
+# tie-order-dependent in SQLite itself, so the engine rejects them
+# loudly and the fuzzer doesn't generate them (they ARE generated for
+# the unbounded-both frame, which lowers through the GROUPS machinery)
+ROWS_EXCLUDE = ["", "", " exclude current row", " exclude no others"]
 RANGE_FRAMES = [
     "range between 2 preceding and current row",
     "range between 1 preceding and 1 following",
     "range between unbounded preceding and current row",
+]
+# RANGE EXCLUDE: peers are RANGE CURRENT ROW..CURRENT ROW over the
+# value key; the integer-classed keys (anr/anf) unlock the min/max
+# directional sub-frames, so all four forms lower
+RANGE_EXCLUDE = [
+    "",
+    " exclude current row",
+    " exclude group",
+    " exclude ties",
+    " exclude no others",
 ]
 
 
@@ -362,12 +378,16 @@ def q_window(rng: random.Random) -> str:
     if kind < 0.45:
         k = f"{col(rng)}, anr"
         frame = rng.choice(ROWS_FRAMES)
+        if frame.endswith("unbounded following"):
+            frame += rng.choice(GROUPS_EXCLUDE)
+        else:
+            frame += rng.choice(ROWS_EXCLUDE)
     elif kind < 0.8:
         k = col(rng)
         frame = rng.choice(GROUPS_FRAMES) + rng.choice(GROUPS_EXCLUDE)
     else:
         k = rng.choice(INT_COLS)
-        frame = rng.choice(RANGE_FRAMES)
+        frame = rng.choice(RANGE_FRAMES) + rng.choice(RANGE_EXCLUDE)
     win = f"{fn}({arg}) over ({part}order by {k} {frame})"
     where = f" where {pred(rng)}" if rng.random() < 0.5 else ""
     return f"select anr, a1, {win} as w from a{where} order by anr"
@@ -552,6 +572,42 @@ def q_cte(rng: random.Random) -> str:
     )
 
 
+def q_scalar_funcs(rng: random.Random) -> str:
+    """Scalar-library composites over classed columns — the r08
+    VERDICT's remaining fuzz-grammar gap.  Each form is byte-compared
+    against real SQLite, so the dialect's exactness rewrites are on
+    trial: typeof() must see the LOAD-TIME storage class ('007' in a
+    TEXT column is 'text'), substr() must walk func.c's position-0 /
+    negative-Z rules, upper()/lower() must fold ASCII only, printf()
+    must coerce like SQLite.  length(123) renders through the text
+    conversion on both engines."""
+    forms = [
+        lambda: f"typeof({col(rng)})",
+        lambda: f"substr({col(rng)}, {rng.randint(-4, 4)})",
+        lambda: (
+            f"substr({col(rng)}, {rng.randint(-4, 4)},"
+            f" {rng.randint(-4, 4)})"
+        ),
+        lambda: f"upper({col(rng)})",
+        lambda: f"lower({col(rng)})",
+        lambda: f"length({col(rng)})",
+        lambda: f"printf('%d|%s', {rng.choice(INT_COLS)}, {col(rng)})",
+        lambda: f"printf('%5.2f', {rng.choice(INT_COLS)})",
+        lambda: f"abs({rng.choice(INT_COLS)} - 3)",
+        lambda: f"coalesce(nullif({col(rng)}, '0'), 'z')",
+        lambda: f"upper(substr({col(rng)}, 2, 3))",
+        lambda: f"typeof({col(rng)}) || ':' || length({col(rng)})",
+        lambda: f"round({col(rng)})",
+        lambda: f"round({col(rng)}, {rng.randint(0, 2)})",
+        lambda: f"nullif({col(rng)}, {rng.choice(NUM_LITS + STR_LITS)})",
+    ]
+    items = ", ".join(
+        f"{rng.choice(forms)()} as c{i}" for i in range(rng.randint(1, 3))
+    )
+    where = f" where {pred(rng)}" if rng.random() < 0.4 else ""
+    return f"select {items} from a{where} order by anr"
+
+
 SHAPES = [
     (q_plain, 5),
     (q_distinct, 2),
@@ -566,6 +622,7 @@ SHAPES = [
     (q_multistmt, 2),
     (q_distinct_case, 2),
     (q_cte, 2),
+    (q_scalar_funcs, 3),
 ]
 SHAPE_POOL = [fn for fn, w in SHAPES for _ in range(w)]
 
@@ -655,11 +712,17 @@ def _run_batch(rng: random.Random, n: int, tmp_path, start: int = 0):
             # multi-statement scripts: every statement's rows flow
             # through one serializer, in order (generated literals
             # never contain ';', so the split is unambiguous)
+            # zero-row statements print nothing; a one-row statement
+            # whose row renders EMPTY (e.g. a lone NULL aggregate)
+            # prints an empty line — render_sqlite returns '' for
+            # both, so distinguish on the row count
             blocks = [
-                render_sqlite(con.execute(s).fetchall())
-                for s in sql.split("; ")
+                render_sqlite(rows) if rows else None
+                for rows in (
+                    con.execute(s).fetchall() for s in sql.split("; ")
+                )
             ]
-            want = "\n".join(b for b in blocks if b)
+            want = "\n".join(b for b in blocks if b is not None)
             argv = ["-FS", ",", sql, dt_opt, str(f)]
             if " join b " in sql:  # only q_join references table b
                 argv += [dt_opt_b, str(fb)]

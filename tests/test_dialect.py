@@ -449,3 +449,152 @@ def test_filter_clause_distinct_any_whitespace():
         r("select count(distinctive) filter (where k > 0) from t")
         == "select count(CASE WHEN k > 0 THEN distinctive END) from t"
     )
+
+
+# ---------------------------------------------------------------------------
+# round 9: scalar-library exactness (substr / upper / lower / typeof /
+# nullif) — each probed for semantic parity against real SQLite
+# ---------------------------------------------------------------------------
+
+
+def test_substr_rewrite_arity_and_scope():
+    from sqawk_spark.dialect import rewrite_substr_calls
+
+    assert (
+        rewrite_substr_calls("select substr(a1, 0, 2) from a")
+        == "select sqlite_substr3(a1, 0, 2) from a"
+    )
+    assert (
+        rewrite_substr_calls("select substring(a1, -2) from a")
+        == "select sqlite_substr2(a1, -2) from a"
+    )
+    # SQL-standard FROM/FOR form has no top-level comma: stays native
+    q = "select substring(a1 from 2 for 3) from a"
+    assert rewrite_substr_calls(q) == q
+    # fast path: positive literal Y / non-negative literal Z — Spark's
+    # substring is already exact there, so the call stays JVM-side
+    q = "select substr(a1, 2, 3), substr(a1, 1) from a"
+    assert rewrite_substr_calls(q) == q
+    # string literals containing 'substr(' are untouched
+    q = "select 'substr(x, 0)' from a"
+    assert rewrite_substr_calls(q) == q
+
+
+def test_substr_udf_grid_vs_sqlite(spark):
+    """The registered UDF walks func.c exactly — grid over the corner
+    space (position 0, negative Y, negative Z, 2-arg) vs sqlite3."""
+    from sqawk_spark.functions import register_udfs
+
+    register_udfs(spark)
+    con = sqlite3.connect(":memory:")
+    cases = []
+    for s in ("'abc'", "'abcdef'", "''"):
+        for y in (-7, -2, -1, 0, 1, 2, 4):
+            for z in (-3, -1, 0, 1, 3, None):
+                cases.append((s, y, z))
+    sel_sq = ", ".join(
+        f"substr({s}, {y}{'' if z is None else f', {z}'})"
+        for s, y, z in cases
+    )
+    want = list(con.execute(f"select {sel_sq}").fetchone())
+    sel_sp = ", ".join(
+        f"sqlite_substr{2 if z is None else 3}"
+        f"({s}, {y}{'' if z is None else f', {z}'})"
+        for s, y, z in cases
+    )
+    got = list(spark.sql(f"select {sel_sp}").collect()[0])
+    assert got == want
+
+
+def test_upper_lower_ascii_only(spark):
+    from sqawk_spark.dialect import rewrite_upper_lower
+
+    q = rewrite_upper_lower("select upper('straße'), lower('ÄBC')")
+    row = spark.sql(q).collect()[0]
+    con = sqlite3.connect(":memory:")
+    assert tuple(row) == con.execute(
+        "select upper('straße'), lower('ÄBC')"
+    ).fetchone()
+
+
+def test_typeof_rewrite_class_aware():
+    from sqawk_spark.dialect import rewrite_typeof_calls
+
+    cl = {"t": "text", "n": "none", "l": "long", "d": "dynamic"}
+    r = rewrite_typeof_calls("select typeof(t), typeof(l) from a", cl)
+    assert "'text'" in r and "'integer'" in r and "typeof" not in r
+    r = rewrite_typeof_calls("select typeof(d) from a", cl)
+    assert "RLIKE" in r and "typeof" not in r
+    # unclassifiable argument keeps the UDF fallback
+    r = rewrite_typeof_calls("select typeof(t || l) from a", cl)
+    assert "typeof" in r
+
+
+def test_nullif_no_affinity_vs_sqlite(spark):
+    """nullif compares WITHOUT affinity conversion: nullif(a, '7')
+    over INTEGER a returns 7 though a = '7' is TRUE; numerics DO
+    compare across classes (nullif(7, 7.0) is NULL)."""
+    from sqawk_spark.dialect import rewrite_statement as rw
+
+    con = sqlite3.connect(":memory:")
+    con.execute("create table t (a integer, b text)")
+    con.executemany(
+        "insert into t values (?,?)",
+        [("7", "7"), ("0", "x"), ("7.5", "0"), (None, None)],
+    )
+    # engine-side: canonicalized strings, a dynamic / b text ('7.0'
+    # under numeric affinity canonicalizes to '7', so the real-class
+    # row uses a non-integral value)
+    spark.createDataFrame(
+        [("7", "7"), ("0", "x"), ("7.5", "0"), (None, None)],
+        "a string, b string",
+    ).createOrReplaceTempView("t")
+    cl = {"a": "dynamic", "b": "text"}
+    for q in [
+        "select nullif(a, '7') from t",
+        "select nullif(a, 7) from t",
+        "select nullif(b, 7) from t",
+        "select nullif(b, '7') from t",
+        "select nullif(a, 7.0) from t",
+        "select nullif(a, 7.5) from t",
+        "select nullif(a, null) from t",
+    ]:
+        want = [r[0] for r in con.execute(q).fetchall()]
+        got = [
+            None if r[0] is None else str(r[0])
+            for r in spark.sql(rw(q, classes=cl)).collect()
+        ]
+        want = [None if v is None else str(v) for v in want]
+        assert got == want, q
+
+
+def test_round_udf_vs_sqlite(spark):
+    """sqlite_round walks func.c roundFunc: decimal-shortest-repr
+    half-away-from-zero for Y>0 (2.675 → 2.68 where binary HALF_UP
+    says 2.67), the ±0.5 int64 truncation for Y=0, prefix coercion
+    for text, Y clamped to [0, 30]."""
+    from sqawk_spark.functions import register_udfs
+
+    register_udfs(spark)
+    con = sqlite3.connect(":memory:")
+    cases = [
+        "round(2.675, 2)", "round(2.35, 1)", "round(2.5)",
+        "round(-2.5)", "round(-0.4)", "round(-0.04, 1)",
+        "round(25.0, -1)", "round(2.44, 1.9)", "round('3abc')",
+        "round('x')", "round('  3.5 ', 0)", "round(1e300)",
+        "round('-0.0')", "round(0.5)", "round(1.5)", "round(-1.5)",
+    ]
+    want = list(con.execute("select " + ", ".join(cases)).fetchone())
+    sp = ", ".join(
+        c.replace("round(", "sqlite_round2(", 1)
+        if "," in c
+        else c.replace("round(", "sqlite_round1(", 1)
+        for c in cases
+    )
+    got = list(spark.sql("select " + sp).collect()[0])
+    import math
+
+    assert got == want and all(
+        math.copysign(1, g) == math.copysign(1, w)
+        for g, w in zip(got, want)
+    )

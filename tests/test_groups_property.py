@@ -264,3 +264,184 @@ def test_groups_exclude_unsupported_still_bails():
     # the arity pass renames to group_concat2, but the GROUPS frame
     # must survive unlowered so Spark still raises its parse error
     assert "groups between" in rewrite_statement(q)
+
+
+# ---------------------------------------------------------------------------
+# round 9: EXCLUDE on plain ROWS/RANGE frames (rewrite_plain_frame_excludes)
+# ---------------------------------------------------------------------------
+
+ROWS_FRAMES_R9 = [
+    "between 1 preceding and current row",
+    "between 2 preceding and 1 following",
+    "between current row and 2 following",
+    "between unbounded preceding and current row",
+    "between unbounded preceding and 1 following",
+    "between 1 following and 2 following",
+    "between 2 preceding and 1 preceding",
+    "between unbounded preceding and unbounded following",
+]
+RANGE_FRAMES_R9 = [
+    "between 1 preceding and current row",
+    "between 2 preceding and 1 following",
+    "between current row and 2 following",
+    "between unbounded preceding and current row",
+    "between current row and unbounded following",
+    "between 1 following and 2 following",
+    "between 2 preceding and 1 preceding",
+    "between unbounded preceding and unbounded following",
+]
+R9_CLASSES = {"p": "integer", "k": "integer", "v": "integer"}
+
+
+def _r9_fixture(spark, name, seed, null_p=0.2):
+    rng = random.Random(seed)
+    rows = [
+        (
+            rng.randint(0, 2),
+            rng.randint(0, 8),
+            None if rng.random() < null_p else rng.randint(-5, 50),
+        )
+        for _ in range(60)
+    ]
+    con = sqlite3.connect(":memory:")
+    con.execute(f"create table {name} (p int, k int, v int)")
+    con.executemany(f"insert into {name} values (?,?,?)", rows)
+    spark.createDataFrame(rows, "p int, k int, v int").createOrReplaceTempView(
+        name
+    )
+    return con, rng
+
+
+def test_rows_exclude_current_row_vs_sqlite(spark):
+    """ROWS + EXCLUDE CURRENT ROW decomposes exactly (frame ⊖ self for
+    sum/count/avg, the two directional ROWS sub-frames for min/max)
+    for every frame, partition, and WHERE; ties in k are present, but
+    the row sets these shapes aggregate are tie-order-invariant."""
+    con, rng = _r9_fixture(spark, "tr9a", 23)
+    for fn in ("sum(v)", "count(*)", "count(v)", "avg(v)", "min(v)", "max(v)"):
+        for frame in ROWS_FRAMES_R9:
+            q = (
+                f"select p, k, v, {fn} over ({rng.choice(PARTS)}order by"
+                f" k, v rows {frame} exclude current row) as s from tr9a"
+                f"{rng.choice(WHERES)} order by p, k, v, s"
+            )
+            want = con.execute(q).fetchall()
+            # no classes: ROWS mode needs none, and the avg/total
+            # class pass would emit the py_real_repr UDF, which a
+            # bare dialect test has no session registration for
+            rewritten = rewrite_statement(q)
+            assert "exclude" not in rewritten.lower(), q
+            got = [tuple(r) for r in spark.sql(rewritten).collect()]
+            norm = lambda rs: [  # noqa: E731
+                tuple(
+                    round(x, 9) if isinstance(x, float) else x for x in r
+                )
+                for r in rs
+            ]
+            assert norm(got) == norm(want), f"{q}\nrewritten: {rewritten}"
+
+
+def test_range_exclude_vs_sqlite(spark):
+    """RANGE frames (integer offsets over the integer key k) with all
+    four EXCLUDE forms: the GROUPS algebra applies with k itself as
+    the rank — peers are RANGE CURRENT ROW..CURRENT ROW over k, and
+    the directional sub-frames step over the peer run because k is
+    INTEGER-classed. Frame membership is value-based, so results are
+    deterministic even with tied keys."""
+    con, rng = _r9_fixture(spark, "tr9b", 29)
+    for fn in ("sum(v)", "count(*)", "count(v)", "avg(v)", "min(v)", "max(v)"):
+        for frame in RANGE_FRAMES_R9:
+            for kind in ("exclude current row", "exclude group",
+                         "exclude ties", "exclude no others"):
+                q = (
+                    f"select p, k, v, {fn} over ({rng.choice(PARTS)}order"
+                    f" by k range {frame} {kind}) as s from tr9b"
+                    f"{rng.choice(WHERES)} order by p, k, v, s"
+                )
+                want = con.execute(q).fetchall()
+                # classes only where they gate the rewrite: the
+                # integer key class unlocks min/max directional
+                # sub-frames; avg must stay unwrapped (py_real_repr
+                # is a session UDF the bare dialect test lacks)
+                cl = R9_CLASSES if fn.split("(")[0] in ("min", "max") else {}
+                rewritten = rewrite_statement(q, classes=cl)
+                assert "exclude" not in rewritten.lower(), q
+                got = [tuple(r) for r in spark.sql(rewritten).collect()]
+                norm = lambda rs: [  # noqa: E731
+                    tuple(
+                        round(x, 9) if isinstance(x, float) else x
+                        for x in r
+                    )
+                    for r in rs
+                ]
+                assert norm(got) == norm(want), f"{q}\nrewritten: {rewritten}"
+
+
+def test_rows_range_exclude_desc_and_real_key(spark):
+    """Direction-agnosticism: the decompositions are written in
+    frame-relative units, so DESC keys work unchanged for both ROWS ⊖
+    self and the RANGE value algebra (SQLite: N PRECEDING walks toward
+    the sort start)."""
+    con, _ = _r9_fixture(spark, "tr9c", 31, null_p=0.0)
+    for q in [
+        "select p, k, v, sum(v) over (order by k desc, v rows between"
+        " 2 preceding and 1 following exclude current row) as s"
+        " from tr9c order by p, k, v, s",
+        "select p, k, v, sum(v) over (order by k desc range between"
+        " 1 preceding and 1 following exclude group) as s"
+        " from tr9c order by p, k, v, s",
+        "select p, k, v, min(v) over (order by k desc range between"
+        " 2 preceding and current row exclude ties) as s"
+        " from tr9c order by p, k, v, s",
+    ]:
+        want = con.execute(q).fetchall()
+        cl = R9_CLASSES if "min(" in q else {}
+        rewritten = rewrite_statement(q, classes=cl)
+        assert "exclude" not in rewritten.lower(), q
+        got = [tuple(r) for r in spark.sql(rewritten).collect()]
+        assert got == want, f"{q}\nrewritten: {rewritten}"
+
+
+def test_rows_range_exclude_bails_loudly():
+    """Shapes with no deterministic answer (ROWS GROUP/TIES over a
+    bounded edge) or no unit gap (REAL key under min/max) pass through
+    untouched so Spark raises on the EXCLUDE keyword."""
+    for q, classes in [
+        # ROWS + GROUP: peer-run membership is tie-order-dependent
+        ("select sum(v) over (order by k rows between 1 preceding and"
+         " current row exclude group) from t", R9_CLASSES),
+        # ROWS + TIES: same
+        ("select sum(v) over (order by k rows between 2 preceding and"
+         " 1 following exclude ties) from t", R9_CLASSES),
+        # REAL key: min/max directional sub-frames need an open interval
+        ("select min(v) over (order by r range between 1 preceding and"
+         " 1 following exclude group) from t",
+         {"r": "real", "v": "integer"}),
+    ]:
+        assert "exclude" in rewrite_statement(q, classes=classes).lower(), q
+
+
+def test_range_exclude_whole_group_frames_swap_to_groups(spark):
+    """RANGE frames whose bounds are only UNBOUNDED/CURRENT ROW span
+    whole peer groups, so they lower through the GROUPS dense-rank
+    machinery — including min/max EXCLUDE GROUP, which has no
+    subtraction inverse and genuinely needs the rank."""
+    con, _ = _r9_fixture(spark, "tr9d", 37)
+    for fn in ("sum(v)", "min(v)", "max(v)", "count(v)"):
+        for frame in (
+            "between unbounded preceding and current row",
+            "between current row and unbounded following",
+            "between unbounded preceding and unbounded following",
+        ):
+            for kind in ("exclude group", "exclude ties",
+                         "exclude current row"):
+                q = (
+                    f"select p, k, v, {fn} over (partition by p order"
+                    f" by k range {frame} {kind}) as s from tr9d"
+                    f" order by p, k, v, s"
+                )
+                want = con.execute(q).fetchall()
+                rewritten = rewrite_statement(q)
+                assert "exclude" not in rewritten.lower(), q
+                got = [tuple(r) for r in spark.sql(rewritten).collect()]
+                assert got == want, f"{q}\nrewritten: {rewritten}"

@@ -878,3 +878,19 @@ def test_firstfit_runs_per_bucket_python(spark, sf_dir):
     assert "FlatMapGroupsInPandas" in p
     assert "hashpartitioning(bkt" in p
     assert "rangepartitioning" not in p
+
+
+def test_window_excludes_fuse_into_one_exchange(spark, sf_dir):
+    """window_rows_exclude / window_range_exclude: every EXCLUDE
+    decomposition column (frame sums, peer sums, directional
+    sub-frames) rides ONE (p_brand)-keyed exchange and ONE fused
+    WindowExec chain — an edit that splits the specs into a second
+    shuffle fails here, not on a 1000-executor cluster."""
+    import re
+
+    for name in ("window_rows_exclude", "window_range_exclude"):
+        p = plan(spark, sf_dir, name)
+        # formatted plans list each node twice (tree + detail): count
+        # the detail headers, which are unique per physical node
+        assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, (name, p)
+        assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
