@@ -3192,7 +3192,7 @@ def rewrite_affinity_minmax(stmt: str, classes: dict[str, str]) -> str:
     rendering for both min and max (matching SQLite whenever the
     INTEGER precedes — and value semantics either way, since the
     tied values are equal)."""
-    arrival = _scope_arrival_col(stmt, classes)
+    arrival = _scope_arrival_col(stmt, classes, deep_scan=True)
     while True:
         edited = False
         for m in _AFF_MINMAX_RE.finditer(stmt):
@@ -3726,7 +3726,9 @@ def _sum_chain_item_body(chain, fc, w: str = "") -> str | None:
     )
 
 
-def _scope_arrival_col(stmt: str, classes: dict[str, str]) -> str | None:
+def _scope_arrival_col(
+    stmt: str, classes: dict[str, str], deep_scan: bool = False
+) -> str | None:
     """SQLite's aggregate min/max keep the FIRST row of a value tie in
     SCAN order — rowid order for sqawk tables (anr is the INTEGER
     PRIMARY KEY alias), preserved through WHERE and (probed: the
@@ -3738,8 +3740,16 @@ def _scope_arrival_col(stmt: str, classes: dict[str, str]) -> str | None:
     capture the OUTER table's counter — or fail to resolve at all).
     None → callers keep the deterministic integer-preference tiebreak
     (the documented residue, reachable only through joins/subqueries
-    where SQLite's own scan order is plan-dependent)."""
-    if re.search(r"\(\s*select\b", stmt, re.IGNORECASE):
+    where SQLite's own scan order is plan-dependent).
+
+    ``deep_scan`` — set by callers that scan the WHOLE statement text
+    (rewrite_affinity_minmax reaches min/max calls inside expression
+    subqueries, where the outer table's counter is the wrong — or an
+    unresolvable — tiebreak): any nested select then disables the
+    arrival column. The per-scope ITEM passes match top-level select
+    items only, and an expression subquery in WHERE doesn't change
+    the outer scan order, so they skip this check."""
+    if deep_scan and re.search(r"\(\s*select\b", stmt, re.IGNORECASE):
         return None
     clauses = _top_level_clauses(stmt)
     names = [c[0] for c in clauses]
@@ -4775,17 +4785,17 @@ def _stringify_expr(
 
 def _stringify_branch_items(
     stmt: str, classes: dict[str, str]
-) -> tuple[str, list[tuple[str | None, str]]] | None:
+) -> tuple[str, list[tuple[str | None, str, str]]] | None:
     """Every select item of one compound branch rendered to its
     class-exact string, or None when any item can't be (the whole
     compound then keeps its native lowering).  Returns (stmt, cols)
-    with cols = per-position (alias-or-None, kind)."""
+    with cols = per-position (alias-or-None, kind, rendered-sql)."""
     span = _select_items_span(stmt)
     if span is None:
         return None
     list_start, list_end, items = span
     out: list[str] = []
-    cols: list[tuple[str | None, str]] = []
+    cols: list[tuple[str | None, str, str]] = []
     for item in items:
         body, alias = item.strip(), None
         # alias split FIRST — stringifying 'sum(x) as c0' whole would
@@ -4810,7 +4820,7 @@ def _stringify_branch_items(
         if s is None:
             return None
         sql, kind = s
-        cols.append((alias, kind))
+        cols.append((alias, kind, sql))
         out.append(f"{sql} AS {alias}" if alias else sql)
     return (
         stmt[:list_start]
@@ -4819,6 +4829,176 @@ def _stringify_branch_items(
         + " "
         + stmt[list_end:],
         cols,
+    )
+
+
+_OB_TERM_DIR_RE = re.compile(
+    r"^(.*?)(?:\s+(asc|desc))?\s*$", re.IGNORECASE | re.DOTALL
+)
+_OB_NOCASE_RE = re.compile(
+    r"^__nocase__\s*\(\s*(.*?)\s*\)$", re.IGNORECASE | re.DOTALL
+)
+
+
+def _wrap_ordered_compound(
+    new_texts: list[str],
+    branch_cols: list[list[tuple[str | None, str, str]]],
+    glue: list[str],
+) -> str | None:
+    """Class-exact ORDER BY (and, for distinct-flavored set ops,
+    class-exact row identity) over a rendered compound.
+
+    The branch stringify makes UNION/INTERSECT/EXCEPT compare rendered
+    strings, which erases storage classes at exactly two points SQLite
+    keeps them: ORDER BY over the compound ('007' from a TEXT branch
+    must sort as text AFTER every number; positional ``ORDER BY 1``
+    used to sort bytewise), and distinct-op row identity (TEXT '2' and
+    INTEGER 2 render identically but are DISTINCT rows in SQLite's
+    class-aware comparison). Rebuild the compound as::
+
+        select <visible...> from (
+            branch1', key0 AS __o0, ...
+            UNION ...
+            branchN'-without-ORDER-BY, ...
+        ) __cmp order by __oK [desc] ... [limit ...]
+
+    where each branch computes, per ordered position (per EVERY
+    position under a distinct-flavored op), the storage-class struct
+    key of its OWN rendered item — an all-text branch keys pure text
+    (so digit-looking text stays text-ordered), a dynamic branch keys
+    its canonical string. The key columns participate in the distinct
+    op, reproducing SQLite's class-aware row identity for same-bytes
+    cross-class pairs; the numerically-equal cross-class pair (INTEGER
+    2 vs REAL 2.0) renders differently and stays the documented
+    arrival-order residue. ``__nocase__`` markers (COLLATE NOCASE)
+    fold the key's text component only, like SQLite.
+
+    Returns the rebuilt statement, or None when the shape is out of
+    scope (no trailing ORDER BY, an unmappable ORDER BY term, ragged
+    arity, duplicate visible names) — the caller keeps the flat
+    rendered compound, whose residues stay documented."""
+    distinct_op = any(
+        not re.search(r"\ball\b", g, re.IGNORECASE) for g in glue
+    )
+    last = new_texts[-1]
+    cl = _top_level_clauses(last)
+    names = [c[0] for c in cl]
+    cut_kw = None  # strip everything from here out of the last branch
+    ob_body, tail = "", ""
+    if "order_by" in names:
+        ob_i = names.index("order_by")
+        if any(n != "limit" for n in names[ob_i + 1 :]):
+            return None
+        cut_kw = cl[ob_i]
+        lim_start = (
+            cl[ob_i + 1][1] if ob_i + 1 < len(cl) else len(last)
+        )
+        ob_body = last[cut_kw[2] : lim_start].strip()
+        tail = last[lim_start:].strip()
+        if not ob_body:
+            return None
+    elif distinct_op:
+        # no ORDER BY: wrap anyway so the key columns give the
+        # distinct op SQLite's class-aware row identity; a trailing
+        # LIMIT moves to the outer select
+        if "limit" in names:
+            cut_kw = cl[names.index("limit")]
+            tail = last[cut_kw[1] :].strip()
+    else:
+        return None
+    ncols = len(branch_cols[0])
+    if any(len(bc) != ncols for bc in branch_cols):
+        return None
+    b0 = branch_cols[0]
+    parsed: list[tuple[int, str, bool]] = []
+    for term in _split_args_top(ob_body) if ob_body else []:
+        m = _OB_TERM_DIR_RE.match(term.strip())
+        core, direction = m.group(1).strip(), (m.group(2) or "").lower()
+        nm = _OB_NOCASE_RE.match(core)
+        fold = nm is not None
+        if nm:
+            core = nm.group(1).strip()
+        if re.fullmatch(r"[0-9]+", core):
+            pos = int(core) - 1
+            if not 0 <= pos < ncols:
+                return None
+        elif re.fullmatch(r"[A-Za-z_][A-Za-z_0-9]*", core):
+            lc = core.lower()
+            pos = next(
+                (
+                    j
+                    for j, (al, _k, _s) in enumerate(b0)
+                    if al and al.lower() == lc
+                ),
+                None,
+            )
+            if pos is None:
+                return None
+        else:
+            return None
+        parsed.append((pos, direction, fold))
+    by_pos: dict[int, bool] = {}
+    for p, _d, f in parsed:
+        if by_pos.setdefault(p, f) != f:
+            return None  # one position under two collations
+    keyed = sorted(
+        set(by_pos) | (set(range(ncols)) if distinct_op else set())
+    )
+    key_idx = {p: i for i, p in enumerate(keyed)}
+    # visible output names: the first branch's alias, else the bare
+    # column itself (keeps Spark's column name), else a synthetic
+    outnames: list[str] = []
+    need_alias: list[bool] = []
+    for j, (al, _k, sql_j) in enumerate(b0):
+        if al:
+            outnames.append(al)
+            need_alias.append(False)
+        elif re.fullmatch(r"[A-Za-z_][A-Za-z_0-9]*", sql_j.strip()):
+            outnames.append(sql_j.strip())
+            need_alias.append(False)
+        else:
+            outnames.append(f"__c{j}")
+            need_alias.append(True)
+    if len({n.lower() for n in outnames}) != ncols:
+        return None  # duplicate visible names: outer refs ambiguous
+    if not keyed:
+        return None  # nothing to fix (e.g. union all without order by)
+    pieces: list[str] = []
+    for bi, text in enumerate(new_texts):
+        t = (
+            text[: cut_kw[1]].rstrip()
+            if bi == len(new_texts) - 1 and cut_kw is not None
+            else text
+        )
+        span = _select_items_span(t)
+        if span is None:
+            return None
+        ls, le, items = span
+        its = [it.strip() for it in items]
+        if len(its) != ncols:
+            return None
+        if bi == 0:
+            for j in range(ncols):
+                if need_alias[j]:
+                    its[j] = f"{its[j]} AS __c{j}"
+        for p in keyed:
+            _al, kind_p, sql_p = branch_cols[bi][p]
+            treat = "text" if kind_p == "text" else "dynamic"
+            key = _aff_key_col_sql(
+                f"({sql_p})", treat, fold=by_pos.get(p, False)
+            )
+            its.append(f"{key} AS __o{key_idx[p]}")
+        pieces.append(t[:ls] + " " + ", ".join(its) + " " + t[le:])
+    inner = pieces[0]
+    for g, t in zip(glue, pieces[1:]):
+        inner += g + t
+    ob_terms = ", ".join(
+        f"__o{key_idx[p]}{(' ' + d) if d else ''}" for p, d, _f in parsed
+    )
+    ob_sql = f" order by {ob_terms}" if ob_terms else ""
+    return (
+        f"select {', '.join(outnames)} from ({inner}) __cmp"
+        f"{ob_sql}{(' ' + tail) if tail else ''}"
     )
 
 
@@ -4864,7 +5044,7 @@ def _rewrite_scoped_items(
         pos = b
     bounds.append((pos, len(stmt)))
     new_texts = []
-    branch_cols: list[list[tuple[str | None, str]]] = []
+    branch_cols: list[list[tuple[str | None, str, str]]] = []
     for a, b in bounds:
         t, _ = _apply_item_passes(stmt[a:b], local)
         r = _stringify_branch_items(t, local)
@@ -4873,11 +5053,15 @@ def _rewrite_scoped_items(
         new_texts.append(r[0])
         branch_cols.append(r[1])
     glue = [stmt[a:b] for a, b in cuts]
-    out = [new_texts[0]]
-    for g, t in zip(glue, new_texts[1:]):
-        out.append(g)
-        out.append(t)
-    rebuilt = "".join(out)
+    wrapped = _wrap_ordered_compound(new_texts, branch_cols, glue)
+    if wrapped is not None:
+        rebuilt = wrapped
+    else:
+        out = [new_texts[0]]
+        for g, t in zip(glue, new_texts[1:]):
+            out.append(g)
+            out.append(t)
+        rebuilt = "".join(out)
     # the compound's output columns take the FIRST branch's aliases;
     # an alias keys 'dynamic' (canonical-string class keys in ORDER
     # BY) only when some branch at that position can produce a
@@ -4885,7 +5069,7 @@ def _rewrite_scoped_items(
     # column intersected with itself) must keep SQLite's bytewise
     # order, which dynamic keys would mis-sort for digit-looking text
     first: dict[str, str] = {}
-    for pos_i, (alias, _k) in enumerate(branch_cols[0]):
+    for pos_i, (alias, _k, _s) in enumerate(branch_cols[0]):
         if alias is None:
             continue
         kinds = {

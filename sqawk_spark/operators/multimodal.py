@@ -391,6 +391,138 @@ def multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RESIZE_ORACLE = """
+    WITH p AS (
+        SELECT doc_id,
+               CAST(doc_id % 200 AS BIGINT) AS base,
+               CAST(doc_id % 256 AS BIGINT) AS bb
+        FROM documents
+    )
+    SELECT doc_id, 4 AS width, 4 AS height,
+           CAST(16 * base + 96 AS BIGINT) AS sum_r,
+           CAST(16 * base + 96 AS BIGINT) AS sum_g,
+           CAST(16 * bb AS BIGINT) AS sum_b,
+           CAST(base + 12 AS INTEGER) AS corner_r,
+           CAST(bb AS INTEGER) AS corner_b
+    FROM p
+"""
+# Closed-form twin of the top-left-anchored 4x nearest-neighbor grid:
+# sampled columns x in {0,4,8,12} give sum_r = 16*base + 4*(0+4+8+12),
+# rows likewise for G, B constant; the (3,3) output pixel samples
+# source (12,12), pinning the anchor convention (a center-anchored
+# sampler would read source (14,14) and report corner_r = base + 14).
+
+
+@query("multimodal_image_resize", oracle=_RESIZE_ORACLE)
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image RESIZE over real decoded pixels — the preprocessing step
+    a vision-data pipeline runs on every image (reference has no
+    multimodal surface; this extends the decode family the brief
+    names: decode / feature-extract / RESIZE / frame-sample).
+
+    Decodes the same genuine 16×16 RGB PNGs as
+    multimodal_image_stats (chunk walk, zlib inflate, filter strip),
+    then downsamples 4× by top-left-anchored nearest neighbor —
+    ``px[::4, ::4]``, source pixel (4i, 4j) for output (i, j), the
+    convention pinned by the oracle's corner_r — and reports exact
+    integer channel sums plus the (3, 3) corner pixel. Integer-only
+    output keeps the DuckDB closed-form oracle bit-exact.
+
+    Scale: one Arrow-batched mapInPandas stream per partition (decode
+    and resample are per-row, no shuffle); at 100 TB the resize is
+    embarrassingly parallel and output shrinks 16× before anything
+    downstream touches it."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    ids = t["documents"].select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+        import zlib
+
+        import numpy as np
+
+        w, h = IMG_W, IMG_H
+
+        def chunk(tag: bytes, body: bytes) -> bytes:
+            crc = zlib.crc32(tag + body) & 0xFFFFFFFF
+            return (
+                struct.pack(">I", len(body))
+                + tag
+                + body
+                + struct.pack(">I", crc)
+            )
+
+        def synth_png(doc_id: int) -> bytes:
+            base = doc_id % 200
+            xs = np.arange(w, dtype=np.uint16)
+            ys = np.arange(h, dtype=np.uint16)
+            r = np.broadcast_to((base + xs) % 256, (h, w))
+            g = np.broadcast_to(((base + ys) % 256)[:, None], (h, w))
+            b = np.full((h, w), doc_id % 256)
+            px = np.stack([r, g, b], axis=2).astype(np.uint8)
+            raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+            ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+            return (
+                b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(raw))
+                + chunk(b"IEND", b"")
+            )
+
+        def decode_png(png: bytes):
+            assert png[:8] == b"\x89PNG\r\n\x1a\n"
+            i = 8
+            width = height = None
+            idat = b""
+            while i + 8 <= len(png):
+                (clen,) = struct.unpack(">I", png[i : i + 4])
+                tag = png[i + 4 : i + 8]
+                body = png[i + 8 : i + 8 + clen]
+                if tag == b"IHDR":
+                    width, height = struct.unpack(">II", body[:8])
+                elif tag == b"IDAT":
+                    idat += body
+                i += 12 + clen
+            raw = zlib.decompress(idat)
+            stride = width * 3 + 1
+            rows = [
+                np.frombuffer(
+                    raw[y * stride + 1 : (y + 1) * stride], np.uint8
+                )
+                for y in range(height)
+            ]
+            assert all(raw[y * stride] == 0 for y in range(height))
+            return np.stack(rows).reshape(height, width, 3)
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "width": [], "height": [],
+                "sum_r": [], "sum_g": [], "sum_b": [],
+                "corner_r": [], "corner_b": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                px = decode_png(synth_png(int(doc_id)))
+                small = px[::4, ::4].astype(np.int64)
+                out["doc_id"].append(int(doc_id))
+                out["height"].append(small.shape[0])
+                out["width"].append(small.shape[1])
+                out["sum_r"].append(int(small[:, :, 0].sum()))
+                out["sum_g"].append(int(small[:, :, 1].sum()))
+                out["sum_b"].append(int(small[:, :, 2].sum()))
+                out["corner_r"].append(int(small[3, 3, 0]))
+                out["corner_b"].append(int(small[3, 3, 2]))
+            yield pd.DataFrame(out)
+
+    return ids.mapInPandas(
+        run,
+        schema=(
+            "doc_id bigint, width int, height int, "
+            "sum_r bigint, sum_g bigint, sum_b bigint, "
+            "corner_r int, corner_b int"
+        ),
+    )
+
+
 _JPEG_ORACLE = """
     WITH b AS (
         SELECT doc_id,

@@ -373,7 +373,15 @@ RANGE_EXCLUDE = [
 def q_window(rng: random.Random) -> str:
     part = rng.choice(["", "partition by a2 ", "partition by anf "])
     fn = rng.choice(["sum", "count", "min", "max", "avg"])
-    arg = scalar(rng, 1)
+    # one storage class per equal ARG value (chains over int columns,
+    # no NUMERIC casts): a window min/max whose frame holds INTEGER 0
+    # and REAL 0.0 (x % 1 makes them freely) picks SQLite's
+    # first-in-FRAME-order representative, which would need a
+    # row_number subquery per window to reproduce — the engine's
+    # deterministic integer-preference tiebreak is documented instead
+    # (the plain-aggregate arrival tiebreak can't apply: frame order
+    # is the window's ORDER BY, not scan order)
+    arg = scalar(rng, 1, chain_cols=INT_COLS, distinct_safe=True)
     kind = rng.random()
     if kind < 0.45:
         k = f"{col(rng)}, anr"
@@ -521,9 +529,12 @@ def q_setop(rng: random.Random) -> str:
     c = col(rng)
     p1 = f" where {pred(rng)}" if rng.random() < 0.6 else ""
     p2 = f" where {pred(rng)}" if rng.random() < 0.6 else ""
+    # positional ORDER BY keys like the alias through the ordered-
+    # compound wrapper (it used to order rendered strings bytewise)
+    ob = rng.choice(["c0", "1"])
     return (
         f"select {c} as c0 from a{p1} {op} select {c} from a{p2} "
-        f"order by c0{limit_clause(rng)}"
+        f"order by {ob}{limit_clause(rng)}"
     )
 
 

@@ -598,3 +598,47 @@ def test_round_udf_vs_sqlite(spark):
         math.copysign(1, g) == math.copysign(1, w)
         for g, w in zip(got, want)
     )
+
+
+def test_compound_order_by_class_keys_vs_sqlite(spark):
+    """Compound ORDER BY is class-exact through the wrapper
+    (_wrap_ordered_compound): '007' from a TEXT branch sorts as text
+    AFTER every number, positional ORDER BY 1 keys like an alias, a
+    NOCASE marker folds the text component, and under distinct set
+    ops the key columns reproduce SQLite's class-aware row identity
+    (TEXT '7' and INTEGER 7 render alike but are distinct rows)."""
+    con = sqlite3.connect(":memory:")
+    con.execute("create table t (d numeric, s text)")
+    # no NOCASE-fold ties ('ABX' vs 'ab'): order among fold-equal
+    # strings is unspecified in both engines
+    rows = [
+        ("7", "007"), ("0.5", "xx"), ("-3", "7"), ("ab", "ABX"),
+        ("2.25", "12"), (None, "ab"), ("12", "0.5"),
+    ]
+    con.executemany("insert into t values (?,?)", rows)
+    # engine-side canonical strings: d numeric-affinity canonical,
+    # s TEXT verbatim (d '0.5'→'0.5', '7'→'7', '2.25'→'2.25')
+    spark.createDataFrame(rows, "d string, s string").createOrReplaceTempView("t")
+    cl = {"d": "dynamic", "s": "text"}
+    from sqawk_spark.dialect import rewrite_statement as rw
+
+    for q in [
+        "select d as c0 from t union select s from t order by 1",
+        "select d as c0 from t union all select s from t order by c0 desc",
+        "select s as c0 from t union select s from t order by 1",
+        "select d as c0 from t intersect select s from t order by 1",
+        "select d as c0 from t except select s from t order by 1",
+        "select d as c0 from t union select s from t"
+        " order by c0 collate nocase",
+        "select d as c0, s as c1 from t union all"
+        " select s, d from t order by 2, 1 desc limit 9",
+    ]:
+        want = [
+            tuple("" if v is None else str(v) for v in r)
+            for r in con.execute(q).fetchall()
+        ]
+        got = [
+            tuple("" if v is None else str(v) for v in r)
+            for r in spark.sql(rw(q, classes=cl)).collect()
+        ]
+        assert got == want, f"{q}\ngot {got}\nwant {want}"
