@@ -2015,6 +2015,48 @@ def rewrite_substr_calls(stmt: str) -> str:
         )
 
 
+_SIGN_RE = re.compile(r"\bsign\s*\(", re.IGNORECASE)
+
+
+def rewrite_sign_calls(stmt: str) -> str:
+    """SQLite ``sign(X)`` (3.35+) returns INTEGER -1/0/+1 for numeric
+    X and NULL otherwise — the coercion is a WHOLE-string numeric
+    parse of the trimmed text ('7x' and '' are NULL, unlike the
+    prefix-parse arithmetic coercion), and the result class is always
+    INTEGER (Spark's sign() returns DOUBLE and NULLs differently).
+    Lower to a JVM CASE with the engine's canonical-number pattern;
+    numeric-typed arguments render numerically through the string
+    cast, so one form serves every operand."""
+    while True:
+        m = next(
+            (
+                m
+                for m in _SIGN_RE.finditer(stmt)
+                if not _in_quotes(stmt, m.start())
+                and (m.start() == 0 or not _IDENT.match(stmt[m.start() - 1]))
+            ),
+            None,
+        )
+        if m is None:
+            return stmt
+        open_p = m.end() - 1
+        close = _match_paren_fwd(stmt, open_p)
+        inner = stmt[open_p + 1 : close - 1]
+        if not inner.strip() or len(_split_args_top(inner)) != 1:
+            tail = rewrite_sign_calls(stmt[close:])
+            return stmt[:close] + tail
+        t = f"regexp_replace(CAST(({inner}) AS STRING), {_AFF_TRIM_PAT}, '')"
+        repl = (
+            f"(CASE WHEN ({inner}) IS NULL THEN NULL "
+            f"WHEN {t} RLIKE {_SQL_NUM_PAT} "
+            # signum, not sign: the emitted text must not re-match
+            # this pass's own scan
+            f"THEN CAST(signum(TRY_CAST({t} AS DOUBLE)) AS BIGINT) "
+            f"END)"
+        )
+        stmt = stmt[: m.start()] + repl + stmt[close:]
+
+
 _ROUND_RE = re.compile(r"\bround\s*\(", re.IGNORECASE)
 
 
@@ -5442,6 +5484,7 @@ def rewrite_statement(
     # must stay native)
     stmt = rewrite_substr_calls(rewrite_upper_lower(stmt))
     stmt = rewrite_round_calls(stmt)
+    stmt = rewrite_sign_calls(stmt)
     # after scalar min/max lowering: any remaining 1-arg min/max is an
     # aggregate, which is what the bare-column rule keys on
     stmt = rewrite_bare_minmax_columns(stmt)

@@ -610,6 +610,12 @@ def register_udfs(spark: SparkSession) -> None:
         s = strftime("%J", tv, *mods)
         return float(s) if s is not None else None
 
+    def unixepoch_fn(tv, *mods) -> int | None:
+        """SQLite unixepoch() (3.38+): integer Unix seconds of the
+        time value — exactly strftime('%s', ...)."""
+        s = strftime("%s", tv, *mods)
+        return int(s) if s is not None else None
+
     def unicode_fn(s: str) -> int | None:
         return ord(s[0]) if s else None
 
@@ -724,6 +730,7 @@ def register_udfs(spark: SparkSession) -> None:
     spark.udf.register("time", time_fn, T.StringType())
     spark.udf.register("datetime", datetime_fn, T.StringType())
     spark.udf.register("julianday", julianday, T.DoubleType())
+    spark.udf.register("unixepoch", unixepoch_fn, T.LongType())
     spark.udf.register("printf", sqlite_printf, T.StringType())
     spark.udf.register("sqlite_substr2", sqlite_substr2, T.StringType())
     spark.udf.register("sqlite_substr3", sqlite_substr3, T.StringType())

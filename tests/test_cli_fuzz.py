@@ -611,6 +611,7 @@ def q_scalar_funcs(rng: random.Random) -> str:
         lambda: f"round({col(rng)})",
         lambda: f"round({col(rng)}, {rng.randint(0, 2)})",
         lambda: f"nullif({col(rng)}, {rng.choice(NUM_LITS + STR_LITS)})",
+        lambda: f"sign({col(rng)})",
     ]
     items = ", ".join(
         f"{rng.choice(forms)()} as c{i}" for i in range(rng.randint(1, 3))

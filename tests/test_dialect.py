@@ -642,3 +642,24 @@ def test_compound_order_by_class_keys_vs_sqlite(spark):
             for r in spark.sql(rw(q, classes=cl)).collect()
         ]
         assert got == want, f"{q}\ngot {got}\nwant {want}"
+
+
+def test_sign_and_format_vs_sqlite(spark):
+    """sign(): INTEGER -1/0/+1 via a WHOLE-string numeric parse (NULL
+    for '7x'/''/'inf' — no prefix coercion); format() is the printf
+    alias."""
+    con = sqlite3.connect(":memory:")
+    q = (
+        "select sign('7'), sign(' -7.5 '), sign('7x'), sign(''),"
+        " sign(0.0), sign('1e2'), sign(null),"
+        " format('%d|%s', 4.9, 'a'),"
+        " unixepoch('2024-03-01 12:00:00'),"
+        " unixepoch('2024-03-01', '+1 day'), unixepoch('nope')"
+    )
+    want = list(con.execute(q).fetchone())
+    from sqawk_spark.dialect import rewrite_statement as rw
+    from sqawk_spark.functions import register_udfs
+
+    register_udfs(spark)
+    got = list(spark.sql(rw(q)).collect()[0])
+    assert got == want
