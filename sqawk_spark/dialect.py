@@ -4090,6 +4090,45 @@ def _collect_item_alias_classes(
         cls = classes.get(src)
         if cls is not None and alias not in classes:
             extras[alias] = cls
+    # aggregate items: min/max return one of the argument COLUMN's
+    # values (same storage class — `select max(a3) as s1` then
+    # `s1 + 1` outside a derived table must coerce like a3 + 1, fuzz
+    # seed 20240815 script 159); count is always INTEGER;
+    # group_concat is always TEXT. sum/avg/total items were rewritten
+    # to string bodies by the earlier passes, which registered their
+    # aliases already (the `alias not in classes` guard keeps this
+    # loop from clobbering them).
+    for item in span[2]:
+        gm = re.match(
+            r"^\s*(min|max|count|group_concat2?)\s*\(",
+            item,
+            re.IGNORECASE,
+        )
+        if gm is None:
+            continue
+        close = _match_paren_fwd(item, gm.end() - 1)
+        rest = item[close:]
+        al = _ITEM_ALIAS_RE.match(rest) if rest.strip() else None
+        if al is None or _OVER_RE.match(item[close:].lstrip()):
+            continue
+        alias = al.group(1).lower()
+        if alias in classes or alias in extras or alias in _KEYWORDS:
+            continue
+        fn = gm.group(1).lower()
+        if fn == "count":
+            extras[alias] = "long"
+            continue
+        if fn.startswith("group_concat"):
+            extras[alias] = "text"
+            continue
+        arg = item[gm.end() : close - 1].strip()
+        fc = _aff_filter_case_parts(arg)
+        tgt = (fc[1] if fc else arg).strip()
+        if not _AFF_IDENT_RE.match(tgt):
+            continue
+        cls = classes.get(tgt.split(".")[-1].lower())
+        if cls is not None:
+            extras[alias] = cls
     # CASE items whose branches all classify carry per-row class —
     # the alias must key by storage class in ORDER BY.  Uniformly
     # numeric-ish branches key 'dynamic'; a MIX of numeric and

@@ -1863,3 +1863,25 @@ def test_groups_exclude_group_concat_emulated(tmp_path):
         " order by a1"
     )
     assert pysqawk(q2, f) == "x-y\nx-y-z\ny-z"
+
+
+def test_compound_order_by_class_exact(tmp_path):
+    """Compound ORDER BY and UNION row identity are class-exact
+    (dialect._wrap_ordered_compound): '007' from the TEXT column sorts
+    AFTER every number, positional ORDER BY 1 keys like the alias, and
+    TEXT '7' / INTEGER 7 — identical rendered bytes — stay distinct
+    rows. Expected bytes derived from real SQLite on the same data."""
+    f = write(tmp_path, "f", "7,007\n0.5,xx\n-3,7\n")
+    q = "select a1 as c0 from a union select a2 from a order by 1"
+    assert (
+        pysqawk("-FS", ",", q, "datatypes=numeric,text", f)
+        == "-3\n0.5\n7\n007\n7\nxx"
+    )
+    q2 = (
+        "select a1 as c0 from a union select a2 from a"
+        " order by c0 desc limit 4"
+    )
+    assert (
+        pysqawk("-FS", ",", q2, "datatypes=numeric,text", f)
+        == "xx\n7\n007\n7"
+    )

@@ -620,6 +620,47 @@ def q_scalar_funcs(rng: random.Random) -> str:
     return f"select {items} from a{where} order by anr"
 
 
+def q_scalar_clauses(rng: random.Random) -> str:
+    """Scalar-library calls OUTSIDE the select list — WHERE operands,
+    GROUP BY keys, ORDER BY keys — composing the exactness rewrites
+    (typeof class CASE, substr/round UDFs, sign) with the affinity
+    comparison passes, which must leave the unclassifiable emitted
+    text alone."""
+    conds = [
+        lambda: (
+            f"typeof({col(rng)}) ="
+            f" '{rng.choice(['integer', 'real', 'text'])}'"
+        ),
+        lambda: (
+            f"length({col(rng)}) {rng.choice(['<', '>', '='])}"
+            f" {rng.randint(0, 4)}"
+        ),
+        lambda: (
+            f"substr({col(rng)}, {rng.randint(-2, 2)}, 2) ="
+            f" '{rng.choice(['00', 'ab', '2.', '-1'])}'"
+        ),
+        lambda: f"sign({col(rng)}) = {rng.choice([-1, 0, 1])}",
+        lambda: (
+            f"round({col(rng)}) {rng.choice(['>', '<='])}"
+            f" {rng.randint(-2, 20)}"
+        ),
+    ]
+    r = rng.random()
+    if r < 0.45:
+        w = " and ".join(rng.choice(conds)() for _ in range(rng.randint(1, 2)))
+        return f"select anr, a1 from a where {w} order by anr"
+    if r < 0.75:
+        g = f"substr({col(rng)}, 1, 1)"
+        return (
+            f"select {g} as g, count(*) as n from a group by {g}"
+            f" order by g, n"
+        )
+    return (
+        f"select anr, {col(rng)} as c0 from a"
+        f" order by length({col(rng)}), anr{limit_clause(rng)}"
+    )
+
+
 SHAPES = [
     (q_plain, 5),
     (q_distinct, 2),
@@ -635,6 +676,7 @@ SHAPES = [
     (q_distinct_case, 2),
     (q_cte, 2),
     (q_scalar_funcs, 3),
+    (q_scalar_clauses, 2),
 ]
 SHAPE_POOL = [fn for fn, w in SHAPES for _ in range(w)]
 
