@@ -291,7 +291,10 @@ def main() -> None:
     # loadavg it ran under so a still-slow entry is distinguishable
     # from a still-busy machine.
     retimed: dict[str, dict] = {}
-    budget = 10
+    # r09 ran the 10-retime budget dry under load (retime_exhausted:
+    # true with >1.25× survivors) — a busy machine inflates MORE
+    # queries, so the budget scales with it rather than staying fixed
+    budget = 15 if os.getloadavg()[0] > 3 else 10
     while budget > 0:
         suspects = sorted(
             (

@@ -328,6 +328,17 @@ def run(argv: list[str], out=None) -> int:
             }
 
             from sqawk_spark.dml import maybe_run_dml
+
+            # SQLite's nested-loop scan order for the byte-exact text
+            # surface: joins get trailing row-counter sort keys
+            # (dialect.append_scan_order; parquet output skips this —
+            # a global sort would serialize the distributed write)
+            from sqawk_spark.dialect import append_scan_order
+
+            nr_by_table = {
+                t.lower(): f"{(s.prefix or t)}nr"
+                for t, s in loader.specs.items()
+            }
             for stmt in split_statements(script):
                 # DML/DDL mutates the loaded views and emits no rows
                 # (SURVEY §2.B27; the reference feeds these to SQLite)
@@ -339,6 +350,7 @@ def run(argv: list[str], out=None) -> int:
                 if target:
                     mutated.append(target)
                     continue
+                stmt = append_scan_order(stmt, nr_by_table)
                 df = _run_statement(spark, stmt, known_cols)
                 names = df.columns
                 for row in df.toLocalIterator():

@@ -662,6 +662,243 @@ def _extend_concat_back_like(s: str, ls: int) -> int:
         return ls
 
 
+def _in_subselect(s: str, pos: int) -> bool:
+    """Is ``pos`` inside a parenthesized SELECT nested in ``s``?"""
+    opens: list[int] = []
+    i = 0
+    while i < pos:
+        c = s[i]
+        if c in "'\"`":
+            i = _scan_string(s, i)
+            continue
+        if c == "(":
+            opens.append(i)
+        elif c == ")" and opens:
+            opens.pop()
+        i += 1
+    for o in opens:
+        j = _skip_ws(s, o + 1)
+        if re.match(r"select\b", s[j:], re.IGNORECASE):
+            return True
+    return False
+
+
+def _item_has_nocase(expr: str) -> bool:
+    """Explicit COLLATE NOCASE anywhere in the item's own subtree —
+    outside strings and outside nested (select ...) scopes."""
+    for m in _COLLATE_NOCASE_RE.finditer(expr):
+        if _in_quotes(expr, m.start()) or _in_subselect(expr, m.start()):
+            continue
+        return True
+    return False
+
+
+_TRAILING_COLLATE_RE = re.compile(
+    r"^(.*?)\s+collate\s+nocase\s*$", re.IGNORECASE | re.DOTALL
+)
+_PROP_ALIAS_RE = re.compile(
+    r"^(.*?)\s+(?:as\s+)?([A-Za-z_][A-Za-z_0-9]*)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def rewrite_collate_propagation(
+    stmt: str, classes: dict[str, str]
+) -> str:
+    """SQLite's expression-collation rule (datatype3.html §7.1): an
+    expression's collating sequence is the first explicit COLLATE
+    found scanning its tree — so a ``COLLATE NOCASE`` anywhere in a
+    CASE's subtree governs the WHOLE expression.  Observable through
+    this surface in two places, both applied here BEFORE the collate
+    lowering passes consume the tokens:
+
+    - ORDER BY terms that reference (by alias or position) a select
+      item whose subtree carries COLLATE NOCASE sort nocase: the term
+      gets an explicit ``collate nocase`` appended, and the existing
+      ORDER BY machinery takes it from there.
+    - DISTINCT row identity over such items folds nocase with
+      SQLite's first-arrival representative (the ephemeral-B-tree
+      dedup keeps the first row inserted in scan order): the scope is
+      rebuilt as ``row_number() over (partition by <fold keys> order
+      by <arrival col>) = 1``.
+
+    Item-level ``expr COLLATE NOCASE`` (which Spark cannot parse) is
+    stripped from the item — the collation names the comparison
+    sequence, not a value transform.  GROUP BY keys referencing a
+    collated item are out of scope (grouping merges aggregates, and
+    SQLite's representative there is sorter-dependent) — the shape
+    keeps its loud native error rather than a silent divergence."""
+    cuts = _setop_cuts(stmt)
+    if cuts:
+        return stmt  # compound branches keep their native handling
+    span = _select_items_span(stmt) or _fromless_items_span(stmt)
+    if span is None:
+        return stmt
+    list_start, list_end, items = span
+    head = stmt[:list_start]
+    distinct = bool(
+        re.search(r"\bdistinct\s*$", head[-12:], re.IGNORECASE)
+    )
+    exprs: list[str] = []       # item expressions, item collate stripped
+    aliases: list[str | None] = []
+    marked: list[bool] = []
+    changed_items = False
+    for item in items:
+        body, alias = item.strip(), None
+        am = _PROP_ALIAS_RE.match(body)
+        if am and am.group(2).lower() not in _KEYWORDS:
+            cand = am.group(1).strip()
+            if cand.count("(") == cand.count(")") and not cand.lower().endswith(
+                ("collate",)
+            ):
+                body, alias = cand, am.group(2)
+        tm = _TRAILING_COLLATE_RE.match(body)
+        is_marked = False
+        if tm and tm.group(1).count("(") == tm.group(1).count(")"):
+            body = tm.group(1).strip()
+            is_marked = True
+            changed_items = True
+        elif _item_has_nocase(body):
+            is_marked = True
+        exprs.append(body)
+        aliases.append(alias)
+        marked.append(is_marked)
+    if not any(marked):
+        return stmt
+    # rebuild the item list with item-level collates stripped
+    if changed_items:
+        rebuilt = ", ".join(
+            f"{e} AS {a}" if a else e for e, a in zip(exprs, aliases)
+        )
+        stmt = stmt[:list_start] + " " + rebuilt + " " + stmt[list_end:]
+    # ORDER BY terms referencing a marked item inherit the collation
+    clauses = _top_level_clauses(stmt)
+    names = [c[0] for c in clauses]
+    if "order_by" in names:
+        ob = clauses[names.index("order_by")]
+        after = [c for c in clauses if c[1] > ob[2]]
+        ob_end = after[0][1] if after else len(stmt)
+        terms = _split_args_top(stmt[ob[2] : ob_end])
+        new_terms = []
+        edited = False
+        for term in terms:
+            m = _OB_TERM_DIR_RE.match(term.strip())
+            core, direction = m.group(1).strip(), (m.group(2) or "")
+            pos = None
+            if re.fullmatch(r"[0-9]+", core):
+                p = int(core) - 1
+                if 0 <= p < len(exprs):
+                    pos = p
+            elif re.fullmatch(r"[A-Za-z_][A-Za-z_0-9]*", core):
+                lc = core.lower()
+                pos = next(
+                    (
+                        j
+                        for j, a in enumerate(aliases)
+                        if a and a.lower() == lc
+                    ),
+                    None,
+                )
+            if (
+                pos is not None
+                and marked[pos]
+                and not re.search(r"\bcollate\b", core, re.IGNORECASE)
+            ):
+                new_terms.append(
+                    f"{core} collate nocase"
+                    + (f" {direction}" if direction else "")
+                )
+                edited = True
+            else:
+                new_terms.append(term.strip())
+        if edited:
+            stmt = (
+                stmt[: ob[2]]
+                + " "
+                + ", ".join(new_terms)
+                + " "
+                + stmt[ob_end:]
+            )
+    if not distinct:
+        return stmt
+    return _rewrite_nocase_distinct(stmt, classes, exprs, aliases, marked)
+
+
+def _rewrite_nocase_distinct(
+    stmt: str,
+    classes: dict[str, str],
+    exprs: list[str],
+    aliases: list[str | None],
+    marked: list[bool],
+) -> str:
+    """``select distinct <items>`` where some item's collation is
+    NOCASE → first-arrival representative per folded key.  Bails (the
+    statement keeps its native lowering) on shapes whose scan order
+    SQLite itself leaves plan-dependent: joins/subquery FROMs (no
+    arrival column), GROUP BY / HAVING, or ORDER BY terms that are
+    not item aliases/positions."""
+    arrival = _scope_arrival_col(stmt, classes)
+    if arrival is None:
+        return stmt
+    clauses = _top_level_clauses(stmt)
+    names = [c[0] for c in clauses]
+    if "group_by" in names or "having" in names or "setop" in names:
+        return stmt
+    # statement layout: select distinct ITEMS from ... [order/limit]
+    span = _select_items_span(stmt)
+    if span is None:
+        return stmt
+    list_start, list_end, _items = span
+    sel = _SELECT_RE.search(stmt)
+    if sel is None or _stmt_depth(stmt, sel.start()) != 0:
+        return stmt
+    tail_start = len(stmt)
+    for kw in ("order_by", "limit"):
+        if kw in names:
+            tail_start = min(tail_start, clauses[names.index(kw)][1])
+    from_where = stmt[list_end:tail_start].strip()
+    tail = stmt[tail_start:].strip()
+    # every ORDER BY term must resolve against the outer projection
+    if "order_by" in names:
+        ob = clauses[names.index("order_by")]
+        after = [c for c in clauses if c[1] > ob[2]]
+        ob_end = after[0][1] if after else len(stmt)
+        for term in _split_args_top(stmt[ob[2] : ob_end]):
+            m = _OB_TERM_DIR_RE.match(term.strip())
+            core = m.group(1).strip()
+            core = re.sub(
+                r"\s+collate\s+nocase$", "", core, flags=re.IGNORECASE
+            )
+            if re.fullmatch(r"[0-9]+", core):
+                continue
+            if re.fullmatch(r"[A-Za-z_][A-Za-z_0-9]*", core) and any(
+                a and a.lower() == core.lower() for a in aliases
+            ):
+                continue
+            return stmt
+    outnames: list[str] = []
+    inner_items: list[str] = []
+    keys: list[str] = []
+    for j, (e, a, mk) in enumerate(zip(exprs, aliases, marked)):
+        name = a or (
+            e if re.fullmatch(r"[A-Za-z_][A-Za-z_0-9]*", e) else f"__c{j}"
+        )
+        outnames.append(name)
+        inner_items.append(e if e == name else f"{e} AS {name}")
+        keys.append(f"{_nocase_wrap(f'({e})')}" if mk else f"({e})")
+    if len({n.lower() for n in outnames}) != len(outnames):
+        return stmt
+    inner = (
+        f"select {', '.join(inner_items)}, row_number() over "
+        f"(partition by {', '.join(keys)} order by {arrival}) as __dnr "
+        f"{from_where}"
+    )
+    return (
+        f"select {', '.join(outnames)} from ({inner}) __dn "
+        f"where __dnr = 1" + (f" {tail}" if tail else "")
+    )
+
+
 def rewrite_collate_nocase(stmt: str) -> str:
     """``expr COLLATE NOCASE`` inside ORDER BY — statement-level or a
     window's ``OVER (... ORDER BY ...)`` — → sort on the ASCII-folded
@@ -4864,6 +5101,41 @@ def _stringify_expr(
     return None
 
 
+def _fromless_items_span(stmt: str):
+    """(list_start, list_end, items) for a FROM-less single-SELECT
+    scope (``select 7``, ``select 'x', 2``): items run to the first
+    top-level clause keyword or end of text.  Literal set-op branches
+    (``select 7 union select '7'``) stringify through this so the
+    compound wrapper can key their storage classes — SQLite keeps
+    INTEGER 7 and TEXT '7' as DISTINCT rows (round-10 brief #3)."""
+    spans = _string_spans(stmt)
+
+    def outside(i: int) -> bool:
+        return not any(s <= i < e for s, e in spans)
+
+    selects = [
+        m
+        for m in _SELECT_RE.finditer(stmt)
+        if outside(m.start()) and _stmt_depth(stmt, m.start()) == 0
+    ]
+    if len(selects) != 1:
+        return None
+    clauses = _top_level_clauses(stmt)
+    if any(c[0] == "from" for c in clauses):
+        return None
+    list_start = selects[0].end()
+    list_end = min(
+        (c[1] for c in clauses if c[1] >= list_start), default=len(stmt)
+    )
+    dm = re.match(r"\s*distinct\b", stmt[list_start:list_end], re.IGNORECASE)
+    if dm:
+        list_start += dm.end()
+    items = _split_call_args("(" + stmt[list_start:list_end] + ")", 0)
+    if not items:
+        return None
+    return list_start, list_end, items
+
+
 def _stringify_branch_items(
     stmt: str, classes: dict[str, str]
 ) -> tuple[str, list[tuple[str | None, str, str]]] | None:
@@ -4871,7 +5143,7 @@ def _stringify_branch_items(
     class-exact string, or None when any item can't be (the whole
     compound then keeps its native lowering).  Returns (stmt, cols)
     with cols = per-position (alias-or-None, kind, rendered-sql)."""
-    span = _select_items_span(stmt)
+    span = _select_items_span(stmt) or _fromless_items_span(stmt)
     if span is None:
         return None
     list_start, list_end, items = span
@@ -5051,7 +5323,7 @@ def _wrap_ordered_compound(
             if bi == len(new_texts) - 1 and cut_kw is not None
             else text
         )
-        span = _select_items_span(t)
+        span = _select_items_span(t) or _fromless_items_span(t)
         if span is None:
             return None
         ls, le, items = span
@@ -5107,7 +5379,16 @@ def _rewrite_scoped_items(
         pos = 0
         for a, b in spans:
             inner, ex = _rewrite_scoped_items(stmt[a + 1 : b - 1], local)
-            local.update(ex)
+            # a "key:<sql>" branch-aware CASE key references the
+            # INNER scope's columns — across the derived-table
+            # boundary only the alias is visible, so the outer scope
+            # keys it as a dynamic canonical string instead
+            local.update(
+                {
+                    k: ("dynamic" if v.startswith("key:") else v)
+                    for k, v in ex.items()
+                }
+            )
             pieces.append(stmt[pos : a + 1])
             pieces.append(inner)
             pos = b - 1
@@ -5465,6 +5746,453 @@ def rewrite_arith_div_chains(stmt: str, classes: dict[str, str]) -> str:
     return "".join(out)
 
 
+# --- SQLite numeric-as-boolean coercion ----------------------------------
+#
+# SQLite has no boolean type: any value can sit in a boolean context
+# (WHERE / HAVING / ON / searched-CASE WHEN / AND / OR / NOT operands)
+# and is tested through the numeric coercion — INTEGER/REAL nonzero is
+# true, TEXT contributes its numeric prefix ('3abc' → 3 → true, 'abc'
+# → 0 → false), NULL stays NULL (lang_expr.html §16; the reference
+# feeds user SQL verbatim to SQLite, lib/classes/sqawk.tcl:216).
+# Spark demands BooleanType in those contexts, so ``where a1`` /
+# ``case when 2 then ...`` hard-error.  These passes find every
+# boolean-context expression, split it into its top-level AND/OR/NOT
+# tree (strings, parens, CASE..END blocks and BETWEEN..AND spans stay
+# atomic), leave genuine predicates alone, and wrap every value leaf
+# in ``(<numeric value> <> 0)``.  AND/OR/NOT as SELECT items become
+# real boolean SQL too — the serializer renders Spark booleans as
+# SQLite's 0/1 integers (serializers.render_value).
+# Runs at the very end of the pipeline (like the nullif lowering):
+# every predicate the class-key passes emitted parses as a predicate
+# here and is never rewritten, which also makes the passes idempotent.
+
+_BOOL_CTX_KW_RE = re.compile(r"\b(where|having|on)\b", re.IGNORECASE)
+_BOOL_WORD_RE = re.compile(r"[A-Za-z_][A-Za-z_0-9]*")
+_BOOL_STOP_WH = frozenset({
+    "group", "order", "limit", "having", "window", "union",
+    "intersect", "except",
+})
+_BOOL_STOP_ON = _BOOL_STOP_WH | frozenset({
+    "join", "inner", "left", "right", "full", "cross", "natural",
+    "where", "on", "using",
+})
+
+
+def _bool_cond_end(
+    stmt: str, start: int, stops: frozenset, comma_stop: bool = False
+) -> int:
+    """Exclusive end of a condition starting at ``start``: the next
+    stop keyword at the same paren depth, a ``)`` closing the
+    enclosing scope, a statement separator, or end of text."""
+    i, n = start, len(stmt)
+    depth = 0
+    while i < n:
+        c = stmt[i]
+        if c in "'\"`":
+            i = _scan_string(stmt, i)
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            if depth == 0:
+                return i
+            depth -= 1
+        elif depth == 0 and (c == ";" or (c == "," and comma_stop)):
+            return i
+        elif depth == 0 and (c.isalpha() or c == "_"):
+            if i == 0 or not _IDENT.match(stmt[i - 1]):
+                m = _BOOL_WORD_RE.match(stmt, i)
+                if m.group(0).lower() in stops:
+                    return i
+                i = m.end()
+                continue
+        i += 1
+    return n
+
+
+def _when_then_end(stmt: str, start: int) -> int:
+    """Position of the THEN matching a WHEN at this CASE level."""
+    i, n = start, len(stmt)
+    case_depth = 0
+    while i < n:
+        c = stmt[i]
+        if c in "'\"`":
+            i = _scan_string(stmt, i)
+            continue
+        if (c.isalpha() or c == "_") and (
+            i == 0 or not _IDENT.match(stmt[i - 1])
+        ):
+            m = _BOOL_WORD_RE.match(stmt, i)
+            w = m.group(0).lower()
+            if w == "case":
+                case_depth += 1
+            elif w == "end" and case_depth:
+                case_depth -= 1
+            elif w == "then" and case_depth == 0:
+                return i
+            i = m.end()
+            continue
+        i += 1
+    return n
+
+
+def _searched_when_spans(stmt: str) -> list[tuple[int, int]]:
+    """(start, end) of every searched-CASE WHEN condition — the CASE
+    whose first token is WHEN.  A simple CASE's WHEN operands are
+    comparison values, not boolean contexts, and are skipped."""
+    spans: list[tuple[int, int]] = []
+    stack: list[bool] = []
+    i, n = 0, len(stmt)
+    while i < n:
+        c = stmt[i]
+        if c in "'\"`":
+            i = _scan_string(stmt, i)
+            continue
+        if (c.isalpha() or c == "_") and (
+            i == 0 or not _IDENT.match(stmt[i - 1])
+        ):
+            m = _BOOL_WORD_RE.match(stmt, i)
+            w = m.group(0).lower()
+            if w == "case":
+                j = _skip_ws(stmt, m.end())
+                stack.append(
+                    bool(re.match(r"when\b", stmt[j:], re.IGNORECASE))
+                )
+            elif w == "end":
+                if stack:
+                    stack.pop()
+            elif w == "when" and stack and stack[-1]:
+                spans.append((m.end(), _when_then_end(stmt, m.end())))
+            i = m.end()
+            continue
+        i += 1
+    return spans
+
+
+def _bool_split_top(expr: str, word: str) -> list[str]:
+    """Split on a top-level AND/OR — outside strings, parens and
+    CASE..END blocks, with the AND that belongs to a BETWEEN consumed
+    by it."""
+    parts: list[str] = []
+    i, n, last = 0, len(expr), 0
+    depth = case_depth = between = 0
+    while i < n:
+        c = expr[i]
+        if c in "'\"`":
+            i = _scan_string(expr, i)
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif (c.isalpha() or c == "_") and (
+            i == 0 or not _IDENT.match(expr[i - 1])
+        ):
+            m = _BOOL_WORD_RE.match(expr, i)
+            w = m.group(0).lower()
+            if depth == 0:
+                if w == "case":
+                    case_depth += 1
+                elif w == "end" and case_depth:
+                    case_depth -= 1
+                elif case_depth == 0:
+                    if w == "between":
+                        between += 1
+                    elif w == "and" and between:
+                        between -= 1
+                    elif w == word:
+                        parts.append(expr[last:i])
+                        last = m.end()
+            i = m.end()
+            continue
+        i += 1
+    parts.append(expr[last:])
+    return parts
+
+
+_BOOL_PRED_KWS = frozenset({
+    "like", "glob", "in", "between", "is", "exists", "rlike",
+    "regexp", "match", "isnull", "notnull", "true", "false",
+})
+
+
+def _bool_is_predicate(t: str) -> bool:
+    """Top-level scan: does ``t`` already evaluate to a boolean?
+    Comparison operators and the predicate keywords count (``like``
+    covers both the infix operator and the registered ``like()``
+    function — SQLite's returns 0/1, the engine's returns a boolean,
+    and both are truth-exact); everything inside strings, parens, or
+    CASE blocks does not."""
+    i, n = 0, len(t)
+    depth = case_depth = 0
+    while i < n:
+        c = t[i]
+        if c in "'\"`":
+            i = _scan_string(t, i)
+            continue
+        if c == "(":
+            depth += 1
+            i += 1
+            continue
+        if c == ")":
+            depth -= 1
+            i += 1
+            continue
+        if depth == 0 and case_depth == 0 and c in "<>=!":
+            # << and >> are numeric bitshifts, not comparisons; a bare
+            # ! (not !=) is nothing SQLite accepts — skip both
+            if c in "<>" and i + 1 < n and t[i + 1] == c:
+                i += 2
+                continue
+            if c == "!" and (i + 1 >= n or t[i + 1] != "="):
+                i += 1
+                continue
+            return True
+        if (c.isalpha() or c == "_") and (
+            i == 0 or not _IDENT.match(t[i - 1])
+        ):
+            m = _BOOL_WORD_RE.match(t, i)
+            w = m.group(0).lower()
+            if depth == 0:
+                if w == "case":
+                    case_depth += 1
+                elif w == "end" and case_depth:
+                    case_depth -= 1
+                elif case_depth == 0 and w in _BOOL_PRED_KWS:
+                    return True
+            i = m.end()
+            continue
+        i += 1
+    return False
+
+
+_BOOL_NUM_FN_RE = re.compile(
+    r"^(count|sum|avg|total|abs|length|instr|round|sign|unicode|"
+    r"random)\s*\(",
+    re.IGNORECASE,
+)
+_BOOL_NUM_PREFIX_RE = re.compile(
+    r"[+-]?(?:[0-9]+\.?[0-9]*(?:[eE][+-]?[0-9]+)?"
+    r"|\.[0-9]+(?:[eE][+-]?[0-9]+)?)"
+)
+
+
+def _bool_truth_sql(t: str, classes: dict[str, str]) -> str:
+    """Spark BOOLEAN carrying SQLite's truth of value ``t``: numeric
+    nonzero, text by numeric prefix, NULL as NULL (emitted as the
+    self-predicating ``(NULL = 1)`` so a re-scan never re-wraps)."""
+    s = t.strip()
+    if re.fullmatch(r"null", s, re.IGNORECASE):
+        return "(NULL = 1)"
+    d = _aff_classify(s, classes)
+    if d is not None:
+        kind, val = d
+        if kind == "numlit":
+            return "TRUE" if float(val) != 0 else "FALSE"
+        if kind == "strlit":
+            m = _BOOL_NUM_PREFIX_RE.match(val.strip(" \t\n\r\f\v"))
+            return "TRUE" if m and float(m.group(0)) != 0 else "FALSE"
+        if kind in ("col", "agg"):
+            cls = "long" if val == "long" else "text"
+            return f"({_aff_sum_coerce_sql(s, cls)} <> 0)"
+    chain = _parse_arith_chain(s, classes)
+    if chain is not None:
+        return f"(({_arith_chain_coerced_sql(chain)}) <> 0)"
+    if _BOOL_NUM_FN_RE.match(s) and s.endswith(")"):
+        return f"(({s}) <> 0)"
+    # general expression of unknown runtime type: SQLite's text
+    # coercion over the value's canonical string rendering — numbers
+    # round-trip ('2.5' → 2.5), text contributes its numeric prefix
+    tv = f"regexp_replace(CAST(({s}) AS STRING), {_AFF_TRIM_PAT}, '')"
+    return (
+        f"((CASE WHEN ({s}) IS NULL THEN CAST(NULL AS DOUBLE) "
+        f"ELSE {_sqlite_num_prefix_sql(tv)} END) <> 0)"
+    )
+
+
+def _boolify(expr: str, classes: dict[str, str]) -> str:
+    """``expr`` as a Spark BOOLEAN under SQLite's coercion rules."""
+    parts = _bool_split_top(expr, "or")
+    if len(parts) > 1 and all(p.strip() for p in parts):
+        return " OR ".join(_boolify(p, classes) for p in parts)
+    parts = _bool_split_top(expr, "and")
+    if len(parts) > 1 and all(p.strip() for p in parts):
+        return " AND ".join(_boolify(p, classes) for p in parts)
+    t = expr.strip()
+    if not t:
+        return expr
+    m = re.match(r"not\b", t, re.IGNORECASE)
+    if m:
+        inner = _boolify(t[m.end():], classes).strip()
+        # don't re-wrap an already-parenthesized operand: the pass
+        # re-scans to fixpoint and must not grow a paren per scan
+        if inner.startswith("(") and _match_paren_fwd(inner, 0) == len(
+            inner
+        ):
+            return f"NOT {inner}"
+        return f"NOT ({inner})"
+    if t.startswith("(") and _match_paren_fwd(t, 0) == len(t):
+        inner = t[1:-1]
+        if re.match(r"\s*(select|with)\b", inner, re.IGNORECASE):
+            return _bool_truth_sql(t, classes)  # scalar subquery value
+        return f"({_boolify(inner, classes)})"
+    if _bool_is_predicate(t):
+        return t
+    if (
+        _AFF_IDENT_RE.match(t)
+        and not re.fullmatch(r"null", t, re.IGNORECASE)
+        and _aff_classify(t, classes) is None
+    ):
+        # an identifier that resolves to no classed column: either an
+        # engine-emitted BOOLEAN (struct fields like x.n in the
+        # arithmetic-chain machinery, lambda variables) that must pass
+        # through untouched, or a genuinely unknown column, which
+        # keeps Spark's loud unresolved error — SQLite's "no such
+        # column" — instead of a silently-wrapped one
+        return t
+    return _bool_truth_sql(t, classes)
+
+
+_IIF_RE = re.compile(r"\biif\s*\(", re.IGNORECASE)
+
+
+def rewrite_boolean_contexts(stmt: str, classes: dict[str, str]) -> str:
+    """Apply the numeric-as-boolean coercion to every WHERE / HAVING /
+    ON / searched-CASE WHEN condition, and lower ``iif(c, a, b)`` to
+    ``if(<coerced c>, a, b)`` (SQLite 3.32 surface).  One edit per
+    scan, rightmost-first, then re-scan — nested contexts (a WHEN
+    inside a WHERE) stay index-correct, and the fixpoint is reached
+    because predicates re-parse as predicates."""
+    for _ in range(400):
+        edited = False
+        m = None
+        for m in _IIF_RE.finditer(stmt):
+            if _in_quotes(stmt, m.start()):
+                continue
+            close = _match_paren_fwd(stmt, m.end() - 1)
+            args = _split_call_args(stmt, m.end() - 1)
+            if args is None or len(args) != 3:
+                continue
+            cond = _boolify(args[0], classes)
+            stmt = (
+                stmt[: m.start()]
+                + f"if({cond}, {args[1].strip()}, {args[2].strip()})"
+                + stmt[close:]
+            )
+            edited = True
+            break
+        if edited:
+            continue
+        spans: list[tuple[int, int]] = []
+        for m in _BOOL_CTX_KW_RE.finditer(stmt):
+            if _in_quotes(stmt, m.start()):
+                continue
+            kw = m.group(1).lower()
+            stops = _BOOL_STOP_ON if kw == "on" else _BOOL_STOP_WH
+            spans.append(
+                (
+                    m.end(),
+                    _bool_cond_end(
+                        stmt, m.end(), stops, comma_stop=(kw == "on")
+                    ),
+                )
+            )
+        spans.extend(_searched_when_spans(stmt))
+        for s, e in sorted(spans, key=lambda p: -p[0]):
+            body = stmt[s:e]
+            if not body.strip():
+                continue
+            nb = _boolify(body, classes)
+            if nb.strip() != body.strip():
+                stmt = stmt[:s] + " " + nb + " " + stmt[e:]
+                edited = True
+                break
+        if not edited:
+            return stmt
+    return stmt
+
+
+_BOOL_ITEM_STOPS = frozenset({
+    "from", "where", "group", "order", "limit", "having", "window",
+    "union", "intersect", "except",
+})
+_BOOL_ITEM_ALIAS_RE = re.compile(
+    r"^(.*?)\s+(?:as\s+)?([A-Za-z_][A-Za-z_0-9]*)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _bool_item_needs_rewrite(expr: str) -> bool:
+    """True when the item's top level is an AND/OR/NOT combination —
+    the one select-item shape Spark cannot type (bare comparisons
+    already evaluate to booleans and render as 0/1)."""
+    t = expr.strip()
+    while t.startswith("(") and _match_paren_fwd(t, 0) == len(t):
+        t = t[1:-1].strip()
+    if re.match(r"not\b", t, re.IGNORECASE):
+        return True
+    for word in ("or", "and"):
+        parts = _bool_split_top(t, word)
+        if len(parts) > 1 and all(p.strip() for p in parts):
+            return True
+    return False
+
+
+def rewrite_boolean_select_items(
+    stmt: str, classes: dict[str, str]
+) -> str:
+    """``select 1 and 2, not 0.5, 7 or null`` → SQLite's logical
+    0/1/NULL: boolify every AND/OR/NOT select item (any scope — the
+    scan visits each SELECT keyword, including subqueries)."""
+    out = stmt
+    selects = [
+        m
+        for m in _SELECT_RE.finditer(stmt)
+        if not _in_quotes(stmt, m.start())
+    ]
+    for sel in reversed(selects):
+        list_start = sel.end()
+        dm = re.match(
+            r"\s*(?:all|distinct)\b", out[list_start:], re.IGNORECASE
+        )
+        if dm:
+            list_start += dm.end()
+        list_end = _bool_cond_end(out, list_start, _BOOL_ITEM_STOPS)
+        items = _split_call_args("(" + out[list_start:list_end] + ")", 0)
+        if not items:
+            continue
+        new_items = []
+        changed = False
+        for item in items:
+            body, alias = item, None
+            am = _BOOL_ITEM_ALIAS_RE.match(item.strip())
+            if am and am.group(2).lower() not in _KEYWORDS | {
+                "null", "true", "false",
+            }:
+                cand = am.group(1).strip()
+                if cand.count("(") == cand.count(")") and (
+                    _bool_item_needs_rewrite(cand)
+                ):
+                    body, alias = cand, am.group(2)
+            if _bool_item_needs_rewrite(body):
+                nb = _boolify(body, classes)
+                new_items.append(
+                    f"{nb} AS {alias}" if alias else nb
+                )
+                changed = True
+            else:
+                new_items.append(item)
+        if changed:
+            out = (
+                out[:list_start]
+                + " "
+                + ", ".join(i.strip() for i in new_items)
+                + " "
+                + out[list_end:]
+            )
+    return out
+
+
 def rewrite_affinity_semantics(stmt: str, classes: dict[str, str]) -> str:
     """All SQLite storage-class passes, driven by the load-time column
     catalog (affinity.COLUMN_CLASSES, snapshotted by the CLI); a no-op
@@ -5501,6 +6229,110 @@ def rewrite_affinity_semantics(stmt: str, classes: dict[str, str]) -> str:
     return rewrite_affinity_arithmetic(stmt, classes)
 
 
+# --- deterministic scan order for the CLI text surface --------------------
+
+_SCAN_AGG_RE = re.compile(
+    r"\b(count|sum|avg|total|group_concat|string_agg)\s*\(",
+    re.IGNORECASE,
+)
+_SCAN_JOIN_SPLIT_RE = re.compile(
+    r"\b(?:natural\s+)?(?:inner\s+|left\s+(?:outer\s+)?|cross\s+)?join\b",
+    re.IGNORECASE,
+)
+_SCAN_BAD_JOIN_RE = re.compile(
+    r"\b(?:right|full)\s+(?:outer\s+)?join\b", re.IGNORECASE
+)
+_SCAN_TABLE_RE = re.compile(
+    r"^\s*([A-Za-z_][A-Za-z_0-9$]*)"
+    r"(?:\s+(?:as\s+)?([A-Za-z_][A-Za-z_0-9$]*))?\s*$",
+    re.IGNORECASE,
+)
+
+
+def append_scan_order(stmt: str, nr_by_table: dict[str, str]) -> str:
+    """SQLite emits join rows in nested-loop scan order — outer table
+    rowid-major, inner minor — and the reference's own goldens pin it
+    (``examples/three-files/results.correct``: rows 1,2,3 in a-order;
+    ``examples/hp`` breaks ``order by b1`` ties the same way).  SQL
+    licenses any order without ORDER BY, but the CLI surface matches
+    the engine byte-for-byte, so: when a top-level statement joins ≥2
+    loaded tables, append their row counters (left-to-right — the
+    loop nesting SQLite picks for these shapes) as trailing sort
+    keys, creating the ORDER BY when none exists.  Single-table
+    selects keep their natural (already anr-ordered, narrow-plan)
+    stream — no sort is added where Spark's partition order is
+    already deterministic, and the distributed parquet output path
+    never calls this (a global sort there would serialize the write).
+
+    Bails — keeping today's unpinned order — on shapes whose SQLite
+    loop order is not statically left-to-right or whose result rows
+    do not map 1:1 to scans: set ops, DISTINCT, GROUP BY/HAVING,
+    aggregates, RIGHT/FULL joins, derived tables, or a table without
+    its ``<prefix>nr`` counter."""
+    if _setop_cuts(stmt):
+        return stmt
+    clauses = _top_level_clauses(stmt)
+    names = [c[0] for c in clauses]
+    if "from" not in names or "group_by" in names or "having" in names:
+        return stmt
+    span = _select_items_span(stmt)
+    if span is None:
+        return stmt
+    list_start, list_end, items = span
+    if re.search(
+        r"\bselect\s+distinct\b", stmt[: list_start + 1], re.IGNORECASE
+    ):
+        return stmt
+    item_text = stmt[list_start:list_end]
+    if _SCAN_AGG_RE.search(item_text):
+        return stmt
+    for m in re.finditer(r"\b(?:min|max)\s*\(", item_text, re.IGNORECASE):
+        args = _split_call_args(item_text, m.end() - 1)
+        if args is not None and len(args) == 1:
+            return stmt  # 1-arg min/max is an aggregate
+    fi = names.index("from")
+    from_end = (
+        clauses[fi + 1][1] if fi + 1 < len(clauses) else len(stmt)
+    )
+    src = stmt[clauses[fi][2] : from_end]
+    if _SCAN_BAD_JOIN_RE.search(src):
+        return stmt
+    refs: list[tuple[str, str]] = []  # (table, visible name)
+    for unit in _split_args_top(src):
+        for seg in _SCAN_JOIN_SPLIT_RE.split(unit):
+            body = re.split(
+                r"\b(?:on|using)\b", seg, maxsplit=1, flags=re.IGNORECASE
+            )[0]
+            if not body.strip():
+                continue
+            tm = _SCAN_TABLE_RE.match(body)
+            if tm is None or (tm.group(2) or "").lower() in _NOT_ALIAS:
+                return stmt  # derived table / unparsed shape
+            refs.append((tm.group(1), tm.group(2) or tm.group(1)))
+    if len(refs) < 2:
+        return stmt
+    keys = []
+    for table, ref in refs:
+        nr = nr_by_table.get(table.lower())
+        if nr is None:
+            return stmt
+        keys.append(f"{ref}.{nr}")
+    key_sql = ", ".join(keys)
+    if "order_by" in names:
+        ob = clauses[names.index("order_by")]
+        after = [c for c in clauses if c[1] > ob[2]]
+        ob_end = after[0][1] if after else len(stmt)
+        out = stmt[:ob_end].rstrip() + ", " + key_sql
+        tail = stmt[ob_end:].strip()
+        return out + (" " + tail if tail else "")
+    ins = (
+        clauses[names.index("limit")][1] if "limit" in names else len(stmt)
+    )
+    out = stmt[:ins].rstrip() + " order by " + key_sql
+    tail = stmt[ins:].strip()
+    return out + (" " + tail if tail else "")
+
+
 def rewrite_statement(
     stmt: str,
     columns: set[str] | None = None,
@@ -5529,6 +6361,9 @@ def rewrite_statement(
     stmt = rewrite_bare_minmax_columns(stmt)
     stmt = rewrite_limit_comma(stmt)
     stmt = rewrite_is_equality(stmt)
+    # expression-collation propagation BEFORE the collate lowering
+    # passes consume the COLLATE tokens it scans for
+    stmt = rewrite_collate_propagation(stmt, classes or {})
     stmt = rewrite_collate_nocase_comparison(stmt)
     stmt = rewrite_collate_nocase(stmt)
     stmt = rewrite_like_nocase(stmt)
@@ -5555,6 +6390,11 @@ def rewrite_statement(
     # after the comparison passes: the nullif lowering emits key SQL
     # containing >= probes that the comparison scan must never revisit
     stmt = rewrite_nullif_calls(stmt, classes or {})
+    # numeric-as-boolean coercion LAST among the expression passes:
+    # predicates emitted by every pass above re-parse as predicates
+    # here and are never rewritten
+    stmt = rewrite_boolean_select_items(stmt, classes or {})
+    stmt = rewrite_boolean_contexts(stmt, classes or {})
     # last: any NOCASE marker no class-aware pass claimed lowers to
     # the literal ASCII fold
     return _strip_nocase(stmt)

@@ -121,12 +121,20 @@ def records(
     else:
         _check_not_empty_matching(rs, "RS")
         local = _expand_local_paths(path)
+        uri_info = None if local else _uri_chunk_info(path)
         if local:
             raw = _chunked_regex_records(spark, local, rs)
+        elif uri_info is not None:
+            # non-local URI (file://, s3a://…): the chunk planner only
+            # needs length + range reads, both available through
+            # pyarrow.fs — same byte-range task plan as local files
+            raw = _chunked_regex_records(
+                spark, uri_info[0], rs, sizes=uri_info[1]
+            )
         else:
-            # non-local URI (hdfs://, s3a://…): wholetext fallback
-            # (JVM split) — the chunk planner needs seekable local
-            # files
+            # genuinely unseekable/unsupported source (no pyarrow
+            # filesystem driver, or a remote glob): wholetext fallback
+            # (JVM split), bounded by the 2 GiB single-string ceiling
             whole = spark.read.text(path, wholetext=True)
             split_col = F.split(F.col("value"), rs, -1)
             # a trailing record separator yields a final empty record
@@ -227,8 +235,48 @@ def _expand_local_paths(path: str) -> list[str]:
     return sorted(p for p in _glob.glob(path) if os.path.isfile(p))
 
 
+def _uri_chunk_info(path: str) -> tuple[list[str], list[int]] | None:
+    """(paths, sizes) for a scheme-prefixed URI the chunk planner can
+    range-read via pyarrow.fs — a single file or a directory of files
+    — or None (no scheme, unsupported/driverless filesystem, remote
+    glob), keeping the wholetext fallback.  s3a:// maps to pyarrow's
+    s3:// driver; hdfs:// needs libhdfs and falls back cleanly when
+    absent."""
+    if "://" not in path:
+        return None
+    uri = path.replace("s3a://", "s3://", 1)
+    try:
+        from pyarrow import fs as pafs
+
+        filesystem, p = pafs.FileSystem.from_uri(uri)
+        scheme = uri.split("://", 1)[0]
+        info = filesystem.get_file_info([p])[0]
+        if info.type == pafs.FileType.File:
+            return [uri], [info.size]
+        if info.type == pafs.FileType.Directory:
+            files = [
+                i
+                for i in filesystem.get_file_info(
+                    pafs.FileSelector(p, recursive=False)
+                )
+                if i.type == pafs.FileType.File
+                and not i.base_name.startswith((".", "_"))
+            ]
+            files.sort(key=lambda i: i.base_name)
+            return (
+                [f"{scheme}://{i.path}" for i in files],
+                [i.size for i in files],
+            )
+    except Exception:
+        return None
+    return None
+
+
 def _chunked_regex_records(
-    spark: SparkSession, paths: list[str], rs: str
+    spark: SparkSession,
+    paths: list[str],
+    rs: str,
+    sizes: list[int] | None = None,
 ) -> DataFrame:
     """Regex-RS record splitting in N parallel tasks (module
     docstring; the scale fix for VERDICT r07 "What's missing" #2).
@@ -266,8 +314,8 @@ def _chunked_regex_records(
 
     chunk, ov = RS_CHUNK_BYTES, RS_OVERLAP_BYTES
     chunks = []
-    for p in paths:
-        sz = os.path.getsize(p)
+    for i, p in enumerate(paths):
+        sz = sizes[i] if sizes is not None else os.path.getsize(p)
         chunks.extend(
             (p, s, min(s + chunk, sz), sz) for s in range(0, sz, chunk)
         )
@@ -282,9 +330,19 @@ def _chunked_regex_records(
 
         rx = _re.compile(rs_pattern.encode("utf-8"))
 
+        def _open_range(fpath: str):
+            # scheme-prefixed paths range-read through pyarrow.fs
+            # (NativeFile: same seek/read surface as a local file)
+            if "://" in fpath:
+                from pyarrow import fs as pafs
+
+                filesystem, p = pafs.FileSystem.from_uri(fpath)
+                return filesystem.open_input_file(p)
+            return open(fpath, "rb")
+
         def extract(fpath: str, start: int, end: int, size: int) -> list:
             recs: list[bytes] = []
-            with open(fpath, "rb") as f:
+            with _open_range(fpath) as f:
                 left = max(0, start - ov)
                 f.seek(left)
                 buf = f.read(end - left)

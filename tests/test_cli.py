@@ -89,9 +89,9 @@ def test_fs_empty_match_rejected(tmp_path):
 
 
 def test_join_hp_examples():
-    # ORDER BY b1 leaves ties unordered in SQL; SQLite happens to emit
-    # ties in scan order. Compare exactly up to permutation of equal-
-    # key ties (the multiset and the b1 sequence must both match).
+    # EXACT golden equality: ORDER BY b1 leaves ties unordered in SQL,
+    # but SQLite emits them in nested-loop scan order and the CLI pins
+    # that via trailing row-counter sort keys (append_scan_order).
     golden = open("/root/reference/examples/hp/results.correct").read().rstrip("\n")
     got = pysqawk(
         "select a1, b1, a2 from a inner join b on a2 = b2"
@@ -99,9 +99,9 @@ def test_join_hp_examples():
         "/root/reference/examples/hp/MD5SUMS",
         "/root/reference/examples/hp/du-bytes",
     )
-    got_lines, want_lines = got.splitlines(), golden.splitlines()
-    assert sorted(got_lines) == sorted(want_lines)
-    assert [l.split()[1] for l in got_lines] == [l.split()[1] for l in want_lines]
+    assert got.splitlines() == [
+        l.rstrip() for l in golden.splitlines()
+    ]
 
 
 def test_join_three_files():
@@ -122,8 +122,9 @@ def test_join_three_files():
         f"{d}/2",
         f"{d}/3",
     )
-    # no ORDER BY: SQL defines no row order — compare as a multiset
-    assert sorted(got.splitlines()) == sorted(golden.splitlines())
+    # EXACT golden equality: no ORDER BY, but the CLI pins SQLite's
+    # nested-loop scan order (append_scan_order row-counter keys)
+    assert got.splitlines() == golden.splitlines()
 
 
 # --- table= / prefix= (tests.tcl:191-223) -------------------------------

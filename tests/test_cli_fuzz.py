@@ -169,11 +169,24 @@ def scalar(
             f"case when {pred(rng, 1)} then {scalar(rng, 1)} "
             f"else {scalar(rng, 1)} end"
         )
+    if r < 0.95 and depth == 0:
+        # iif branches stay class-render-safe: columns and integer
+        # literals render identically through Spark's if() coercion
+        # (an un-classed REAL or division branch would not)
+        cond = pred(rng, 1) if rng.random() < 0.5 else bool_term(rng, 1)
+        branch = lambda: (  # noqa: E731
+            col(rng) if rng.random() < 0.6 else str(rng.randint(-3, 20))
+        )
+        return f"iif({cond}, {branch()}, {branch()})"
     return col(rng)
 
 
 def pred(rng: random.Random, depth: int = 0) -> str:
     r = rng.random()
+    if r < 0.06:
+        # bare value in a boolean context (numeric-as-boolean
+        # coercion, round-10); defined below pred — runtime-resolved
+        return bool_term(rng, 1)
     if r < 0.3:
         lhs = scalar(rng, 1) if rng.random() < 0.3 else col(rng)
         return f"{lhs} {rng.choice(CMP_OPS)} {rng.choice(NUM_LITS + STR_LITS)}"
@@ -221,6 +234,51 @@ def pred(rng: random.Random, depth: int = 0) -> str:
     j = rng.choice(["and", "or"])
     neg = "not " if rng.random() < 0.25 else ""
     return f"{neg}({a} {j} {b})"
+
+
+def bool_term(rng: random.Random, depth: int = 0) -> str:
+    """A VALUE in a boolean context (round-10 brief #1): SQLite
+    coerces it through the numeric rules — bare columns, literals,
+    arithmetic, NOT, nested AND/OR."""
+    r = rng.random()
+    if r < 0.3:
+        return col(rng)
+    if r < 0.42:
+        return rng.choice(NUM_LITS)
+    if r < 0.52:
+        return rng.choice(STR_LITS)
+    if r < 0.57:
+        return "null"
+    if r < 0.75:
+        return (
+            f"{rng.choice(INT_COLS)} {rng.choice(['+', '-'])}"
+            f" {rng.randint(-2, 3)}"
+        )
+    if r < 0.88:
+        return f"not {col(rng)}"
+    if depth == 0:
+        other = (
+            pred(rng, 2) if rng.random() < 0.5 else bool_term(rng, 1)
+        )
+        return (
+            f"({bool_term(rng, 1)} {rng.choice(['and', 'or'])} {other})"
+        )
+    return col(rng)
+
+
+def bool_cond(rng: random.Random) -> str:
+    """A whole boolean-context condition mixing value terms with real
+    predicates through AND/OR/NOT."""
+    parts = [
+        bool_term(rng) if rng.random() < 0.6 else pred(rng, 1)
+        for _ in range(rng.randint(1, 3))
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = f"{out} {rng.choice(['and', 'or'])} {p}"
+    if rng.random() < 0.2:
+        out = f"not ({out})"
+    return out
 
 
 def agg(rng: random.Random) -> str:
@@ -532,6 +590,30 @@ def q_setop(rng: random.Random) -> str:
     # positional ORDER BY keys like the alias through the ordered-
     # compound wrapper (it used to order rendered strings bytewise)
     ob = rng.choice(["c0", "1"])
+    r = rng.random()
+    if r < 0.2:
+        # literal FROM-less branch (round-10 brief #3): INTEGER 7 and
+        # TEXT '7' are DISTINCT rows under SQLite's class-aware
+        # identity.  Integer literals only — REAL_TEXTS are never
+        # integral, so a literal can't hit the documented cross-class
+        # int/real equal-value residue
+        lit = rng.choice(
+            ["0", "1", "2", "5", "20", "'ab'", "'AB'", "'z'", "''",
+             "'2'", "'007'"]
+        )
+        return (
+            f"select {c} as c0 from a{p1} {op} select {lit} "
+            f"order by {ob}{limit_clause(rng)}"
+        )
+    if r < 0.3:
+        # pure-literal compound
+        lits = rng.sample(
+            ["3", "'3'", "1", "'x'", "''", "2", "'2'", "5"], 2
+        )
+        return (
+            f"select {lits[0]} as c0 {op} select {lits[1]} "
+            f"order by {ob}"
+        )
     return (
         f"select {c} as c0 from a{p1} {op} select {c} from a{p2} "
         f"order by {ob}{limit_clause(rng)}"
@@ -658,6 +740,43 @@ def q_scalar_clauses(rng: random.Random) -> str:
     return (
         f"select anr, {col(rng)} as c0 from a"
         f" order by length({col(rng)}), anr{limit_clause(rng)}"
+    )
+
+
+def q_bool_where(rng: random.Random) -> str:
+    """Bare/numeric/text boolean WHERE conditions (round-10 brief #1:
+    ``where a1`` is everyday SQLite idiom the engine hard-errored on)."""
+    return (
+        f"select anr, a1, a2 from a where {bool_cond(rng)} "
+        f"order by anr{limit_clause(rng)}"
+    )
+
+
+def q_bool_items(rng: random.Random) -> str:
+    """AND/OR/NOT as select items return SQLite's logical 0/1/NULL."""
+    items = ", ".join(
+        f"{bool_cond(rng)} as c{i}" for i in range(rng.randint(1, 2))
+    )
+    return f"select anr, {items} from a order by anr"
+
+
+def q_distinct_collate(rng: random.Random) -> str:
+    """Expression-collation propagation (round-10 brief #2): COLLATE
+    NOCASE at item level or inside a CASE subtree governs ORDER BY
+    order and DISTINCT row identity (first-arrival representative)."""
+    c = rng.choice(["a1", "a2", "a3"])
+    where = f" where {pred(rng)}" if rng.random() < 0.4 else ""
+    d = " desc" if rng.random() < 0.3 else ""
+    if rng.random() < 0.5:
+        return (
+            f"select distinct {c} collate nocase as c0 from a{where} "
+            f"order by c0{d}{limit_clause(rng)}"
+        )
+    s1, s2 = rng.choice(NODIGIT_STR_LITS), rng.choice(NODIGIT_STR_LITS)
+    return (
+        f"select distinct case when {c} <> {s1} collate nocase "
+        f"then {c} else {s2} end as c0 from a{where} "
+        f"order by c0{d}{limit_clause(rng)}"
     )
 
 

@@ -663,3 +663,216 @@ def test_sign_and_format_vs_sqlite(spark):
     register_udfs(spark)
     got = list(spark.sql(rw(q)).collect()[0])
     assert got == want
+
+
+# --- round 10: numeric-as-boolean coercion (lang_expr.html §16) ----------
+
+
+def test_boolean_contexts_vs_sqlite(spark):
+    """SQLite truth in WHERE/HAVING/WHEN/AND/OR/NOT: numeric nonzero,
+    text numeric-prefix, NULL propagates.  Differential vs the real
+    library on a typed table (the CLI surface is covered by
+    tests/probe_bool.py and the composed fuzzer's condition shapes)."""
+    con = sqlite3.connect(":memory:")
+    con.execute("create table t(i INTEGER, s TEXT, r REAL)")
+    con.executemany(
+        "insert into t values (?,?,?)",
+        [
+            (1, "x", 0.5),
+            (0, "y", 0.0),
+            (-3, "3abc", 2.0),
+            (2, "", None),
+            (None, "0.0", 1.5),
+        ],
+    )
+    spark.sql(
+        "select * from values (1L,'x',0.5D),(0L,'y',0.0D),"
+        "(-3L,'3abc',2.0D),(2L,'',CAST(NULL AS DOUBLE)),"
+        "(CAST(NULL AS BIGINT),'0.0',1.5D) as t(i,s,r)"
+    ).createOrReplaceTempView("t")
+    cl = {"i": "long", "s": "text", "r": "long"}
+    for q in [
+        "select i from t where i order by i",
+        "select i from t where s order by i",
+        "select i from t where r order by i",
+        "select i from t where not i order by i",
+        "select i from t where not s order by i",
+        "select i from t where i and s order by i",
+        "select i from t where i or r order by i",
+        "select i from t where i and (s or r) order by i",
+        "select i from t where not (i or s) order by i",
+        "select i from t where i > 0 and r order by i",
+        "select i, case when s then 1 else 0 end as c from t order by i",
+        "select 1 and 2, not 0.5, 7 or null, 0 or null, 0 and null",
+        "select iif(2, 'y', 'n'), iif(0, 'y', 'n'), iif('3x', 'y', 'n')",
+        "select i from t where '  2x' order by i",
+        "select i from t where i - 1 order by i",
+        "select count(*) as n from t group by s having count(*) - 1",
+    ]:
+        want = [
+            tuple("" if v is None else str(v) for v in r)
+            for r in con.execute(q).fetchall()
+        ]
+        got = [
+            tuple(
+                ""
+                if v is None
+                else (("1" if v else "0") if isinstance(v, bool) else str(v))
+                for v in r
+            )
+            for r in spark.sql(rewrite_statement(q, classes=cl)).collect()
+        ]
+        assert got == want, f"{q}\ngot {got}\nwant {want}"
+
+
+def test_boolify_idempotent():
+    """Re-running the boolean passes on their own output is identity —
+    the in-pass fixpoint loop relies on it."""
+    from sqawk_spark.dialect import (
+        rewrite_boolean_contexts,
+        rewrite_boolean_select_items,
+    )
+
+    cl = {"a1": "dynamic", "a2": "text", "anr": "long"}
+    for q in [
+        "select a1 from a where a1",
+        "select a1 from a where not (a1 or a2) and anr > 2",
+        "select 1 and 2 as x, not 0.5 as y from a",
+        "select case when a2 then a1 else 0 end from a where a1",
+    ]:
+        once = rewrite_boolean_contexts(
+            rewrite_boolean_select_items(q, cl), cl
+        )
+        twice = rewrite_boolean_contexts(
+            rewrite_boolean_select_items(once, cl), cl
+        )
+        assert once == twice, q
+
+
+# --- round 10: expression-collation propagation (datatype3.html §7.1) ----
+
+
+def test_collate_propagation_vs_sqlite(spark):
+    """COLLATE NOCASE anywhere in a select item's subtree governs the
+    item's collation: ORDER BY over its alias sorts nocase; DISTINCT
+    folds nocase with the first-arrival representative."""
+    con = sqlite3.connect(":memory:")
+    con.execute(
+        "create table t(tnr INTEGER PRIMARY KEY, a1 TEXT, a2 TEXT)"
+    )
+    con.executemany(
+        "insert into t values (?,?,?)",
+        [
+            (1, "aB", "x"),
+            (2, "AB", "y"),
+            (3, "Q", "z"),
+            (4, "zz", "w"),
+            (5, "ab", "v"),
+        ],
+    )
+    spark.sql(
+        "select * from values (1L,'aB','x'),(2L,'AB','y'),(3L,'Q','z'),"
+        "(4L,'zz','w'),(5L,'ab','v') as t(tnr,a1,a2)"
+    ).createOrReplaceTempView("t")
+    cl = {"tnr": "long", "a1": "text", "a2": "text"}
+    for q in [
+        "select distinct case when a1 <> 'z' collate nocase then a1"
+        " else '' end as c0 from t order by c0",
+        "select distinct a1 collate nocase as c0 from t order by c0",
+        "select a1 collate nocase as c0 from t order by c0, tnr",
+        "select case when a1 > 'b' collate nocase then a1 else a2 end"
+        " as c0 from t order by c0, tnr",
+        "select distinct a1 collate nocase as c0 from t order by c0 desc",
+        "select distinct a1 collate nocase as c0, a2 as c1 from t"
+        " order by c0, c1",
+    ]:
+        want = [
+            tuple("" if v is None else str(v) for v in r)
+            for r in con.execute(q).fetchall()
+        ]
+        got = [
+            tuple("" if v is None else str(v) for v in r)
+            for r in spark.sql(rewrite_statement(q, classes=cl)).collect()
+        ]
+        assert got == want, f"{q}\ngot {got}\nwant {want}"
+
+
+# --- round 10: literal branches in distinct set ops ----------------------
+
+
+def test_literal_setop_branches_vs_sqlite(spark):
+    """`select 7 union select '7'` keeps TWO rows — INTEGER and TEXT
+    are distinct classes even when the rendering matches."""
+    con = sqlite3.connect(":memory:")
+    con.execute("create table t(d INTEGER, s TEXT)")
+    con.executemany(
+        "insert into t values (?,?)", [(7, "7"), (2, "x")]
+    )
+    spark.sql(
+        "select * from values ('7','7'),('2','x') as t(d,s)"
+    ).createOrReplaceTempView("t")
+    cl = {"d": "dynamic", "s": "text"}
+    for q in [
+        "select count(*) as n from (select 7 as v union select '7')",
+        "select count(*) as n from (select 5 as v intersect select '5')",
+        "select count(*) as n from (select 5 as v except select '5')",
+        "select count(*) as n from (select d from t union select '7')",
+        "select count(*) as n from (select 'x' as v union select 'x')",
+        "select count(*) as n from"
+        " (select 1 as v union select 1.5 union select '1')",
+    ]:
+        want = [
+            tuple(str(v) for v in r) for r in con.execute(q).fetchall()
+        ]
+        got = [
+            tuple(str(v) for v in r)
+            for r in spark.sql(rewrite_statement(q, classes=cl)).collect()
+        ]
+        assert got == want, f"{q}\ngot {got}\nwant {want}"
+
+
+# --- round 10: deterministic scan order for the CLI text surface ---------
+
+
+def test_append_scan_order_shapes():
+    from sqawk_spark.dialect import append_scan_order
+
+    nr = {"a": "anr", "b": "bnr", "c": "cnr"}
+    # join without ORDER BY: keys appended as a new clause
+    assert append_scan_order(
+        "select a1, b1 from a join b on a1 = b1", nr
+    ).endswith("order by a.anr, b.bnr")
+    # existing ORDER BY: keys appended as trailing tiebreaks
+    out = append_scan_order(
+        "select a1, b1 from a join b on a1 = b1 order by b1 limit 3", nr
+    )
+    assert "order by b1, a.anr, b.bnr limit 3" in out
+    # aliases qualify the counter; comma joins count
+    out = append_scan_order("select * from a x, b y where x.a1 = y.b1", nr)
+    assert out.endswith("order by x.anr, y.bnr")
+    # three-way
+    out = append_scan_order(
+        "select a1 from a join b on a1=b1 join c on a1=c1", nr
+    )
+    assert out.endswith("order by a.anr, b.bnr, c.cnr")
+    # bails: single table, aggregates, group by, distinct, set ops,
+    # derived tables, unknown counter
+    for q in [
+        "select a1 from a",
+        "select count(*) from a join b on a1=b1",
+        "select min(a1) from a join b on a1=b1",
+        "select a1 from a join b on a1=b1 group by a1",
+        "select distinct a1 from a join b on a1=b1",
+        "select a1 from a union select b1 from b",
+        "select a1 from (select a1 from a) join b on a1=b1",
+        "select a1 from a join d on a1=d1",
+    ]:
+        assert append_scan_order(q, nr) == q, q
+    # window aggregates do NOT bail (cardinality-preserving)
+    out = append_scan_order(
+        "select a1, sum(a1) over (order by a1) as w from a join b on a1=b1",
+        nr,
+    )
+    assert out == (
+        "select a1, sum(a1) over (order by a1) as w from a join b on a1=b1"
+    ) or out.endswith("order by a.anr, b.bnr")

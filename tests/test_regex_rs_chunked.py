@@ -235,3 +235,53 @@ def test_chain_past_back_max_raises_loudly(spark, tmp_path):
             awk.RS_OVERLAP_BYTES,
             awk.RS_BACK_MAX,
         ) = old
+
+
+def test_file_uri_drives_chunked_path(spark, tmp_path):
+    """A file:// URI (round-10 brief #5) plans byte-range tasks
+    through pyarrow.fs instead of the 2 GiB-bounded wholetext
+    fallback: >1 task, records identical to the reference split."""
+    text = "".join(f"rec{i:04d} v{i}" + ";;" for i in range(200))
+    f = tmp_path / "uri_data.txt"
+    f.write_text(text)
+    uri = f"file://{f}"
+    spec = FileSpec(filename=uri, format="awk", options={"RS": "[;]+"})
+    old_chunk, old_ov = awk.RS_CHUNK_BYTES, awk.RS_OVERLAP_BYTES
+    awk.RS_CHUNK_BYTES, awk.RS_OVERLAP_BYTES = 256, 64
+    try:
+        df = records(spark, spec, uri)
+        n_tasks = df.rdd.getNumPartitions()
+        recs = [
+            r["a0"]
+            for r in with_record_numbers(df).orderBy("anr").collect()
+        ]
+    finally:
+        awk.RS_CHUNK_BYTES, awk.RS_OVERLAP_BYTES = old_chunk, old_ov
+    assert n_tasks > 1, "file:// URI must plan byte-range tasks"
+    assert recs == reference_split("[;]+", text)
+
+
+def test_file_uri_directory_chunks_per_file(spark, tmp_path):
+    """A file:// directory URI lists files via pyarrow.fs and plans
+    per-file byte ranges with continuous anr across files."""
+    d = tmp_path / "urid"
+    d.mkdir()
+    t1 = "".join(f"a{i} x" + "||" for i in range(60))
+    t2 = "".join(f"b{i} y" + "||" for i in range(60))
+    (d / "f1.txt").write_text(t1)
+    (d / "f2.txt").write_text(t2)
+    uri = f"file://{d}"
+    spec = FileSpec(filename=uri, format="awk", options={"RS": "[|]+"})
+    old_chunk, old_ov = awk.RS_CHUNK_BYTES, awk.RS_OVERLAP_BYTES
+    awk.RS_CHUNK_BYTES, awk.RS_OVERLAP_BYTES = 128, 32
+    try:
+        df = records(spark, spec, uri)
+        recs = [
+            r["a0"]
+            for r in with_record_numbers(df).orderBy("anr").collect()
+        ]
+    finally:
+        awk.RS_CHUNK_BYTES, awk.RS_OVERLAP_BYTES = old_chunk, old_ov
+    assert recs == reference_split("[|]+", t1) + reference_split(
+        "[|]+", t2
+    )
