@@ -4770,23 +4770,35 @@ _SQL_INT_PREFIX_PAT = "'^[+-]?[0-9]+'"
 
 
 def _cast_split_as(inner: str) -> tuple[str, str] | None:
-    """Split 'expr AS typename' at the LAST top-level AS."""
+    """Split 'expr AS typename' at the LAST top-level AS.  One linear
+    walk (depth and string-span membership maintained incrementally) —
+    the old per-match prefix rescan was quadratic and dominated whole
+    statements once the emitted encodings held hundreds of casts."""
     spans = _string_spans(inner)
+    matches = list(_CAST_AS_RE.finditer(inner))
+    if not matches:
+        return None
     best = None
-    for m in _CAST_AS_RE.finditer(inner):
-        i = m.start()
-        if any(s <= i < e for s, e in spans):
+    depth = 0
+    si = mi = i = 0
+    n = len(inner)
+    while i < n:
+        if si < len(spans) and spans[si][0] == i:
+            i = spans[si][1]
+            si += 1
+            while mi < len(matches) and matches[mi].start() < i:
+                mi += 1
             continue
-        d = 0
-        for j, ch in enumerate(inner[:i]):
-            if any(s <= j < e for s, e in spans):
-                continue
-            if ch == "(":
-                d += 1
-            elif ch == ")":
-                d -= 1
-        if d == 0:
-            best = m
+        while mi < len(matches) and matches[mi].start() == i:
+            if depth == 0:
+                best = matches[mi]
+            mi += 1
+        c = inner[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        i += 1
     if best is None:
         return None
     return inner[: best.start()].strip(), inner[best.end() :].strip()
@@ -4832,9 +4844,18 @@ def rewrite_affinity_casts(stmt: str, classes: dict[str, str]) -> str:
     RENDERING lives in _rewrite_cast_select_items."""
     from sqawk_spark.affinity import normalize_affinity
 
+    # single left-to-right cursor: everything before ``pos`` is
+    # already lowered (Spark-native or non-cast) and never rescanned.
+    # After an edit the cursor returns to the edit site — the value
+    # expression copied into the replacement may itself hold SQLite
+    # casts — but the (possibly huge, emitted) prefix does not pay
+    # again.  The old restart-from-zero loop made statements with
+    # hundreds of emitted Spark-native casts (e.g. total(chain)
+    # FILTER encodings) take tens of seconds.
+    pos = 0
     while True:
         edited = False
-        for m in _CAST_CALL_RE.finditer(stmt):
+        for m in _CAST_CALL_RE.finditer(stmt, pos):
             if _in_quotes(stmt, m.start()):
                 continue
             close = _match_paren_fwd(stmt, m.end() - 1)
@@ -4861,6 +4882,7 @@ def rewrite_affinity_casts(stmt: str, classes: dict[str, str]) -> str:
             aff = normalize_affinity(tname)
             repl = _cast_value_sql(x, aff, classes)
             stmt = stmt[: m.start()] + repl + stmt[close:]
+            pos = m.start()
             edited = True
             break
         if not edited:
