@@ -332,8 +332,9 @@ def rewrite_bare_minmax_columns(stmt: str) -> str:
         return stmt
     if any(outside(m.start()) for m in _OVER_RE.finditer(stmt)):
         return stmt
-    if any(outside(m.start()) for m in _OTHER_AGG_RE.finditer(stmt)):
-        return stmt
+    # other aggregates (count/sum/…) do NOT disable the rule: probed —
+    # ``select v, max(nr), count(*) … group by g`` still returns v
+    # from the max row (round 10; the guard used to bail here)
     aggs = [m for m in _MINMAX_AGG_RE.finditer(stmt) if outside(m.start())]
     if len(aggs) != 1:
         return stmt
@@ -398,6 +399,93 @@ def rewrite_bare_minmax_columns(stmt: str) -> str:
     if not changed:
         return stmt
     return stmt[:list_start] + " " + ", ".join(out_items) + " " + stmt[from_c[1]:]
+
+
+def rewrite_bare_group_columns(stmt: str, classes: dict[str, str]) -> str:
+    """SQLite's OTHER bare-column rule (probed this round on the real
+    library, 2000-row sweep): in an aggregate query with NO min/max —
+    ``select a1, count(*) … group by a2``, or a GROUP BY with no
+    aggregate at all — bare non-grouped columns take their values from
+    the FIRST row of the group in scan order (rowid order for sqawk
+    tables).  The docs call the row arbitrary; the implementation is
+    deterministic, the reference surfaces it verbatim, and the exact
+    lowering is ``min_by(col, <arrival>)``.
+
+    Same deliberately-narrow scope as rewrite_bare_minmax_columns
+    (which runs first and owns the single-min/max case): single-SELECT
+    statement, no DISTINCT, no windows, only plain-identifier items
+    rewritten — plus a known arrival column (single loaded table), the
+    thing that makes "scan order" reproducible at all.  Joins and
+    subqueries keep Spark's loud error."""
+    spans = _string_spans(stmt)
+
+    def outside(i: int) -> bool:
+        return not any(s <= i < e for s, e in spans)
+
+    selects = [m for m in _SELECT_RE.finditer(stmt) if outside(m.start())]
+    if len(selects) != 1:
+        return stmt
+    if any(outside(m.start()) for m in _OVER_RE.finditer(stmt)):
+        return stmt
+    if any(
+        outside(m.start()) for m in _MINMAX_AGG_RE.finditer(stmt)
+    ):
+        return stmt  # the winning-row pass owns min/max queries
+    arrival = _scope_arrival_col(stmt, classes, deep_scan=True)
+    if arrival is None:
+        return stmt
+    clauses = _top_level_clauses(stmt)
+    from_c = next((c for c in clauses if c[0] == "from"), None)
+    if from_c is None:
+        return stmt
+    list_start, list_end = selects[0].end(), from_c[1]
+    sel_list = stmt[list_start:list_end]
+    if re.match(r"\s*distinct\b", sel_list, re.IGNORECASE):
+        return stmt
+    group_c = next((c for c in clauses if c[0] == "group_by"), None)
+    has_agg = any(
+        outside(m.start()) and list_start <= m.start() < list_end
+        for m in _OTHER_AGG_RE.finditer(stmt)
+    )
+    # GROUP BY with no aggregate and a global aggregate both take the
+    # first row (probed); a plain SELECT with neither is no aggregate
+    # query at all
+    if group_c is None and not has_agg:
+        return stmt
+    grouped: set[str] = set()
+    if group_c is not None:
+        tail = [c for c in clauses if c[1] > group_c[2]]
+        g_end = tail[0][1] if tail else len(stmt)
+        for expr in _split_args_top(stmt[group_c[2] : g_end]):
+            grouped.add(re.sub(r"\s+", "", expr).lower())
+    items = _split_call_args("(" + sel_list + ")", 0)
+    if not items:
+        return stmt
+    out_items: list[str] = []
+    changed = False
+    for idx, item in enumerate(items, start=1):
+        m = _PLAIN_IDENT_ITEM_RE.match(item)
+        if m is None or _OTHER_AGG_RE.search(item) is not None:
+            out_items.append(item)
+            continue
+        qual, name, alias = m.group(1), m.group(2), m.group(3)
+        full = (qual + "." + name if qual else name).lower()
+        if (
+            full in grouped
+            or name.lower() in grouped
+            or (alias or name).lower() in grouped
+            or str(idx) in grouped
+        ):
+            out_items.append(item)
+            continue
+        col = (qual + "." + name) if qual else name
+        out_items.append(f"min_by({col}, {arrival}) AS {alias or name}")
+        changed = True
+    if not changed:
+        return stmt
+    return (
+        stmt[:list_start] + " " + ", ".join(out_items) + " " + stmt[from_c[1]:]
+    )
 
 
 def rewrite_limit_comma(stmt: str) -> str:
@@ -6381,6 +6469,9 @@ def rewrite_statement(
     # after scalar min/max lowering: any remaining 1-arg min/max is an
     # aggregate, which is what the bare-column rule keys on
     stmt = rewrite_bare_minmax_columns(stmt)
+    # no-min/max aggregate queries: bare columns take the group's
+    # FIRST row in scan order (probed; min_by over the arrival column)
+    stmt = rewrite_bare_group_columns(stmt, classes or {})
     stmt = rewrite_limit_comma(stmt)
     stmt = rewrite_is_equality(stmt)
     # expression-collation propagation BEFORE the collate lowering

@@ -1886,3 +1886,29 @@ def test_compound_order_by_class_exact(tmp_path):
         pysqawk("-FS", ",", q2, "datatypes=numeric,text", f)
         == "xx\n7\n007\n7"
     )
+
+
+def test_output_table_join_tie_order(tmp_path):
+    """-output table over a join whose ORDER BY has ties: the rendered
+    box pins SQLite's nested-loop tie order (append_scan_order keys),
+    so the golden is byte-stable (round-10 brief #9)."""
+    fa = write(tmp_path, "fa", "k,x1\nk,x2\nm,x3")
+    fb = write(tmp_path, "fb", "k,y1\nk,y2\nm,y3")
+    got = pysqawk(
+        "-FS", ",", "-output", "table",
+        "select a2, b2 from a join b on a1 = b1 order by a1",
+        fa, fb,
+    )
+    assert got == (
+        "┌──┬──┐\n"
+        "│x1│y1│\n"
+        "├──┼──┤\n"
+        "│x1│y2│\n"
+        "├──┼──┤\n"
+        "│x2│y1│\n"
+        "├──┼──┤\n"
+        "│x2│y2│\n"
+        "├──┼──┤\n"
+        "│x3│y3│\n"
+        "└──┴──┘"
+    )

@@ -385,8 +385,33 @@ def q_bare_minmax(rng: random.Random) -> str:
     )
     g = rng.choice(["a2", "a3", "anf"])
     where = f" where {pred(rng)}" if rng.random() < 0.5 else ""
+    # round 10: other aggregates no longer disable the winning-row
+    # rule (probed: max(nr) + count(*) still takes the max row)
+    extra = ", count(*) as n" if rng.random() < 0.3 else ""
     return (
-        f"select {g} as g, {fn}(anr) as m, {bare} from a{where} "
+        f"select {g} as g, {fn}(anr) as m, {bare}{extra} from a{where} "
+        f"group by {g} order by g"
+    )
+
+
+def q_bare_group(rng: random.Random) -> str:
+    """No-min/max bare columns (round 10): an aggregate query without
+    min/max gives bare non-grouped columns the FIRST row of the group
+    in scan order — probed deterministic on the real library."""
+    bare = ", ".join(
+        f"{col(rng)} as b{i}" for i in range(rng.randint(1, 2))
+    )
+    where = f" where {pred(rng)}" if rng.random() < 0.5 else ""
+    if rng.random() < 0.25:
+        return f"select {bare}, count(*) as n from a{where}"
+    g = rng.choice(["a2", "a3", "anf"])
+    aggs = ""
+    if rng.random() < 0.7:
+        fn = rng.choice(["count", "sum", "total"])
+        arg = "*" if fn == "count" else rng.choice(INT_COLS)
+        aggs = f", {fn}({arg}) as s0"
+    return (
+        f"select {bare}, {g} as g{aggs} from a{where} "
         f"group by {g} order by g"
     )
 
@@ -786,6 +811,10 @@ SHAPES = [
     (q_agg, 4),
     (q_global_agg, 2),
     (q_bare_minmax, 2),
+    (q_bare_group, 2),
+    (q_bool_where, 3),
+    (q_bool_items, 2),
+    (q_distinct_collate, 2),
     (q_window, 4),
     (q_ranking, 2),
     (q_join, 3),

@@ -876,3 +876,47 @@ def test_append_scan_order_shapes():
     assert out == (
         "select a1, sum(a1) over (order by a1) as w from a join b on a1=b1"
     ) or out.endswith("order by a.anr, b.bnr")
+
+
+# --- round 10: bare-column rules (lang_select.html §bare_columns) ---------
+
+
+def test_bare_group_columns_vs_sqlite(spark):
+    """No-min/max aggregate queries give bare non-grouped columns the
+    FIRST row of the group in scan order (probed deterministic); a
+    single min/max keeps the winning row even next to count()/sum()."""
+    con = sqlite3.connect(":memory:")
+    con.execute(
+        "create table t(tnr INTEGER PRIMARY KEY, g TEXT, v TEXT)"
+    )
+    con.executemany(
+        "insert into t(g,v) values (?,?)",
+        [("a", "v1"), ("b", "v2"), ("a", "v3"), ("b", "v4"), ("a", "v5")],
+    )
+    spark.sql(
+        "select * from values (1L,'a','v1'),(2L,'b','v2'),(3L,'a','v3'),"
+        "(4L,'b','v4'),(5L,'a','v5') as t(tnr,g,v)"
+    ).createOrReplaceTempView("t")
+    from sqawk_spark.functions import register_udfs
+
+    register_udfs(spark)  # total() rendering uses py_real_repr
+    cl = {"tnr": "long", "g": "text", "v": "text"}
+    for q in [
+        "select v, g from t group by g order by g",
+        "select v, g, count(*) as n from t group by g order by g",
+        "select v, count(*) as n from t",
+        "select v, g, max(tnr) as m, count(*) as n from t group by g"
+        " order by g",
+        "select v, g, sum(tnr) as s from t where tnr > 1 group by g"
+        " order by g",
+        "select v, g, total(tnr) as s from t group by g order by g",
+    ]:
+        want = [
+            tuple("" if x is None else str(x) for x in r)
+            for r in con.execute(q).fetchall()
+        ]
+        got = [
+            tuple("" if x is None else str(x) for x in r)
+            for r in spark.sql(rewrite_statement(q, classes=cl)).collect()
+        ]
+        assert got == want, f"{q}\ngot {got}\nwant {want}"
