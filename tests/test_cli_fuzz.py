@@ -792,17 +792,46 @@ def q_distinct_collate(rng: random.Random) -> str:
     c = rng.choice(["a1", "a2", "a3"])
     where = f" where {pred(rng)}" if rng.random() < 0.4 else ""
     d = " desc" if rng.random() < 0.3 else ""
-    if rng.random() < 0.5:
+    r = rng.random()
+    if r < 0.35:
         return (
             f"select distinct {c} collate nocase as c0 from a{where} "
             f"order by c0{d}{limit_clause(rng)}"
         )
     s1, s2 = rng.choice(NODIGIT_STR_LITS), rng.choice(NODIGIT_STR_LITS)
-    return (
-        f"select distinct case when {c} <> {s1} collate nocase "
-        f"then {c} else {s2} end as c0 from a{where} "
-        f"order by c0{d}{limit_clause(rng)}"
+    if r < 0.6:
+        return (
+            f"select distinct case when {c} <> {s1} collate nocase "
+            f"then {c} else {s2} end as c0 from a{where} "
+            f"order by c0{d}{limit_clause(rng)}"
+        )
+    if r < 0.8:
+        # GROUP BY fold with first-arrival representative
+        gk = rng.choice([f"{c} collate nocase", None])
+        if gk:
+            return (
+                f"select {gk} as g, count(*) as n from a{where} "
+                f"group by {rng.choice(['g', '1'])} order by g{d}"
+            )
+        return (
+            f"select case when {c} <> {s1} collate nocase then {c} "
+            f"else {s2} end as g, count(*) as n from a{where} "
+            f"group by 1 order by g{d}"
+        )
+    # comparison collation propagating out of a CASE subtree; the
+    # literal is digit-free so the loose dynamic-branch fold is exact
+    cmp_lit = rng.choice(NODIGIT_STR_LITS)
+    paren = rng.random() < 0.5
+    case_sql = (
+        f"case when {c} <> {s1} collate nocase then {c} else {s2} end"
     )
+    if paren:
+        case_sql = f"({case_sql})"
+    if rng.random() < 0.5:
+        cond = f"{case_sql} {rng.choice(['=', '<>'])} {cmp_lit}"
+    else:
+        cond = f"{cmp_lit} {rng.choice(['=', '<>'])} {case_sql}"
+    return f"select anr, a1 from a where {cond} order by anr"
 
 
 SHAPES = [

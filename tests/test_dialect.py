@@ -785,6 +785,16 @@ def test_collate_propagation_vs_sqlite(spark):
         "select distinct a1 collate nocase as c0 from t order by c0 desc",
         "select distinct a1 collate nocase as c0, a2 as c1 from t"
         " order by c0, c1",
+        # GROUP BY keys fold with the first-arrival representative
+        "select case when a1 <> 'z' collate nocase then a1 else ''"
+        " end as g, count(*) as n from t group by 1 order by g",
+        "select a1 collate nocase as g, count(*) as n from t"
+        " group by g order by g",
+        # comparison collation propagates out of the CASE subtree
+        "select a1 from t where case when a1 <> 'z' collate nocase"
+        " then a1 else '' end = 'ab' order by tnr",
+        "select a1 from t where 'ab' = (case when a1 <> 'z'"
+        " collate nocase then a1 else '' end) order by tnr",
     ]:
         want = [
             tuple("" if v is None else str(v) for v in r)
