@@ -6445,6 +6445,14 @@ def _boolify(expr: str, classes: dict[str, str]) -> str:
     return _bool_truth_sql(t, classes)
 
 
+def boolify_condition(cond: str, classes: dict[str, str]) -> str:
+    """Public wrapper: one condition under SQLite's numeric-as-boolean
+    coercion (used by the DML layer, whose DELETE embeds the predicate
+    under ``IS NOT TRUE`` — a shape the statement-level pass correctly
+    reads as already-boolean)."""
+    return _boolify(cond, classes)
+
+
 _IIF_RE = re.compile(r"\biif\s*\(", re.IGNORECASE)
 
 

@@ -240,9 +240,16 @@ def maybe_run_dml(
             new = spark.table(name).limit(0)
         elif rest[:5].upper() == "WHERE":
             # keep rows where the predicate IS NOT TRUE: SQLite keeps
-            # NULL-predicate rows, plain NOT would drop them
+            # NULL-predicate rows, plain NOT would drop them.  The
+            # numeric-as-boolean coercion must apply HERE — wrapped
+            # under IS NOT TRUE the statement-level pass reads the
+            # body as already-boolean
+            from sqawk_spark.affinity import COLUMN_CLASSES
+            from sqawk_spark.dialect import boolify_condition
+
+            cond = boolify_condition(rest[5:], dict(COLUMN_CLASSES))
             new = run_sql(
-                f"SELECT * FROM {name} WHERE ({rest[5:]}) IS NOT TRUE"
+                f"SELECT * FROM {name} WHERE ({cond}) IS NOT TRUE"
             )
         else:
             raise ValueError(f"cannot parse DELETE statement: {stmt!r}")
