@@ -4702,7 +4702,7 @@ def _collect_item_alias_classes(
     # loop from clobbering them).
     for item in span[2]:
         gm = re.match(
-            r"^\s*(min|max|count|group_concat2?)\s*\(",
+            r"^\s*(min|max|count|group_concat2?|min_by|max_by)\s*\(",
             item,
             re.IGNORECASE,
         )
@@ -4724,6 +4724,30 @@ def _collect_item_alias_classes(
             extras[alias] = "text"
             continue
         arg = item[gm.end() : close - 1].strip()
+        if fn.endswith("_by"):
+            # min_by/max_by (the bare-column and collate-group-by
+            # lowerings): the VALUE argument's class is the alias's
+            args2 = _split_args_top(arg)
+            if len(args2) != 2:
+                continue
+            arg = args2[0].strip()
+            cm2 = _CASE_ITEM_RE.match(arg)
+            if cm2 is not None and cm2.group(4) is None:
+                # CASE value (the collate-group-by lowering): any
+                # numeric-capable branch means the alias carries
+                # per-row classes — key it as a dynamic canonical
+                # string; all-text CASEs keep bytewise order
+                ds2 = [
+                    _aff_classify(b.strip(), classes)
+                    for b in (cm2.group(2), cm2.group(3))
+                ]
+                if all(d is not None for d in ds2) and any(
+                    d[0] in ("numlit", "agg")
+                    or (d[0] == "col" and d[1] in ("dynamic", "long"))
+                    for d in ds2
+                ):
+                    extras[alias] = "dynamic"
+                continue
         fc = _aff_filter_case_parts(arg)
         tgt = (fc[1] if fc else arg).strip()
         if not _AFF_IDENT_RE.match(tgt):
