@@ -1948,7 +1948,14 @@ def _rewrite_excluded_agg(
     s_f = f"sum({arg}) over ({wf})"
     s_g = f"sum({arg}) over ({wg})"
     ind = "1" if star else f"(case when ({arg}) is not null then 1 else 0 end)"
-    row_val = f"coalesce(({arg}), 0)"
+    # the subtracted current value rides a self-frame window so the
+    # window-class pass coerces it EXACTLY like the frame sums — a raw
+    # ``coalesce((arg), 0)`` next to a coerced sum turns text args
+    # ('c' → 0.0 in SQLite) into a NULL-poisoning string subtraction
+    # (fuzz seed 90210 script 79)
+    w_self = f"{part}{ord_sql} rows between current row and current row"
+    s_self = f"sum({arg}) over ({w_self})"
+    row_val = f"coalesce({s_self}, 0)"
 
     if fn in ("min", "max"):
         if not unit_gap:
@@ -2063,10 +2070,12 @@ def _rewrite_excluded_agg(
     elif fn == "total":
         repl = {
             "group": f"(coalesce({s_f}, 0.0) - coalesce({s_g}, 0.0))",
-            "current row": f"(coalesce({s_f}, 0.0) - coalesce(({arg}), 0.0))",
+            "current row": (
+                f"(coalesce({s_f}, 0.0) - coalesce({s_self}, 0.0))"
+            ),
             "ties": (
                 f"(coalesce({s_f}, 0.0) - coalesce({s_g}, 0.0)"
-                f" + coalesce(({arg}), 0.0))"
+                f" + coalesce({s_self}, 0.0))"
             ),
         }[kind]
     else:
