@@ -2402,7 +2402,12 @@ def rewrite_plain_frame_excludes(stmt: str, classes: dict[str, str]) -> str:
                 kind,
                 order_by=order_clause,
                 frame_kw="range",
-                unit_gap=cls == "integer",
+                # 'long' is the load-time catalog's name for all-
+                # integer storage; 'integer' kept for direct callers.
+                # (The catalog never says 'integer', so min/max RANGE
+                # EXCLUDE used to bail — and Spark parse-error — on
+                # every real run: fuzz seed 424242 script 129.)
+                unit_gap=cls in ("integer", "long"),
             )
         else:
             edit = _rewrite_excluded_agg(
