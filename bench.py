@@ -366,6 +366,20 @@ def main() -> None:
     worst = dict(
         sorted(vs_hist.items(), key=lambda kv: kv[1], reverse=True)[:5]
     )
+    # uniform machine drift vs concentrated code regression: when the
+    # MEDIAN query is >1.2x its all-rounds minimum, the whole run —
+    # including operators whose code is byte-identical — is inflated
+    # by environment (page cache, thermal/cgroup budget, residual
+    # load), and per-query retimes cannot fix it.  Surface the
+    # signature explicitly so a reader separates the two cases
+    # without reconstructing it from the per-query map.
+    ratios = sorted(vs_hist.values())
+    median_vs_hist = (
+        round(ratios[len(ratios) // 2], 3) if ratios else None
+    )
+    uniform_drift = bool(
+        ratios and median_vs_hist is not None and median_vs_hist > 1.2
+    )
     print(
         json.dumps(
             {
@@ -378,6 +392,8 @@ def main() -> None:
                 "loadavg_after": [round(x, 2) for x in os.getloadavg()],
                 "drift_rerun": reran,
                 "worst_vs_hist": worst,
+                "median_vs_hist": median_vs_hist,
+                "uniform_drift": uniform_drift,
                 "retimed": retimed,
                 "retime_exhausted": retime_exhausted,
                 "detail": "stderr + bench_history.jsonl",
