@@ -6452,7 +6452,7 @@ def _boolify(expr: str, classes: dict[str, str]) -> str:
     if not t:
         return expr
     m = re.match(r"not\b", t, re.IGNORECASE)
-    if m:
+    if m and t[m.end():].strip():
         inner = _boolify(t[m.end():], classes).strip()
         # don't re-wrap an already-parenthesized operand: the pass
         # re-scans to fixpoint and must not grow a paren per scan
@@ -6567,8 +6567,11 @@ def _bool_item_needs_rewrite(expr: str) -> bool:
     t = expr.strip()
     while t.startswith("(") and _match_paren_fwd(t, 0) == len(t):
         t = t[1:-1].strip()
-    if re.match(r"not\b", t, re.IGNORECASE):
-        return True
+    nm = re.match(r"not\b(.*)$", t, re.IGNORECASE | re.DOTALL)
+    if nm:
+        # a bare 'not' (an over-eager alias split of 'not x') is NOT
+        # a boolean item — there is no operand to negate
+        return bool(nm.group(1).strip())
     for word in ("or", "and"):
         parts = _bool_split_top(t, word)
         if len(parts) > 1 and all(p.strip() for p in parts):
