@@ -4489,6 +4489,7 @@ def _rewrite_case_class_item(
         return None
     cond, then_b, else_b, alias = m.groups()
     encs, any_chain = [], False
+    real_lit = string_forced = False
     for b in (then_b.strip(), else_b.strip()):
         chain = _parse_arith_chain(b, classes)
         if chain is not None:
@@ -4513,6 +4514,8 @@ def _rewrite_case_class_item(
             # INTEGER/TEXT casts render class-exact natively once
             # stringified (int casts lower to BIGINT, text to STRING)
             encs.append(f"CAST(({b}) AS STRING)")
+            if aff == "text":
+                string_forced = True
             continue
         d = _aff_classify(b, classes)
         if d is None:
@@ -4523,17 +4526,27 @@ def _rewrite_case_class_item(
                 b if val in ("dynamic", "text", "none")
                 else f"CAST({b} AS STRING)"
             )
+            if val in ("dynamic", "text", "none"):
+                string_forced = True
         elif kind == "strlit":
             encs.append(b)
+            string_forced = True
         elif kind == "numlit":
             t = val.strip()
             if _ARITH_INT_FORM_RE.match(t):
                 encs.append(f"'{int(t)}'")
             else:
                 encs.append(f"'{repr(float(t))}'")
+                real_lit = True
         else:
             return None
-    if not any_chain:
+    # native lowering is exact when a STRING branch forces Spark's
+    # string coercion (ints render bare, literals verbatim) or every
+    # branch is integer-typed; a REAL literal next to only NUMERIC
+    # branches coerces to DECIMAL instead — '3' prints '3.00' and
+    # '1.5' prints '1.50' (fuzz seed 555555 script 102) — so those
+    # need the class-exact encoding too
+    if not (any_chain or (real_lit and not string_forced)):
         return None  # Spark's own string coercion already matches
     body = (
         f"CASE WHEN {cond} THEN {encs[0]} ELSE {encs[1]} END"

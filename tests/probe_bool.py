@@ -43,6 +43,8 @@ QUERIES = [
     "select a1 from a where (select 1)",
     "select a1 from a where (select 0)",
     "select a1 from a where a1 like '1%' or a1",
+    "select a1, not a1 from a order by 2, 1",
+    "select not a1 and a2 as x from a",
 ]
 
 JOIN_QUERIES = [
