@@ -750,6 +750,74 @@ def _extend_concat_back_like(s: str, ls: int) -> int:
         return ls
 
 
+_POS_TERM_RE = re.compile(
+    r"^([0-9]+)(\s+collate\s+[A-Za-z_]+)?(\s+(?:asc|desc))?\s*$",
+    re.IGNORECASE,
+)
+
+
+def rewrite_positional_order_by(stmt: str) -> str:
+    """Top-level ``ORDER BY N`` in a plain (non-compound) scope →
+    the Nth select item's alias (or its expression text): SQLite
+    orders by the OUTPUT column — its storage class and collation —
+    while a bare ordinal bypassed every class-key pass and sorted the
+    rendered strings bytewise ('' before -3; the compound wrapper
+    fixed this for set ops in round 9, plain scopes in round 10).
+    Unsubstitutable terms (``*`` items, out-of-range ordinals) stay
+    ordinals — Spark's sortByOrdinal handles them natively."""
+    if not re.search(r"\border\s+by\b", stmt, re.IGNORECASE):
+        return stmt
+    if _setop_cuts(stmt):
+        return stmt  # the ordered-compound wrapper owns positionals
+    span = _select_items_span(stmt) or _fromless_items_span(stmt)
+    if span is None:
+        return stmt
+    items = [it.strip() for it in span[2]]
+    clauses = _top_level_clauses(stmt)
+    names = [c[0] for c in clauses]
+    if "order_by" not in names:
+        return stmt
+    ob = clauses[names.index("order_by")]
+    after = [c for c in clauses if c[1] > ob[2]]
+    ob_end = after[0][1] if after else len(stmt)
+    terms = _split_args_top(stmt[ob[2] : ob_end])
+    out_terms = []
+    changed = False
+    for term in terms:
+        m = _POS_TERM_RE.match(term.strip())
+        ref = None
+        if m:
+            p = int(m.group(1)) - 1
+            if 0 <= p < len(items):
+                item = items[p]
+                am = _PROP_ALIAS_RE.match(item)
+                if am and am.group(2).lower() not in _KEYWORDS | {
+                    "null", "true", "false",
+                }:
+                    cand = am.group(1).strip()
+                    # 'not a1' must not split 'a1' off as an alias
+                    if (
+                        cand.count("(") == cand.count(")")
+                        and cand.lower() not in _KEYWORDS
+                    ):
+                        ref = am.group(2)
+                if ref is None and item != "*" and not item.endswith("*"):
+                    if item.count("(") == item.count(")"):
+                        ref = item
+        if ref is not None:
+            out_terms.append(
+                f"{ref}{m.group(2) or ''}{m.group(3) or ''}"
+            )
+            changed = True
+        else:
+            out_terms.append(term.strip())
+    if not changed:
+        return stmt
+    return (
+        stmt[: ob[2]] + " " + ", ".join(out_terms) + " " + stmt[ob_end:]
+    )
+
+
 def _in_subselect(s: str, pos: int) -> bool:
     """Is ``pos`` inside a parenthesized SELECT nested in ``s``?"""
     opens: list[int] = []
@@ -6563,6 +6631,39 @@ def rewrite_boolean_contexts(stmt: str, classes: dict[str, str]) -> str:
     return stmt
 
 
+def rewrite_boolean_clause_terms(
+    stmt: str, classes: dict[str, str]
+) -> str:
+    """Top-level ORDER BY / GROUP BY terms that are AND/OR/NOT
+    combinations evaluate to SQLite's 0/1/NULL — sort and group them
+    as booleans (false < true = 0 < 1; NULL groups as NULL), exactly
+    the integer order SQLite produces."""
+    for clause in ("order_by", "group_by"):
+        clauses = _top_level_clauses(stmt)
+        names = [c[0] for c in clauses]
+        if clause not in names:
+            continue
+        kw = clauses[names.index(clause)]
+        after = [c for c in clauses if c[1] > kw[2]]
+        end = after[0][1] if after else len(stmt)
+        terms = _split_args_top(stmt[kw[2] : end])
+        out, changed = [], False
+        for term in terms:
+            m = _OB_TERM_DIR_RE.match(term.strip())
+            core, direction = m.group(1).strip(), (m.group(2) or "")
+            if _bool_item_needs_rewrite(core):
+                out.append(
+                    _boolify(core, classes)
+                    + (f" {direction}" if direction else "")
+                )
+                changed = True
+            else:
+                out.append(term.strip())
+        if changed:
+            stmt = stmt[: kw[2]] + " " + ", ".join(out) + " " + stmt[end:]
+    return stmt
+
+
 _BOOL_ITEM_STOPS = frozenset({
     "from", "where", "group", "order", "limit", "having", "window",
     "union", "intersect", "except",
@@ -6818,6 +6919,9 @@ def rewrite_statement(
     stmt = rewrite_bare_group_columns(stmt, classes or {})
     stmt = rewrite_limit_comma(stmt)
     stmt = rewrite_is_equality(stmt)
+    # ordinals first so every class/collation pass below sees the
+    # output column they name
+    stmt = rewrite_positional_order_by(stmt)
     # expression-collation propagation BEFORE the collate lowering
     # passes consume the COLLATE tokens it scans for
     stmt = rewrite_collate_propagation(stmt, classes or {})
@@ -6851,6 +6955,7 @@ def rewrite_statement(
     # predicates emitted by every pass above re-parse as predicates
     # here and are never rewritten
     stmt = rewrite_boolean_select_items(stmt, classes or {})
+    stmt = rewrite_boolean_clause_terms(stmt, classes or {})
     stmt = rewrite_boolean_contexts(stmt, classes or {})
     # last: any NOCASE marker no class-aware pass claimed lowers to
     # the literal ASCII fold
