@@ -804,6 +804,13 @@ def rewrite_positional_order_by(stmt: str) -> str:
                 if ref is None and item != "*" and not item.endswith("*"):
                     if item.count("(") == item.count(")"):
                         ref = item
+                # a bare integer-literal item would re-parse as a NEW
+                # ordinal ('select 2, a1 … order by 1' → 'order by 2'
+                # sorts by a1; 'select 42 … order by 1' → out-of-range
+                # error).  The original ordinal is already correct —
+                # position N names the constant — so keep it.
+                if ref is not None and re.fullmatch(r"\d+", ref.strip()):
+                    ref = None
         if ref is not None:
             out_terms.append(
                 f"{ref}{m.group(2) or ''}{m.group(3) or ''}"
@@ -3251,6 +3258,11 @@ def _aff_classify(
     # / ('col','text') treatments.  Runs on the pre-lowering text; the
     # value pass (rewrite_affinity_casts, ordered after the
     # comparison pass) then lowers the cast inside any emitted key.
+    # a predicate lowered to its SQLite 0/1 value
+    # (rewrite_predicate_values): always INTEGER storage class and —
+    # like every expression result — no affinity
+    if _BOOL01_CASE_RE.match(t):
+        return ("agg", "long")
     cm = re.match(r"^cast\s*\(", t, re.IGNORECASE)
     if cm is not None and _match_paren_fwd(t, cm.end() - 1) == len(t):
         parts = _cast_split_as(t[cm.end() : -1])
@@ -4150,7 +4162,22 @@ def _parse_arith_chain(text: str, classes: dict[str, str]):
         if end <= j:
             return None
         tok = s[j:end].strip()
-        if tok.startswith("(") or tok.startswith("'"):
+        if tok.startswith("("):
+            # a predicate lowered to its 0/1 integer value
+            # (rewrite_predicate_values) is a statically-INTEGER
+            # operand — same treatment as CAST(.. AS INTEGER)
+            if _BOOL01_CASE_RE.match(_strip_outer_parens(tok)):
+                tokens.append((sign, tok, ("castint", tok)))
+                k = _skip_ws(s, end)
+                if k >= n:
+                    break
+                if s[k] not in "+-*/%":
+                    return None
+                ops.append(s[k])
+                pos = k + 1
+                continue
+            return None
+        if tok.startswith("'"):
             return None
         if tok.startswith("sqk_"):
             # engine-emitted fold lambda variables (sqk_a.d etc.) —
@@ -5187,11 +5214,15 @@ def rewrite_affinity_aggregates(stmt: str, classes: dict[str, str]) -> str:
                             or _arith_chain_sensitivity(ch0) is None
                         ):
                             continue
-                    if _AFF_GENERIC_DONE_RE.match(arg) or re.search(
-                        r"\b(try_cast|py_real_repr|named_struct"
-                        r"|regexp_extract|regexp_replace)\s*\(",
-                        arg,
-                        re.IGNORECASE,
+                    if (
+                        _AFF_GENERIC_DONE_RE.match(arg)
+                        or _FC_BOOL01_RE.match(arg)
+                        or re.search(
+                            r"\b(try_cast|py_real_repr|named_struct"
+                            r"|regexp_extract|regexp_replace)\s*\(",
+                            arg,
+                            re.IGNORECASE,
+                        )
                     ):
                         # engine-emitted machinery (Spark-only
                         # spellings a SQLite script cannot contain):
@@ -6748,6 +6779,277 @@ def rewrite_boolean_select_items(
     return out
 
 
+# --- predicates as 0/1 INTEGER values ------------------------------------
+#
+# SQLite comparison/boolean results are plain INTEGERs usable anywhere
+# a number goes (expr.c's OP_Gt pushes an int; sum(x > 0) is the
+# idiomatic conditional count).  Spark's are BOOLEANs that hard-error
+# in arithmetic and — worse — silently text-coerce to 0 inside the
+# sum()/avg() generic coercion ('true' has numeric prefix 0).  The
+# pass below runs EARLY (right after the FILTER lowering, while the
+# statement is still user SQL) and lowers every predicate that sits in
+# a VALUE position to ``CASE WHEN p THEN 1 WHEN NOT (p) THEN 0 END``
+# (NULL propagates through both arms, matching SQLite's three-valued
+# comparisons).  The affinity/boolean passes later rewrite the
+# conditions inside the emitted CASE exactly as they would anywhere
+# else, and _aff_classify treats the wrap as an always-INTEGER
+# no-affinity operand (the ('agg', 'long') kind).
+# Reference: sqawk executes verbatim SQLite SQL
+# (lib/classes/sqawk.tcl:216).
+
+# value-taking functions whose arguments accept a predicate's 0/1
+# (iif's CONDITION arg is a boolean context and is excluded below)
+_PRED_WRAP_FNS = frozenset({
+    "sum", "avg", "total", "count", "min", "max", "group_concat",
+    "string_agg", "abs", "length", "octet_length", "round", "sign",
+    "coalesce", "ifnull", "nullif", "instr", "unicode", "char", "hex",
+    "unhex", "quote", "typeof", "lower", "upper", "ltrim", "rtrim",
+    "trim", "replace", "substr", "substring", "printf", "format",
+    "concat", "likely", "unlikely", "likelihood", "least", "greatest",
+    "lindex", "llength", "iif",
+})
+_PRED_FN_RE = re.compile(r"\b([A-Za-z_][A-Za-z_0-9]*)\s*\(")
+_PRED_ADJ_PREV = frozenset("+-*/%|&~<>=!")
+_PRED_ADJ_NEXT = frozenset("+-*/%|&<>=!")
+# the wrap's skeleton, robust to later rewrites of its conditions
+_BOOL01_CASE_RE = re.compile(
+    r"^case\s+when\b.*\bthen\s+1\s+when\s+not\b.*\bthen\s+0\s+end$",
+    re.IGNORECASE | re.DOTALL,
+)
+# the FILTER lowering's CASE carrying a wrap payload
+_FC_BOOL01_RE = re.compile(
+    r"^case\s+when\b.*\bthen\s*\(case\s+when\b.*\bthen\s+0\s+end\s*\)"
+    r"\s*end$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _strip_outer_parens(t: str) -> str:
+    t = t.strip()
+    while t.startswith("(") and _match_paren_fwd(t, 0) == len(t):
+        t = t[1:-1].strip()
+    return t
+
+
+def _is_value_pred(e: str) -> bool:
+    """Is ``e`` a predicate/boolean expression whose VALUE (SQLite's
+    0/1/NULL integer) is being consumed?  Subqueries and comma-bearing
+    texts (IN lists, multi-arg bodies) are not."""
+    core = _strip_outer_parens(e)
+    if not core or re.match(r"(select|with)\b", core, re.IGNORECASE):
+        return False
+    if core[0] in "<>=!*/%|&," or core[-1] in "<>=!+-*/%|&,~(":
+        return False  # operator fragment, not a complete predicate
+    i, n, depth = 0, len(core), 0
+    while i < n:
+        c = core[i]
+        if c in "'\"`":
+            i = _scan_string(core, i)
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == "," and depth == 0:
+            return False
+        i += 1
+    return _bool_is_predicate(core) or _bool_item_needs_rewrite(core)
+
+
+def _pred_wrap(e: str) -> str:
+    core = _strip_outer_parens(e)
+    return f"(CASE WHEN {core} THEN 1 WHEN NOT ({core}) THEN 0 END)"
+
+
+def _case_value_spans(stmt: str) -> list[tuple[int, int]]:
+    """(start, end) of every CASE branch VALUE payload (THEN/ELSE
+    bodies at the CASE's own level) — simple-CASE WHEN operands are
+    comparison values and are skipped."""
+    starts: list[int] = []
+    i, n = 0, len(stmt)
+    while i < n:
+        c = stmt[i]
+        if c in "'\"`":
+            i = _scan_string(stmt, i)
+            continue
+        if (c.isalpha() or c == "_") and (
+            i == 0 or not _IDENT.match(stmt[i - 1])
+        ):
+            m = _BOOL_WORD_RE.match(stmt, i)
+            if m.group(0).lower() == "case":
+                starts.append(m.end())
+            i = m.end()
+            continue
+        i += 1
+    spans: list[tuple[int, int]] = []
+    for st in starts:
+        i, depth, cd = st, 0, 0
+        cur: int | None = None
+        while i < n:
+            c = stmt[i]
+            if c in "'\"`":
+                i = _scan_string(stmt, i)
+                continue
+            if c == "(":
+                depth += 1
+                i += 1
+                continue
+            if c == ")":
+                if depth == 0:
+                    break  # enclosing scope closed before END
+                depth -= 1
+                i += 1
+                continue
+            if (
+                depth == 0
+                and (c.isalpha() or c == "_")
+                and (i == 0 or not _IDENT.match(stmt[i - 1]))
+            ):
+                m = _BOOL_WORD_RE.match(stmt, i)
+                w = m.group(0).lower()
+                if w == "case":
+                    cd += 1
+                elif w == "end":
+                    if cd:
+                        cd -= 1
+                    else:
+                        if cur is not None:
+                            spans.append((cur, i))
+                        break
+                elif cd == 0 and w == "when":
+                    if cur is not None:
+                        spans.append((cur, i))
+                        cur = None
+                elif cd == 0 and w in ("then", "else"):
+                    if cur is not None:
+                        spans.append((cur, i))
+                    cur = m.end()
+                i = m.end()
+                continue
+            i += 1
+    return spans
+
+
+def _paren_group_spans(stmt: str) -> list[tuple[int, int]]:
+    """(open, after-close) of every parenthesized group NOT preceded
+    by an identifier character or ``)`` (those are call/postfix
+    parens, owned by the function-argument scan)."""
+    spans: list[tuple[int, int]] = []
+    i, n = 0, len(stmt)
+    while i < n:
+        c = stmt[i]
+        if c in "'\"`":
+            i = _scan_string(stmt, i)
+            continue
+        if c == "(":
+            k = i - 1
+            while k >= 0 and stmt[k] in " \t\n":
+                k -= 1
+            call_like = k >= 0 and (_IDENT.match(stmt[k]) or stmt[k] == ")")
+            if call_like and stmt[k] != ")":
+                # a KEYWORD before '(' (select, then, and, …) is not a
+                # call — the group is an ordinary operand
+                w = k
+                while w >= 0 and _IDENT.match(stmt[w]):
+                    w -= 1
+                if stmt[w + 1 : k + 1].lower() in _KEYWORDS:
+                    call_like = False
+            if not call_like:
+                e = _match_paren_fwd(stmt, i)
+                if 0 < e <= n and stmt[e - 1] == ")":
+                    spans.append((i, e))
+        i += 1
+    return spans
+
+
+def rewrite_predicate_values(stmt: str, classes: dict[str, str]) -> str:
+    """Lower predicates in VALUE positions to SQLite's 0/1 integers
+    (module-section comment above): value-function arguments
+    (``sum(a1 > 0)``, ``coalesce(a1 > 5, 9)``, ``cast(a1 > 0 as
+    text)``), CASE branch payloads (including the FILTER lowering's),
+    and parenthesized operands adjacent to arithmetic / concat /
+    comparison operators (``(a1 > 0) + 1``, ``-(a1 = 1)``,
+    ``(a1 > 0) || 'x'``).  One edit per scan, rightmost-first within
+    each family; a wrapped payload re-parses as a CASE (not a
+    predicate), so the fixpoint is reached."""
+    for _ in range(200):
+        edited = False
+        for m in _PRED_FN_RE.finditer(stmt):
+            if _in_quotes(stmt, m.start()):
+                continue
+            fn = m.group(1).lower()
+            if fn != "cast" and fn not in _PRED_WRAP_FNS:
+                continue
+            close = _match_paren_fwd(stmt, m.end() - 1)
+            if fn == "cast":
+                parts = _cast_split_as(stmt[m.end() : close - 1])
+                if parts is not None and _is_value_pred(parts[0]):
+                    stmt = (
+                        stmt[: m.end()]
+                        + _pred_wrap(parts[0])
+                        + " AS "
+                        + parts[1].strip()
+                        + stmt[close - 1 :]
+                    )
+                    edited = True
+                    break
+                continue
+            args = _split_call_args(stmt, m.end() - 1)
+            if not args:
+                continue
+            new_args, changed = [], False
+            for idx, a in enumerate(args):
+                if fn == "iif" and idx == 0:
+                    new_args.append(a.strip())
+                    continue
+                pm = re.match(r"\s*(distinct|all)\s+", a, re.IGNORECASE)
+                prefix = a[: pm.end()].strip() + " " if pm else ""
+                expr = a[pm.end() :] if pm else a
+                if _is_value_pred(expr):
+                    new_args.append(prefix + _pred_wrap(expr))
+                    changed = True
+                else:
+                    new_args.append(a.strip())
+            if changed:
+                stmt = (
+                    stmt[: m.end()]
+                    + ", ".join(new_args)
+                    + stmt[close - 1 :]
+                )
+                edited = True
+                break
+        if edited:
+            continue
+        for s, e in sorted(_case_value_spans(stmt), key=lambda p: -p[0]):
+            body = stmt[s:e]
+            if body.strip() and _is_value_pred(body):
+                stmt = (
+                    stmt[:s] + " " + _pred_wrap(body) + " " + stmt[e:]
+                )
+                edited = True
+                break
+        if edited:
+            continue
+        for s, e in sorted(_paren_group_spans(stmt), key=lambda p: -p[0]):
+            k = s - 1
+            while k >= 0 and stmt[k] in " \t\n":
+                k -= 1
+            prev = stmt[k] if k >= 0 else None
+            j = e
+            while j < len(stmt) and stmt[j] in " \t\n":
+                j += 1
+            nxt = stmt[j] if j < len(stmt) else None
+            if (prev in _PRED_ADJ_PREV) or (nxt in _PRED_ADJ_NEXT):
+                body = stmt[s + 1 : e - 1]
+                if _is_value_pred(body):
+                    stmt = stmt[:s] + _pred_wrap(body) + stmt[e:]
+                    edited = True
+                    break
+        if not edited:
+            return stmt
+    return stmt
+
+
 def rewrite_affinity_semantics(stmt: str, classes: dict[str, str]) -> str:
     """All SQLite storage-class passes, driven by the load-time column
     catalog (affinity.COLUMN_CLASSES, snapshotted by the CLI); a no-op
@@ -6899,6 +7201,11 @@ def rewrite_statement(
     # FILTER next: the CASE lowering produces plain aggregate calls
     # the later passes (group_concat arity, GROUPS frames) then see
     stmt = rewrite_filter_clause(stmt)
+    # predicates in VALUE positions become SQLite's 0/1 integers while
+    # the statement is still user SQL (sum(a1 > 0), (a1 > 0) + 1); the
+    # conditions inside the emitted CASE are rewritten by the
+    # affinity/boolean passes below like any other condition
+    stmt = rewrite_predicate_values(stmt, classes or {})
     # glob next: infix GLOB lowers to glob() calls, which the regex-
     # call pass can then lift onto RLIKE when the pattern is literal
     stmt = rewrite_group_concat(rewrite_regex_calls(rewrite_glob(stmt)))

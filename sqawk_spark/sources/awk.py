@@ -249,7 +249,6 @@ def _uri_chunk_info(path: str) -> tuple[list[str], list[int]] | None:
         from pyarrow import fs as pafs
 
         filesystem, p = pafs.FileSystem.from_uri(uri)
-        scheme = uri.split("://", 1)[0]
         info = filesystem.get_file_info([p])[0]
         if info.type == pafs.FileType.File:
             return [uri], [info.size]
@@ -263,8 +262,16 @@ def _uri_chunk_info(path: str) -> tuple[list[str], list[int]] | None:
                 and not i.base_name.startswith((".", "_"))
             ]
             files.sort(key=lambda i: i.base_name)
+            # FileInfo.path has no authority component, so rebuilding
+            # as f"{scheme}://{i.path}" would drop hdfs://host:port.
+            # Keep the ORIGINAL uri (scheme+authority+dir intact) and
+            # append each entry's path relative to the directory's fs
+            # path — executor-side from_uri then sees the full URI.
+            base, stem = uri.rstrip("/"), p.rstrip("/")
+            if any(not i.path.startswith(stem) for i in files):
+                return None  # unexpected normalization: wholetext path
             return (
-                [f"{scheme}://{i.path}" for i in files],
+                [base + i.path[len(stem):] for i in files],
                 [i.size for i in files],
             )
     except Exception:
