@@ -4696,62 +4696,33 @@ def _rewrite_case_class_item(
     literals and long columns their canonical integer rendering, and
     string-stored columns pass through.  Returns (body, alias), or
     None when the item is not such a CASE (or no branch needs it)."""
-    m = _CASE_ITEM_RE.match(item)
-    if m is None:
+    body, alias = item.strip(), None
+    am = re.match(
+        r"^(.*?)\s+(?:as\s+)?([A-Za-z_][A-Za-z_0-9]*)\s*$",
+        body,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if am and am.group(2).lower() not in _KEYWORDS:
+        cand = am.group(1).strip()
+        if cand.count("(") == cand.count(")") and re.match(
+            r"^case\b", cand, re.IGNORECASE
+        ):
+            body, alias = cand, am.group(2)
+    if not re.match(r"^case\b", body, re.IGNORECASE) or not re.search(
+        r"\bend\s*$", body, re.IGNORECASE
+    ):
         return None
-    cond, then_b, else_b, alias = m.groups()
-    encs, any_chain = [], False
-    real_lit = string_forced = False
-    for b in (then_b.strip(), else_b.strip()):
-        chain = _parse_arith_chain(b, classes)
-        if chain is not None:
-            cb = _arith_chain_class_body(chain)
-            if cb is None:  # native-exact (all-int, no division)
-                encs.append(f"CAST(({b}) AS STRING)")
-            else:
-                encs.append(f"({cb[0]})")
-            any_chain = True
-            continue
-        cm = _AFF_CAST_ITEM_RE.match(b)
-        if cm is not None:
-            from sqawk_spark.affinity import normalize_affinity
-
-            aff = normalize_affinity(cm.group(2))
-            if aff in ("real", "numeric"):
-                encs.append(
-                    f"({_cast_class_body(cm.group(1), aff, classes)})"
-                )
-                any_chain = True
-                continue
-            # INTEGER/TEXT casts render class-exact natively once
-            # stringified (int casts lower to BIGINT, text to STRING)
-            encs.append(f"CAST(({b}) AS STRING)")
-            if aff == "text":
-                string_forced = True
-            continue
-        d = _aff_classify(b, classes)
-        if d is None:
-            return None
-        kind, val = d
-        if kind == "col":
-            encs.append(
-                b if val in ("dynamic", "text", "none")
-                else f"CAST({b} AS STRING)"
-            )
-            if val in ("dynamic", "text", "none"):
-                string_forced = True
-        elif kind == "strlit":
-            encs.append(b)
-            string_forced = True
-        elif kind == "numlit":
-            t = val.strip()
-            if _ARITH_INT_FORM_RE.match(t):
-                encs.append(f"'{int(t)}'")
-            else:
-                encs.append(f"'{repr(float(t))}'")
-                real_lit = True
-        else:
-            return None
+    # branch VALUE spans of the OUTER case only (any WHEN count, with
+    # or without ELSE — the r10 gate handled the 2-branch THEN/ELSE
+    # shape only and ≥3-branch / no-ELSE mixes still printed '3.0')
+    cm0 = re.match(r"^case\b", body, re.IGNORECASE)
+    spans = _case_spans_from(body, cm0.end())
+    if not spans:
+        return None
+    r = _case_body_enc(body, spans, classes)
+    if r is None:
+        return None
+    enc, any_chain, real_lit, string_forced = r
     # native lowering is exact when a STRING branch forces Spark's
     # string coercion (ints render bare, literals verbatim) or every
     # branch is integer-typed; a REAL literal next to only NUMERIC
@@ -4760,10 +4731,87 @@ def _rewrite_case_class_item(
     # need the class-exact encoding too
     if not (any_chain or (real_lit and not string_forced)):
         return None  # Spark's own string coercion already matches
-    body = (
-        f"CASE WHEN {cond} THEN {encs[0]} ELSE {encs[1]} END"
-    )
-    return body, alias
+    return enc, alias
+
+
+def _case_body_enc(
+    body: str, spans: list[tuple[int, int]], classes: dict[str, str]
+):
+    """``body`` (one CASE..END) with every branch VALUE rendered to
+    its class-exact string; returns (sql, any_chain, real_lit,
+    string_forced) or None when a branch can't be rendered."""
+    encs, any_chain = [], False
+    real_lit = string_forced = False
+    for s, e in spans:
+        b = body[s:e].strip()
+        r = _case_branch_enc(b, classes)
+        if r is None:
+            return None
+        enc, ch, rl, sf = r
+        encs.append(enc)
+        any_chain |= ch
+        real_lit |= rl
+        string_forced |= sf
+    out, pos = [], 0
+    for (s, e), enc in zip(spans, encs):
+        out.append(body[pos:s])
+        out.append(f" {enc} ")
+        pos = e
+    out.append(body[pos:])
+    return "".join(out), any_chain, real_lit, string_forced
+
+
+def _case_branch_enc(b: str, classes: dict[str, str]):
+    """One CASE branch VALUE as its class-exact string: returns
+    (enc, any_chain, real_lit, string_forced) or None."""
+    if re.fullmatch(r"null", b, re.IGNORECASE):
+        return "CAST(NULL AS STRING)", False, False, False
+    chain = _parse_arith_chain(b, classes)
+    if chain is not None:
+        cb = _arith_chain_class_body(chain)
+        if cb is None:  # native-exact (all-int, no division)
+            return f"CAST(({b}) AS STRING)", True, False, False
+        return f"({cb[0]})", True, False, False
+    cm = _AFF_CAST_ITEM_RE.match(b)
+    if cm is not None:
+        from sqawk_spark.affinity import normalize_affinity
+
+        aff = normalize_affinity(cm.group(2))
+        if aff in ("real", "numeric"):
+            return (
+                f"({_cast_class_body(cm.group(1), aff, classes)})",
+                True,
+                False,
+                False,
+            )
+        # INTEGER/TEXT casts render class-exact natively once
+        # stringified (int casts lower to BIGINT, text to STRING)
+        return f"CAST(({b}) AS STRING)", False, False, aff == "text"
+    nm = re.match(r"^case\b", b, re.IGNORECASE)
+    if nm is not None and re.search(r"\bend$", b, re.IGNORECASE):
+        # nested CASE: render ITS branches recursively — the nested
+        # result then contributes string-rendered values like any
+        # other branch (its own flags propagate to the outer gate)
+        nspans = _case_spans_from(b, nm.end())
+        if not nspans:
+            return None
+        return _case_body_enc(b, nspans, classes)
+    d = _aff_classify(b, classes)
+    if d is None:
+        return None
+    kind, val = d
+    if kind == "col":
+        if val in ("dynamic", "text", "none"):
+            return b, False, False, True
+        return f"CAST({b} AS STRING)", False, False, False
+    if kind == "strlit":
+        return b, False, False, True
+    if kind == "numlit":
+        t = val.strip()
+        if _ARITH_INT_FORM_RE.match(t):
+            return f"'{int(t)}'", False, False, False
+        return f"'{repr(float(t))}'", False, True, False
+    return None
 
 
 def _rewrite_arith_class_items(
@@ -7051,50 +7099,58 @@ def _case_value_spans(stmt: str) -> list[tuple[int, int]]:
         i += 1
     spans: list[tuple[int, int]] = []
     for st in starts:
-        i, depth, cd = st, 0, 0
-        cur: int | None = None
-        while i < n:
-            c = stmt[i]
-            if c in "'\"`":
-                i = _scan_string(stmt, i)
-                continue
-            if c == "(":
-                depth += 1
-                i += 1
-                continue
-            if c == ")":
-                if depth == 0:
-                    break  # enclosing scope closed before END
-                depth -= 1
-                i += 1
-                continue
-            if (
-                depth == 0
-                and (c.isalpha() or c == "_")
-                and (i == 0 or not _IDENT.match(stmt[i - 1]))
-            ):
-                m = _BOOL_WORD_RE.match(stmt, i)
-                w = m.group(0).lower()
-                if w == "case":
-                    cd += 1
-                elif w == "end":
-                    if cd:
-                        cd -= 1
-                    else:
-                        if cur is not None:
-                            spans.append((cur, i))
-                        break
-                elif cd == 0 and w == "when":
-                    if cur is not None:
-                        spans.append((cur, i))
-                        cur = None
-                elif cd == 0 and w in ("then", "else"):
-                    if cur is not None:
-                        spans.append((cur, i))
-                    cur = m.end()
-                i = m.end()
-                continue
+        spans.extend(_case_spans_from(stmt, st))
+    return spans
+
+
+def _case_spans_from(stmt: str, st: int) -> list[tuple[int, int]]:
+    """Branch VALUE spans of the single CASE whose body starts at
+    ``st`` (just past its CASE keyword) — own level only."""
+    spans: list[tuple[int, int]] = []
+    i, n, depth, cd = st, len(stmt), 0, 0
+    cur: int | None = None
+    while i < n:
+        c = stmt[i]
+        if c in "'\"`":
+            i = _scan_string(stmt, i)
+            continue
+        if c == "(":
+            depth += 1
             i += 1
+            continue
+        if c == ")":
+            if depth == 0:
+                break  # enclosing scope closed before END
+            depth -= 1
+            i += 1
+            continue
+        if (
+            depth == 0
+            and (c.isalpha() or c == "_")
+            and (i == 0 or not _IDENT.match(stmt[i - 1]))
+        ):
+            m = _BOOL_WORD_RE.match(stmt, i)
+            w = m.group(0).lower()
+            if w == "case":
+                cd += 1
+            elif w == "end":
+                if cd:
+                    cd -= 1
+                else:
+                    if cur is not None:
+                        spans.append((cur, i))
+                    break
+            elif cd == 0 and w == "when":
+                if cur is not None:
+                    spans.append((cur, i))
+                    cur = None
+            elif cd == 0 and w in ("then", "else"):
+                if cur is not None:
+                    spans.append((cur, i))
+                cur = m.end()
+            i = m.end()
+            continue
+        i += 1
     return spans
 
 
