@@ -253,6 +253,42 @@ def rewrite_function_aliases(stmt: str) -> str:
 _GC_RE = re.compile(r"\bgroup_concat\s*\(", re.IGNORECASE)
 
 
+_GC_CALL_RE = re.compile(
+    r"\b(group_concat|string_agg)\s*\(", re.IGNORECASE
+)
+
+
+def strip_group_concat_collate(stmt: str) -> str:
+    """Trailing ``COLLATE NOCASE`` on a group_concat/string_agg
+    payload is a no-op (the collation names a comparison sequence,
+    not a value transform) — strip it BEFORE the group_concat
+    lowering embeds the token in engine SQL Spark can't parse."""
+    if not _COLLATE_NOCASE_RE.search(stmt):
+        return stmt
+    while True:
+        edited = False
+        for m in _GC_CALL_RE.finditer(stmt):
+            if _in_quotes(stmt, m.start()):
+                continue
+            close = _match_paren_fwd(stmt, m.end() - 1)
+            args = _split_call_args(stmt, m.end() - 1)
+            if not args:
+                continue
+            tm = _TRAILING_COLLATE_RE.match(args[0].strip())
+            if tm is None or tm.group(1).count("(") != tm.group(1).count(")"):
+                continue
+            new0 = tm.group(1).strip()
+            rest = ", ".join(a.strip() for a in args[1:])
+            repl = (
+                f"{m.group(1)}({new0}{', ' + rest if rest else ''})"
+            )
+            stmt = stmt[: m.start()] + repl + stmt[close:]
+            edited = True
+            break
+        if not edited:
+            return stmt
+
+
 def rewrite_group_concat(stmt: str) -> str:
     """Two-argument ``group_concat(X, SEP)`` → ``group_concat2(X,
     SEP)`` (fixed-arity UDF registration; SQLite overloads the name)."""
@@ -795,10 +831,12 @@ def rewrite_positional_order_by(stmt: str) -> str:
                     "null", "true", "false",
                 }:
                     cand = am.group(1).strip()
-                    # 'not a1' must not split 'a1' off as an alias
+                    # 'not a1' must not split 'a1' off as an alias, and
+                    # 'a3 collate nocase' must not split off 'nocase'
                     if (
                         cand.count("(") == cand.count(")")
                         and cand.lower() not in _KEYWORDS
+                        and not cand.lower().endswith("collate")
                     ):
                         ref = am.group(2)
                 if ref is None and item != "*" and not item.endswith("*"):
@@ -1104,6 +1142,58 @@ def rewrite_collate_propagation(
         exprs.append(body)
         aliases.append(alias)
         marked.append(is_marked)
+    # ORDER BY inherits the collation only from the ITEM's own subtree
+    # (§7.1) — snapshot before GROUP-BY-sourced marks join the list
+    ob_inherit = list(marked)
+    # explicit ``GROUP BY expr COLLATE NOCASE``: strip the token and
+    # mark the referenced select item — same semantics as the item
+    # carrying the collation (the GROUP-BY path below folds the key
+    # with the first-arrival representative)
+    clauses = _top_level_clauses(stmt)
+    names = [c[0] for c in clauses]
+    if "group_by" in names:
+        gb = clauses[names.index("group_by")]
+        after = [c for c in clauses if c[1] > gb[2]]
+        gb_end = after[0][1] if after else len(stmt)
+        terms = _split_args_top(stmt[gb[2] : gb_end])
+        new_terms, edited_gb = [], False
+        for term in terms:
+            tm = _TRAILING_COLLATE_RE.match(term.strip())
+            if tm and tm.group(1).count("(") == tm.group(1).count(")"):
+                core = tm.group(1).strip()
+                norm = " ".join(core.lower().split())
+                pos = next(
+                    (
+                        j
+                        for j, (e, a) in enumerate(zip(exprs, aliases))
+                        if norm == (a or "").lower()
+                        or norm == " ".join(e.lower().split())
+                    ),
+                    None,
+                )
+                if pos is not None:
+                    # only strip the token when the GROUP-BY fold pass
+                    # below can actually rewrite this item — else the
+                    # collation would be silently dropped
+                    e = exprs[pos]
+                    mb = _MINBY_ITEM_RE.match(e)
+                    d = _aff_classify(mb.group(1) if mb else e, classes)
+                    if (d is not None and d[0] == "col") or (
+                        _case_with_collate_textish(e, classes, loose=True)
+                    ):
+                        marked[pos] = True
+                        new_terms.append(core)
+                        edited_gb = True
+                        continue
+            new_terms.append(term.strip())
+        if edited_gb:
+            stmt = (
+                stmt[: gb[2]]
+                + " "
+                + ", ".join(new_terms)
+                + " "
+                + stmt[gb_end:]
+            )
     if not any(marked):
         return stmt
     # rebuild the item list with item-level collates stripped
@@ -1142,7 +1232,7 @@ def rewrite_collate_propagation(
                 )
             if (
                 pos is not None
-                and marked[pos]
+                and ob_inherit[pos]
                 and not re.search(r"\bcollate\b", core, re.IGNORECASE)
             ):
                 new_terms.append(
@@ -1165,6 +1255,13 @@ def rewrite_collate_propagation(
             stmt, classes, exprs, aliases, marked
         )
     return _rewrite_nocase_distinct(stmt, classes, exprs, aliases, marked)
+
+
+_MINBY_ITEM_RE = re.compile(
+    r"^min_by\(\s*([A-Za-z_][A-Za-z_0-9$.]*)\s*,\s*"
+    r"[A-Za-z_][A-Za-z_0-9$.]*\s*\)$",
+    re.IGNORECASE,
+)
 
 
 def _rewrite_nocase_group_by(
@@ -1205,14 +1302,20 @@ def _rewrite_nocase_group_by(
             pos = next(
                 (
                     j
-                    for j, a in enumerate(aliases)
-                    if a and a.lower() == t.lower()
+                    for j, (a, e) in enumerate(zip(aliases, exprs))
+                    if (a and a.lower() == t.lower())
+                    or e.lower() == t.lower()
                 ),
                 None,
             )
         if pos is not None and marked[pos]:
             e = exprs[pos]
-            d = _aff_classify(e, classes)
+            # the bare-ungrouped-column pass may have already rewritten
+            # the item to min_by(col, arrival): key the underlying
+            # column, keep the item as-is
+            mb = _MINBY_ITEM_RE.match(e)
+            key_e = mb.group(1) if mb else e
+            d = _aff_classify(key_e, classes)
             # a grouping key folds safely for ANY bare column (one
             # storage class per value per column, numbers are
             # translate-fixpoints) and for loose-textish CASEs
@@ -1221,7 +1324,7 @@ def _rewrite_nocase_group_by(
             )
             if not ok:
                 return stmt
-            hit[pos] = _nocase_wrap(f"({e})")
+            hit[pos] = _nocase_wrap(f"({key_e})")
             new_terms.append(hit[pos])
         else:
             new_terms.append(t)
@@ -1241,9 +1344,12 @@ def _rewrite_nocase_group_by(
                 if re.fullmatch(r"[A-Za-z_][A-Za-z_0-9]*", exprs[j])
                 else f"__c{j}"
             )
-            out_items.append(
-                f"min_by({exprs[j]}, {arrival}) AS {name}"
+            body = (
+                exprs[j]  # already min_by(col, arrival)-shaped
+                if _MINBY_ITEM_RE.match(exprs[j])
+                else f"min_by({exprs[j]}, {arrival})"
             )
+            out_items.append(f"{body} AS {name}")
         else:
             out_items.append(item.strip())
     stmt = (
@@ -1337,6 +1443,196 @@ def _rewrite_nocase_distinct(
         f"select {', '.join(outnames)} from ({inner}) __dn "
         f"where __dnr = 1" + (f" {tail}" if tail else "")
     )
+
+
+_COLLAGG_RE = re.compile(
+    r"\b(min|max|count|sum|avg|total|group_concat|string_agg)\s*\(",
+    re.IGNORECASE,
+)
+_BETWEEN_OPERAND = r"(?:[A-Za-z_][A-Za-z_0-9$.]*|'(?:[^']|'')*'|[+-]?[0-9.]+)"
+_BETWEEN_COLLATE_RES = [
+    # X [not] between A and B collate nocase  (collate binds to B;
+    # SQLite then uses it for BOTH comparisons — probed)
+    re.compile(
+        rf"({_BETWEEN_OPERAND})\s+(not\s+)?between\s+"
+        rf"({_BETWEEN_OPERAND})\s+and\s+({_BETWEEN_OPERAND})"
+        rf"\s+collate\s+nocase\b",
+        re.IGNORECASE,
+    ),
+    # X collate nocase [not] between A and B
+    re.compile(
+        rf"({_BETWEEN_OPERAND})\s+collate\s+nocase\s+(not\s+)?between\s+"
+        rf"({_BETWEEN_OPERAND})\s+and\s+({_BETWEEN_OPERAND})",
+        re.IGNORECASE,
+    ),
+]
+_SIMPLE_CASE_RE = re.compile(r"\bcase\s+(?!when\b)", re.IGNORECASE)
+
+
+def _fold_sql(x: str) -> str:
+    return f"translate({x}, '{_ASCII_UPPER}', '{_ASCII_LOWER}')"
+
+
+def rewrite_collate_positions(
+    stmt: str, classes: dict[str, str]
+) -> str:
+    """COLLATE NOCASE in the value positions SQLite accepts but the
+    comparison/ORDER-BY passes don't reach (VERDICT r10 Missing #2):
+
+    - aggregate arguments: ``min/max(x collate nocase)`` lower to
+      min_by/max_by over the folded key with SQLite's first-arrival
+      tie representative (probed: both min and max keep the FIRST
+      scanned row of a fold tie); ``count(distinct x collate nocase)``
+      counts folded values; numeric aggregates (sum/avg/total) and
+      group_concat drop the no-op token;
+    - ``X between A and B collate nocase`` (either operand carrying
+      the token) lowers to the two comparisons with the collation
+      attached, which the comparison-collate pass then owns;
+    - a simple CASE whose WHEN operand carries the token lowers to the
+      searched form (``case X when V collate nocase ...`` →
+      ``case when X = V collate nocase ...``)."""
+    if not _COLLATE_NOCASE_RE.search(stmt):
+        return stmt
+    # --- aggregate arguments ---------------------------------------
+    while True:
+        edited = False
+        for m in _COLLAGG_RE.finditer(stmt):
+            if _in_quotes(stmt, m.start()):
+                continue
+            fn = m.group(1).lower()
+            close = _match_paren_fwd(stmt, m.end() - 1)
+            args = _split_call_args(stmt, m.end() - 1)
+            if not args:
+                continue
+            a0 = args[0]
+            pm = re.match(r"\s*(distinct|all)\s+", a0, re.IGNORECASE)
+            prefix = pm.group(1).lower() if pm else ""
+            core_t = a0[pm.end() :] if pm else a0
+            tm = _TRAILING_COLLATE_RE.match(core_t.strip())
+            if tm is None or tm.group(1).count("(") != tm.group(
+                1
+            ).count(")"):
+                continue
+            core = tm.group(1).strip()
+            rest = ", ".join(a.strip() for a in args[1:])
+            rest = f", {rest}" if rest else ""
+            if fn in ("min", "max") and not args[1:] and prefix != (
+                "distinct"
+            ):
+                fold = _fold_sql(f"CAST(({core}) AS STRING)")
+                arr = _scope_arrival_col(stmt, classes, deep_scan=True)
+                tie = (
+                    (f"(0 - {arr})" if fn == "max" else arr)
+                    if arr is not None
+                    else f"CAST(({core}) AS STRING)"
+                )
+                repl = (
+                    f"{fn}_by({core}, named_struct('k', {fold}, "
+                    f"'a', {tie}))"
+                )
+            elif fn == "count" and prefix == "distinct":
+                repl = (
+                    f"count(distinct {_fold_sql(f'CAST(({core}) AS STRING)')})"
+                )
+            else:
+                # numeric aggregates / concat payloads: the collation
+                # names a comparison sequence, a no-op for the value
+                pfx = f"{prefix} " if prefix else ""
+                repl = f"{fn}({pfx}{core}{rest})"
+            stmt = stmt[: m.start()] + repl + stmt[close:]
+            edited = True
+            break
+        if not edited:
+            break
+    # --- BETWEEN with a collated operand ----------------------------
+    for rx in _BETWEEN_COLLATE_RES:
+        while True:
+            m = rx.search(stmt)
+            if m is None or _in_quotes(stmt, m.start()):
+                break
+            x, neg, a, b = (
+                m.group(1),
+                m.group(2) or "",
+                m.group(3),
+                m.group(4),
+            )
+            body = (
+                f"({x} >= {a} collate nocase and "
+                f"{x} <= {b} collate nocase)"
+            )
+            if neg.strip():
+                body = f"not {body}"
+            stmt = stmt[: m.start()] + body + stmt[m.end() :]
+    # --- simple CASE base with a collated WHEN operand ---------------
+    while True:
+        edited = False
+        for m in _SIMPLE_CASE_RE.finditer(stmt):
+            if _in_quotes(stmt, m.start()):
+                continue
+            base_end = _bool_cond_end(
+                stmt, m.end(), frozenset({"when", "end"})
+            )
+            base = stmt[m.end() : base_end].strip()
+            if not base or not re.match(
+                r"when\b", stmt[_skip_ws(stmt, base_end) :], re.IGNORECASE
+            ):
+                continue
+            # collect this CASE's own-level WHEN operands
+            whens = []
+            i, n, depth, cd = base_end, len(stmt), 0, 0
+            while i < n:
+                c = stmt[i]
+                if c in "'\"`":
+                    i = _scan_string(stmt, i)
+                    continue
+                if c == "(":
+                    depth += 1
+                elif c == ")":
+                    if depth == 0:
+                        break
+                    depth -= 1
+                elif (
+                    depth == 0
+                    and (c.isalpha() or c == "_")
+                    and not _IDENT.match(stmt[i - 1])
+                ):
+                    wm = _BOOL_WORD_RE.match(stmt, i)
+                    w = wm.group(0).lower()
+                    if w == "case":
+                        cd += 1
+                    elif w == "end":
+                        if cd:
+                            cd -= 1
+                        else:
+                            break
+                    elif w == "when" and cd == 0:
+                        whens.append(
+                            (wm.end(), _when_then_end(stmt, wm.end()))
+                        )
+                    i = wm.end()
+                    continue
+                i += 1
+            if not any(
+                _TRAILING_COLLATE_RE.match(stmt[s:e].strip())
+                for s, e in whens
+            ):
+                continue
+            # searched form: every WHEN operand becomes base = operand
+            # (s = just past the WHEN keyword, e = its THEN keyword;
+            # text between spans — branches, ELSE, END — is verbatim)
+            out = ["case "]
+            prev = base_end
+            for s, e in whens:
+                out.append(stmt[prev:s])  # through the WHEN keyword
+                out.append(f" {base} = {stmt[s:e].strip()} ")
+                prev = e
+            out.append(stmt[prev:])
+            stmt = stmt[: m.start()] + "".join(out)
+            edited = True
+            break
+        if not edited:
+            break
+    return stmt
 
 
 _DISTINCT_HEAD_RE = re.compile(r"\bselect\s+distinct\b", re.IGNORECASE)
@@ -7432,6 +7728,7 @@ def rewrite_statement(
     stmt = rewrite_predicate_values(stmt, classes or {})
     # glob next: infix GLOB lowers to glob() calls, which the regex-
     # call pass can then lift onto RLIKE when the pattern is literal
+    stmt = strip_group_concat_collate(stmt)
     stmt = rewrite_group_concat(rewrite_regex_calls(rewrite_glob(stmt)))
     stmt = rewrite_hint_funcs(stmt)
     stmt = rewrite_scalar_minmax(rewrite_two_arg_trim(stmt))
@@ -7460,6 +7757,9 @@ def rewrite_statement(
     # REAL 7.0 are one row) — after the collation pass, which owns
     # NOCASE-marked statements
     stmt = rewrite_distinct_class_identity(stmt, classes or {})
+    # COLLATE in aggregate args / BETWEEN / simple-CASE base lowers to
+    # shapes the comparison-collate pass (next) owns
+    stmt = rewrite_collate_positions(stmt, classes or {})
     stmt = rewrite_collate_nocase_comparison(stmt)
     stmt = rewrite_collate_nocase(stmt)
     stmt = rewrite_like_nocase(stmt)
