@@ -472,6 +472,68 @@ def global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bool_as_int_agg",
+    oracle="""
+        SELECT CAST(SUM(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS qty_gt,
+               CAST(SUM(CASE WHEN l_discount >= 0.05 AND l_tax > 0.03
+                   THEN 1 ELSE 0 END) AS BIGINT) AS disc_tax,
+               CAST(SUM(CASE WHEN NOT (l_returnflag = 'A')
+                   THEN 1 ELSE 0 END) AS BIGINT) AS not_a
+        FROM lineitem
+    """,
+)
+def bool_as_int_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B11 — ``sum(x > 0)`` is SQLite's idiomatic conditional count:
+    comparison results are 0/1 INTEGERS in any value position
+    (reference executes verbatim SQLite SQL, lib/classes/sqawk.tcl:216;
+    VERDICT r10 "What's wrong" #1).  Routed through rewrite_statement
+    so the driver pins the dialect's predicate-value lowering, not a
+    hand-built equivalent (probe battery: tests/probe_r11.py)."""
+    from sqawk_spark.dialect import rewrite_statement
+
+    load_tables(spark, sf_dir, ("lineitem",))
+    return spark.sql(
+        rewrite_statement(
+            "select sum(l_quantity > 25) as qty_gt, "
+            "sum(l_discount >= 0.05 and l_tax > 0.03) as disc_tax, "
+            "sum(not (l_returnflag = 'A')) as not_a from lineitem"
+        )
+    )
+
+
+@query(
+    "bool_as_int_arith",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(o_totalprice > 150000 AS INTEGER)
+                   + CAST(o_orderpriority = '1-URGENT' AS INTEGER)
+                   AS flags,
+               abs(CAST(o_totalprice > 150000 AS INTEGER)) * 5 AS amp
+        FROM orders ORDER BY o_orderkey LIMIT 200
+    """,
+)
+def bool_as_int_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B18 — comparison results as arithmetic operands and function
+    arguments: ``(x > 0) + 1`` / ``abs(x > 0)`` are integer expressions
+    in SQLite and previously hard-errored as Spark booleans (VERDICT
+    r10 "What's wrong" #4).  Same rewrite_statement routing as
+    bool_as_int_agg."""
+    from sqawk_spark.dialect import rewrite_statement
+
+    load_tables(spark, sf_dir, ("orders",))
+    return spark.sql(
+        rewrite_statement(
+            "select o_orderkey, "
+            "(o_totalprice > 150000) + (o_orderpriority = '1-URGENT')"
+            " as flags, "
+            "abs(o_totalprice > 150000) * 5 as amp "
+            "from orders order by o_orderkey limit 200"
+        )
+    )
+
+
+@query(
     "count_distinct",
     oracle="""
         SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,

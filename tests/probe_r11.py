@@ -65,7 +65,7 @@ QUERIES = [
 ]
 
 
-def main() -> int:
+def main(only: list[str] | None = None) -> int:
     con = sqlite3.connect(":memory:")
     con.execute("create table a(a1 INTEGER, a2 INTEGER, a3 INTEGER)")
     rows3 = [r + (t,) for r, t in zip(ROWS, ["AB", "ab", "Ba", "aB", "zz"])]
@@ -79,7 +79,6 @@ def main() -> int:
             f.write(",".join(r) + "\n")
         apath = f.name
 
-    only = sys.argv[1:]
     bad = 0
     for q in QUERIES:
         if only and not any(s in q for s in only):
@@ -122,4 +121,4 @@ def main() -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    sys.exit(main(sys.argv[1:]))
