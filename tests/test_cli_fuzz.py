@@ -834,6 +834,131 @@ def q_distinct_collate(rng: random.Random) -> str:
     return f"select anr, a1 from a where {cond} order by anr"
 
 
+def q_pred_values(rng: random.Random) -> str:
+    """Round-11 brief #1: comparisons/boolean expressions as VALUES —
+    aggregate arguments (``sum(a1 > 0)`` is SQLite's conditional
+    count), arithmetic operands (``(a1 > 0) + 1``), and scalar
+    function arguments (``abs(a1 > 0)``, ``coalesce(a1 > 5, 9)``)."""
+    p = lambda: pred(rng, 1) if rng.random() < 0.7 else bool_cond(rng)  # noqa: E731
+    r = rng.random()
+    if r < 0.4:
+        fn = rng.choice(["sum", "avg", "total", "count", "min", "max"])
+        body = f"{fn}({p()})"
+        if rng.random() < 0.4:
+            body += f" filter (where {pred(rng, 1)})"
+        extra = f", sum({p()}) as c1" if rng.random() < 0.4 else ""
+        return f"select {body} as c0{extra} from a"
+    if r < 0.6:
+        op = rng.choice(["+", "-", "*"])
+        rhs = (
+            f"({p()})" if rng.random() < 0.4 else str(rng.randint(-3, 9))
+        )
+        return (
+            f"select anr, ({p()}) {op} {rhs} as c0 from a order by anr"
+        )
+    if r < 0.75:
+        fn = rng.choice(["abs", "length", "coalesce"])
+        # coalesce alternative stays INTEGER: a REAL literal would hit
+        # the (pre-existing) coalesce class-render gap, not the
+        # predicate-value lowering under test
+        arg = (
+            f"{p()}, {rng.randint(-3, 20)}" if fn == "coalesce" else p()
+        )
+        return f"select anr, {fn}({arg}) as c0 from a order by anr"
+    if r < 0.88:
+        return f"select anr, -({p()}) as c0 from a order by anr"
+    return (
+        f"select group_concat({p()}, ';') as c0 from a"
+    )
+
+
+def q_ordered_derived(rng: random.Random) -> str:
+    """Round-11 brief #2: ORDER BY inside a derived table feeding an
+    order-sensitive aggregate keys storage classes per scope
+    (``group_concat(x) from (select x from a order by x)``)."""
+    c = rng.choice(["a1", "a2", "a3"])
+    where = f" where {pred(rng, 1)}" if rng.random() < 0.4 else ""
+    d = " desc" if rng.random() < 0.35 else ""
+    inner = (
+        f"select {c} as c, anr from a{where} order by c{d}, anr"
+    )
+    if rng.random() < 0.25:
+        inner += f" limit {rng.randint(1, 8)}"
+    if rng.random() < 0.6:
+        return f"select group_concat(c, ';') as g from ({inner})"
+    return f"select c from ({inner})"
+
+
+def q_setop_numeric(rng: random.Random) -> str:
+    """Round-11 brief #3: INTEGER and REAL compare numerically EQUAL
+    in distinct set-op row identity (``7 UNION 7.0`` keeps one row,
+    the LAST branch's rendering survives); TEXT stays distinct.
+    A chain is all-UNION or all-UNION-ALL (a distinct UNION followed
+    by a later UNION ALL is the one documented residue)."""
+    base = rng.choice(["7", "2", "-3", "0"])
+    variants = [
+        base,
+        f"{base}.0",
+        f"'{base}'",
+        f"{base} + 0.0",
+        rng.choice(NUM_LITS),
+    ]
+    op = " union " if rng.random() < 0.75 else " union all "
+    n = rng.randint(2, 4)
+    if rng.random() < 0.6:
+        branches = [
+            f"select {rng.choice(variants)} as c0" for _ in range(n)
+        ]
+    else:
+        exprs = [
+            "a1",
+            "a1 + 0.0",
+            "a2",
+            rng.choice(variants),
+        ]
+        branches = [
+            f"select {rng.choice(exprs)} as c0 from a" for _ in range(n)
+        ]
+    ob = ""
+    if rng.random() < 0.5:
+        ob = " order by 1" + (" desc" if rng.random() < 0.3 else "")
+    return op.join(branches) + ob
+
+
+def q_collate_positions(rng: random.Random) -> str:
+    """Round-11 brief #5: COLLATE NOCASE in aggregate arguments,
+    BETWEEN, simple-CASE bases, bare items, and explicit GROUP BY."""
+    c = rng.choice(["a1", "a2", "a3"])
+    s1, s2 = rng.choice(NODIGIT_STR_LITS), rng.choice(NODIGIT_STR_LITS)
+    r = rng.random()
+    if r < 0.25:
+        fn = rng.choice(["min", "max"])
+        where = f" where {pred(rng, 1)}" if rng.random() < 0.4 else ""
+        return f"select {fn}({c} collate nocase) as m from a{where}"
+    if r < 0.4:
+        return f"select count(distinct {c} collate nocase) as n from a"
+    if r < 0.55:
+        lo, hi = sorted([s1, s2])
+        neg = "not " if rng.random() < 0.3 else ""
+        return (
+            f"select anr, {c} from a where {c} {neg}between {lo} "
+            f"and {hi} collate nocase order by anr"
+        )
+    if r < 0.7:
+        return (
+            f"select anr, case {c} when {s1} collate nocase then 'hit' "
+            f"when {s2} then 'lo' else 'miss' end as r from a "
+            f"order by anr"
+        )
+    if r < 0.85:
+        d = " desc" if rng.random() < 0.3 else ""
+        return f"select {c} collate nocase from a order by 1{d}, {c}"
+    return (
+        f"select {c} as g, count(*) as n from a "
+        f"group by {c} collate nocase order by g"
+    )
+
+
 SHAPES = [
     (q_plain, 5),
     (q_distinct, 2),
@@ -844,6 +969,10 @@ SHAPES = [
     (q_bool_where, 3),
     (q_bool_items, 2),
     (q_distinct_collate, 2),
+    (q_pred_values, 3),
+    (q_ordered_derived, 2),
+    (q_setop_numeric, 2),
+    (q_collate_positions, 2),
     (q_window, 4),
     (q_ranking, 2),
     (q_join, 3),
