@@ -1519,16 +1519,31 @@ def rewrite_collate_positions(
             if fn in ("min", "max") and not args[1:] and prefix != (
                 "distinct"
             ):
-                fold = _fold_sql(f"CAST(({core}) AS STRING)")
+                # class-aware folded key: numbers order BEFORE text
+                # regardless of collation (NOCASE only folds the text
+                # component) — a bare fold-string key would compare
+                # '-0.5' < '-7' bytewise (fuzz seed 424243 script 95)
+                d = _aff_classify(core, classes)
+                if d is not None and d[0] in ("col", "agg"):
+                    treat = {
+                        "long": "num", "dynamic": "dynamic",
+                        "text": "text", "none": "text",
+                    }[d[1]]
+                    key = _aff_key_col_sql(core, treat, fold=True)
+                else:
+                    key = _fold_sql(f"CAST(({core}) AS STRING)")
                 arr = _scope_arrival_col(stmt, classes, deep_scan=True)
                 tie = (
                     (f"(0 - {arr})" if fn == "max" else arr)
                     if arr is not None
                     else f"CAST(({core}) AS STRING)"
                 )
+                # NULL argument rows must not win: SQLite's min/max
+                # skip NULLs, min_by/max_by skip NULL keys
                 repl = (
-                    f"{fn}_by({core}, named_struct('k', {fold}, "
-                    f"'a', {tie}))"
+                    f"{fn}_by({core}, CASE WHEN ({core}) IS NULL "
+                    f"THEN NULL ELSE named_struct('k', {key}, "
+                    f"'a', {tie}) END)"
                 )
             elif fn == "count" and prefix == "distinct":
                 repl = (
@@ -1545,7 +1560,13 @@ def rewrite_collate_positions(
         if not edited:
             break
     # --- BETWEEN with a collated operand ----------------------------
-    for rx in _BETWEEN_COLLATE_RES:
+    # A trailing COLLATE binds to the HI bound and governs only the
+    # ``x <= hi`` comparison — ``x >= lo`` keeps x-vs-lo's BINARY
+    # (probed: 'Abc' is NOT between 'ab' and 'c' collate nocase, the
+    # lo compare is case-sensitive; fuzz seed 424243 script 17).  A
+    # COLLATE on X itself governs BOTH comparisons (§7.1: x's
+    # explicit collation wins each binary comparison).
+    for both, rx in zip((False, True), _BETWEEN_COLLATE_RES):
         while True:
             m = rx.search(stmt)
             if m is None or _in_quotes(stmt, m.start()):
@@ -1556,8 +1577,9 @@ def rewrite_collate_positions(
                 m.group(3),
                 m.group(4),
             )
+            lo_c = " collate nocase" if both else ""
             body = (
-                f"({x} >= {a} collate nocase and "
+                f"({x} >= {a}{lo_c} and "
                 f"{x} <= {b} collate nocase)"
             )
             if neg.strip():
@@ -4571,6 +4593,28 @@ def _parse_arith_chain(text: str, classes: dict[str, str]):
         if j < n and s[j] in "+-":
             sign = s[j]
             j = _skip_ws(s, j + 1)
+        cmatch = re.match(r"case\b", s[j:], re.IGNORECASE)
+        if cmatch is not None:
+            # an unparenthesized CASE operand with statically-classed
+            # numeric branches: SQLite evaluates the selected branch's
+            # value with ITS class ('then 3' contributes INTEGER,
+            # 'then 1.5' REAL) — round-11 residue `case..end + 1`
+            tok_end = _case_end(s, j + cmatch.end())
+            if tok_end is None:
+                return None
+            tok = s[j:tok_end].strip()
+            d = _case_operand_classify(tok, classes)
+            if d is None:
+                return None
+            tokens.append((sign, tok, d))
+            k = _skip_ws(s, tok_end)
+            if k >= n:
+                break
+            if s[k] not in "+-*/%":
+                return None
+            ops.append(s[k])
+            pos = k + 1
+            continue
         end = _operand_fwd(s, j)
         if end <= j:
             return None
@@ -4633,8 +4677,97 @@ def _parse_arith_chain(text: str, classes: dict[str, str]):
     return tokens, ops
 
 
+def _case_end(s: str, start: int) -> int | None:
+    """Index just past the END keyword of the CASE whose body starts
+    at ``start`` (right after its CASE keyword), or None."""
+    i, n, depth, cd = start, len(s), 0, 0
+    while i < n:
+        c = s[i]
+        if c in "'\"`":
+            i = _scan_string(s, i)
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            if depth == 0:
+                return None
+            depth -= 1
+        elif (
+            depth == 0
+            and (c.isalpha() or c == "_")
+            and (i == 0 or not _IDENT.match(s[i - 1]))
+        ):
+            m = _BOOL_WORD_RE.match(s, i)
+            w = m.group(0).lower()
+            if w == "case":
+                cd += 1
+            elif w == "end":
+                if cd:
+                    cd -= 1
+                else:
+                    return m.end()
+            i = m.end()
+            continue
+        i += 1
+    return None
+
+
+def _case_operand_classify(tok: str, classes: dict[str, str]):
+    """Classify a CASE arithmetic operand by its branch VALUE classes:
+    ('castint', tok) when every branch is statically INTEGER class,
+    ('castreal', tok) when every branch is REAL, ('casemix', test_sql)
+    when they mix — test_sql is the CASE with each branch replaced by
+    its is-INTEGER flag, evaluated per row.  None when a branch isn't
+    a numeric literal / integer column / NULL (those operands keep the
+    native lowering)."""
+    cm = re.match(r"case\b", tok, re.IGNORECASE)
+    spans = _case_spans_from(tok, cm.end())
+    if not spans:
+        return None
+    flags: list[str] = []
+    has_int = has_real = False
+    for s0, e0 in spans:
+        b = tok[s0:e0].strip()
+        if re.fullmatch(r"null", b, re.IGNORECASE):
+            flags.append("null")
+            continue
+        d = _aff_classify(b, classes)
+        if d is None:
+            return None
+        kind, val = d
+        if kind == "numlit":
+            if _ARITH_INT_FORM_RE.match(val.strip()):
+                flags.append("true")
+                has_int = True
+            else:
+                flags.append("false")
+                has_real = True
+        elif kind in ("col", "agg") and val == "long":
+            flags.append("true")
+            has_int = True
+        else:
+            return None
+    if not (has_int and has_real):
+        return ("castint" if has_int else "castreal"), tok
+    out, pos = [], 0
+    for (s0, e0), fl in zip(spans, flags):
+        out.append(tok[pos:s0])
+        out.append(f" {fl} ")
+        pos = e0
+    out.append(tok[pos:])
+    # IS TRUE makes the test self-predicating: the late boolean pass
+    # would otherwise text-coerce the bare boolean CASE ('true' has
+    # numeric prefix 0) and collapse the test to constant false
+    return "casemix", "((" + "".join(out) + ") IS TRUE)"
+
+
 def _arith_tok_val(sign: str, tok: str, d: tuple[str, str]) -> str:
-    if d[0] in ("numlit", "castint", "castreal") or d[1] == "long":
+    if d[0] == "casemix":
+        # mixed int/real literal branches: Spark's CASE coerces them
+        # to one type (DECIMAL or DOUBLE) — the double VALUE is exact
+        # for the literal domain; the per-row class rides d[1]
+        v = f"CAST({tok} AS DOUBLE)"
+    elif d[0] in ("numlit", "castint", "castreal") or d[1] == "long":
         v = tok
     else:
         v = _aff_sum_coerce_sql(tok, d[1])
@@ -4650,6 +4783,8 @@ def _arith_tok_int_test(tok: str, d: tuple[str, str]):
         return True
     if d[0] == "castreal":
         return False
+    if d[0] == "casemix":
+        return d[1]
     if d[1] == "long":
         return True
     t = f"regexp_replace(CAST({tok} AS STRING), {_AFF_TRIM_PAT}, '')"
@@ -6832,9 +6967,12 @@ def _bool_cond_end(
 ) -> int:
     """Exclusive end of a condition starting at ``start``: the next
     stop keyword at the same paren depth, a ``)`` closing the
-    enclosing scope, a statement separator, or end of text."""
+    enclosing scope, a statement separator, or end of text.  The
+    ``FROM`` of an ``IS [NOT] DISTINCT FROM`` operator is part of the
+    expression, not a stop."""
     i, n = start, len(stmt)
     depth = 0
+    prev_word = ""
     while i < n:
         c = stmt[i]
         if c in "'\"`":
@@ -6851,8 +6989,12 @@ def _bool_cond_end(
         elif depth == 0 and (c.isalpha() or c == "_"):
             if i == 0 or not _IDENT.match(stmt[i - 1]):
                 m = _BOOL_WORD_RE.match(stmt, i)
-                if m.group(0).lower() in stops:
+                w = m.group(0).lower()
+                if w in stops and not (
+                    w == "from" and prev_word == "distinct"
+                ):
                     return i
+                prev_word = w
                 i = m.end()
                 continue
         i += 1
@@ -7268,8 +7410,17 @@ def rewrite_boolean_select_items(
                 "null", "true", "false",
             }:
                 cand = am.group(1).strip()
-                if cand.count("(") == cand.count(")") and (
-                    _bool_item_needs_rewrite(cand)
+                # 'x and not a3' must not split 'a3' off as an alias —
+                # a candidate ending in a dangling connective is a
+                # fragment, not an expression (fuzz seed 424243
+                # script 29)
+                dangling = re.search(
+                    r"\b(not|and|or|collate)\s*$", cand, re.IGNORECASE
+                )
+                if (
+                    cand.count("(") == cand.count(")")
+                    and dangling is None
+                    and _bool_item_needs_rewrite(cand)
                 ):
                     body, alias = cand, am.group(2)
             if _bool_item_needs_rewrite(body):

@@ -77,6 +77,20 @@ CASE_QUERIES = [
     "select sum(case when a1>0 then 1.5 else 2 end) as s from a",
     "select case when a1=1 then -1.5 when a1=0 then -3 else 2 end "
     "as c from a order by a1",
+    # CASE as an arithmetic operand: the selected branch's own class
+    # drives the result class per row (round-11 residue, closed)
+    "select case when a1=1 then 1.5 when a1=0 then 3 else 2 end + 1 "
+    "as c from a order by a1",
+    "select 1 + case when a1=1 then 1.5 when a1=0 then 3 else 2 end "
+    "as c from a order by a1",
+    "select case when a1=1 then 1.5 when a1=0 then 3 else 2 end * 2 "
+    "as c from a order by a1",
+    "select sum(case when a1=1 then 1.5 when a1=0 then 3 else 2 end "
+    "+ 1) as s from a",
+    "select case when a1=1 then 1.5 else 2 end + "
+    "case when a1=0 then 3 else 4 end as c from a order by a1",
+    "select case when a1=1 then 1.5 when a1=0 then 3 else 2 end / 2 "
+    "as c from a order by a1",
 ]
 
 COLLATE_QUERIES = [
