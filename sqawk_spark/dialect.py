@@ -339,7 +339,9 @@ _PLAIN_IDENT_ITEM_RE = re.compile(
 )
 
 
-def rewrite_bare_minmax_columns(stmt: str) -> str:
+def rewrite_bare_minmax_columns(
+    stmt: str, classes: dict[str, str] | None = None
+) -> str:
     """SQLite's bare-column rule (lang_select.html §bare_columns,
     reached verbatim through ``lib/classes/sqawk.tcl:216``): in an
     aggregate query whose ONLY aggregate is a single ``min(x)`` or
@@ -357,7 +359,11 @@ def rewrite_bare_minmax_columns(stmt: str) -> str:
     then defines bare columns as coming from an ARBITRARY row — not
     reproducible), and only plain-identifier select items are
     rewritten. Ties on the extreme value are arbitrary in both
-    SQLite and max_by, so the fuzz oracle uses unique extremes."""
+    SQLite and max_by, so the fuzz oracle uses unique extremes.
+    Round 11: bare EXPRESSIONS over classed columns (``case … end +
+    1`` beside a min/max) wrap whole — SQLite evaluates them on the
+    winning row too."""
+    classes = classes or {}
     spans = _string_spans(stmt)
 
     def outside(i: int) -> bool:
@@ -380,6 +386,12 @@ def rewrite_bare_minmax_columns(stmt: str) -> str:
         return stmt
     fn_by = "min_by" if agg.group(1).lower() == "min" else "max_by"
     arg = args[0].strip()
+    if re.search(r"\bcollate\b", arg, re.IGNORECASE):
+        # a collated min/max picks its winner by the FOLDED class key
+        # (rewrite_collate_positions, which runs later) — wiring the
+        # bare-item pick to that key isn't done; keep the loud
+        # (compact) error over a silently different winner row
+        return stmt
 
     clauses = _top_level_clauses(stmt)
     from_c = next((c for c in clauses if c[0] == "from"), None)
@@ -410,9 +422,61 @@ def rewrite_bare_minmax_columns(stmt: str) -> str:
     changed = False
     for idx, item in enumerate(items, start=1):
         m = _PLAIN_IDENT_ITEM_RE.match(item)
-        has_agg = _MINMAX_AGG_RE.search(item) is not None
-        if has_agg or m is None:
+        has_agg = _MINMAX_AGG_RE.search(item) is not None or (
+            _SCAN_AGG_RE.search(item) is not None
+        )
+        if has_agg:
             out_items.append(item)
+            continue
+        if m is None:
+            # a bare EXPRESSION over columns (``case … end + 1``)
+            # likewise evaluates on the winning row — wrap the whole
+            # expression (same winner key as the aggregate itself).
+            # Literal-only items stay native (Spark allows constants
+            # beside aggregates).
+            body, alias2 = item.strip(), None
+            am2 = re.match(
+                r"^(.*?)\s+(?:as\s+)?([A-Za-z_][A-Za-z_0-9]*)\s*$",
+                body,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if am2 and am2.group(2).lower() not in _KEYWORDS | {
+                "null", "true", "false",
+            }:
+                cand = am2.group(1).strip()
+                if cand.count("(") == cand.count(")") and not re.search(
+                    r"\b(not|and|or|collate)\s*$", cand, re.IGNORECASE
+                ):
+                    body, alias2 = cand, am2.group(2)
+            norm = re.sub(r"\s+", "", body).lower()
+            refs_col = any(
+                im.group().split(".")[-1].lower() in classes
+                for im in _AFF_IDENT_SCAN_RE.finditer(body)
+                if not _in_quotes(body, im.start())
+            )
+            if (
+                norm in grouped
+                or str(idx) in grouped
+                or (alias2 or "").lower() in grouped
+                or not refs_col
+                or "(select" in norm
+                or "__" in norm
+            ):
+                out_items.append(item)
+                continue
+            # arithmetic/CASE expressions carry SQLite's per-row
+            # result class: pick the winning row's CLASS-EXACT string
+            # (the native Spark value would render 4 as '4.0')
+            val = f"({body})"
+            ch = _parse_arith_chain(body, classes)
+            if ch is not None:
+                cb = _arith_chain_class_body(ch)
+                if cb is not None:
+                    val = f"({cb[0]})"
+            out_items.append(
+                f"{fn_by}({val}, {arg}) AS {alias2 or f'__c{idx}'}"
+            )
+            changed = True
             continue
         qual, name, alias = m.group(1), m.group(2), m.group(3)
         full = (qual + "." + name if qual else name).lower()
@@ -7892,7 +7956,7 @@ def rewrite_statement(
     stmt = rewrite_sign_calls(stmt)
     # after scalar min/max lowering: any remaining 1-arg min/max is an
     # aggregate, which is what the bare-column rule keys on
-    stmt = rewrite_bare_minmax_columns(stmt)
+    stmt = rewrite_bare_minmax_columns(stmt, classes or {})
     # no-min/max aggregate queries: bare columns take the group's
     # FIRST row in scan order (probed; min_by over the arrival column)
     stmt = rewrite_bare_group_columns(stmt, classes or {})

@@ -126,11 +126,26 @@ DISTINCT_QUERIES = [
     "select count(*) as c from (select distinct a1 from a)",
 ]
 
+GROUP_BAREEXPR = [("1", "x"), ("2", "y"), ("-3", "z"), ("0", "aa")]
+
+# bare EXPRESSIONS beside a single min/max evaluate on the winning row
+BAREEXPR_QUERIES = [
+    "select min(a2), case when a1=1 then 1.5 else 3 end + 1 from a",
+    "select max(a1), a2 || '!' from a",
+    "select max(a1), abs(a1) + 1 from a",
+    "select min(a1), a1 > 0 from a",
+    "select max(a1), 5 from a",
+    "select max(a1), 'k' from a",
+    "select a2, max(a1), a1 * 2 from a",
+    "select min(a1), coalesce(a2, 'z') from a",
+]
+
 GROUPS = [
     ("setops", GROUP_AB, SETOP_QUERIES),
     ("case", GROUP_AB, CASE_QUERIES),
     ("collate", GROUP_COLLATE, COLLATE_QUERIES),
     ("distinct", GROUP_DISTINCT, DISTINCT_QUERIES),
+    ("bareexpr", GROUP_BAREEXPR, BAREEXPR_QUERIES),
 ]
 
 # documented residues (dialect.py): chains mixing a distinct UNION with
