@@ -7774,7 +7774,17 @@ def rewrite_predicate_values(stmt: str, classes: dict[str, str]) -> str:
             while j < len(stmt) and stmt[j] in " \t\n":
                 j += 1
             nxt = stmt[j] if j < len(stmt) else None
-            if (prev in _PRED_ADJ_PREV) or (nxt in _PRED_ADJ_NEXT):
+            kw_adj = False
+            if nxt is not None and (nxt.isalpha() or nxt == "_"):
+                wm = _BOOL_WORD_RE.match(stmt, j)
+                # (p) IN (...), (p) BETWEEN a AND b, (p) IS x,
+                # (p) NOT IN ... consume the predicate's VALUE
+                kw_adj = wm.group(0).lower() in (
+                    "in", "between", "is", "not",
+                )
+            if (prev in _PRED_ADJ_PREV) or (nxt in _PRED_ADJ_NEXT) or (
+                kw_adj
+            ):
                 body = stmt[s + 1 : e - 1]
                 if _is_value_pred(body):
                     stmt = stmt[:s] + _pred_wrap(body) + stmt[e:]

@@ -126,6 +126,28 @@ DISTINCT_QUERIES = [
     "select count(*) as c from (select distinct a1 from a)",
 ]
 
+# predicate-value corners: windows, HAVING, IN-lhs, DML interplay
+PREDVAL_QUERIES = [
+    "select anr, sum(a1 > 0) over (order by anr) as r from a "
+    "order by anr",
+    "select anr, count(a1 > 0) over (order by anr) as r from a "
+    "order by anr",
+    "select a1 > 0 as g, count(*) as c from a group by a1 > 0 "
+    "order by g",
+    "select a1 from a group by a1 having sum(a1 > 0) order by a1",
+    "select a1 from a where (a1 > 0) in (1) order by a1",
+    "select a1, iif(a2, a1 > 0, 9) as r from a order by a1",
+    "select a1 from a order by a1 > 0, a1",
+    "select nullif(a1 > 0, 1) as r from a order by a1",
+    "select sum((a1 > 0) * (a1 < 2)) as s from a",
+    "select typeof(a1 > 0) as t from a limit 1",
+    "select max(a1 > 0, 0) as m from a order by a1",
+    "select a1, a1 in (1, 2) as r from a order by a1",
+    "select sum(a1 in (1, 2)) as s from a",
+    "select sum(exists (select 1 where 1)) as s from a",
+    "select cast(a1 > 0 as text) as t from a order by a1",
+]
+
 GROUP_BAREEXPR = [("1", "x"), ("2", "y"), ("-3", "z"), ("0", "aa")]
 
 # bare EXPRESSIONS beside a single min/max evaluate on the winning row
@@ -146,6 +168,7 @@ GROUPS = [
     ("collate", GROUP_COLLATE, COLLATE_QUERIES),
     ("distinct", GROUP_DISTINCT, DISTINCT_QUERIES),
     ("bareexpr", GROUP_BAREEXPR, BAREEXPR_QUERIES),
+    ("predval", GROUP_AB, PREDVAL_QUERIES),
 ]
 
 # documented residues (dialect.py): chains mixing a distinct UNION with
@@ -162,8 +185,13 @@ def main(only: list[str] | None = None) -> int:
     bad = 0
     for gname, rows, queries in GROUPS:
         con = sqlite3.connect(":memory:")
-        con.execute("create table a(a1 INTEGER, a2 INTEGER)")
-        con.executemany("insert into a values (?,?)", rows)
+        # anr mirrors the CLI's row counter (INTEGER PRIMARY KEY =
+        # rowid alias, 1-based insert order)
+        con.execute(
+            "create table a(anr INTEGER PRIMARY KEY, "
+            "a1 INTEGER, a2 INTEGER)"
+        )
+        con.executemany("insert into a (a1, a2) values (?,?)", rows)
         con.commit()
         with tempfile.NamedTemporaryFile(
             "w", suffix=".txt", delete=False
