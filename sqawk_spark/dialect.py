@@ -6528,10 +6528,21 @@ def _wrap_ordered_compound(
     # left-associative evaluation means a FINAL plain UNION dedups the
     # whole accumulated multiset — ((A UNION ALL B) UNION C) is
     # dedup(A,B,C) — so the group-by path covers every union-flavored
-    # chain whose last op is distinct
-    all_union = bool(ops) and ops[-1] == "union" and all(
-        o in ("union", "union all") for o in ops
-    )
+    # chain whose last op is distinct.  All-INTERSECT and all-EXCEPT
+    # chains take the same value-identity grouping: a key survives an
+    # intersect chain iff EVERY branch contributes it, an except chain
+    # iff ONLY branch 0 does; the representative is the LEFT side's
+    # (probed: 7 INTERSECT 7.0 renders '7').
+    mode = None
+    if ops and all(o in ("union", "union all") for o in ops) and (
+        ops[-1] == "union"
+    ):
+        mode = "union"
+    elif ops and all(o == "intersect" for o in ops):
+        mode = "intersect"
+    elif ops and all(o == "except" for o in ops):
+        mode = "except"
+    all_union = mode is not None
     pieces: list[str] = []
     for bi, text in enumerate(new_texts):
         t = (
@@ -6563,10 +6574,18 @@ def _wrap_ordered_compound(
     if all_union:
         inner = " union all ".join(p.strip() for p in pieces)
         kcols = [f"__o{i}" for i in range(len(keyed))]
-        agg = [f"max_by({n}, __bi) AS {n}" for n in outnames] + kcols
+        rep = "max_by" if mode == "union" else "min_by"
+        agg = [f"{rep}({n}, __bi) AS {n}" for n in outnames] + kcols
+        having = ""
+        if mode == "intersect":
+            having = (
+                f" having count(distinct __bi) = {len(pieces)}"
+            )
+        elif mode == "except":
+            having = " having max(__bi) = 0"
         mid = (
             f"select {', '.join(agg)} from ({inner}) __cmp "
-            f"group by {', '.join(kcols)}"
+            f"group by {', '.join(kcols)}{having}"
         )
         terms = [
             f"__o{key_idx[p]}{(' ' + d) if d else ''}"

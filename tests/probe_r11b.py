@@ -53,6 +53,19 @@ SETOP_QUERIES = [
     "select 9223372036854775807 union select 9223372036854775807.0",
     "select a1, count(*) as c from a group by a1 "
     "union select 99, 99 order by 1, 2",
+    # INTERSECT / EXCEPT value identity (round 11: the left side's
+    # representative survives, keys compare 7 and 7.0 equal)
+    "select 7 intersect select 7.0",
+    "select 7.0 intersect select 7",
+    "select 7.0 except select 7",
+    "select 7 except select '7'",
+    "select a1 from a intersect select a1 + 0.0 from a",
+    "select a1 from a except select a1 + 0.0 from a",
+    "select a1 from a except select 1.0",
+    "select a1 from a intersect select a1 from a intersect select 2.0",
+    "select a1 from a except select 1 except select 2.0",
+    "select a1, a2 from a intersect select a1 + 0.0, a2 from a",
+    "select a1 from a intersect select a1 from a order by 1 desc",
 ]
 
 CASE_QUERIES = [
