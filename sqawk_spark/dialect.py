@@ -411,7 +411,14 @@ def rewrite_bare_minmax_columns(
         tail = [c for c in clauses if c[1] > group_c[2]]
         g_end = tail[0][1] if tail else len(stmt)
         for expr in _split_args_top(stmt[group_c[2] : g_end]):
-            grouped.add(re.sub(r"\s+", "", expr).lower())
+            # a trailing COLLATE still GROUPS the expression —
+            # the term must register as grouped or the bare-
+            # column rewrite fires on the grouping key itself
+            core_g = re.sub(
+                r"\s+collate\s+\w+\s*$", "", expr,
+                flags=re.IGNORECASE,
+            )
+            grouped.add(re.sub(r"\s+", "", core_g).lower())
 
     # split the select list on top-level commas (reuse the call-arg
     # splitter by wrapping in parens)
@@ -557,7 +564,14 @@ def rewrite_bare_group_columns(stmt: str, classes: dict[str, str]) -> str:
         tail = [c for c in clauses if c[1] > group_c[2]]
         g_end = tail[0][1] if tail else len(stmt)
         for expr in _split_args_top(stmt[group_c[2] : g_end]):
-            grouped.add(re.sub(r"\s+", "", expr).lower())
+            # a trailing COLLATE still GROUPS the expression —
+            # the term must register as grouped or the bare-
+            # column rewrite fires on the grouping key itself
+            core_g = re.sub(
+                r"\s+collate\s+\w+\s*$", "", expr,
+                flags=re.IGNORECASE,
+            )
+            grouped.add(re.sub(r"\s+", "", core_g).lower())
     items = _split_call_args("(" + sel_list + ")", 0)
     if not items:
         return stmt
@@ -3762,6 +3776,16 @@ def _aff_classify(
     # like every expression result — no affinity
     if _BOOL01_CASE_RE.match(t):
         return ("agg", "long")
+    # a scalar subquery: its value is whatever the inner scope
+    # produced — for min/max over dynamic columns that is the engine's
+    # class-encoded canonical STRING, which a native Spark comparison
+    # silently nulls against a number ('' > 0 must be TRUE: text
+    # orders after every numeric).  'dynamic' keys parse the canonical
+    # rendering, which is also value-correct for native numeric
+    # results (count/sum).  Residue: a digit-looking TEXT result keys
+    # numeric (the standing canonical-string ambiguity).
+    if re.match(r"(select|with)\b", t, re.IGNORECASE):
+        return ("col", "dynamic")
     cm = re.match(r"^cast\s*\(", t, re.IGNORECASE)
     if cm is not None and _match_paren_fwd(t, cm.end() - 1) == len(t):
         parts = _cast_split_as(t[cm.end() : -1])
@@ -5887,7 +5911,24 @@ def rewrite_affinity_aggregates(stmt: str, classes: dict[str, str]) -> str:
                         # engine-emitted machinery (Spark-only
                         # spellings a SQLite script cannot contain):
                         # already coerced — rewrapping would erase the
-                        # per-group INTEGER result class
+                        # per-group INTEGER result class.  total()
+                        # must STILL lower to the JVM coalesce(sum)
+                        # form: the Pandas UDAF fallback cannot mix
+                        # with JVM aggregates in one aggregation
+                        # (fuzz seed 20240815 script 131:
+                        # ``total(p), sum(like(...))``)
+                        if fn == "total":
+                            win0 = _aff_window_suffix(stmt, close)
+                            end0 = win0[1] if win0 else close
+                            w0 = win0[0] if win0 else ""
+                            stmt = (
+                                stmt[: m.start()]
+                                + f"coalesce(sum({arg}){w0}, "
+                                f"CAST(0 AS DOUBLE))"
+                                + stmt[end0:]
+                            )
+                            edited = True
+                            break
                         continue
                     generic = True
             col = fc[1] if fc else arg
@@ -6189,7 +6230,9 @@ def _from_subselect_spans(stmt: str) -> list[tuple[int, int]]:
             if (
                 depth == 0
                 and prefix_ok
-                and re.match(r"\(\s*select\b", stmt[i:], re.IGNORECASE)
+                and re.match(
+                    r"\(\s*(select|with)\b", stmt[i:], re.IGNORECASE
+                )
             ):
                 j = _match_paren_fwd(stmt, i)
                 if j > i:
