@@ -161,6 +161,23 @@ PREDVAL_QUERIES = [
     "select cast(a1 > 0 as text) as t from a order by a1",
 ]
 
+# one ring further out: CTE bodies, scalar subqueries, HAVING
+NEXTRING_QUERIES = [
+    "with t as (select a1 from a order by a1) "
+    "select group_concat(a1, ';') as g from t",
+    "with t as (select a1 from a order by a1 desc) select a1 from t",
+    "select group_concat(a1, ';') as g from "
+    "(with u as (select a1 from a order by a1) select a1 from u)",
+    "select a1 > 0 from a order by 1",
+    "select a1 > 0 as p from a order by p desc, a1",
+    "select sum(a1 > 0) + sum(a1 < 0) as s from a",
+    "select (select count(*) from a) > 3 as big from a limit 1",
+    "select a1 from a where (select max(a1) from a) > 0 order by a1",
+    "select case when sum(a1 > 0) > 1 then 'many' else 'few' end "
+    "as r from a",
+    "select a1 from a where (select max(a1) from a) order by a1",
+]
+
 GROUP_BAREEXPR = [("1", "x"), ("2", "y"), ("-3", "z"), ("0", "aa")]
 
 # bare EXPRESSIONS beside a single min/max evaluate on the winning row
@@ -182,6 +199,7 @@ GROUPS = [
     ("distinct", GROUP_DISTINCT, DISTINCT_QUERIES),
     ("bareexpr", GROUP_BAREEXPR, BAREEXPR_QUERIES),
     ("predval", GROUP_AB, PREDVAL_QUERIES),
+    ("nextring", GROUP_AB, NEXTRING_QUERIES),
 ]
 
 # documented residues (dialect.py): chains mixing a distinct UNION with
