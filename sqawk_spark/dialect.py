@@ -475,11 +475,15 @@ def rewrite_bare_minmax_columns(
             # result class: pick the winning row's CLASS-EXACT string
             # (the native Spark value would render 4 as '4.0')
             val = f"({body})"
-            ch = _parse_arith_chain(body, classes)
-            if ch is not None:
-                cb = _arith_chain_class_body(ch)
-                if cb is not None:
-                    val = f"({cb[0]})"
+            case_r = _rewrite_case_class_item(body, classes)
+            if case_r is not None:
+                val = f"({case_r[0]})"
+            else:
+                ch = _parse_arith_chain(body, classes)
+                if ch is not None:
+                    cb = _arith_chain_class_body(ch)
+                    if cb is not None:
+                        val = f"({cb[0]})"
             out_items.append(
                 f"{fn_by}({val}, {arg}) AS {alias2 or f'__c{idx}'}"
             )
@@ -578,9 +582,59 @@ def rewrite_bare_group_columns(stmt: str, classes: dict[str, str]) -> str:
     out_items: list[str] = []
     changed = False
     for idx, item in enumerate(items, start=1):
-        m = _PLAIN_IDENT_ITEM_RE.match(item)
-        if m is None or _OTHER_AGG_RE.search(item) is not None:
+        if _OTHER_AGG_RE.search(item) is not None:
             out_items.append(item)
+            continue
+        m = _PLAIN_IDENT_ITEM_RE.match(item)
+        if m is None:
+            # a bare EXPRESSION over columns evaluates on the group's
+            # FIRST row too (same wrap as the min/max winning-row
+            # pass; round 11)
+            body, alias2 = item.strip(), None
+            am2 = re.match(
+                r"^(.*?)\s+(?:as\s+)?([A-Za-z_][A-Za-z_0-9]*)\s*$",
+                body,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if am2 and am2.group(2).lower() not in _KEYWORDS | {
+                "null", "true", "false",
+            }:
+                cand = am2.group(1).strip()
+                if cand.count("(") == cand.count(")") and not re.search(
+                    r"\b(not|and|or|collate)\s*$", cand, re.IGNORECASE
+                ):
+                    body, alias2 = cand, am2.group(2)
+            norm = re.sub(r"\s+", "", body).lower()
+            refs_col = any(
+                im.group().split(".")[-1].lower() in classes
+                for im in _AFF_IDENT_SCAN_RE.finditer(body)
+                if not _in_quotes(body, im.start())
+            )
+            if (
+                norm in grouped
+                or str(idx) in grouped
+                or (alias2 or "").lower() in grouped
+                or not refs_col
+                or "(select" in norm
+                or "__" in norm
+                or re.search(r"\bcollate\b", body, re.IGNORECASE)
+            ):
+                out_items.append(item)
+                continue
+            val = f"({body})"
+            case_r = _rewrite_case_class_item(body, classes)
+            if case_r is not None:
+                val = f"({case_r[0]})"
+            else:
+                ch = _parse_arith_chain(body, classes)
+                if ch is not None:
+                    cb = _arith_chain_class_body(ch)
+                    if cb is not None:
+                        val = f"({cb[0]})"
+            out_items.append(
+                f"min_by({val}, {arrival}) AS {alias2 or f'__c{idx}'}"
+            )
+            changed = True
             continue
         qual, name, alias = m.group(1), m.group(2), m.group(3)
         full = (qual + "." + name if qual else name).lower()

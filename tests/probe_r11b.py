@@ -178,6 +178,22 @@ NEXTRING_QUERIES = [
     "select a1 from a where (select max(a1) from a) order by a1",
 ]
 
+GROUP_BAREGROUP = [("1", "x"), ("2", "x"), ("-3", "y"), ("0", "y"), ("5", "y")]
+
+# bare EXPRESSIONS in aggregate/grouped queries take the group's
+# first row (no min/max present)
+BAREGROUP_QUERIES = [
+    "select a1 * 2, count(*) from a group by a2 order by a2",
+    "select a1 || '!', count(*) from a group by a2 order by a2",
+    "select a1 > 0, count(*) from a group by a2 order by a2",
+    "select case when a1=1 then 1.5 else 3 end, a2, count(*) from a "
+    "group by a2 order by a2",
+    "select a1 + 0.5, count(*) from a group by a2 order by a2",
+    "select abs(a1), a2 from a group by a2 order by a2",
+    "select a1 * 2 from a group by a2 order by a2",
+    "select sum(a1), a1 * 2 from a",
+]
+
 GROUP_BAREEXPR = [("1", "x"), ("2", "y"), ("-3", "z"), ("0", "aa")]
 
 # bare EXPRESSIONS beside a single min/max evaluate on the winning row
@@ -200,6 +216,7 @@ GROUPS = [
     ("bareexpr", GROUP_BAREEXPR, BAREEXPR_QUERIES),
     ("predval", GROUP_AB, PREDVAL_QUERIES),
     ("nextring", GROUP_AB, NEXTRING_QUERIES),
+    ("baregroup", GROUP_BAREGROUP, BAREGROUP_QUERIES),
 ]
 
 # documented residues (dialect.py): chains mixing a distinct UNION with
