@@ -187,7 +187,10 @@ def parse_args(argv: list[str]):
         if m and not os.path.exists(a):
             pending[m.group(1)] = m.group(2)
         else:
-            if a != "-" and not os.path.exists(a):
+            if a != "-" and "://" not in a and not os.path.exists(a):
+                # scheme-prefixed URIs (file://, s3://) resolve in the
+                # source layer via pyarrow.fs / Hadoop, not the local
+                # filesystem
                 raise UsageError(f"can't find file {a!r}")
             files.append((pending, a))
             pending = {}
