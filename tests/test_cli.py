@@ -1912,3 +1912,27 @@ def test_output_table_join_tie_order(tmp_path):
         "│x3│y3│\n"
         "└──┴──┘"
     )
+
+
+def test_file_uri_argument(tmp_path):
+    """A scheme-prefixed URI is a valid CLI file argument: it resolves
+    in the source layer (pyarrow.fs / Hadoop), not against the local
+    filesystem check (round 11)."""
+    f = write(tmp_path, "u.txt", "r1 a\nr2 b")
+    got = pysqawk("select a1, a2 from a order by anr", f"file://{f}")
+    assert got == "r1 a\nr2 b"
+
+
+def test_file_uri_directory_regex_rs(tmp_path):
+    """A file:// DIRECTORY with a regex RS drives the per-file
+    byte-range chunk planner end-to-end through the CLI, with anr
+    continuous across files."""
+    d = tmp_path / "urid_cli"
+    d.mkdir()
+    (d / "f1.txt").write_text("r1 a\nr2 b\n")
+    (d / "f2.txt").write_text("r3 c\n")
+    got = pysqawk(
+        "-RS", "\\n+", "select anr, a1 from a order by anr",
+        f"file://{d}",
+    )
+    assert got == "1 r1\n2 r2\n3 r3"
