@@ -1208,6 +1208,31 @@ _PROP_ALIAS_RE = re.compile(
 )
 
 
+def _collate_comparison_bound(body: str, col_pos: int) -> bool:
+    """True when the trailing COLLATE at ``body[col_pos:]`` annotates
+    the right operand of a binary comparison (``a3 < 'ab' collate
+    nocase``) or a BETWEEN hi bound (``x between a and b collate
+    nocase``) at the item's top level — the collation then governs
+    the COMPARISON (datatype3.html §7.1) and must be left for the
+    comparison/BETWEEN collate passes, not stripped as an item-level
+    sort annotation (which silently dropped it; round-12 probe)."""
+    own_start = _operand_back(body, col_pos)
+    j = own_start - 1
+    while j >= 0 and body[j].isspace():
+        j -= 1
+    if j < 0:
+        return False
+    for op in _CMP_OPS:
+        if body[max(0, j + 1 - len(op)) : j + 1] == op:
+            return True
+    # BETWEEN's hi bound: ``... between lo and <own> collate nocase``
+    if re.search(r"\band$", body[: j + 1], re.IGNORECASE) and re.search(
+        r"\bbetween\b", body[: j + 1], re.IGNORECASE
+    ):
+        return True
+    return False
+
+
 def rewrite_collate_propagation(
     stmt: str, classes: dict[str, str]
 ) -> str:
@@ -1265,11 +1290,18 @@ def rewrite_collate_propagation(
                 body, alias = cand, am.group(2)
         tm = _TRAILING_COLLATE_RE.match(body)
         is_marked = False
-        if tm and tm.group(1).count("(") == tm.group(1).count(")"):
+        cmp_bound = bool(
+            tm
+            and tm.group(1).count("(") == tm.group(1).count(")")
+            and _collate_comparison_bound(body, len(tm.group(1)))
+        )
+        if tm and not cmp_bound and tm.group(1).count("(") == tm.group(
+            1
+        ).count(")"):
             body = tm.group(1).strip()
             is_marked = True
             changed_items = True
-        elif _item_has_nocase(body):
+        elif not cmp_bound and _item_has_nocase(body):
             is_marked = True
         exprs.append(body)
         aliases.append(alias)

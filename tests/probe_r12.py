@@ -1,0 +1,180 @@
+"""Round-12 next-ring differential probes: one step past the round-11
+fixes, in the directions a reviewer would push next.  EXISTS as an
+integer value, predicates in GROUP BY / ORDER BY / window-aggregate
+arguments / bare select items, numeric-value identity in GROUP BY and
+DISTINCT aggregates, COLLATE in IN / HAVING / window ORDER BY /
+group_concat-distinct plus the RTRIM collation, mixed text/numeric
+CASE branches, scalar-subquery arithmetic, and the documented
+UNION-then-UNION-ALL residue.  Run directly:
+``python tests/probe_r12.py [substr ...]``; exits nonzero on any
+divergence.  Ground truth is real sqlite3 on identically-typed
+tables, stdout byte-compared through the full CLI."""
+
+import io
+import sqlite3
+import sys
+
+import sqawk_spark.cli as cli
+
+# (a1, a2, a3): a1/a2 INTEGER-affinity mixed classes, a3 collation text
+ROWS = [
+    ("1", "x", "AB"),
+    ("0", "y", "ab"),
+    ("-3", "z", "Ba"),
+    ("2", "3abc", "aB"),
+    ("", "0.5", "zz"),
+]
+
+# d(a1): numeric-value identity column (7, 7.0, 7e0 equal by VALUE)
+DROWS = [("7",), ("7.0",), ("2",), ("2",), ("abc",), ("",), ("7e0",)]
+
+QUERIES_A = [
+    # --- EXISTS / NOT EXISTS as integer values
+    "select exists(select 1 from a where a1 > 5) as e",
+    "select exists(select 1 from a where a1 = 1) as e",
+    "select not exists(select 1 from a where a1 = 1) as e",
+    "select exists(select 1 from a where a1 = 1) + 1 as e",
+    "select sum(exists(select 1 from a b where b.a1 > a.a1)) as s from a",
+    "select case when exists(select 1 from a where a1=1) then 'y' else 'n' end as c",
+    # --- predicates in GROUP BY / ORDER BY
+    "select a1 > 0 as k, count(*) as c from a group by a1 > 0 order by k",
+    "select count(*) as c from a group by a1 > 0 order by c",
+    "select a1 from a order by a1 > 0, a1",
+    "select a1 from a order by (a1 > 0) desc, a1",
+    "select a1 > 0 as k, sum(a1) as s from a group by k order by k",
+    # --- predicates as bare select items
+    "select a1 > 0 as p from a order by a1",
+    "select a1 = 1 as p from a order by a1",
+    "select a1 in (1, 2) as p from a order by a1",
+    "select a1 between 0 and 2 as p from a order by a1",
+    "select a1 like '1%' as p from a order by a1",
+    "select a1 is null as p from a order by a1",
+    "select not a1 as p from a order by a1",
+    "select a1 glob '1*' as p from a order by a1",
+    # --- predicates deeper in value positions
+    "select iif(a1 > 0, a1 > 1, 99) as p from a order by a1",
+    "select round(a1 > 0) as p from a order by a1",
+    "select (select a1 > 0 from a order by a1 limit 1) as p",
+    "select case (a1 > 0) when 1 then 'pos' else 'neg' end as c from a order by a1",
+    "select (a1 > 0) = (a2 > 0) as p from a order by a1",
+    "select max(a1 > 0, a2 > 0) as p from a order by a1",
+    "select sum((a1 > 0) * (a1 < 2)) as s from a",
+    "select cast(a1 > 0 as real) as p from a order by a1",
+    "select a1, sum(a1 > 0) over (order by a1 rows unbounded preceding) as s from a order by a1",
+    "select a1, count(*) filter (where a1 > 0) over (order by a1) as c from a order by a1",
+    # --- COLLATE next ring
+    "select group_concat(distinct a3 collate nocase) as g from a",
+    "select a3 from a where a3 collate nocase in ('ab', 'ZZ') order by a1",
+    "select group_concat(a3, ';') as g from (select a3 from a order by a3 collate nocase)",
+    "select a3 from a group by a3 collate nocase having count(*) >= 1 order by 1",
+    "select a3 < 'ab' collate nocase as p from a order by a1",
+    "select a3 = 'ab' collate nocase as p from a order by a1",
+    "select rank() over (order by a3 collate nocase) as r from a order by a1",
+    "select a3, row_number() over (order by a3 collate nocase, a1) as r from a order by a1",
+    "select count(*) as c from a where a3 = 'AB ' collate rtrim",
+    "select a3 = 'ab   ' collate rtrim as p from a order by a1",
+    "select min(a3 collate rtrim) as m from a",
+    # --- mixed-class CASE branches
+    "select sum(case when a1=1 then 1.5 else 2 end) as s from a",
+    "select max(case when a1=1 then 1.5 when a1=0 then 3 else 2 end) as m from a",
+    "select case when a1=1 then 'x' else 2 end as c from a order by a1",
+    "select case when a1=1 then null else 2.0 end as c from a order by a1",
+    "select (case when a1=1 then 1.5 else 2 end) + (a1 > 0) as c from a order by a1",
+    # --- scalar-subquery arithmetic
+    "select (select max(a1) from a) + 1 as s",
+    "select (select a1 from a where a1 = 2) * 2.5 as s",
+    "select (select count(*) from a) + 0.0 as s",
+    # --- alias / expression ORDER BY shapes
+    "select a1 as x from a order by x > 0, x",
+    "select a1 + 1 as x from a order by -x",
+    "select a1 from a order by a1 limit 1+1",
+    # --- HAVING without GROUP BY
+    "select count(*) as c from a having count(*) > 0",
+    "select max(a1) as m from a having min(a1) < 0",
+    # --- VALUES as a table
+    "select * from (values (1), (2)) order by 1",
+    "values (1), (2.5)",
+    # --- the UNION-then-UNION-ALL residue
+    "select 1 union select 2 union all select 1",
+    "select 7 union select 7.0 union all select '7'",
+    "select a1 from a union select a1 from a union all select 99",
+]
+
+QUERIES_D = [
+    # --- numeric-value identity in GROUP BY / DISTINCT aggregates
+    "select d1, count(*) as c from d group by d1 order by d1",
+    "select count(distinct d1) as c from d",
+    "select d1, count(*) as c from d group by d1 having count(*) > 1 order by d1",
+    "select group_concat(d1, ';') as g from (select distinct d1 from d)",
+    "select count(*) as c from d x join d y on x.d1 = y.d1",
+    "select sum(d1) as s from d group by d1 order by 1",
+    "select distinct d1 from d order by d1",
+    "select d1 from d group by d1 order by d1 desc",
+]
+
+
+def main(only: list[str] | None = None) -> int:
+    con = sqlite3.connect(":memory:")
+    con.execute("create table a(a1 INTEGER, a2 INTEGER, a3 INTEGER)")
+    con.executemany("insert into a values (?,?,?)", ROWS)
+    con.execute("create table d(d1 INTEGER)")
+    con.executemany("insert into d values (?)", DROWS)
+    con.commit()
+
+    import tempfile, os
+
+    with tempfile.NamedTemporaryFile("w", suffix=".txt", delete=False) as f:
+        for r in ROWS:
+            f.write(",".join(r) + "\n")
+        apath = f.name
+    with tempfile.NamedTemporaryFile("w", suffix=".txt", delete=False) as f:
+        for r in DROWS:
+            f.write(r[0] + "\n")
+        dpath = f.name
+
+    bad = 0
+    for q, argv_tail in [(q, [q, apath]) for q in QUERIES_A] + [
+        (q, [q, f"table=d", dpath]) for q in QUERIES_D
+    ]:
+        if only and not any(s in q for s in only):
+            continue
+        try:
+            rows = con.execute(q).fetchall()
+            want = "\n".join(
+                "|".join("" if v is None else str(v) for v in row)
+                for row in rows
+            )
+            want = want + "\n" if rows else ""
+        except sqlite3.Error as e:
+            print(f"SKIP (sqlite error) {q}: {e}")
+            continue
+        buf = io.StringIO()
+        argv = ["-FS", ",", "-OFS", "|"] + argv_tail
+        try:
+            rc = cli.run(argv, out=buf)
+        except Exception as e:
+            msg = f"{type(e).__name__}: {e}"
+            if len(msg) > 300:
+                msg = msg[:300] + f"... [{len(msg)} chars]"
+            print(f"FAIL {q}\n  pysqawk raised: {msg}")
+            bad += 1
+            continue
+        got = buf.getvalue()
+        ordered = "order by" in q or "\n" not in got.rstrip("\n")
+        if ordered:
+            match = got == want
+        else:
+            match = sorted(got.splitlines()) == sorted(want.splitlines())
+        if rc != 0 or not match:
+            print(f"FAIL {q}\n  sqlite: {want!r}\n  pysqawk: {got!r}")
+            bad += 1
+        else:
+            print(f"ok   {q}")
+    os.unlink(apath)
+    os.unlink(dpath)
+    print(f"\n{bad} divergences")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
