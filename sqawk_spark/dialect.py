@@ -258,6 +258,92 @@ _GC_CALL_RE = re.compile(
 )
 
 
+_GC_DISTINCT_RE = re.compile(r"^\s*distinct\s+", re.IGNORECASE)
+
+
+_VALUES_RE = re.compile(r"\bvalues\s*\(", re.IGNORECASE)
+
+
+def rewrite_values_clause(stmt: str) -> str:
+    """``VALUES (1), (2.5)`` — bare or as a FROM-clause table — →
+    the equivalent ``SELECT 1 UNION ALL SELECT 2.5`` chain, so the
+    set-operation branch renderer owns the literal classes (Spark's
+    native VALUES coerces the column to one type and prints '1.0';
+    round-12 probe).  INSERT statements keep their native VALUES."""
+    if re.match(r"\s*(insert|replace)\b", stmt, re.IGNORECASE):
+        return stmt
+    while True:
+        m = next(
+            (
+                m
+                for m in _VALUES_RE.finditer(stmt)
+                if not _in_quotes(stmt, m.start())
+            ),
+            None,
+        )
+        if m is None:
+            return stmt
+        selects = []
+        i = m.end() - 1
+        while True:
+            close = _match_paren_fwd(stmt, i)
+            args = _split_call_args(stmt, i)
+            if not args or close <= i:
+                return stmt  # malformed: keep the loud native error
+            selects.append(
+                "select " + ", ".join(a.strip() for a in args)
+            )
+            j = _skip_ws(stmt, close)
+            if j < len(stmt) and stmt[j] == ",":
+                k = _skip_ws(stmt, j + 1)
+                if k < len(stmt) and stmt[k] == "(":
+                    i = k
+                    continue
+                return stmt
+            break
+        stmt = (
+            stmt[: m.start()]
+            + " "
+            + " union all ".join(selects)
+            + " "
+            + stmt[close:]
+        )
+
+
+def rewrite_group_concat_distinct(stmt: str) -> str:
+    """``group_concat(DISTINCT X [COLLATE NOCASE])`` → the dedicated
+    first-arrival distinct UDAFs (functions/__init__.py) — Spark's
+    DISTINCT clause rejects Python UDAFs, and the COLLATE form dedups
+    by the ASCII fold while rendering the original case.  Runs before
+    strip_group_concat_collate so the collated form isn't stripped to
+    the binary-distinct one.  Multi-argument DISTINCT keeps Spark's
+    loud error (SQLite errors too)."""
+    while True:
+        edited = False
+        for m in _GC_CALL_RE.finditer(stmt):
+            if _in_quotes(stmt, m.start()):
+                continue
+            close = _match_paren_fwd(stmt, m.end() - 1)
+            args = _split_call_args(stmt, m.end() - 1)
+            if not args or len(args) != 1:
+                continue
+            dm = _GC_DISTINCT_RE.match(args[0])
+            if dm is None:
+                continue
+            core = args[0][dm.end() :].strip()
+            tm = _TRAILING_COLLATE_RE.match(core)
+            if tm and tm.group(1).count("(") == tm.group(1).count(")"):
+                fn = "group_concat_distinct_nocase"
+                core = tm.group(1).strip()
+            else:
+                fn = "group_concat_distinct"
+            stmt = stmt[: m.start()] + f"{fn}({core})" + stmt[close:]
+            edited = True
+            break
+        if not edited:
+            return stmt
+
+
 def strip_group_concat_collate(stmt: str) -> str:
     """Trailing ``COLLATE NOCASE`` on a group_concat/string_agg
     payload is a no-op (the collation names a comparison sequence,
@@ -327,7 +413,8 @@ def rewrite_group_concat(stmt: str) -> str:
 
 _MINMAX_AGG_RE = re.compile(r"\b(min|max)\s*\(", re.IGNORECASE)
 _OTHER_AGG_RE = re.compile(
-    r"\b(?:count|sum|avg|total|group_concat|group_concat2)\s*\(",
+    r"\b(?:count|sum|avg|total|group_concat"
+    r"|group_concat2|group_concat_distinct(?:_nocase)?)\s*\(",
     re.IGNORECASE,
 )
 _OVER_RE = re.compile(r"\bover\b", re.IGNORECASE)
@@ -722,25 +809,51 @@ _NOCASE_TRANS = str.maketrans(_ASCII_UPPER, _ASCII_LOWER)
 # before the statement reaches Spark.
 _NOCASE_MARK = "__nocase__"
 _NOCASE_CALL_RE = re.compile(re.escape(_NOCASE_MARK) + r"\s*\(")
+# RTRIM collation (SQLite's third built-in): BINARY with trailing
+# 0x20 spaces ignored — same marker protocol, rtrim() fold
+_RTRIM_MARK = "__rtrimc__"
+_RTRIM_CALL_RE = re.compile(re.escape(_RTRIM_MARK) + r"\s*\(")
+# explicit COLLATE BINARY names the default — a no-op on tables with
+# no declared column collations (every sqawk table)
+_COLLATE_BINARY_RE = re.compile(r"\s+collate\s+binary\b", re.IGNORECASE)
+_COLLATE_ANY_RE = re.compile(
+    r"\s+collate\s+(nocase|rtrim)\b", re.IGNORECASE
+)
 
 
 def _nocase_wrap(expr: str) -> str:
     return f"{_NOCASE_MARK}({expr})"
 
 
-def _unwrap_nocase(text: str) -> tuple[str, bool]:
-    """(inner expression, had-marker) for a whole-operand marker."""
+def _collate_wrap(expr: str, kind) -> str:
+    mark = _RTRIM_MARK if kind == "rtrim" else _NOCASE_MARK
+    return f"{mark}({expr})"
+
+
+def _unwrap_nocase(text: str):
+    """(inner expression, fold-kind) for a whole-operand marker:
+    fold-kind is False (no marker), True (NOCASE), or 'rtrim'."""
     t = text.strip()
     m = _NOCASE_CALL_RE.match(t)
     if m and _match_paren_fwd(t, m.end() - 1) == len(t):
         return t[m.end() : -1].strip(), True
+    m = _RTRIM_CALL_RE.match(t)
+    if m and _match_paren_fwd(t, m.end() - 1) == len(t):
+        return t[m.end() : -1].strip(), "rtrim"
     return text, False
 
 
 def _strip_nocase(stmt: str) -> str:
-    """Replace surviving markers with the literal ASCII fold — the
-    right lowering wherever no class-aware pass claimed the operand
+    """Replace surviving markers with the literal fold — the right
+    lowering wherever no class-aware pass claimed the operand
     (text-stored values compare bytewise after folding)."""
+    while True:
+        m = _RTRIM_CALL_RE.search(stmt)
+        if m is None:
+            break
+        close = _match_paren_fwd(stmt, m.end() - 1)
+        inner = stmt[m.end() : close - 1]
+        stmt = stmt[: m.start()] + f"rtrim({inner})" + stmt[close:]
     while True:
         m = _NOCASE_CALL_RE.search(stmt)
         if m is None:
@@ -1202,6 +1315,9 @@ def _propagate_case_comparison_collates(
 _TRAILING_COLLATE_RE = re.compile(
     r"^(.*?)\s+collate\s+nocase\s*$", re.IGNORECASE | re.DOTALL
 )
+_TRAILING_RTRIM_RE = re.compile(
+    r"^(.*?)\s+collate\s+rtrim\s*$", re.IGNORECASE | re.DOTALL
+)
 _PROP_ALIAS_RE = re.compile(
     r"^(.*?)\s+(?:as\s+)?([A-Za-z_][A-Za-z_0-9]*)\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -1631,6 +1747,9 @@ _BETWEEN_COLLATE_RES = [
     ),
 ]
 _SIMPLE_CASE_RE = re.compile(r"\bcase\s+(?!when\b)", re.IGNORECASE)
+_COLLATE_IN_RE = re.compile(
+    r"\s+collate\s+nocase\s+(not\s+)?in\s*\(", re.IGNORECASE
+)
 
 
 def _fold_sql(x: str) -> str:
@@ -1655,7 +1774,7 @@ def rewrite_collate_positions(
     - a simple CASE whose WHEN operand carries the token lowers to the
       searched form (``case X when V collate nocase ...`` →
       ``case when X = V collate nocase ...``)."""
-    if not _COLLATE_NOCASE_RE.search(stmt):
+    if not _COLLATE_ANY_RE.search(stmt):
         return stmt
     # --- aggregate arguments ---------------------------------------
     while True:
@@ -1672,12 +1791,19 @@ def rewrite_collate_positions(
             pm = re.match(r"\s*(distinct|all)\s+", a0, re.IGNORECASE)
             prefix = pm.group(1).lower() if pm else ""
             core_t = a0[pm.end() :] if pm else a0
+            kind = True
             tm = _TRAILING_COLLATE_RE.match(core_t.strip())
+            if tm is None:
+                tm = _TRAILING_RTRIM_RE.match(core_t.strip())
+                kind = "rtrim"
             if tm is None or tm.group(1).count("(") != tm.group(
                 1
             ).count(")"):
                 continue
             core = tm.group(1).strip()
+
+            def _fold_any(x, _k=kind):
+                return f"rtrim({x})" if _k == "rtrim" else _fold_sql(x)
             rest = ", ".join(a.strip() for a in args[1:])
             rest = f", {rest}" if rest else ""
             if fn in ("min", "max") and not args[1:] and prefix != (
@@ -1693,9 +1819,9 @@ def rewrite_collate_positions(
                         "long": "num", "dynamic": "dynamic",
                         "text": "text", "none": "text",
                     }[d[1]]
-                    key = _aff_key_col_sql(core, treat, fold=True)
+                    key = _aff_key_col_sql(core, treat, fold=kind)
                 else:
-                    key = _fold_sql(f"CAST(({core}) AS STRING)")
+                    key = _fold_any(f"CAST(({core}) AS STRING)")
                 arr = _scope_arrival_col(stmt, classes, deep_scan=True)
                 tie = (
                     (f"(0 - {arr})" if fn == "max" else arr)
@@ -1711,7 +1837,8 @@ def rewrite_collate_positions(
                 )
             elif fn == "count" and prefix == "distinct":
                 repl = (
-                    f"count(distinct {_fold_sql(f'CAST(({core}) AS STRING)')})"
+                    f"count(distinct "
+                    f"{_fold_any(f'CAST(({core}) AS STRING)')})"
                 )
             else:
                 # numeric aggregates / concat payloads: the collation
@@ -1749,6 +1876,34 @@ def rewrite_collate_positions(
             if neg.strip():
                 body = f"not {body}"
             stmt = stmt[: m.start()] + body + stmt[m.end() :]
+    # --- IN with a collated LHS --------------------------------------
+    # ``X collate nocase in (i1, i2, ...)`` applies X's explicit
+    # collation to every membership comparison (§7.1) — lower to the
+    # equivalent OR-chain of collated equalities, which the
+    # comparison-collate pass (next) owns.  Subquery lists are left
+    # for Spark's loud error (no silent half-fold).
+    while True:
+        m = _COLLATE_IN_RE.search(stmt)
+        if m is None:
+            break
+        if _in_quotes(stmt, m.start()):
+            break
+        x_start = _operand_back(stmt, m.start())
+        x = stmt[x_start : m.start()].strip()
+        close = _match_paren_fwd(stmt, m.end() - 1)
+        items = _split_call_args(stmt, m.end() - 1)
+        if not x or not items or any(
+            re.match(r"\s*select\b", it, re.IGNORECASE) for it in items
+        ):
+            break
+        neg = bool((m.group(1) or "").strip())
+        chain = " or ".join(
+            f"{x} = {it.strip()} collate nocase" for it in items
+        )
+        body = f"({chain})"
+        if neg:
+            body = f"not {body}"
+        stmt = stmt[:x_start] + " " + body + stmt[close:]
     # --- simple CASE base with a collated WHEN operand ---------------
     while True:
         edited = False
@@ -1952,7 +2107,7 @@ def rewrite_collate_nocase(stmt: str) -> str:
     order_c = next((c for c in clauses if c[0] == "order_by"), None)
     matches = [
         m
-        for m in _COLLATE_NOCASE_RE.finditer(stmt)
+        for m in _COLLATE_ANY_RE.finditer(stmt)
         if not _in_quotes(stmt, m.start())
     ]
     if not matches:
@@ -1968,12 +2123,16 @@ def rewrite_collate_nocase(stmt: str) -> str:
         expr = stmt[lhs : m.start()].strip()
         if not expr:
             continue
-        stmt = stmt[:lhs] + f" {_nocase_wrap(expr)}" + stmt[m.end() :]
+        stmt = (
+            stmt[:lhs]
+            + f" {_collate_wrap(expr, m.group(1).lower())}"
+            + stmt[m.end() :]
+        )
     clauses = _top_level_clauses(stmt)
     order_c = next((c for c in clauses if c[0] == "order_by"), None)
     matches = [
         m
-        for m in _COLLATE_NOCASE_RE.finditer(stmt)
+        for m in _COLLATE_ANY_RE.finditer(stmt)
         if not _in_quotes(stmt, m.start())
     ]
     if order_c is None or not matches:
@@ -1987,7 +2146,11 @@ def rewrite_collate_nocase(stmt: str) -> str:
         expr = stmt[lhs : m.start()].strip()
         if not expr:
             continue
-        stmt = stmt[:lhs] + f" {_nocase_wrap(expr)}" + stmt[m.end() :]
+        stmt = (
+            stmt[:lhs]
+            + f" {_collate_wrap(expr, m.group(1).lower())}"
+            + stmt[m.end() :]
+        )
     return stmt
 
 
@@ -2045,12 +2208,10 @@ def rewrite_collate_nocase_comparison(stmt: str) -> str:
     half-folded silent divergence. Fuzzed against real SQLite in
     tests/test_dialect.py and tests/test_cli_fuzz.py."""
 
-    fold = _nocase_wrap
-
     while True:
         matches = [
             m
-            for m in _COLLATE_NOCASE_RE.finditer(stmt)
+            for m in _COLLATE_ANY_RE.finditer(stmt)
             if not _in_quotes(stmt, m.start())
         ]
         clauses = _top_level_clauses(stmt)
@@ -2063,6 +2224,11 @@ def rewrite_collate_nocase_comparison(stmt: str) -> str:
             ]
         edited = False
         for m in matches:
+            kind = m.group(1).lower()
+
+            def fold(e, _k=kind):
+                return _collate_wrap(e, _k)
+
             own_start = _operand_back(stmt, m.start())
             own = stmt[own_start : m.start()].strip()
             if not own:
@@ -3777,7 +3943,9 @@ def _aff_key_col_sql(x: str, treat: str, fold: bool = False) -> str:
     (datatype3.html §4.1 applies the collating function "when two TEXT
     values are compared")."""
     t_sql = f"CAST({x} AS STRING)"
-    if fold:
+    if fold == "rtrim":
+        t_sql = f"rtrim({t_sql})"
+    elif fold:
         t_sql = f"translate({t_sql}, '{_ASCII_UPPER}', '{_ASCII_LOWER}')"
     num = (
         f"named_struct('c', 1, 'n', TRY_CAST({x} AS DOUBLE), "
@@ -3964,7 +4132,11 @@ def _aff_always(d: tuple[str, str]) -> str | None:
 def _aff_key_sql(d: tuple[str, str], sqltext: str, fold: bool = False) -> str:
     kind, val = d
     if fold and kind == "strlit":
-        val = val.translate(_NOCASE_TRANS)
+        val = (
+            val.rstrip(" ")
+            if fold == "rtrim"
+            else val.translate(_NOCASE_TRANS)
+        )
     if kind == "numlit":
         if (
             re.fullmatch(r"[+-]?[0-9]+", val)
@@ -4797,8 +4969,43 @@ def _parse_arith_chain(text: str, classes: dict[str, str]):
             # a predicate lowered to its 0/1 integer value
             # (rewrite_predicate_values) is a statically-INTEGER
             # operand — same treatment as CAST(.. AS INTEGER)
-            if _BOOL01_CASE_RE.match(_strip_outer_parens(tok)):
-                tokens.append((sign, tok, ("castint", tok)))
+            d = None
+            inner = _strip_outer_parens(tok)
+            if _BOOL01_CASE_RE.match(inner):
+                d = ("castint", tok)
+            elif re.match(r"case\b", inner, re.IGNORECASE):
+                # parenthesized CASE operand — same classed-branch
+                # treatment as the bare form above (round-12 probe:
+                # ``(case when a1=1 then 1.5 else 2 end) + (a1>0)``)
+                d = _case_operand_classify(inner, classes)
+            elif re.match(r"(select|with)\b", inner, re.IGNORECASE):
+                # scalar subquery: its value class is the inner
+                # SELECT's single item's class — ``(select a1 from a
+                # where a1=2) * 2.5`` is REAL 5.0, ``(select
+                # count(*) ...) + 0.0`` REAL 5.0 (round-12 probes)
+                ispan = _select_items_span(inner) or (
+                    _fromless_items_span(inner)
+                )
+                if ispan is not None and len(ispan[2]) == 1:
+                    it = ispan[2][0].strip()
+                    am2 = _PROP_ALIAS_RE.match(it)
+                    if am2 and am2.group(2).lower() not in _KEYWORDS:
+                        cand = am2.group(1).strip()
+                        if cand.count("(") == cand.count(")"):
+                            it = cand
+                    d2 = _aff_classify(it, classes)
+                    if d2 is None and re.match(
+                        r"^count\s*\(", it, re.IGNORECASE
+                    ):
+                        d2 = ("agg", "long")
+                    if d2 is not None and d2[0] in (
+                        "col", "agg", "numlit"
+                    ):
+                        d = d2 if d2[0] == "numlit" else (
+                            "subq", d2[1]
+                        )
+            if d is not None:
+                tokens.append((sign, tok, d))
                 k = _skip_ws(s, end)
                 if k >= n:
                     break
@@ -5419,6 +5626,49 @@ def _case_branch_enc(b: str, classes: dict[str, str]):
     return None
 
 
+_MINMAX_CASE_ITEM_RE = re.compile(
+    r"^\s*(min|max)\s*\(\s*(?:(?:distinct|all)\s+)?(case\b.*\bend)\s*\)"
+    r"(?:\s+(?:as\s+)?([A-Za-z_][A-Za-z_0-9]*))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _rewrite_minmax_case_item(
+    item: str, mm, scope_stmt: str, classes: dict[str, str]
+) -> tuple[str, str | None] | None:
+    """``min/max(CASE ... END)`` whose branch VALUES mix INTEGER and
+    REAL literal classes (or carry arithmetic chains): the winner is
+    picked by NUMERIC value but rendered with its own branch's class
+    — ``max(case when a1=1 then 1.5 when a1=0 then 3 else 2 end)``
+    prints '3', not Spark's coerced '3.0' (round-12 probe).  Lowers
+    to min_by/max_by(<class-rendered case>, numeric key) with
+    SQLite's first-arrival tie representative; None when the native
+    lowering is already exact or a branch can't be rendered."""
+    fn, case_sql, alias = mm.group(1).lower(), mm.group(2), mm.group(3)
+    if case_sql.count("(") != case_sql.count(")"):
+        return None
+    cm0 = re.match(r"^case\b", case_sql, re.IGNORECASE)
+    spans = _case_spans_from(case_sql, cm0.end())
+    if not spans:
+        return None
+    r = _case_body_enc(case_sql, spans, classes)
+    if r is None:
+        return None
+    enc, any_chain, real_lit, string_forced = r
+    if string_forced or not (any_chain or real_lit):
+        return None  # native min/max already exact
+    arrival = _scope_arrival_col(scope_stmt, classes, deep_scan=True)
+    pref = arrival or "0"
+    if fn == "max":
+        pref = f"(0 - ({pref}))"
+    key = (
+        f"CASE WHEN ({case_sql}) IS NULL THEN NULL ELSE "
+        f"named_struct('k', CAST(({case_sql}) AS DOUBLE), "
+        f"'a', {pref}) END"
+    )
+    return f"{fn}_by({enc}, {key})", alias
+
+
 def _rewrite_arith_class_items(
     stmt: str, classes: dict[str, str]
 ) -> tuple[str, dict[str, str]]:
@@ -5427,12 +5677,24 @@ def _rewrite_arith_class_items(
     renders '1' (text coerces to INTEGER 0), anf/2 renders the
     truncated integer.  All-integer chains without division keep
     their native (exact BIGINT) lowering untouched."""
-    span = _select_items_span(stmt)
+    span = _select_items_span(stmt) or _fromless_items_span(stmt)
     if span is None:
         return stmt, {}
     list_start, list_end, items = span
     out_items, extras, changed = [], {}, False
     for item in items:
+        mm = _MINMAX_CASE_ITEM_RE.match(item)
+        if mm is not None:
+            r = _rewrite_minmax_case_item(item, mm, stmt, classes)
+            if r is not None:
+                body, alias = r
+                if alias:
+                    out_items.append(f"{body} AS {alias}")
+                    extras[alias.lower()] = "dynamic"
+                else:
+                    out_items.append(body)
+                changed = True
+                continue
         case_r = _rewrite_case_class_item(item, classes)
         if case_r is not None:
             body, alias = case_r
@@ -5594,7 +5856,8 @@ def _collect_item_alias_classes(
     # loop from clobbering them).
     for item in span[2]:
         gm = re.match(
-            r"^\s*(min|max|count|group_concat2?|min_by|max_by)\s*\(",
+            r"^\s*(min|max|count|group_concat(?:2|_distinct(?:_nocase)?)?"
+            r"|min_by|max_by)\s*\(",
             item,
             re.IGNORECASE,
         )
@@ -6663,10 +6926,28 @@ def _wrap_ordered_compound(
     # iff ONLY branch 0 does; the representative is the LEFT side's
     # (probed: 7 INTERSECT 7.0 renders '7').
     mode = None
+    prefix_n = len(new_texts)
     if ops and all(o in ("union", "union all") for o in ops) and (
         ops[-1] == "union"
     ):
         mode = "union"
+    elif ops and all(o in ("union", "union all") for o in ops):
+        # a distinct UNION followed by trailing UNION ALLs: left-
+        # associativity dedups the prefix through the last plain
+        # UNION, the rest append flat (``7 UNION 7.0 UNION ALL '7'``
+        # → one 7.0 row, then '7'; was the documented r11 residue).
+        # Scoped to FROM-less (single-row literal) tail branches —
+        # table-sourced tails keep the flat compound.
+        last_u = max(
+            (i for i, o in enumerate(ops) if o == "union"),
+            default=None,
+        )
+        if last_u is not None and all(
+            _select_items_span(t) is None
+            for t in new_texts[last_u + 2 :]
+        ):
+            mode = "union"
+            prefix_n = last_u + 2
     elif ops and all(o == "intersect" for o in ops):
         mode = "intersect"
     elif ops and all(o == "except" for o in ops):
@@ -6701,7 +6982,9 @@ def _wrap_ordered_compound(
             its.append(f"{bi} AS __bi")
         pieces.append(t[:ls] + " " + ", ".join(its) + " " + t[le:])
     if all_union:
-        inner = " union all ".join(p.strip() for p in pieces)
+        inner = " union all ".join(
+            p.strip() for p in pieces[:prefix_n]
+        )
         kcols = [f"__o{i}" for i in range(len(keyed))]
         rep = "max_by" if mode == "union" else "min_by"
         agg = [f"{rep}({n}, __bi) AS {n}" for n in outnames] + kcols
@@ -6720,6 +7003,26 @@ def _wrap_ordered_compound(
             f"__o{key_idx[p]}{(' ' + d) if d else ''}"
             for p, d, _f in parsed
         ]
+        if prefix_n < len(pieces):
+            # deduped prefix block first (b-tree key order, __bi -1
+            # sorts it before every appended branch), then each
+            # trailing UNION ALL branch in statement order — unless
+            # the user's ORDER BY sorts the whole compound
+            mid = (
+                f"select {', '.join(outnames + kcols)}, -1 AS __bi "
+                f"from ({mid}) __cmp2p"
+            )
+            inner2 = " union all ".join(
+                [f"{mid}"] + [p.strip() for p in pieces[prefix_n:]]
+            )
+            ob_cols = (
+                terms + kcols if parsed else ["__bi"] + kcols
+            )
+            return (
+                f"select {', '.join(outnames)} from ({inner2}) "
+                f"__cmp2{' order by ' + ', '.join(ob_cols)}"
+                f"{(' ' + tail) if tail else ''}"
+            )
         ob_sql = " order by " + ", ".join(terms + kcols)
         return (
             f"select {', '.join(outnames)} from ({mid}) __cmp2"
@@ -6742,6 +7045,52 @@ def _wrap_ordered_compound(
         f"select {', '.join(outnames)} from ({inner}) __cmp"
         f"{ob_sql}{(' ' + tail) if tail else ''}"
     )
+
+
+def _rewrite_scalar_sub_orders(stmt: str, classes: dict[str, str]) -> str:
+    """Class-exact ORDER BY keys inside EXPRESSION subqueries (scalar
+    / IN / EXISTS bodies).  A scalar subquery with ``order by x limit
+    1`` picks SQLite's class-ordered first row (numerics before text);
+    without this the inner sort ran on rendered strings (round-12
+    probe: ``(select a1 > 0 from a order by a1 limit 1)`` picked ''
+    instead of -3).  FROM/JOIN/CTE scopes are owned by
+    _rewrite_scoped_items — this scans the complementary depth-0
+    ``(select``/``(with`` spans and recurses."""
+    out = []
+    pos = 0
+    i, n = 0, len(stmt)
+    while i < n:
+        c = stmt[i]
+        if c in "'\"`":
+            i = _scan_string(stmt, i)
+            continue
+        if c == "(" and re.match(
+            r"\(\s*(select|with)\b", stmt[i:], re.IGNORECASE
+        ):
+            if (
+                re.search(r"\b(from|join)\s*$", stmt[:i], re.IGNORECASE)
+                is None
+                and re.search(
+                    r"\b[A-Za-z_][A-Za-z_0-9]*\s+as\s*$",
+                    stmt[:i],
+                    re.IGNORECASE,
+                )
+                is None
+            ):
+                j = _match_paren_fwd(stmt, i)
+                if j > i:
+                    inner = stmt[i + 1 : j - 1]
+                    inner = _rewrite_scalar_sub_orders(inner, classes)
+                    inner = rewrite_collate_nocase(inner)
+                    inner = rewrite_affinity_order_by(inner, classes)
+                    out.append(stmt[pos : i + 1])
+                    out.append(inner)
+                    pos = j - 1
+                    i = j
+                    continue
+        i += 1
+    out.append(stmt[pos:])
+    return "".join(out)
 
 
 def _rewrite_scoped_items(
@@ -6786,13 +7135,26 @@ def _rewrite_scoped_items(
     cuts = _setop_cuts(stmt)
     inherited = {k: v for k, v in local.items() if classes.get(k) != v}
     if not cuts:
+        # DISTINCT value identity (7 vs 7.0) with first-arrival
+        # representative AND arrival-ordered output applies inside
+        # derived scopes too — an outer group_concat over
+        # ``(select distinct d1 from d)`` must see SQLite's scan
+        # order (round-12 probe); no-op when this scope's DISTINCT
+        # was already rewritten at the top level
+        stmt = rewrite_distinct_class_identity(stmt, local)
         stmt, ex = _apply_item_passes(stmt, local)
         # class-exact ORDER BY keys apply PER SCOPE: an ordered
         # derived table (``group_concat(a1) from (select a1 from a
         # order by a1)``) sorts by storage class inside its own scope,
         # not just at the top level (VERDICT r10 "What's wrong" #2) —
         # idempotent with the whole-statement pass that follows
-        # (_aff_order_key_core returns None on already-emitted keys)
+        # (_aff_order_key_core returns None on already-emitted keys).
+        # COLLATE NOCASE on a scope's own ORDER BY terms marks the
+        # operand first (this scope's clause is top-level for the
+        # recursive call's text; the whole-statement collate pass
+        # never reaches inside a derived table) so the class-key
+        # build below folds its text component.
+        stmt = rewrite_collate_nocase(stmt)
         stmt = rewrite_affinity_order_by(stmt, {**local, **ex})
         return stmt, {**inherited, **ex}
     bounds = []
@@ -7066,6 +7428,41 @@ def _rewrite_cast_select_items(
     for item in items:
         m = _AFF_CAST_ITEM_RE.match(item)
         if m is None:
+            # CAST of a lowered predicate value (always INTEGER
+            # 0/1/NULL): REAL renders CPython-repr ('1' → '1.0'),
+            # NUMERIC keeps the integer (round-12 probe:
+            # ``cast(a1 > 0 as real)``)
+            wm = re.match(r"^\s*cast\s*\(", item, re.IGNORECASE)
+            if wm is not None:
+                close = _match_paren_fwd(item, wm.end() - 1)
+                parts = _cast_split_as(item[wm.end() : close - 1])
+                rest = item[close:].strip()
+                am = (
+                    _ITEM_ALIAS_RE.match(rest) if rest else None
+                )
+                if (
+                    parts is not None
+                    and (not rest or am is not None)
+                    and _BOOL01_CASE_RE.match(
+                        _strip_outer_parens(parts[0]).lower()
+                    )
+                ):
+                    aff = normalize_affinity(parts[1].strip())
+                    wrap = parts[0].strip()
+                    if aff == "real":
+                        body = (
+                            f"py_real_repr(CAST({wrap} AS DOUBLE))"
+                        )
+                    elif aff == "numeric":
+                        body = f"CAST({wrap} AS STRING)"
+                    else:
+                        out_items.append(item)
+                        continue
+                    name = am.group(1) if am else "p"
+                    out_items.append(f"{body} AS {name}")
+                    extras[name.lower()] = "dynamic"
+                    changed = True
+                    continue
             out_items.append(item)
             continue
         col, tname, alias = m.group(1), m.group(2), m.group(3)
@@ -7736,6 +8133,9 @@ def _pred_wrap(e: str) -> str:
     return f"(CASE WHEN {core} THEN 1 WHEN NOT ({core}) THEN 0 END)"
 
 
+_EXISTS_EXPR_RE = re.compile(r"\b(?:not\s+)?exists\s*\(", re.IGNORECASE)
+
+
 def _case_value_spans(stmt: str) -> list[tuple[int, int]]:
     """(start, end) of every CASE branch VALUE payload (THEN/ELSE
     bodies at the CASE's own level) — simple-CASE WHEN operands are
@@ -7938,6 +8338,36 @@ def rewrite_predicate_values(stmt: str, classes: dict[str, str]) -> str:
                     stmt = stmt[:s] + _pred_wrap(body) + stmt[e:]
                     edited = True
                     break
+        if edited:
+            continue
+        # [NOT] EXISTS (subquery) consumed by an adjacent operator:
+        # SQLite's EXISTS yields a 0/1 integer usable in arithmetic
+        # (``exists(select ...) + 1``); the paren-group scan above
+        # skips it (its group is a subquery, not a value predicate),
+        # so wrap the whole EXISTS expression here.  A boolean-context
+        # EXISTS (WHERE/AND/OR/end-of-clause neighbors) stays native.
+        for m in sorted(
+            _EXISTS_EXPR_RE.finditer(stmt), key=lambda m: -m.start()
+        ):
+            if _in_quotes(stmt, m.start()):
+                continue
+            close = _match_paren_fwd(stmt, m.end() - 1)
+            j = close
+            while j < len(stmt) and stmt[j] in " \t\n":
+                j += 1
+            nxt = stmt[j] if j < len(stmt) else None
+            k = m.start() - 1
+            while k >= 0 and stmt[k] in " \t\n":
+                k -= 1
+            prev = stmt[k] if k >= 0 else None
+            if (prev in _PRED_ADJ_PREV) or (nxt in _PRED_ADJ_NEXT):
+                stmt = (
+                    stmt[: m.start()]
+                    + _pred_wrap(stmt[m.start() : close])
+                    + stmt[close:]
+                )
+                edited = True
+                break
         if not edited:
             return stmt
     return stmt
@@ -7958,6 +8388,7 @@ def rewrite_affinity_semantics(stmt: str, classes: dict[str, str]) -> str:
     stmt, extra = _rewrite_scoped_items(stmt, classes)
     if extra:
         classes = {**classes, **extra}
+    stmt = _rewrite_scalar_sub_orders(stmt, classes)
     stmt = rewrite_affinity_aggregates(stmt, classes)
     stmt = rewrite_affinity_minmax(stmt, classes)
     stmt = rewrite_affinity_order_by(stmt, classes)
@@ -8091,6 +8522,22 @@ def rewrite_statement(
     # aliases first so every later pass sees canonical names (e.g.
     # string_agg FILTER (...) must hit the group_concat CAST path)
     stmt = rewrite_function_aliases(stmt)
+    # explicit COLLATE BINARY names the default collation — a no-op
+    # on sqawk tables (no declared column collations), stripped so
+    # the shape runs instead of hitting Spark's parse error
+    while True:
+        bm = next(
+            (
+                m
+                for m in _COLLATE_BINARY_RE.finditer(stmt)
+                if not _in_quotes(stmt, m.start())
+            ),
+            None,
+        )
+        if bm is None:
+            break
+        stmt = stmt[: bm.start()] + stmt[bm.end() :]
+    stmt = rewrite_values_clause(stmt)
     # FILTER next: the CASE lowering produces plain aggregate calls
     # the later passes (group_concat arity, GROUPS frames) then see
     stmt = rewrite_filter_clause(stmt)
@@ -8101,6 +8548,7 @@ def rewrite_statement(
     stmt = rewrite_predicate_values(stmt, classes or {})
     # glob next: infix GLOB lowers to glob() calls, which the regex-
     # call pass can then lift onto RLIKE when the pattern is literal
+    stmt = rewrite_group_concat_distinct(stmt)
     stmt = strip_group_concat_collate(stmt)
     stmt = rewrite_group_concat(rewrite_regex_calls(rewrite_glob(stmt)))
     stmt = rewrite_hint_funcs(stmt)

