@@ -4546,6 +4546,23 @@ def _rewrite_window_class_items(
             if _AFF_IDENT_RE.match(col)
             else None
         )
+        if fn == "sum" and cls is None:
+            # sum over CAST(col AS TEXT): every value is TEXT class —
+            # SQLite coerces each to its numeric prefix and the
+            # result class follows the FRAME's members (int-looking
+            # text sums INTEGER, any real member makes it REAL) —
+            # exactly the dynamic/text column path below with the
+            # inner column as the value source (fuzz seed 20260816
+            # script 196: an integral mixed-frame sum printed '1'
+            # where SQLite prints '1.0')
+            cm2 = _AFF_CAST_ITEM_RE.match(col)
+            if cm2 is not None and cm2.group(3) is None:
+                from sqawk_spark.affinity import normalize_affinity
+
+                if normalize_affinity(cm2.group(2)) == "text" and (
+                    _AFF_IDENT_RE.match(cm2.group(1))
+                ):
+                    col, cls = cm2.group(1), "text"
         if cls not in ("dynamic", "text", "none"):
             d0 = _aff_classify(arg, {})
             # sum() coerces ANY non-integer constant to REAL; min/max
@@ -4932,13 +4949,23 @@ def _parse_arith_chain(text: str, classes: dict[str, str]):
     calls, strings: those keep their native lowering)."""
     s = text
     pos, tokens, ops = 0, [], []
+    saw_minus_first = False
     n = len(s)
     while True:
         j = _skip_ws(s, pos)
         sign = ""
-        if j < n and s[j] in "+-":
-            sign = s[j]
+        minus = 0
+        while j < n and s[j] in "+-":
+            # a RUN of unary signs: parity gives the net sign; ANY
+            # minus triggers SQLite's numeric coercion (``- -a1``
+            # coerces '' to 0; a bare ``+`` is the identity and must
+            # NOT coerce — probe battery tests/probe_r12b.py)
+            if s[j] == "-":
+                minus += 1
             j = _skip_ws(s, j + 1)
+        sign = "-" if minus % 2 else ""
+        if not tokens and minus:
+            saw_minus_first = True
         cmatch = re.match(r"case\b", s[j:], re.IGNORECASE)
         if cmatch is not None:
             # an unparenthesized CASE operand with statically-classed
@@ -4978,6 +5005,19 @@ def _parse_arith_chain(text: str, classes: dict[str, str]):
                 # treatment as the bare form above (round-12 probe:
                 # ``(case when a1=1 then 1.5 else 2 end) + (a1>0)``)
                 d = _case_operand_classify(inner, classes)
+            elif _AFF_IDENT_RE.match(inner) or re.fullmatch(
+                r"[+-]?([0-9]+\.?[0-9]*|\.[0-9]+)([eE][+-]?[0-9]+)?",
+                inner,
+            ):
+                # parenthesized bare column / literal: ``-(a2)`` over
+                # a REAL-stored column renders '-3.0' and a text value
+                # negates its numeric prefix (fuzz seed 20260816
+                # script 16).  The syntactic gate matters: the
+                # classifier itself accepts arbitrary text
+                d2 = _aff_classify(inner, classes)
+                if d2 is not None and d2[0] in ("col", "numlit"):
+                    d = d2
+                    tok = inner
             elif re.match(r"(select|with)\b", inner, re.IGNORECASE):
                 # scalar subquery: its value class is the inner
                 # SELECT's single item's class — ``(select a1 from a
@@ -5016,7 +5056,29 @@ def _parse_arith_chain(text: str, classes: dict[str, str]):
                 continue
             return None
         if tok.startswith("'"):
-            return None
+            # string literal operand: SQLite coerces it to its numeric
+            # prefix at parse time — fold statically (``-'3abc'`` is
+            # -3; probe battery tests/probe_r12b.py)
+            d0 = _aff_classify(tok, classes)
+            if d0 is None or d0[0] != "strlit":
+                return None
+            pm2 = re.match(
+                r"[+-]?(?:[0-9]+\.?[0-9]*(?:[eE][+-]?[0-9]+)?"
+                r"|\.[0-9]+(?:[eE][+-]?[0-9]+)?)",
+                d0[1].strip(),
+            )
+            lit = pm2.group(0) if pm2 else "0"
+            if not re.fullmatch(r"[+-]?[0-9]+", lit):
+                lit = repr(float(lit))
+            tokens.append((sign, lit, ("numlit", lit)))
+            k = _skip_ws(s, end)
+            if k >= n:
+                break
+            if s[k] not in "+-*/%":
+                return None
+            ops.append(s[k])
+            pos = k + 1
+            continue
         if tok.startswith("sqk_"):
             # engine-emitted fold lambda variables (sqk_a.d etc.) —
             # never a user operand; rescanning generated SQL must not
@@ -5053,7 +5115,11 @@ def _parse_arith_chain(text: str, classes: dict[str, str]):
             return None
         ops.append(s[k])
         pos = k + 1
-    if not ops:
+    if not ops and not (len(tokens) == 1 and saw_minus_first):
+        # a single operand with no MINUS is not arithmetic: bare
+        # operands keep their native lowering, and a unary ``+`` is
+        # SQLite's identity (no numeric coercion — ``+(a1)`` keeps
+        # the text value; only ``-`` coerces)
         return None
     return tokens, ops
 
@@ -5683,6 +5749,26 @@ def _rewrite_arith_class_items(
     list_start, list_end, items = span
     out_items, extras, changed = [], {}, False
     for item in items:
+        # unary ``+`` over one whole operand is SQLite's IDENTITY (no
+        # numeric coercion — ``+(a1)`` keeps a text value verbatim):
+        # drop the sign so the operand keeps its native lowering.
+        # Chains (``+a1 + 1``) don't match (the operand doesn't span
+        # the body) and keep their coercing path.
+        pmatch = re.match(r"^\s*\+\s*(\S.*)$", item, re.DOTALL)
+        if pmatch is not None:
+            rest = pmatch.group(1)
+            am0 = _PROP_ALIAS_RE.match(rest.strip())
+            body0, al0 = rest.strip(), ""
+            if am0 and am0.group(2).lower() not in _KEYWORDS:
+                cand0 = am0.group(1).strip()
+                if cand0.count("(") == cand0.count(")"):
+                    body0, al0 = cand0, f" AS {am0.group(2)}"
+            if not body0.startswith(("+", "-")) and _operand_fwd(
+                body0, 0
+            ) >= len(body0.rstrip()):
+                out_items.append(f"{body0}{al0}")
+                changed = True
+                continue
         mm = _MINMAX_CASE_ITEM_RE.match(item)
         if mm is not None:
             r = _rewrite_minmax_case_item(item, mm, stmt, classes)
@@ -5721,7 +5807,24 @@ def _rewrite_arith_class_items(
             continue
         cb = _arith_chain_class_body(chain)
         if cb is None:
-            out_items.append(item)  # native integer arithmetic: exact
+            # native integer arithmetic is exact — but a folded
+            # operand (string literal → its numeric prefix) must
+            # still land in the emitted SQL (``-'3abc'`` → -3)
+            toks, cops = chain
+            parts = [f"{toks[0][0]}{toks[0][1]}"]
+            for o, t in zip(cops, toks[1:]):
+                parts.append(o)
+                parts.append(f"{t[0]}{t[1]}")
+            rebuilt = " ".join(parts)
+            orig = item if alias is None else item[: item.rfind(alias)]
+            if "".join(rebuilt.split()) != "".join(orig.split()):
+                if alias:
+                    out_items.append(f"({rebuilt}) AS {alias}")
+                else:
+                    out_items.append(f"({rebuilt})")
+                changed = True
+            else:
+                out_items.append(item)
             continue
         body, cls = cb
         if alias:
@@ -6674,14 +6777,28 @@ def _stringify_expr(
         # string later, for which the CAST is a no-op.  min/max over
         # a TEXT column return stored text.
         k = "dyn"
+        close = _match_paren_fwd(b, mm.end() - 1)
+        arg = b[mm.end() : close - 1].strip()
+        da = _aff_classify(arg, classes)
         if mm.group(1).lower() in ("min", "max"):
-            close = _match_paren_fwd(b, mm.end() - 1)
-            arg = b[mm.end() : close - 1].strip()
-            da = _aff_classify(arg, classes)
             if da is not None and da[0] == "col" and da[1] in (
                 "text", "none"
             ):
                 k = "text"
+        if da is None and mm.group(1).lower() != "count":
+            # unclassed argument (e.g. a coerced FILTER CASE over a
+            # CAST): the aggregate is double-typed and the standalone
+            # path renders it through the serializer's integral-float
+            # collapse (serializers.render_value) — mirror that here
+            # so a compound branch prints '29', not '29.0' (fuzz seed
+            # 555123 script 27).  Classed int64 aggregates and stored
+            # canonical strings never carry a '.0' suffix, so the
+            # rewrite is a no-op for them.
+            return (
+                f"regexp_replace(regexp_replace(CAST(({b}) AS STRING),"
+                f" '^-0\\\\.0$', '0'), '^(-?[0-9]+)\\\\.0$', '$1')",
+                k,
+            )
         return f"CAST(({b}) AS STRING)", k
     if re.match(r"^case\b", b, re.IGNORECASE):
         # un-rewritten CASE: every branch classed INTEGER/text (the
@@ -7167,6 +7284,15 @@ def _rewrite_scoped_items(
     branch_cols: list[list[tuple[str | None, str, str]]] = []
     for a, b in bounds:
         t, _ = _apply_item_passes(stmt[a:b], local)
+        # argument-class coercion for sum/avg/total runs per branch
+        # BEFORE the stringify wraps items: afterwards the class-keyed
+        # comparison inside a FILTER-lowered CASE no longer parses as
+        # the cast-payload shape and the whole-statement pass would
+        # fall back to the generic DOUBLE coercion ('29.0' where
+        # SQLite sums the INTEGER cast to '29'; fuzz seed 555123
+        # script 27).  Idempotent: the emitted coercion does not
+        # re-match (the pass's own fixpoint loop terminates on it).
+        t = rewrite_affinity_aggregates(t, local)
         r = _stringify_branch_items(t, local)
         if r is None:
             return stmt, inherited  # native fallback, documented
@@ -8133,7 +8259,11 @@ def _pred_wrap(e: str) -> str:
     return f"(CASE WHEN {core} THEN 1 WHEN NOT ({core}) THEN 0 END)"
 
 
-_EXISTS_EXPR_RE = re.compile(r"\b(?:not\s+)?exists\s*\(", re.IGNORECASE)
+# the wrap span is the EXISTS call alone — never a NOT prefix: NOT
+# binds LOOSER than arithmetic, so ``not exists(...) + 2`` is
+# ``not (exists(...) + 2)`` (fuzz seed 20260816 script 186); the
+# boolean-context pass then owns the outer NOT over the number
+_EXISTS_EXPR_RE = re.compile(r"\bexists\s*\(", re.IGNORECASE)
 
 
 def _case_value_spans(stmt: str) -> list[tuple[int, int]]:

@@ -534,6 +534,100 @@ def bool_as_int_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "collate_fold_positions",
+    oracle="""
+        SELECT CAST(COUNT(DISTINCT lower(CASE WHEN p_partkey % 2 = 0
+                   THEN p_type ELSE lower(p_type) END)) AS BIGINT)
+                   AS dc,
+               CAST(COUNT(*) AS BIGINT) AS rt,
+               min(p_name) AS mc
+        FROM part
+    """,
+)
+def collate_fold_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B24 — COLLATE in aggregate arguments and value-position
+    comparisons (round-12 probe ring): ``count(distinct x collate
+    nocase)`` counts ASCII-folded values, ``=`` under COLLATE RTRIM
+    ignores trailing spaces (``x || '  ' = x collate rtrim`` is true
+    on every row), and ``min(x collate nocase)`` picks by the folded
+    key while rendering the original value.  Routed through
+    rewrite_statement so the driver pins the dialect lowering
+    (probe battery: tests/probe_r12.py)."""
+    from sqawk_spark.dialect import rewrite_statement
+
+    load_tables(spark, sf_dir, ("part",))
+    return spark.sql(
+        rewrite_statement(
+            "select count(distinct (case when p_partkey % 2 = 0 "
+            "then p_type else lower(p_type) end) collate nocase)"
+            " as dc, "
+            "sum((p_brand || '  ') = p_brand collate rtrim) as rt, "
+            "min(p_name collate nocase) as mc from part"
+        )
+    )
+
+
+@query(
+    "exists_as_int_value",
+    oracle="""
+        SELECT CAST(EXISTS(SELECT 1 FROM orders
+                   WHERE o_totalprice > 100000) AS INTEGER) + 1
+                   AS big,
+               CAST(NOT EXISTS(SELECT 1 FROM orders
+                   WHERE o_totalprice < 0) AS INTEGER) AS none_neg,
+               CAST(EXISTS(SELECT 1 FROM orders
+                   WHERE o_orderpriority = '1-URGENT') AS INTEGER) * 5
+                   AS amp
+    """,
+)
+def exists_as_int_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B16/B18 — EXISTS as a 0/1 INTEGER value in arithmetic (SQLite
+    lang_expr: EXISTS yields an integer usable anywhere a number
+    goes); previously ``exists(...) + 1`` hard-errored through
+    Spark's higher-order ``exists`` function (round-12 probe)."""
+    from sqawk_spark.dialect import rewrite_statement
+
+    load_tables(spark, sf_dir, ("orders",))
+    return spark.sql(
+        rewrite_statement(
+            "select exists(select 1 from orders "
+            "where o_totalprice > 100000) + 1 as big, "
+            "(not exists(select 1 from orders "
+            "where o_totalprice < 0)) + 0 as none_neg, "
+            "exists(select 1 from orders "
+            "where o_orderpriority = '1-URGENT') * 5 as amp"
+        )
+    )
+
+
+@query(
+    "setop_value_identity_mixed",
+    oracle="""
+        SELECT '7.0' AS v UNION ALL SELECT '7' UNION ALL SELECT '2'
+    """,
+)
+def setop_value_identity_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B15 — a distinct UNION followed by UNION ALL branches:
+    left-associativity dedups the prefix by NUMERIC value (INTEGER 7
+    and REAL 7.0 are one row, last-arrival '7.0' survives in b-tree
+    key order) and the tail appends in statement order — SQLite's
+    temp-b-tree semantics, was the documented round-11 residue
+    (round-12 probe: ``7 union 7.0 union all '7'`` prints 7.0, 7)."""
+    from sqawk_spark.dialect import rewrite_statement
+
+    return spark.sql(
+        rewrite_statement(
+            "select 7 as v union select 7.0 union all select '7' "
+            "union all select 2",
+            # the set-op branch renderer runs under the class pass,
+            # which no-ops on an empty catalog; literal-only queries
+            # still need it entered (the CLI always has loaded columns)
+            classes={"v": "dynamic"},
+        )
+    )
+
+
+@query(
     "count_distinct",
     oracle="""
         SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,

@@ -19,3 +19,9 @@ def test_probe_r12_next_ring_shapes():
     import tests.probe_r12 as probe_r12
 
     assert probe_r12.main() == 0
+
+
+def test_probe_r12b_stress_shapes():
+    import tests.probe_r12b as probe_r12b
+
+    assert probe_r12b.main() == 0
