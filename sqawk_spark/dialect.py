@@ -301,13 +301,17 @@ def rewrite_values_clause(stmt: str) -> str:
                     continue
                 return stmt
             break
-        stmt = (
-            stmt[: m.start()]
-            + " "
-            + " union all ".join(selects)
-            + " "
-            + stmt[close:]
-        )
+        repl = " union all ".join(selects)
+        if re.search(
+            r"\b(from|join)\s*$", stmt[: m.start()], re.IGNORECASE
+        ) or (
+            m.start() > 0
+            and stmt[: m.start()].rstrip().endswith(",")
+        ):
+            # bare VALUES as a FROM-clause table (no parens of its
+            # own): the union-all chain needs them
+            repl = f"({repl})"
+        stmt = stmt[: m.start()] + " " + repl + " " + stmt[close:]
 
 
 def rewrite_group_concat_distinct(stmt: str) -> str:
