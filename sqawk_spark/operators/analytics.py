@@ -95,17 +95,27 @@ def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     test scale; at 100 TB drop accuracy to the default 10000 for a
     fixed-memory mergeable sketch with map-side partial aggregation
     and no per-group sort."""
+    # r11: ONE sketch per group serving both percentiles — the two
+    # separate percentile_approx aggregates each built their own
+    # accuracy-1e6 QuantileSummaries over every row (the dominant cost
+    # of this query); the array form builds one and queries it twice
+    # (guide §1.2 "don't compute things you throw away"). Same
+    # discrete values out.
     t = load_tables(spark, sf_dir, ("lineitem",))
     return (
         t["lineitem"]
         .groupBy("l_returnflag")
         .agg(
             F.percentile_approx(
-                "l_extendedprice", F.lit(0.5), F.lit(1_000_000)
-            ).alias("median_price"),
-            F.percentile_approx(
-                "l_extendedprice", F.lit(0.95), F.lit(1_000_000)
-            ).alias("p95_price"),
+                "l_extendedprice",
+                F.array(F.lit(0.5), F.lit(0.95)),
+                F.lit(1_000_000),
+            ).alias("pcts")
+        )
+        .select(
+            "l_returnflag",
+            F.col("pcts")[0].alias("median_price"),
+            F.col("pcts")[1].alias("p95_price"),
         )
     )
 
@@ -704,21 +714,36 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair — both well-distributed; the support filter collapses the
     pair stream before the dimension joins. At 100 TB this is the
     textbook distributed co-occurrence plan."""
+    # r11: baskets via ONE groupBy(l_orderkey) + collect_set — the
+    # within-order distinct, the order count, the per-item support and
+    # the C(k,2) pair expansion all derive from the basket frame, so
+    # the old shape's separate DISTINCT (l_orderkey, l_partkey)
+    # exchange AND the order-keyed self-join (2 more exchange reads +
+    # an SMJ) collapse into one exchange with map-side partial
+    # collect_set (guide §2.3 "aggregate before you shuffle", §2.4).
+    # The pair stream itself is generated row-locally from the sorted
+    # basket array (i<j ⇔ part_a<part_b, identical pair set), then
+    # partially aggregated map-side before its own exchange.
     t = load_tables(spark, sf_dir, ("lineitem",))
-    li = (
-        t["lineitem"].select("l_orderkey", "l_partkey").distinct()
+    baskets = (
+        t["lineitem"]
+        .groupBy(F.col("l_orderkey").alias("ok"))
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
     )
-    n = li.select(F.countDistinct("l_orderkey").alias("n_orders"))
-    item = li.groupBy("l_partkey").agg(F.count("*").alias("supp"))
-    a = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    n = baskets.agg(F.count("*").alias("n_orders"))
+    item = (
+        baskets.select(F.explode("parts").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("supp"))
     )
-    b = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
+    pair_expr = (
+        "flatten(transform(parts, (x, i) ->"
+        " transform(slice(parts, i + 2, size(parts) - i - 1),"
+        " y -> struct(x as part_a, y as part_b))))"
     )
     pairs = (
-        a.join(b, "ok")
-        .filter(F.col("part_a") < F.col("part_b"))
+        baskets.select(F.explode(F.expr(pair_expr)).alias("pr"))
+        .select("pr.part_a", "pr.part_b")
         .groupBy("part_a", "part_b")
         .agg(F.count("*").alias("support"))
         .filter(F.col("support") >= 2)

@@ -53,17 +53,21 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reaches slice(t, 0, n) — a runtime error (the oracle's
     # generate_series is ascending-only and yields no grams; the
     # guard makes the engines agree: short docs have no shingles).
+    # r11: per-document dedup is row-local (array_distinct before the
+    # explode) — a document's grams all live in its own token array,
+    # so the old `.distinct()` exchanged the whole gram stream to
+    # remove duplicates that never left their row (guide §2.4).
     grams = toks.select(
         "doc_id",
         F.explode(
             F.expr(
                 f"case when size(t) >= {NGRAM} then"
-                f" transform(sequence(0, size(t) - {NGRAM}),"
-                f" i -> xxhash64(concat_ws(' ', slice(t, i + 1, {NGRAM}))))"
+                f" array_distinct(transform(sequence(0, size(t) - {NGRAM}),"
+                f" i -> xxhash64(concat_ws(' ', slice(t, i + 1, {NGRAM})))))"
                 f" else array() end"
             )
         ).alias("g"),
-    ).distinct()
+    )
     return grams
 
 
@@ -146,7 +150,19 @@ def _shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         df_cap = (
             grams.groupBy("g").count().filter(F.col("count") <= MAX_DF).select("g")
         )
-        filtered = grams.join(df_cap, "g").persist(StorageLevel.MEMORY_AND_DISK)
+        # r11: pin HashPartitioning(g) on the materialized index (one
+        # build-time exchange) so every g-keyed consumer — the exact
+        # pair self-join (both sides), containment, the contamination
+        # corpus×eval lookup — reads the cached partitioning instead
+        # of re-exchanging the whole index per run (guide §2.4; the
+        # same move as the graph family's src-partitioned edge cache).
+        # Without the pin the layout depends on whether AQE broadcast
+        # the df-cap side, which varies by scale factor.
+        filtered = (
+            grams.join(df_cap, "g")
+            .repartition("g")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
         _INDEX_CACHE[key] = filtered
     return _INDEX_CACHE[key]
 

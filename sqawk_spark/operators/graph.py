@@ -34,10 +34,22 @@ _PR_ROUNDS = 3
 # triangle counting orients edges by comparing (deg, src) to
 # (deg_dst, dst) with ZERO further joins. One build serves the family
 # — the same resident-structure pattern as dedup's _PAIRS_CACHE.
-_GRAPH_CACHE: dict[tuple[int, str], DataFrame] = {}
+#
+# r11: the edge frame persists HASH-PARTITIONED ON src so every
+# src-keyed consumer (each PageRank round's rank join, the triangle
+# wedge self-join on the orientation source) reads the cached
+# partitioning instead of re-exchanging the edge list per use (guide
+# §2.4 "two operations keyed the same way share one exchange"); the
+# degree table (V rows, the node set) persists alongside so PageRank
+# stops re-deriving it per run with a distinct() over the E-row frame.
+_GRAPH_CACHE: dict[tuple[int, str], tuple[DataFrame, DataFrame]] = {}
 
 
-def _sym_edges_with_deg(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _graph_frames(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(edges_with_degrees, degrees) — both persisted, edges
+    partitioned by src, degrees by src (its groupBy partitioning)."""
     from pyspark import StorageLevel
 
     from sqawk_spark.operators.dedup import _PAIRS_CACHE, _jaccard_pairs
@@ -58,16 +70,33 @@ def _sym_edges_with_deg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
             )
         )
-        deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+        deg = (
+            edges.groupBy("src")
+            .agg(F.count("*").alias("deg"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
         degv = deg.select(
             F.col("src").alias("dst"), F.col("deg").alias("deg_dst")
         )
-        _GRAPH_CACHE[key] = (
-            edges.join(deg, "src")
-            .join(degv, "dst")
+        # the trailing repartition pins HashPartitioning(src) on the
+        # materialized cache regardless of which join strategy AQE
+        # picked for the degree attachments (a broadcast join would
+        # otherwise leave the scan's partitioning) — one extra
+        # build-time exchange buys an exchange-free src side for every
+        # per-round/per-run consumer.
+        edges_deg = (
+            edges.join(degv, "dst")
+            .join(deg, "src")
+            .select("src", "dst", "deg", "deg_dst")
+            .repartition("src")
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        _GRAPH_CACHE[key] = (edges_deg, deg)
     return _GRAPH_CACHE[key]
+
+
+def _sym_edges_with_deg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _graph_frames(spark, sf_dir)[0]
 
 
 
@@ -130,8 +159,13 @@ def graph_pagerank_dupgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     and edges shuffle on well-hashed node ids; nothing is quadratic,
     nothing collects but one COUNT scalar. The shared ``_PAIRS_CACHE``
     means a session that already ran dedup pays only the K rounds."""
-    edges_deg = _sym_edges_with_deg(spark, sf_dir)
-    deg = edges_deg.select("src", "deg").distinct()
+    # r11: the degree/node table comes from the persisted cache — the
+    # old form re-derived it per run with a distinct() over the E-row
+    # edge frame (one full extra exchange per execution, guide §2.4);
+    # the edge frame itself is cache-partitioned on src, so each
+    # round's rank join exchanges only the V-row rank vector.
+    edges_deg, deg = _graph_frames(spark, sf_dir)
+    edges = edges_deg.select("src", "dst", "deg")
     # one scalar to the driver: the node count (sets the teleport term)
     n = deg.count()
     teleport = 3 * _PR_SCALE // (20 * n)
@@ -141,7 +175,7 @@ def graph_pagerank_dupgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for _ in range(_PR_ROUNDS):
         contrib = (
-            edges_deg.join(ranks, edges_deg["src"] == ranks["doc_id"])
+            edges.join(ranks, edges["src"] == ranks["doc_id"])
             .select("dst", F.expr("r div deg").alias("c"))
         )
         ranks = (
@@ -219,12 +253,16 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     e2 = oriented.select(F.col("u").alias("a"), F.col("v").alias("c"))
     wedges = e1.join(e2, "a").filter(F.col("b") != F.col("c"))
     closer = oriented.select(F.col("u").alias("b"), F.col("v").alias("c"))
-    # wedge (a→b, a→c) closes iff b→c oriented: each triangle once
+    # wedge (a→b, a→c) closes iff b→c oriented: each triangle once.
+    # r11: emit the three members by EXPLODING one small array per
+    # triangle row — the previous unionAll of three projections over
+    # the same join subtree executed the wedge-close join three times
+    # (only its exchanges were reused, not the join itself; guide
+    # §1.2 "don't compute things you throw away"). Same multiset of
+    # member rows, one execution of the join.
     tri = wedges.join(closer, ["b", "c"])
-    members = (
-        tri.select(F.col("a").alias("doc_id"))
-        .unionAll(tri.select(F.col("b").alias("doc_id")))
-        .unionAll(tri.select(F.col("c").alias("doc_id")))
+    members = tri.select(
+        F.explode(F.array("a", "b", "c")).alias("doc_id")
     )
     return members.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_triangles")

@@ -1514,46 +1514,56 @@ def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     nq = _quantized(spark, sf_dir)
     n_planes_total = _RL_TABLES * _RL_PLANES
 
-    e = nq.select(
-        "vec_id", F.posexplode("vq").alias("pos0", "valq")
-    ).select("vec_id", (F.col("pos0") + 1).alias("pos"), "valq")
-    planes = spark.range(0, n_planes_total).select(F.col("id").alias("p"))
-    dims = spark.range(1, 65).select(F.col("id").alias("pos"))
-    signs = planes.crossJoin(dims).select(
-        "p",
-        "pos",
-        F.when(
-            F.conv(
-                F.substring(
-                    F.md5(F.concat_ws(":", F.col("p"), F.col("pos"))), 1, 1
-                ),
-                16,
-                10,
-            ).cast("int")
+    # r11: the ±1 hyperplane table is a FIXED, data-independent 16×64
+    # md5-parity matrix — compute it on the driver (hashlib md5 over
+    # the same "p:pos" strings the oracle hashes) and inline each
+    # plane's sign vector as an array literal, so every dot product is
+    # one zip_with/aggregate over the row's own vq array. The previous
+    # form exploded the corpus ×64, fanned it ×16 through a broadcast
+    # join, and re-assembled with TWO hash aggregations (n·1024
+    # intermediate rows); all of that was recomputing a constant per
+    # row pair (guide §1.2 step 1, §4.1 "built-ins over UDF-shaped
+    # plans"). Integer arithmetic is exact, so the per-plane dot and
+    # the signature bits are bit-identical to the old aggregation
+    # order and to the oracle.
+    import hashlib
+
+    signs_const = [
+        [
+            1
+            if int(
+                hashlib.md5(f"{p}:{pos}".encode()).hexdigest()[0], 16
+            )
             % 2
-            == 0,
-            1,
-        )
-        .otherwise(-1)
-        .alias("s"),
-    )
-    dots = (
-        e.join(F.broadcast(signs), "pos")
-        .groupBy("vec_id", "p")
-        .agg(F.sum(F.col("s") * F.col("valq")).alias("dot"))
-    )
-    sigs = dots.groupBy(
-        "vec_id", F.expr(f"p div {_RL_PLANES}").alias("tbl")
-    ).agg(
-        F.sum(
-            F.expr(
-                f"CASE WHEN dot >= 0 THEN shiftleft(1,"
-                f" CAST(p % {_RL_PLANES} AS INT)) ELSE 0 END"
+            == 0
+            else -1
+            for pos in range(1, 65)
+        ]
+        for p in range(n_planes_total)
+    ]
+    sig_cols = []
+    for tbl in range(_RL_TABLES):
+        bit_terms = []
+        for b in range(_RL_PLANES):
+            sv = ",".join(
+                f"{s}L" for s in signs_const[tbl * _RL_PLANES + b]
+            )
+            dot = (
+                f"aggregate(zip_with(vq, array({sv}),"
+                f" (x, s) -> x * s), 0L, (acc, x) -> acc + x)"
+            )
+            bit_terms.append(
+                f"(CASE WHEN {dot} >= 0 THEN {1 << b} ELSE 0 END)"
+            )
+        sig_cols.append(
+            F.struct(
+                F.lit(tbl).cast("long").alias("tbl"),
+                F.expr(" + ".join(bit_terms)).cast("int").alias("sig"),
             )
         )
-        .cast("int")
-        .alias("sig")
-    )
+    sigs = nq.select(
+        "vec_id", F.explode(F.array(*sig_cols)).alias("ts")
+    ).select("vec_id", F.col("ts.tbl").alias("tbl"), F.col("ts.sig").alias("sig"))
     qsigs = sigs.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "tbl", "sig"
     )

@@ -28,14 +28,79 @@ TABLES = (
     "embeddings",
 )
 
+# --- r11: unsplittable-input spread (optimization guide §2.5) --------
+#
+# Parquet scans cannot parallelize below a row group, and the test
+# tables are written as ONE row group per file — so the scan stage of
+# every query, and all map work fused into it (tokenization, explode,
+# hashing, decode), runs on a single core no matter how many the
+# session has. The guide's sanctioned fix for unsplittable input is a
+# repartition immediately after the read. It is gated so it only
+# fires when BOTH hold:
+#   * the file's natural split count (row groups) is below the
+#     session's default parallelism — i.e. the scan is actually
+#     starved, which on any real 100 TB layout (thousands of row
+#     groups) is never true, making this a no-op at scale; and
+#   * the table is small enough (SQAWK_SPARK_SPREAD_MAX_BYTES,
+#     default 1 GiB) that the extra round-robin exchange is trivially
+#     cheap relative to the serial map work it unlocks.
+# Call sites opt in per table (`spread=` below) where the downstream
+# map work is known to dominate; SQAWK_SPARK_SPREAD=off disables the
+# whole mechanism.
+_SPLITS_CACHE: dict[str, tuple[int, int]] = {}
+
+
+def _natural_splits(path: str) -> tuple[int, int]:
+    """(row_groups, total_bytes) for a parquet file or directory."""
+    got = _SPLITS_CACHE.get(path)
+    if got is not None:
+        return got
+    import glob as _glob
+
+    files = (
+        sorted(_glob.glob(os.path.join(path, "*.parquet")))
+        if os.path.isdir(path)
+        else [path]
+    )
+    groups = 0
+    size = 0
+    try:
+        import pyarrow.parquet as pq
+
+        for f in files:
+            groups += pq.ParquetFile(f).metadata.num_row_groups
+            size += os.path.getsize(f)
+    except Exception:
+        groups, size = 1 << 30, 1 << 60  # unknown: never spread
+    _SPLITS_CACHE[path] = (groups, size)
+    return groups, size
+
+
+def _maybe_spread(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    if os.environ.get("SQAWK_SPARK_SPREAD", "auto") == "off":
+        return df
+    target = spark.sparkContext.defaultParallelism
+    max_bytes = int(
+        os.environ.get("SQAWK_SPARK_SPREAD_MAX_BYTES", str(1 << 30))
+    )
+    groups, size = _natural_splits(path)
+    if groups >= target or size > max_bytes:
+        return df
+    return df.repartition(target)
+
 
 def load_tables(
-    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+    spark: SparkSession,
+    sf_dir: str,
+    names: tuple[str, ...] = TABLES,
+    spread: tuple[str, ...] = (),
 ) -> dict[str, DataFrame]:
     """Read parquet tables and register each as a temp view.
 
     Registering views makes the same catalog available to both the
     DataFrame builders and ``spark.sql`` queries (CTEs, subqueries).
+    Tables named in ``spread`` get the unsplittable-input repartition
+    (see `_maybe_spread` above) when the gate allows it.
     """
     out: dict[str, DataFrame] = {}
     for name in names:
@@ -58,6 +123,10 @@ def load_tables(
                 df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         else:
             df = spark.read.parquet(path)
+        if name in spread or os.environ.get("SQAWK_SPARK_SPREAD") == "all":
+            # "all" is a measurement override (A/B the gate globally);
+            # production call sites opt in per table instead.
+            df = _maybe_spread(spark, df, path)
         df.createOrReplaceTempView(name)
         out[name] = df
     return out

@@ -899,16 +899,17 @@ def text_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     the millions for natural language), one scan scores — the LM side
     broadcasts (AQE) and the per-doc agg combines map-side. The
     corpus-total token count is a 1-row broadcast, not a window."""
-    t = load_tables(spark, sf_dir, ("documents",))
-    toks = (
-        t["documents"]
-        .select("doc_id", F.explode(_tokens()).alias("w"))
-        .filter(F.length("w") > 0)
-    )
-    total = toks.agg(F.count("*").alias("corpus_n"))
+    # r11: every branch (corpus total, LM, per-doc scoring) derives
+    # from the persisted per-doc unigram-count frame — the corpus is
+    # tokenized once per session instead of 3× per run, and the w-keyed
+    # exchanges ship per-doc-distinct (w, k) rows, not raw instances.
+    # count(*) over instances ≡ sum(k); sum(nll) ≡ sum(k·nll) — exact
+    # integers, bit-identical to the old aggregation order.
+    uc = _unigram_counts(spark, sf_dir)
+    total = uc.agg(F.sum("k").alias("corpus_n"))
     lm = (
-        toks.groupBy("w")
-        .agg(F.count("*").alias("wf"))
+        uc.groupBy("w")
+        .agg(F.sum("k").alias("wf"))
         .crossJoin(F.broadcast(total))
         .select(
             "w",
@@ -920,16 +921,16 @@ def text_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("nll_micro"),
         )
     )
+    n_inst = F.sum("k")
+    s_nll = F.sum(F.col("k") * F.col("nll_micro"))
     return (
-        toks.join(lm, "w")
+        uc.join(lm, "w")
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_tokens"),
+            n_inst.alias("n_tokens"),
+            F.round(s_nll / (n_inst * 1_000_000.0), 4).alias("avg_nll"),
             F.round(
-                F.sum("nll_micro") / (F.count("*") * 1_000_000.0), 4
-            ).alias("avg_nll"),
-            F.round(
-                F.exp(F.sum("nll_micro") / (F.count("*") * 1_000_000.0)), 2
+                F.exp(s_nll / (n_inst * 1_000_000.0)), 2
             ).alias("perplexity"),
         )
     )
@@ -988,13 +989,12 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     natural-language vocab plateaus in the millions, which one task
     sorts in memory; the corpus itself contributes only the word-count
     scan with map-side partials."""
-    t = load_tables(spark, sf_dir, ("documents",))
+    # r11: vocabulary counts roll up from the persisted per-doc
+    # unigram frame (count(*) over instances ≡ sum(k), exact).
     vocab = (
-        t["documents"]
-        .select(F.explode(_tokens()).alias("w"))
-        .filter(F.length("w") > 0)
+        _unigram_counts(spark, sf_dir)
         .groupBy("w")
-        .agg(F.count("*").alias("f"))
+        .agg(F.sum("k").alias("f"))
     )
     rk = F.row_number().over(W.orderBy(F.desc("f"), F.asc("w")))
     ranked = vocab.select(
@@ -1323,12 +1323,23 @@ _BIGRAM_CACHE: dict[tuple[int, str], DataFrame] = {}
 # _BIGRAM_CACHE.
 _BM25_CACHE: dict[tuple[int, str], DataFrame] = {}
 
+# r11: (doc_id, lang, w, k) per-document unigram counts — the unigram
+# twin of _BIGRAM_CACHE. The unigram-LM family (perplexity score,
+# CCNet buckets, the bigram entry's vocabulary size, the Zipf fit)
+# each re-tokenized and re-exploded the corpus 3-4× per run with
+# shuffle keys ReuseExchange cannot canonicalize equal; deriving all
+# of them from this one persisted frame tokenizes the corpus ONCE per
+# session and shuffles per-doc-distinct (w, k) rows instead of raw
+# token instances (guide §2.3/§2.4). Every consumer's arithmetic
+# stays exact-integer, so results are bit-identical.
+_UNIGRAM_CACHE: dict[tuple[int, str], DataFrame] = {}
+
 
 def clear_caches(spark: SparkSession | None = None) -> None:
-    """Unpersist and drop the per-session bigram-count and BM25
-    doc-hits caches (same contract as
+    """Unpersist and drop the per-session bigram-count, BM25 doc-hits
+    and unigram-count caches (same contract as
     :func:`sqawk_spark.operators.dedup.clear_caches`)."""
-    for cache in (_BIGRAM_CACHE, _BM25_CACHE):
+    for cache in (_BIGRAM_CACHE, _BM25_CACHE, _UNIGRAM_CACHE):
         for key in [
             k for k in cache if spark is None or k[0] == id(spark)
         ]:
@@ -1364,6 +1375,28 @@ def _bm25_doc_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).persist(StorageLevel.MEMORY_AND_DISK)
         )
     return _BM25_CACHE[key]
+
+
+def _unigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, w, k): count of each distinct non-empty token
+    per document. lang rides along (functionally dependent on doc_id)
+    so the CCNet consumer needs no extra dimension join."""
+    key = (id(spark), sf_dir)
+    if key not in _UNIGRAM_CACHE:
+        from pyspark import StorageLevel
+
+        t = load_tables(spark, sf_dir, ("documents",))
+        toks = (
+            t["documents"]
+            .select("doc_id", "lang", F.explode(_tokens()).alias("w"))
+            .filter(F.length("w") > 0)
+        )
+        _UNIGRAM_CACHE[key] = (
+            toks.groupBy("doc_id", "lang", "w")
+            .agg(F.count("*").alias("k"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+    return _UNIGRAM_CACHE[key]
 
 
 def _bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1466,13 +1499,13 @@ def text_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     none). The bigram explode is guarded for short docs (Spark's
     sequence() DESCENDS when stop < start — an unguarded transform
     would index t[-1])."""
-    t = load_tables(spark, sf_dir, ("documents",))
-    toks = t["documents"].select("doc_id", _tokens().alias("t"))
     dbc = _bigram_counts(spark, sf_dir)
-    vsz = (
-        toks.select(F.explode("t").alias("w"))
-        .filter(F.length("w") > 0)
-        .agg(F.countDistinct("w").alias("vsz"))
+    # r11: vocabulary size from the persisted unigram-count frame —
+    # the old form re-tokenized and re-exploded the whole corpus per
+    # run just for this one scalar; the cached frame distincts
+    # per-doc-distinct (doc, w) rows instead of raw token instances.
+    vsz = _unigram_counts(spark, sf_dir).agg(
+        F.countDistinct("w").alias("vsz")
     )
     c12 = dbc.groupBy("w1", "w2").agg(F.sum("k").alias("c12"))
     c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c"))
@@ -1658,29 +1691,34 @@ def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same profile as the dedup index build; everything after it
     is broadcast-sized. At 100 TB the boilerplate table is
     per-source-bounded and the rewrite is map-only."""
+    # r11 restructure: the only corpus-sized exchange left is the
+    # (source, gram) document-frequency aggregate. Per-document gram
+    # dedup is row-local (array_distinct before the explode), so the
+    # old DISTINCT (source, g, doc_id) exchange disappears; and the
+    # coverage/rewrite phase is now ONE map-only pass — the per-source
+    # boilerplate gram sets broadcast onto the token arrays and every
+    # covered position, the removal count and the rewritten text are
+    # computed inside the row (guide §2.3/§2.4: the occurrence stream
+    # never shuffles; the old shape exchanged it twice more — a
+    # (doc_id, pos) DISTINCT and a collect_set groupBy — then joined
+    # the corpus back on doc_id).
     t = load_tables(spark, sf_dir, ("documents",))
     docs = t["documents"]
     toks = docs.select(
         "doc_id", "source", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("t")
     )
-    occ = toks.select(
-        "doc_id",
-        "source",
-        "t",
-        F.explode(
-            F.expr(
-                "case when size(t) >= 3 then"
-                " transform(sequence(0, size(t) - 3),"
-                " i -> struct(i as start,"
-                " xxhash64(concat_ws(' ', slice(t, i + 1, 3))) as g))"
-                " else array() end"
-            )
-        ).alias("o"),
-    ).select("doc_id", "source", F.col("o.start").alias("start"), F.col("o.g").alias("g"))
+    gram_hashes = (
+        "case when size(t) >= 3 then"
+        " transform(sequence(0, size(t) - 3),"
+        " i -> xxhash64(concat_ws(' ', slice(t, i + 1, 3))))"
+        " else array() end"
+    )
     sdocs = docs.groupBy("source").agg(F.count("*").alias("nd"))
     df = (
-        occ.select("source", "g", "doc_id")
-        .distinct()
+        toks.select(
+            "source",
+            F.explode(F.expr(f"array_distinct({gram_hashes})")).alias("g"),
+        )
         .groupBy("source", "g")
         .agg(F.count("*").alias("cnt"))
     )
@@ -1689,23 +1727,23 @@ def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("cnt") * 10 >= F.col("nd")) & (F.col("nd") >= _BOILER_MIN_DOCS))
         .select("source", "g")
     )
+    bsets = boiler.groupBy("source").agg(F.collect_set("g").alias("bset"))
     covered = (
-        occ.join(F.broadcast(boiler), ["source", "g"])
-        .select(
-            "doc_id",
-            F.explode(F.expr("sequence(start, start + 2)")).alias("pos"),
-        )
-        .distinct()
-    )
-    covset = covered.groupBy("doc_id").agg(
-        F.collect_set("pos").alias("ps"),
-        F.count("*").alias("n_removed"),
+        "array_distinct(flatten(transform("
+        f" filter(sequence(0, greatest(size(t) - 3, -1)),"
+        f"        i -> array_contains(bset,"
+        f"             xxhash64(concat_ws(' ', slice(t, i + 1, 3))))),"
+        " s -> sequence(s, s + 2))))"
     )
     return (
-        toks.join(covset, "doc_id")
+        toks.join(F.broadcast(bsets), "source")
+        .withColumn(
+            "ps", F.expr(f"case when size(t) >= 3 then {covered} else array() end")
+        )
+        .filter(F.size("ps") > 0)
         .select(
             "doc_id",
-            F.col("n_removed").cast("long").alias("n_removed"),
+            F.size("ps").cast("long").alias("n_removed"),
             F.concat_ws(
                 " ",
                 F.expr("filter(t, (x, i) -> not array_contains(ps, i))"),
@@ -1778,16 +1816,15 @@ def text_ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``least(2, 3·cum_before ÷ n)`` in pure integer arithmetic, so
     neither engine can disagree at a cut point, and bucket sizes are
     equal to within one value-group by construction."""
-    t = load_tables(spark, sf_dir, ("documents",))
-    toks = (
-        t["documents"]
-        .select("doc_id", "lang", F.explode(_tokens()).alias("w"))
-        .filter(F.length("w") > 0)
-    )
-    total = toks.agg(F.count("*").alias("corpus_n"))
+    # r11: derives from the persisted per-doc unigram-count frame
+    # (see text_perplexity_score) — one session-wide tokenize instead
+    # of 3 per run; sum(nll) ≡ sum(k·nll), count(*) ≡ sum(k), exact
+    # integers either way.
+    uc = _unigram_counts(spark, sf_dir)
+    total = uc.agg(F.sum("k").alias("corpus_n"))
     lm = (
-        toks.groupBy("w")
-        .agg(F.count("*").alias("wf"))
+        uc.groupBy("w")
+        .agg(F.sum("k").alias("wf"))
         .crossJoin(F.broadcast(total))
         .select(
             "w",
@@ -1800,10 +1837,10 @@ def text_ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     scores = (
-        toks.join(lm, "w")
+        uc.join(lm, "w")
         .groupBy("doc_id", "lang")
         .agg(
-            F.expr("sum(nll_micro) div (count(*) * 1000)").alias(
+            F.expr("sum(k * nll_micro) div (sum(k) * 1000)").alias(
                 "score_milli"
             )
         )
@@ -2074,19 +2111,22 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     join of the gram stream back to it (same key, same partitioning —
     Catalyst reuses the exchange), one doc-keyed rollup. The ratio
     divides exact integers."""
+    # r11: per-document gram dedup happens INSIDE the row with
+    # array_distinct before the explode — a document's trigrams all
+    # live in its own token array, so distinct (doc_id, g) needs no
+    # exchange at all. The old `.distinct()` shuffled the full gram
+    # stream once just to remove duplicates that were row-local
+    # (guide §2.4 "a distinct on data that is already unique").
     t = load_tables(spark, sf_dir, ("documents",))
     toks = t["documents"].select("doc_id", _tokens().alias("t"))
-    grams = (
-        toks.select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(0, size(t) - 3),"
-                    " i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))"
-                )
-            ).alias("g"),
-        )
-        .distinct()
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "array_distinct(transform(sequence(0, size(t) - 3),"
+                " i -> concat(t[i], ' ', t[i+1], ' ', t[i+2])))"
+            )
+        ).alias("g"),
     )
     firsts = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
     joined = grams.join(firsts, "g")
@@ -2152,6 +2192,11 @@ def docs_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     SOURCE count (dozens), not document frequency, so no MAX_DF cap
     is needed; output is |sources|² at most. Jaccard divides exact
     integers."""
+    # r11: dedup each document's grams row-locally (array_distinct)
+    # before the explode so the (source, gram) DISTINCT exchange
+    # shuffles one row per per-doc-distinct gram instead of one per
+    # occurrence — same surviving set, fewer bytes into the exchange
+    # (guide §2.3 "aggregate before you shuffle").
     t = load_tables(spark, sf_dir, ("documents",))
     toks = t["documents"].select("source", _tokens().alias("t"))
     sg = (
@@ -2159,8 +2204,8 @@ def docs_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             F.explode(
                 F.expr(
-                    "transform(sequence(0, size(t) - 3),"
-                    " i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))"
+                    "array_distinct(transform(sequence(0, size(t) - 3),"
+                    " i -> concat(t[i], ' ', t[i+1], ' ', t[i+2])))"
                 )
             ).alias("g"),
         )

@@ -427,7 +427,10 @@ def test_perplexity_lm_is_broadcast_not_window(spark, sf_dir):
     p = plan(spark, sf_dir, "text_perplexity_score")
     assert "Window" not in p
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
-    assert "partial_count" in p  # doc agg combines map-side
+    assert "partial_sum" in p  # doc agg combines map-side (r11: k-weighted)
+    # r11: every branch must read the persisted unigram-count frame,
+    # not re-tokenize the corpus per consumer
+    assert "InMemoryTableScan" in p or "InMemoryRelation" in p
 
 
 def test_importance_sampling_is_pure_map(spark, sf_dir):
@@ -850,12 +853,18 @@ def test_variance_by_dim_combines_mapside(spark, sf_dir):
 
 
 def test_lsh_recall_broadcasts_model_and_queries(spark, sf_dir):
-    """The 1,024-row sign table and the 20-row query-signature side
-    must broadcast; the signature aggregation combines map-side."""
+    """The 20-row query-signature side must broadcast, and (r11) the
+    signature pass must be row-local array arithmetic over inlined
+    constant sign vectors — no explode×planes fan-out joined against a
+    sign table, no signature re-aggregation (the 16×64 md5-parity
+    matrix is data-independent; recomputing it per corpus row via a
+    broadcast join cost two hash aggregations over n·1024 rows)."""
     p = plan(spark, sf_dir, "ann_lsh_recall")
     assert "BroadcastHashJoin" in p
-    assert "partial_sum" in p
     assert "CartesianProduct" not in p
+    # the signature stage must NOT aggregate per (vec_id, plane):
+    # no groupBy on a plane column anywhere in the plan
+    assert "hashpartitioning(vec_id" not in p
 
 
 def test_stopword_discovery_is_threshold_on_aggregate(spark, sf_dir):
