@@ -36,7 +36,7 @@ DECODE_SCHEMA = (
 
 def fake_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents.text UTF-8-encoded as a stand-in binary payload."""
-    t = load_tables(spark, sf_dir, ("documents",))
+    t = load_tables(spark, sf_dir, ("documents",), spread=("documents",))
     return t["documents"].select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
@@ -212,7 +212,7 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     At scale: synthesis disappears (payloads come from parquet), and
     the pass is one worker-side Arrow stream per partition — no
     shuffle, output rows = clips × frames."""
-    t = load_tables(spark, sf_dir, ("documents",))
+    t = load_tables(spark, sf_dir, ("documents",), spread=("documents",))
     ids = t["documents"].select("doc_id")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -310,7 +310,7 @@ def multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     as the DuckDB oracle (``_IMAGE_ORACLE``) and additionally asserted
     in tests/test_extensions.py. Same scale shape as the audio pass:
     one Arrow-batched mapInPandas stream per partition, no shuffle."""
-    t = load_tables(spark, sf_dir, ("documents",))
+    t = load_tables(spark, sf_dir, ("documents",), spread=("documents",))
     ids = t["documents"].select("doc_id")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -432,7 +432,7 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     and resample are per-row, no shuffle); at 100 TB the resize is
     embarrassingly parallel and output shrinks 16× before anything
     downstream touches it."""
-    t = load_tables(spark, sf_dir, ("documents",))
+    t = load_tables(spark, sf_dir, ("documents",), spread=("documents",))
     ids = t["documents"].select("doc_id")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -584,7 +584,7 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: same shape as the other media passes — one Arrow-batched
     mapInPandas stream per partition, no shuffle, payload column
     prunable when untouched."""
-    t = load_tables(spark, sf_dir, ("documents",))
+    t = load_tables(spark, sf_dir, ("documents",), spread=("documents",))
     ids = t["documents"].select("doc_id")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -901,7 +901,7 @@ def multimodal_jpeg_chroma420(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode run inside one Arrow-batched mapInPandas pass, no shuffle,
     no driver traffic; at 100 TB the binary column streams through
     executors partition-local."""
-    t = load_tables(spark, sf_dir, ("documents",))
+    t = load_tables(spark, sf_dir, ("documents",), spread=("documents",))
     ids = t["documents"].select("doc_id")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1255,7 +1255,7 @@ def multimodal_video_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode — the pattern that matters when a 100 TB corpus holds
     hour-long videos: never decode what the sampler drops. One
     mapInPandas pass, no shuffle."""
-    t = load_tables(spark, sf_dir, ("documents",))
+    t = load_tables(spark, sf_dir, ("documents",), spread=("documents",))
     ids = t["documents"].select("doc_id")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1619,7 +1619,7 @@ def multimodal_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: see _JPEG_PROG_ORACLE's comment.  Scale: one
     Arrow-batched mapInPandas stream per partition, no shuffle."""
-    t = load_tables(spark, sf_dir, ("documents",))
+    t = load_tables(spark, sf_dir, ("documents",), spread=("documents",))
     ids = t["documents"].select("doc_id")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -461,7 +461,7 @@ def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     count in characters), and chunks inherit the input partitioning,
     so a downstream embed/write step starts co-located. At 100 TB this is
     the canonical narrow transform."""
-    t = load_tables(spark, sf_dir, ("documents",))
+    t = load_tables(spark, sf_dir, ("documents",), spread=("documents",))
     return chunk_documents(t["documents"])
 
 

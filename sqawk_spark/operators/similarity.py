@@ -554,7 +554,7 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: map-only — one scan, per-row array expressions inside
     whole-stage codegen, no shuffle, no UDF, no driver traffic. At
     100 TB this is exactly bytes-in/bytes-out."""
-    t = load_tables(spark, sf_dir, ("embeddings",))
+    t = load_tables(spark, sf_dir, ("embeddings",), spread=("embeddings",))
     return (
         t["embeddings"]
         .select(

@@ -95,7 +95,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality score: length credit + punctuation penalty,
     with stopword ratio reported alongside (the classic cheap filters
     a pretraining pipeline applies before anything model-based)."""
-    t = load_tables(spark, sf_dir, ("documents",))
+    t = load_tables(spark, sf_dir, ("documents",), spread=("documents",))
     toks = _tokens()
     nc = F.length("text")
     npunct = F.length(F.regexp_replace(F.col("text"), r"[^.!?,;:]", ""))
@@ -432,7 +432,7 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the DuckDB oracle checks the exact replacement behavior;
     category counts are measured independently on the original text,
     so they are order-free."""
-    t = load_tables(spark, sf_dir, ("documents",))
+    t = load_tables(spark, sf_dir, ("documents",), spread=("documents",))
     aug = F.concat(
         F.col("text"),
         F.lit(" contact user"),
@@ -562,7 +562,7 @@ def quality_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparison (stop_cnt*100 < n, n_distinct*5 < 2n), so the oracle
     comparison has no float-tie ambiguity, and the whole operator is
     one codegen'd scan."""
-    t = load_tables(spark, sf_dir, ("documents",))
+    t = load_tables(spark, sf_dir, ("documents",), spread=("documents",))
     tk = _tokens()
     m = t["documents"].select(
         "doc_id",
@@ -899,18 +899,30 @@ def text_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     the millions for natural language), one scan scores — the LM side
     broadcasts (AQE) and the per-doc agg combines map-side. The
     corpus-total token count is a 1-row broadcast, not a window."""
-    # r11: every branch (corpus total, LM, per-doc scoring) derives
-    # from the persisted per-doc unigram-count frame — the corpus is
-    # tokenized once per session instead of 3× per run, and the w-keyed
-    # exchanges ship per-doc-distinct (w, k) rows, not raw instances.
-    # count(*) over instances ≡ sum(k); sum(nll) ≡ sum(k·nll) — exact
-    # integers, bit-identical to the old aggregation order.
-    uc = _unigram_counts(spark, sf_dir)
-    total = uc.agg(F.sum("k").alias("corpus_n"))
+    # r11: two structural trims over the r10 shape, keeping its
+    # shuffle-light dataflow (partial-agged LM exchange + broadcast
+    # LM, the corpus token stream itself never shuffles):
+    #   * the corpus token total rolls up from the LM's own word
+    #     counts (sum(wf) ≡ count(*), exact integers) instead of a
+    #     third full tokenize pass.
+    # (Two rejected-by-measurement alternatives, for the record: a
+    # persisted per-doc (w, k) frame was ~2× SLOWER at sf0.1 —
+    # materializing the exploded token stream costs more than
+    # recomputing it, since tokenize+explode feeding a partial
+    # aggregate never materializes at all — and the unsplittable-input
+    # spread also lost here: the downstream is partial-agg-dominated,
+    # so a full-row exchange buys parallelism the partials don't
+    # need.)
+    t = load_tables(spark, sf_dir, ("documents",))
+    toks = (
+        t["documents"]
+        .select("doc_id", F.explode(_tokens()).alias("w"))
+        .filter(F.length("w") > 0)
+    )
+    counts = toks.groupBy("w").agg(F.count("*").alias("wf"))
+    total = counts.agg(F.sum("wf").alias("corpus_n"))
     lm = (
-        uc.groupBy("w")
-        .agg(F.sum("k").alias("wf"))
-        .crossJoin(F.broadcast(total))
+        counts.crossJoin(F.broadcast(total))
         .select(
             "w",
             F.round(
@@ -921,16 +933,16 @@ def text_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("nll_micro"),
         )
     )
-    n_inst = F.sum("k")
-    s_nll = F.sum(F.col("k") * F.col("nll_micro"))
     return (
-        uc.join(lm, "w")
+        toks.join(lm, "w")
         .groupBy("doc_id")
         .agg(
-            n_inst.alias("n_tokens"),
-            F.round(s_nll / (n_inst * 1_000_000.0), 4).alias("avg_nll"),
+            F.count("*").alias("n_tokens"),
             F.round(
-                F.exp(s_nll / (n_inst * 1_000_000.0)), 2
+                F.sum("nll_micro") / (F.count("*") * 1_000_000.0), 4
+            ).alias("avg_nll"),
+            F.round(
+                F.exp(F.sum("nll_micro") / (F.count("*") * 1_000_000.0)), 2
             ).alias("perplexity"),
         )
     )
@@ -989,12 +1001,13 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     natural-language vocab plateaus in the millions, which one task
     sorts in memory; the corpus itself contributes only the word-count
     scan with map-side partials."""
-    # r11: vocabulary counts roll up from the persisted per-doc
-    # unigram frame (count(*) over instances ≡ sum(k), exact).
+    t = load_tables(spark, sf_dir, ("documents",))
     vocab = (
-        _unigram_counts(spark, sf_dir)
+        t["documents"]
+        .select(F.explode(_tokens()).alias("w"))
+        .filter(F.length("w") > 0)
         .groupBy("w")
-        .agg(F.sum("k").alias("f"))
+        .agg(F.count("*").alias("f"))
     )
     rk = F.row_number().over(W.orderBy(F.desc("f"), F.asc("w")))
     ranked = vocab.select(
@@ -1293,7 +1306,7 @@ def text_collapse_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape — posexplode + lag() window — which would shuffle the
     entire token stream just to compare neighbors that already sit
     adjacent in one array."""
-    t = load_tables(spark, sf_dir, ("documents",))
+    t = load_tables(spark, sf_dir, ("documents",), spread=("documents",))
     d = t["documents"].select("doc_id", _tokens().alias("t"))
     tt = F.col("t")
     collapsed = F.filter(
@@ -1323,23 +1336,11 @@ _BIGRAM_CACHE: dict[tuple[int, str], DataFrame] = {}
 # _BIGRAM_CACHE.
 _BM25_CACHE: dict[tuple[int, str], DataFrame] = {}
 
-# r11: (doc_id, lang, w, k) per-document unigram counts — the unigram
-# twin of _BIGRAM_CACHE. The unigram-LM family (perplexity score,
-# CCNet buckets, the bigram entry's vocabulary size, the Zipf fit)
-# each re-tokenized and re-exploded the corpus 3-4× per run with
-# shuffle keys ReuseExchange cannot canonicalize equal; deriving all
-# of them from this one persisted frame tokenizes the corpus ONCE per
-# session and shuffles per-doc-distinct (w, k) rows instead of raw
-# token instances (guide §2.3/§2.4). Every consumer's arithmetic
-# stays exact-integer, so results are bit-identical.
-_UNIGRAM_CACHE: dict[tuple[int, str], DataFrame] = {}
-
-
 def clear_caches(spark: SparkSession | None = None) -> None:
-    """Unpersist and drop the per-session bigram-count, BM25 doc-hits
-    and unigram-count caches (same contract as
+    """Unpersist and drop the per-session bigram-count and BM25
+    doc-hits caches (same contract as
     :func:`sqawk_spark.operators.dedup.clear_caches`)."""
-    for cache in (_BIGRAM_CACHE, _BM25_CACHE, _UNIGRAM_CACHE):
+    for cache in (_BIGRAM_CACHE, _BM25_CACHE):
         for key in [
             k for k in cache if spark is None or k[0] == id(spark)
         ]:
@@ -1375,28 +1376,6 @@ def _bm25_doc_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).persist(StorageLevel.MEMORY_AND_DISK)
         )
     return _BM25_CACHE[key]
-
-
-def _unigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, lang, w, k): count of each distinct non-empty token
-    per document. lang rides along (functionally dependent on doc_id)
-    so the CCNet consumer needs no extra dimension join."""
-    key = (id(spark), sf_dir)
-    if key not in _UNIGRAM_CACHE:
-        from pyspark import StorageLevel
-
-        t = load_tables(spark, sf_dir, ("documents",))
-        toks = (
-            t["documents"]
-            .select("doc_id", "lang", F.explode(_tokens()).alias("w"))
-            .filter(F.length("w") > 0)
-        )
-        _UNIGRAM_CACHE[key] = (
-            toks.groupBy("doc_id", "lang", "w")
-            .agg(F.count("*").alias("k"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
-    return _UNIGRAM_CACHE[key]
 
 
 def _bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1500,12 +1479,22 @@ def text_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequence() DESCENDS when stop < start — an unguarded transform
     would index t[-1])."""
     dbc = _bigram_counts(spark, sf_dir)
-    # r11: vocabulary size from the persisted unigram-count frame —
-    # the old form re-tokenized and re-exploded the whole corpus per
-    # run just for this one scalar; the cached frame distincts
-    # per-doc-distinct (doc, w) rows instead of raw token instances.
-    vsz = _unigram_counts(spark, sf_dir).agg(
-        F.countDistinct("w").alias("vsz")
+    # r11: the vocabulary scalar dedups per-document tokens inside
+    # the row (array_distinct) before the explode, so the distinct
+    # aggregate sees per-doc-distinct words, not raw instances.
+    t = load_tables(spark, sf_dir, ("documents",))
+    vsz = (
+        t["documents"]
+        .select(
+            F.explode(
+                F.expr(
+                    "array_distinct(filter("
+                    "split(lower(trim(text)), '\\\\s+'),"
+                    " x -> length(x) > 0))"
+                )
+            ).alias("w")
+        )
+        .agg(F.countDistinct("w").alias("vsz"))
     )
     c12 = dbc.groupBy("w1", "w2").agg(F.sum("k").alias("c12"))
     c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c"))
@@ -1816,16 +1805,20 @@ def text_ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``least(2, 3·cum_before ÷ n)`` in pure integer arithmetic, so
     neither engine can disagree at a cut point, and bucket sizes are
     equal to within one value-group by construction."""
-    # r11: derives from the persisted per-doc unigram-count frame
-    # (see text_perplexity_score) — one session-wide tokenize instead
-    # of 3 per run; sum(nll) ≡ sum(k·nll), count(*) ≡ sum(k), exact
-    # integers either way.
-    uc = _unigram_counts(spark, sf_dir)
-    total = uc.agg(F.sum("k").alias("corpus_n"))
+    # r11: the corpus token total rolls up from the LM's word counts
+    # (sum(wf) ≡ count(*), exact) instead of a third tokenize pass
+    # (see text_perplexity_score for why a persisted unigram-count
+    # frame and the input spread were both rejected by measurement).
+    t = load_tables(spark, sf_dir, ("documents",))
+    toks = (
+        t["documents"]
+        .select("doc_id", "lang", F.explode(_tokens()).alias("w"))
+        .filter(F.length("w") > 0)
+    )
+    counts = toks.groupBy("w").agg(F.count("*").alias("wf"))
+    total = counts.agg(F.sum("wf").alias("corpus_n"))
     lm = (
-        uc.groupBy("w")
-        .agg(F.sum("k").alias("wf"))
-        .crossJoin(F.broadcast(total))
+        counts.crossJoin(F.broadcast(total))
         .select(
             "w",
             F.round(
@@ -1837,10 +1830,10 @@ def text_ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     scores = (
-        uc.join(lm, "w")
+        toks.join(lm, "w")
         .groupBy("doc_id", "lang")
         .agg(
-            F.expr("sum(k * nll_micro) div (sum(k) * 1000)").alias(
+            F.expr("sum(nll_micro) div (count(*) * 1000)").alias(
                 "score_milli"
             )
         )
@@ -2113,10 +2106,14 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     divides exact integers."""
     # r11: per-document gram dedup happens INSIDE the row with
     # array_distinct before the explode — a document's trigrams all
-    # live in its own token array, so distinct (doc_id, g) needs no
-    # exchange at all. The old `.distinct()` shuffled the full gram
-    # stream once just to remove duplicates that were row-local
-    # (guide §2.4 "a distinct on data that is already unique").
+    # live in its own token array, so the old `.distinct()` exchanged
+    # the gram stream on (doc_id, g) just to remove row-local
+    # duplicates. The repartition("g") that replaces it is the shared
+    # materialization point BOTH consumers need anyway: the first-doc
+    # aggregate and the gram-keyed join read the one g-partitioned
+    # exchange with no further shuffle of the gram stream (g ⊆ every
+    # downstream clustering key), where the old plan paid three full
+    # gram-stream exchanges ((doc_id,g) distinct, groupBy g, join g).
     t = load_tables(spark, sf_dir, ("documents",))
     toks = t["documents"].select("doc_id", _tokens().alias("t"))
     grams = toks.select(
@@ -2127,7 +2124,7 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " i -> concat(t[i], ' ', t[i+1], ' ', t[i+2])))"
             )
         ).alias("g"),
-    )
+    ).repartition("g")
     firsts = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
     joined = grams.join(firsts, "g")
     return joined.groupBy("doc_id").agg(
@@ -2193,10 +2190,12 @@ def docs_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     is needed; output is |sources|² at most. Jaccard divides exact
     integers."""
     # r11: dedup each document's grams row-locally (array_distinct)
-    # before the explode so the (source, gram) DISTINCT exchange
-    # shuffles one row per per-doc-distinct gram instead of one per
-    # occurrence — same surviving set, fewer bytes into the exchange
-    # (guide §2.3 "aggregate before you shuffle").
+    # before the explode, then partition the stream by g ONCE — the
+    # (source, g) dedup clusters by a superset of g so it runs
+    # exchange-free on that layout, and both self-join sides read the
+    # same g-partitioned dedup output with no further shuffle. The
+    # old plan exchanged the occurrence stream on (source, g) for the
+    # DISTINCT and then re-exchanged both join sides on g.
     t = load_tables(spark, sf_dir, ("documents",))
     toks = t["documents"].select("source", _tokens().alias("t"))
     sg = (
@@ -2209,7 +2208,8 @@ def docs_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("g"),
         )
-        .distinct()
+        .repartition("g")
+        .dropDuplicates(["source", "g"])
     )
     sizes = sg.groupBy("source").agg(F.count("*").alias("sz"))
     a = sg.select(F.col("source").alias("src_a"), "g")
