@@ -714,36 +714,28 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair — both well-distributed; the support filter collapses the
     pair stream before the dimension joins. At 100 TB this is the
     textbook distributed co-occurrence plan."""
-    # r11: baskets via ONE groupBy(l_orderkey) + collect_set — the
-    # within-order distinct, the order count, the per-item support and
-    # the C(k,2) pair expansion all derive from the basket frame, so
-    # the old shape's separate DISTINCT (l_orderkey, l_partkey)
-    # exchange AND the order-keyed self-join (2 more exchange reads +
-    # an SMJ) collapse into one exchange with map-side partial
-    # collect_set (guide §2.3 "aggregate before you shuffle", §2.4).
-    # The pair stream itself is generated row-locally from the sorted
-    # basket array (i<j ⇔ part_a<part_b, identical pair set), then
-    # partially aggregated map-side before its own exchange.
+    # (r11 note: a groupBy+collect_set basket formulation — one
+    # exchange, row-local C(k,2) expansion — was tried and REJECTED by
+    # measurement: collect_set forces ObjectHashAggregate out of
+    # whole-stage codegen and re-runs the final set aggregation once
+    # per consumer branch, which cost more than the DISTINCT+self-join
+    # it replaced. The DISTINCT below partial-aggregates map-side and
+    # its exchange is reused by all four consumers.)
     t = load_tables(spark, sf_dir, ("lineitem",))
-    baskets = (
-        t["lineitem"]
-        .groupBy(F.col("l_orderkey").alias("ok"))
-        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+    li = (
+        t["lineitem"].select("l_orderkey", "l_partkey").distinct()
     )
-    n = baskets.agg(F.count("*").alias("n_orders"))
-    item = (
-        baskets.select(F.explode("parts").alias("l_partkey"))
-        .groupBy("l_partkey")
-        .agg(F.count("*").alias("supp"))
+    n = li.select(F.countDistinct("l_orderkey").alias("n_orders"))
+    item = li.groupBy("l_partkey").agg(F.count("*").alias("supp"))
+    a = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
     )
-    pair_expr = (
-        "flatten(transform(parts, (x, i) ->"
-        " transform(slice(parts, i + 2, size(parts) - i - 1),"
-        " y -> struct(x as part_a, y as part_b))))"
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
     )
     pairs = (
-        baskets.select(F.explode(F.expr(pair_expr)).alias("pr"))
-        .select("pr.part_a", "pr.part_b")
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
         .groupBy("part_a", "part_b")
         .agg(F.count("*").alias("support"))
         .filter(F.col("support") >= 2)

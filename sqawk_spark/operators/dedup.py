@@ -150,17 +150,20 @@ def _shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         df_cap = (
             grams.groupBy("g").count().filter(F.col("count") <= MAX_DF).select("g")
         )
-        # r11: pin HashPartitioning(g) on the materialized index (one
-        # build-time exchange) so every g-keyed consumer — the exact
-        # pair self-join (both sides), containment, the contamination
-        # corpus×eval lookup — reads the cached partitioning instead
-        # of re-exchanging the whole index per run (guide §2.4; the
-        # same move as the graph family's src-partitioned edge cache).
-        # Without the pin the layout depends on whether AQE broadcast
-        # the df-cap side, which varies by scale factor.
+        # r11: pin HashPartitioning(g) + within-partition g-order on
+        # the materialized index (one build-time exchange + sort) so
+        # every g-keyed consumer — the exact pair self-join (both
+        # sides), containment, the contamination corpus×eval lookup —
+        # reads the cached partitioning AND ordering: their sort-merge
+        # joins skip both the exchange and the per-run sort (guide
+        # §2.4; InMemoryTableScan preserves the cached plan's
+        # partitioning and ordering). Without the pin the layout
+        # depended on whether AQE broadcast the df-cap side, which
+        # varies by scale factor.
         filtered = (
             grams.join(df_cap, "g")
             .repartition("g")
+            .sortWithinPartitions("g")
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         _INDEX_CACHE[key] = filtered

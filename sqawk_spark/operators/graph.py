@@ -89,6 +89,7 @@ def _graph_frames(
             .join(deg, "src")
             .select("src", "dst", "deg", "deg_dst")
             .repartition("src")
+            .sortWithinPartitions("src")
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         _GRAPH_CACHE[key] = (edges_deg, deg)

@@ -76,6 +76,28 @@ def _natural_splits(path: str) -> tuple[int, int]:
     return groups, size
 
 
+def table_rows(sf_dir: str, name: str) -> int | None:
+    """Exact row count of a raw table from the parquet footer
+    (driver-side metadata, re-read per call — identical to
+    ``count()`` over the untransformed table but without launching a
+    job). None when the metadata is unavailable; callers fall back to
+    the aggregation."""
+    import glob as _glob
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    files = (
+        sorted(_glob.glob(os.path.join(path, "*.parquet")))
+        if os.path.isdir(path)
+        else [path]
+    )
+    try:
+        import pyarrow.parquet as pq
+
+        return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    except Exception:
+        return None
+
+
 def _maybe_spread(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
     if os.environ.get("SQAWK_SPARK_SPREAD", "auto") == "off":
         return df
@@ -87,6 +109,17 @@ def _maybe_spread(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
     if groups >= target or size > max_bytes:
         return df
     return df.repartition(target)
+
+
+# r11: per-(session, sf_dir, table, spread) DataFrame handles. This
+# caches CATALOG METADATA ONLY — the logical plan with its resolved
+# schema and file listing. No rows are stored: every action over a
+# cached handle re-plans and re-scans the parquet input exactly as a
+# fresh read would. Rebuilding the handle per builder call cost
+# ~100 ms of driver-side listing + footer reads PER TABLE PER QUERY
+# (measured; a resident engine registers its catalog once, which is
+# what this is).
+_DF_CACHE: dict[tuple[int, str, str, bool], DataFrame] = {}
 
 
 def load_tables(
@@ -104,6 +137,16 @@ def load_tables(
     """
     out: dict[str, DataFrame] = {}
     for name in names:
+        do_spread = (
+            name in spread
+            or os.environ.get("SQAWK_SPARK_SPREAD") == "all"
+        )
+        key = (id(spark), sf_dir, name, do_spread)
+        cached = _DF_CACHE.get(key)
+        if cached is not None:
+            cached.createOrReplaceTempView(name)
+            out[name] = cached
+            continue
         path = os.path.join(sf_dir, f"{name}.parquet")
         if name == "events":
             # Normalize events.ts to TIMESTAMP (LTZ; session tz is
@@ -123,10 +166,11 @@ def load_tables(
                 df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         else:
             df = spark.read.parquet(path)
-        if name in spread or os.environ.get("SQAWK_SPARK_SPREAD") == "all":
+        if do_spread:
             # "all" is a measurement override (A/B the gate globally);
             # production call sites opt in per table instead.
             df = _maybe_spread(spark, df, path)
         df.createOrReplaceTempView(name)
+        _DF_CACHE[key] = df
         out[name] = df
     return out

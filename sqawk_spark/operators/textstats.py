@@ -256,7 +256,13 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = toks.groupBy("term").agg(
         F.countDistinct("doc_id").alias("df")
     )
-    n_docs = docs.count()
+    # r11: raw-table row count from the parquet footer — same value
+    # as docs.count(), no per-run Spark job
+    from sqawk_spark.operators.tables import table_rows
+
+    n_docs = table_rows(sf_dir, "documents")
+    if n_docs is None:
+        n_docs = docs.count()
     scored = tf.join(df, "term").select(
         "doc_id",
         "term",
@@ -1403,9 +1409,18 @@ def _bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "b.w1", "b.w2")
             .filter((F.length("w1") > 0) & (F.length("w2") > 0))
         )
+        # r11: pin HashPartitioning(w1) + (w1, w2) order on the cache.
+        # w1 is a subset of every downstream clustering key, so the
+        # c(w1,w2) aggregate, the c(w1) rollup, the LM join on w1 AND
+        # the dbc⋈lm join on (w1,w2) all consume the cached layout
+        # with zero further exchanges of the bigram stream — the only
+        # per-run corpus-sized exchange left in the bigram entry is
+        # the final per-document rollup (guide §2.4).
         _BIGRAM_CACHE[key] = (
             big.groupBy("doc_id", "w1", "w2")
             .agg(F.count("*").alias("k"))
+            .repartition("w1")
+            .sortWithinPartitions("w1", "w2")
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
     return _BIGRAM_CACHE[key]
@@ -1479,21 +1494,15 @@ def text_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequence() DESCENDS when stop < start — an unguarded transform
     would index t[-1])."""
     dbc = _bigram_counts(spark, sf_dir)
-    # r11: the vocabulary scalar dedups per-document tokens inside
-    # the row (array_distinct) before the explode, so the distinct
-    # aggregate sees per-doc-distinct words, not raw instances.
+    # (r11 note: an array_distinct-before-explode variant of this
+    # scalar measured slower — countDistinct's partial aggregate
+    # already collapses duplicates map-side in codegen, while the
+    # higher-order-function dedup runs interpreted per row.)
     t = load_tables(spark, sf_dir, ("documents",))
+    toks = t["documents"].select("doc_id", _tokens().alias("t"))
     vsz = (
-        t["documents"]
-        .select(
-            F.explode(
-                F.expr(
-                    "array_distinct(filter("
-                    "split(lower(trim(text)), '\\\\s+'),"
-                    " x -> length(x) > 0))"
-                )
-            ).alias("w")
-        )
+        toks.select(F.explode("t").alias("w"))
+        .filter(F.length("w") > 0)
         .agg(F.countDistinct("w").alias("vsz"))
     )
     c12 = dbc.groupBy("w1", "w2").agg(F.sum("k").alias("c12"))
@@ -2190,12 +2199,12 @@ def docs_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     is needed; output is |sources|² at most. Jaccard divides exact
     integers."""
     # r11: dedup each document's grams row-locally (array_distinct)
-    # before the explode, then partition the stream by g ONCE — the
-    # (source, g) dedup clusters by a superset of g so it runs
-    # exchange-free on that layout, and both self-join sides read the
-    # same g-partitioned dedup output with no further shuffle. The
-    # old plan exchanged the occurrence stream on (source, g) for the
-    # DISTINCT and then re-exchanged both join sides on g.
+    # before the explode — fewer rows into the DISTINCT's map-side
+    # partial aggregate. The DISTINCT itself stays: cross-document
+    # duplicates within a source are the common case here (that is
+    # what boilerplate IS), so its partial aggregation collapses the
+    # stream before the exchange — a repartition("g")-first variant
+    # shipped the raw duplicated gram strings and measured slower.
     t = load_tables(spark, sf_dir, ("documents",))
     toks = t["documents"].select("source", _tokens().alias("t"))
     sg = (
@@ -2208,8 +2217,7 @@ def docs_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("g"),
         )
-        .repartition("g")
-        .dropDuplicates(["source", "g"])
+        .distinct()
     )
     sizes = sg.groupBy("source").agg(F.count("*").alias("sz"))
     a = sg.select(F.col("source").alias("src_a"), "g")

@@ -429,6 +429,39 @@ _WIN_US = 600_000_000  # 10-minute tumbling windows
 _WM_FILTER_LAG = 2
 
 
+def _max_event_id(spark: SparkSession, sf_dir: str) -> int:
+    """max(event_id), read from the parquet footer's column statistics
+    (driver-side metadata of the input file, re-read per call — no
+    cross-run memo) instead of running a full Spark aggregation job
+    per builder call (guide §5: keep the driver out of data work, and
+    don't launch a cluster job for what the file format already
+    answers). Falls back to the aggregation when statistics are
+    absent (directory inputs, stats-less writers)."""
+    import os
+
+    path = os.path.join(sf_dir, "events.parquet")
+    try:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(path).metadata
+        names = {
+            md.schema.column(i).name: i for i in range(md.num_columns)
+        }
+        ci = names["event_id"]
+        mx = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            if st is None or not st.has_min_max:
+                raise ValueError("no min/max stats")
+            mx = st.max if mx is None else max(mx, st.max)
+        if mx is not None:
+            return int(mx)
+    except Exception:
+        pass
+    t = load_tables(spark, sf_dir, ("events",))
+    return t["events"].agg(F.max("event_id")).first()[0]
+
+
 def _arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events + arrival batch id: chunk = event_id // B (B sized for
     _LATE_NB chunks), bumped _LATE_BUMP batches later for the
@@ -436,7 +469,7 @@ def _arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/sampling.py)."""
     t = load_tables(spark, sf_dir, ("events",))
     ev = t["events"]
-    max_id = ev.agg(F.max("event_id")).first()[0]
+    max_id = _max_event_id(spark, sf_dir)
     b = max_id // _LATE_NB + 1
     late = (
         F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 4), 16, 10)
