@@ -379,6 +379,16 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("long").alias("n_tokens"),
         )
     )
+    # r11: the verdict frame feeds BOTH the final output and the
+    # packing branch; without a materialization point the whole
+    # subtree — including the contamination scan — evaluated twice
+    # per run (measured: pipeline ≈ 2×verdict + packing).
+    # localCheckpoint is per-run (each build recomputes from parquet;
+    # nothing survives the query) and the frame is three narrow
+    # columns per document — the cheapest possible cut point. At
+    # 100 TB this is the same "materialize the small decision table,
+    # not the corpus" move as guide §8.
+    verdict = verdict.localCheckpoint(eager=True)
     keepers = verdict.filter(F.col("reason") == "keep").select(
         "doc_id", "n_tokens", _hash_key().alias("h")
     ).withColumn(
