@@ -1409,17 +1409,20 @@ def _bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "b.w1", "b.w2")
             .filter((F.length("w1") > 0) & (F.length("w2") > 0))
         )
-        # r11: pin HashPartitioning(w1) + (w1, w2) order on the cache.
-        # w1 is a subset of every downstream clustering key, so the
-        # c(w1,w2) aggregate, the c(w1) rollup, the LM join on w1 AND
-        # the dbc⋈lm join on (w1,w2) all consume the cached layout
-        # with zero further exchanges of the bigram stream — the only
-        # per-run corpus-sized exchange left in the bigram entry is
-        # the final per-document rollup (guide §2.4).
+        # r11: pin HashPartitioning(w1, w2) + (w1, w2) order on the
+        # cache. Aggregates accept a PARTIAL clustering key
+        # (requireAllClusterKeysForDistribution=false), so c(w1,w2)
+        # and the c(w1) rollup both run exchange-free on this layout;
+        # the dbc⋈lm rescoring JOIN on (w1,w2) needs ALL join keys in
+        # the partitioning (requireAllClusterKeysForCoPartition=true,
+        # the Spark default) — pinning the full pair keeps that join
+        # exchange- and sort-free too. The only per-run corpus-sized
+        # exchange left in the bigram entry is the final per-document
+        # rollup (guide §2.4).
         _BIGRAM_CACHE[key] = (
             big.groupBy("doc_id", "w1", "w2")
             .agg(F.count("*").alias("k"))
-            .repartition("w1")
+            .repartition("w1", "w2")
             .sortWithinPartitions("w1", "w2")
             .persist(StorageLevel.MEMORY_AND_DISK)
         )

@@ -43,6 +43,15 @@ def main() -> int:
             print(f"{name}: not in registry", file=sys.stderr)
             continue
         try:
+            if os.environ.get("CAPTURE_WARM") == "1":
+                # execute once so session-resident family caches
+                # materialize — the re-built plan then shows the
+                # partitioning/ordering consumers actually see at
+                # runtime instead of conservative pre-materialization
+                # exchanges
+                spec.builder(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
             df = spec.builder(spark, sf_dir)
             buf = io.StringIO()
             with redirect_stdout(buf):
