@@ -89,16 +89,15 @@ def test_committed_r06_tail_is_recoverable() -> None:
 
 
 def test_final_stdout_line_stays_inside_driver_tail_window() -> None:
-    """The driver json.loads the LAST stdout line inside a ~2000-char
-    tail. Simulate the worst case: every headline query present, worst
-    5 ratios — the final line must stay well under the window."""
+    """The driver json.loads the LAST stdout line inside a 2000-char
+    tail (every committed BENCH_r*.json tail is exactly 2000 chars).
+    Simulate the r12 worst case: all 72 headline queries in the
+    short-key map at 4-digit values, worst-5 ratios under FULL names,
+    every optional field present — the line must stay inside the
+    window with margin for the trailing newline."""
     from bench import HEADLINE
 
     worst = {name: 9.99 for name in HEADLINE[:5]}
-    retimed = {
-        name: {"was": 99.999, "now": 88.888, "loadavg": 99.99}
-        for name in HEADLINE[:5]
-    }
     final = json.dumps(
         {
             "metric": "headline_queries_total",
@@ -109,9 +108,51 @@ def test_final_stdout_line_stays_inside_driver_tail_window() -> None:
             "loadavg_before": [99.99, 99.99, 99.99],
             "loadavg_after": [99.99, 99.99, 99.99],
             "drift_rerun": True,
+            "n_retimed": 15,
+            "retime_exhausted": True,
+            "median_vs_hist": 9.999,
+            "uniform_drift": True,
             "worst_vs_hist": worst,
-            "retimed": retimed,
+            "legend": "bench_legend.json",
+            "queries": {f"q{i:02d}": 9.999 for i in range(len(HEADLINE))},
             "detail": "stderr + bench_history.jsonl",
         }
     )
-    assert len(final) < 1500, len(final)
+    assert len(final) < 1950, len(final)
+
+
+def test_committed_legend_matches_headline() -> None:
+    """bench_legend.json is the committed qNN → full-name mapping the
+    stdout line's short keys point at. It must track HEADLINE exactly
+    (HEADLINE is append-only, so existing keys never change meaning)."""
+    from bench import HEADLINE
+
+    with open("/root/repo/bench_legend.json") as f:
+        legend = json.load(f)
+    assert legend == {f"q{i:02d}": n for i, n in enumerate(HEADLINE)}
+
+
+def test_short_keys_expand_to_full_names() -> None:
+    """An r12+ driver-committed BENCH record carries the short-key map;
+    the minima fold must translate keys back to full names so they
+    merge with the full-name history (and unknown/full names pass
+    through untouched)."""
+    from bench import HEADLINE, _expand_short_key
+
+    assert _expand_short_key("q00") == HEADLINE[0]
+    assert _expand_short_key("q71") == HEADLINE[71]
+    assert _expand_short_key("q99") == "q99"  # out of range: untouched
+    assert _expand_short_key("tpch_q6_forecast_revenue") == (
+        "tpch_q6_forecast_revenue"
+    )
+    rec = {
+        "sf": 0.1,
+        "tail": "",
+        "parsed": {
+            "metric": "headline_queries_total",
+            "sf": 0.1,
+            "queries": {"q00": 1.5, "q01": 0.25},
+        },
+    }
+    got = _timings_from_bench_record(rec, 0.1)
+    assert got == {HEADLINE[0]: 1.5, HEADLINE[1]: 0.25}
