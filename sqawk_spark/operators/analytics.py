@@ -719,13 +719,53 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # measurement: collect_set forces ObjectHashAggregate out of
     # whole-stage codegen and re-runs the final set aggregation once
     # per consumer branch, which cost more than the DISTINCT+self-join
-    # it replaced. The DISTINCT below partial-aggregates map-side and
-    # its exchange is reused by all four consumers.)
+    # it replaced.)
+    #
+    # r12: the r11 claim that the DISTINCT's exchange is "reused by
+    # all four consumers" was checked against the formatted plan and
+    # is FALSE — the four consumer subtrees differ at the scan
+    # (different pushed IsNotNull filters, and the n_orders branch
+    # prunes l_partkey), so their exchanges do not canonicalize equal
+    # and the 600k-row distinct ran three separate times per
+    # execution. The fix (guide §2.4 "single materialization point"):
+    # an explicit repartition(l_orderkey) BEFORE the dedup gives every
+    # consumer the identical exchange subtree (one shuffle, reused by
+    # AQE), and hash(l_orderkey) co-partitions both sides of the
+    # basket self-join while still satisfying the (orderkey, partkey)
+    # dedup aggregate via partial-cluster-key distribution — so the
+    # join needs no further exchange either. Lineitem has almost no
+    # duplicate (orderkey, partkey) rows, so the map-side partial
+    # aggregation the old DISTINCT-first shape performed before its
+    # exchange collapsed nothing (the docs_cross_source_overlap
+    # counter-case does not apply).
     t = load_tables(spark, sf_dir, ("lineitem",))
+    # The explicit not-null filter exists to make all four consumer
+    # subtrees canonically IDENTICAL: without it Catalyst infers
+    # different IsNotNull sets per branch (from each branch's own join
+    # conditions) and pushes them below the repartition, which defeats
+    # exchange reuse. TPC-H join keys are non-null by schema, so the
+    # filter drops nothing and the oracle's unfiltered DISTINCT sees
+    # the same rows.
     li = (
-        t["lineitem"].select("l_orderkey", "l_partkey").distinct()
+        t["lineitem"]
+        .select("l_orderkey", "l_partkey")
+        .filter(
+            F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull()
+        )
+        .repartition("l_orderkey")
+        .dropDuplicates(["l_orderkey", "l_partkey"])
     )
-    n = li.select(F.countDistinct("l_orderkey").alias("n_orders"))
+    # n_orders via the basket-size frame rather than countDistinct:
+    # a bare countDistinct(l_orderkey) branch would column-prune
+    # l_partkey below the shared exchange (a different scan subtree —
+    # no reuse); counting rows of groupBy(l_orderkey) over the
+    # deduplicated frame needs both columns, keeps the branch
+    # byte-identical below the exchange, and computes the same number.
+    n = (
+        li.groupBy("l_orderkey")
+        .agg(F.count("*").alias("k"))
+        .select(F.count("*").alias("n_orders"))
+    )
     item = li.groupBy("l_partkey").agg(F.count("*").alias("supp"))
     a = li.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")

@@ -42,14 +42,28 @@ _PR_ROUNDS = 3
 # §2.4 "two operations keyed the same way share one exchange"); the
 # degree table (V rows, the node set) persists alongside so PageRank
 # stops re-deriving it per run with a distinct() over the E-row frame.
-_GRAPH_CACHE: dict[tuple[int, str], tuple[DataFrame, DataFrame]] = {}
+#
+# r12: the cached frames are localCheckpoint'ed, not persist'ed. With
+# persist, every consumer plan still carried the FULL build lineage
+# (the whole jaccard-pairs subtree) through analysis and cache
+# substitution — the pagerank plan dump was 16k lines and its builder
+# + per-action Catalyst cost ~1.5 s/run of pure driver time (guide
+# §3.3/§7.3: "very large plans — planning time itself can become the
+# bottleneck ... localCheckpoint truncates the plan"). The checkpoint
+# replaces the lineage with a LogicalRDD leaf that KEEPS the pinned
+# hash(src) partitioning and src ordering, so consumers see the same
+# layout from a ~50-line plan. Recomputability of the cached frame is
+# lost on executor failure (acceptable for a session-scoped derived
+# cache: the builder just re-derives it), and the node count rides
+# along so PageRank stops paying one count() job per run.
+_GRAPH_CACHE: dict[tuple[int, str], tuple[DataFrame, DataFrame, int]] = {}
 
 
 def _graph_frames(
     spark: SparkSession, sf_dir: str
-) -> tuple[DataFrame, DataFrame]:
-    """(edges_with_degrees, degrees) — both persisted, edges
-    partitioned by src, degrees by src (its groupBy partitioning)."""
+) -> tuple[DataFrame, DataFrame, int]:
+    """(edges_with_degrees, degrees, n_nodes) — frames materialized by
+    localCheckpoint, edges partitioned and sorted by src."""
     from pyspark import StorageLevel
 
     from sqawk_spark.operators.dedup import _PAIRS_CACHE, _jaccard_pairs
@@ -73,7 +87,7 @@ def _graph_frames(
         deg = (
             edges.groupBy("src")
             .agg(F.count("*").alias("deg"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .localCheckpoint(eager=True)
         )
         degv = deg.select(
             F.col("src").alias("dst"), F.col("deg").alias("deg_dst")
@@ -83,16 +97,23 @@ def _graph_frames(
         # picked for the degree attachments (a broadcast join would
         # otherwise leave the scan's partitioning) — one extra
         # build-time exchange buys an exchange-free src side for every
-        # per-round/per-run consumer.
+        # per-round/per-run consumer. eager=True so the captured
+        # LogicalRDD records the EXECUTED plan's partitioning/ordering
+        # (the lazy form records the conservative pre-AQE one).
         edges_deg = (
             edges.join(degv, "dst")
             .join(deg, "src")
             .select("src", "dst", "deg", "deg_dst")
             .repartition("src")
             .sortWithinPartitions("src")
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .localCheckpoint(eager=True)
         )
-        _GRAPH_CACHE[key] = (edges_deg, deg)
+        # one count over the checkpointed V-row frame, stored with the
+        # cache: the teleport scalar is a property of the graph, and
+        # re-running a count() job per PageRank run was pure overhead
+        # (same footer-stats lesson as events_late_drop, guide §5)
+        n = deg.count()
+        _GRAPH_CACHE[key] = (edges_deg, deg, n)
     return _GRAPH_CACHE[key]
 
 
@@ -165,10 +186,10 @@ def graph_pagerank_dupgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # edge frame (one full extra exchange per execution, guide §2.4);
     # the edge frame itself is cache-partitioned on src, so each
     # round's rank join exchanges only the V-row rank vector.
-    edges_deg, deg = _graph_frames(spark, sf_dir)
+    edges_deg, deg, n = _graph_frames(spark, sf_dir)
     edges = edges_deg.select("src", "dst", "deg")
-    # one scalar to the driver: the node count (sets the teleport term)
-    n = deg.count()
+    # the node count (teleport term) rides the session graph cache —
+    # r12: no per-run count() job (see _GRAPH_CACHE)
     teleport = 3 * _PR_SCALE // (20 * n)
 
     ranks = deg.select(

@@ -388,7 +388,17 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     # columns per document — the cheapest possible cut point. At
     # 100 TB this is the same "materialize the small decision table,
     # not the corpus" move as guide §8.
-    verdict = verdict.localCheckpoint(eager=True)
+    #
+    # r12: eager=False (ADVICE r11 #4) — the eager form executed the
+    # whole contamination subtree at BUILDER time, so explain-only
+    # consumers (plan capture, test_plans) paid a real job just to
+    # print a plan. The lazy checkpoint still cuts the plan to a
+    # LogicalRDD and still computes the subtree exactly once per
+    # execution (the checkpoint RDD is persisted on first
+    # materialization inside the action, so the second consumer branch
+    # reads storage instead of re-deriving); the cost simply moves
+    # from build time into the action, where it belongs.
+    verdict = verdict.localCheckpoint(eager=False)
     keepers = verdict.filter(F.col("reason") == "keep").select(
         "doc_id", "n_tokens", _hash_key().alias("h")
     ).withColumn(

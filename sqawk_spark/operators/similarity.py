@@ -1548,8 +1548,13 @@ def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             sv = ",".join(
                 f"{s}L" for s in signs_const[tbl * _RL_PLANES + b]
             )
+            # slice(vq, 1, 64): zip_with null-pads on length mismatch
+            # (a >64-dim embedding would NULL the whole dot and zero
+            # every signature bit — silent recall collapse); slicing
+            # reproduces the old pos-join's truncate-to-64 semantics
+            # for any future embedding dimension (ADVICE r11 #2).
             dot = (
-                f"aggregate(zip_with(vq, array({sv}),"
+                f"aggregate(zip_with(slice(vq, 1, 64), array({sv}),"
                 f" (x, s) -> x * s), 0L, (acc, x) -> acc + x)"
             )
             bit_terms.append(

@@ -119,7 +119,19 @@ def _maybe_spread(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
 # ~100 ms of driver-side listing + footer reads PER TABLE PER QUERY
 # (measured; a resident engine registers its catalog once, which is
 # what this is).
-_DF_CACHE: dict[tuple[int, str, str, bool], DataFrame] = {}
+# r12 (ADVICE r11 #3): the key carries the applicationId in addition
+# to id(spark) — CPython can reuse an id after a stopped session is
+# garbage-collected, which would hand back handles bound to a dead
+# SparkContext.
+_DF_CACHE: dict[tuple[int, str, str, str, bool], DataFrame] = {}
+
+
+def _session_key(spark: SparkSession) -> tuple[int, str]:
+    try:
+        app = spark.sparkContext.applicationId
+    except Exception:  # stopped context — never match a cached entry
+        app = "<stopped>"
+    return (id(spark), app)
 
 
 def load_tables(
@@ -136,12 +148,13 @@ def load_tables(
     (see `_maybe_spread` above) when the gate allows it.
     """
     out: dict[str, DataFrame] = {}
+    sid, app = _session_key(spark)
     for name in names:
         do_spread = (
             name in spread
             or os.environ.get("SQAWK_SPARK_SPREAD") == "all"
         )
-        key = (id(spark), sf_dir, name, do_spread)
+        key = (sid, app, sf_dir, name, do_spread)
         cached = _DF_CACHE.get(key)
         if cached is not None:
             cached.createOrReplaceTempView(name)

@@ -1,11 +1,28 @@
-"""Capture .explain("formatted") for headline queries into plans/r11/.
+"""Capture .explain("formatted") for headline queries into plans/rNN/.
 
 Run: python tests/capture_plans.py <suffix> [name ...]
   suffix: "before" or "after" (file name suffix)
   names:  registry entries; default = every bench.py HEADLINE query.
 
-Writes plans/r11/<query>_<suffix>.txt. Explain only — no job execution
-beyond what a builder itself performs while constructing its plan.
+Writes plans/r12/<query>_<suffix>.txt. Each file holds TWO sections
+(VERDICT r11 housekeeping #9 — the r11 warm-only captures made
+before/after exchange counts non-comparable for cache-consuming
+entries):
+
+  == COLD PLAN ==   the static plan before any execution this call —
+                    what a fresh session would compile;
+  == WARM PLAN ==   the plan re-built after one noop-sink execution,
+                    showing the partitioning/ordering that consumers
+                    of the session-resident family caches actually see
+                    at runtime.
+
+For entries with no session cache the two sections are identical
+modulo attribute ids. Set CAPTURE_COLD_ONLY=1 to skip the execution
+(and the warm section) entirely.
+
+Repeated identical node-detail blocks (the InMemoryRelation bodies
+that inflated r11's graph dumps to 14k lines) are collapsed to a
+one-line marker after their first occurrence.
 """
 
 from __future__ import annotations
@@ -25,6 +42,36 @@ operators.load_all()
 from sqawk_spark.operators.registry import REGISTRY  # noqa: E402
 from sqawk_spark.session import get_session  # noqa: E402
 
+ROUND_DIR = "r12"
+
+
+def _formatted_plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return _collapse_repeats(buf.getvalue())
+
+
+def _collapse_repeats(text: str) -> str:
+    """Collapse identical multi-line node-detail blocks (separated by
+    blank lines) after their first occurrence — the InMemoryRelation
+    cached-plan body is printed once per referencing node and dominates
+    dump size without adding information."""
+    blocks = text.split("\n\n")
+    seen: dict[str, int] = {}
+    out: list[str] = []
+    for i, b in enumerate(blocks):
+        body = b.strip("\n")
+        if len(body) > 400 and body in seen:
+            first = seen[body]
+            head = body.splitlines()[0]
+            out.append(f"{head}\n   [... identical detail block as #{first}, collapsed ...]")
+        else:
+            if len(body) > 400:
+                seen[body] = i
+            out.append(b)
+    return "\n\n".join(out)
+
 
 def main() -> int:
     suffix = sys.argv[1] if len(sys.argv) > 1 else "before"
@@ -34,7 +81,7 @@ def main() -> int:
 
         names = bench.HEADLINE
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(REPO, "plans", "r11")
+    out_dir = os.path.join(REPO, "plans", ROUND_DIR)
     os.makedirs(out_dir, exist_ok=True)
     spark = get_session(app_name="capture_plans")
     for name in names:
@@ -43,20 +90,18 @@ def main() -> int:
             print(f"{name}: not in registry", file=sys.stderr)
             continue
         try:
-            if os.environ.get("CAPTURE_WARM") == "1":
-                # execute once so session-resident family caches
-                # materialize — the re-built plan then shows the
-                # partitioning/ordering consumers actually see at
-                # runtime instead of conservative pre-materialization
-                # exchanges
+            cold = _formatted_plan(spec.builder(spark, sf_dir))
+            if os.environ.get("CAPTURE_COLD_ONLY") == "1":
+                text = f"== COLD PLAN ==\n{cold}"
+            else:
+                # one execution so session-resident family caches
+                # materialize; the re-built plan then shows what
+                # runtime consumers of those caches actually see
                 spec.builder(spark, sf_dir).write.format("noop").mode(
                     "overwrite"
                 ).save()
-            df = spec.builder(spark, sf_dir)
-            buf = io.StringIO()
-            with redirect_stdout(buf):
-                df.explain("formatted")
-            text = buf.getvalue()
+                warm = _formatted_plan(spec.builder(spark, sf_dir))
+                text = f"== COLD PLAN ==\n{cold}\n== WARM PLAN ==\n{warm}"
         except Exception as exc:  # noqa: BLE001
             text = f"EXPLAIN FAILED: {exc}\n"
         path = os.path.join(out_dir, f"{name}_{suffix}.txt")

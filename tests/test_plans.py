@@ -11,6 +11,7 @@ or un-pushes a filter fails here, not in a 100 TB production run.
 from __future__ import annotations
 
 import io
+import re
 from contextlib import redirect_stdout
 
 import sqawk_spark.operators as operators
@@ -261,8 +262,20 @@ def _no_keyed_exchange(p: str) -> bool:
     guide-§2.5 unsplittable-input spread (tables.py `_maybe_spread`)
     — it only exists when the parquet input has fewer row groups than
     the session has cores, which is never true at production layouts,
-    and it moves no rows to any particular place."""
-    return "hashpartitioning" not in p and "rangepartitioning" not in p
+    and it moves no rows to any particular place.
+
+    r12 (ADVICE r11 #1): implemented as an allowlist — every Exchange
+    node's detail block must carry a roundrobinpartitioning argument —
+    so a SinglePartition exchange (an accidental coalesce/global agg)
+    or a future partitioning scheme fails the guard instead of
+    slipping through the old hash/range-only denylist."""
+    headers = re.findall(r"\(\d+\) Exchange\b", p)
+    allowed = re.findall(
+        r"\(\d+\) Exchange\nInput[^\n]*\nArguments: roundrobinpartitioning\(",
+        p,
+        flags=re.IGNORECASE,
+    )
+    return len(headers) == len(allowed)
 
 
 def test_pii_redact_and_filter_chain_are_pure_scans(spark, sf_dir):
