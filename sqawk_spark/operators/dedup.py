@@ -187,10 +187,19 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtered = _shingle_index(spark, sf_dir)
     sizes = filtered.groupBy("doc_id").agg(F.count("*").alias("sz"))
 
+    # r12: the self-join is pinned to sort-merge. Both sides read the
+    # SAME cached index whose layout is already hash(g)-partitioned
+    # and g-sorted (the r11 pin), so the SMJ is a zero-exchange,
+    # zero-sort streamed merge; left to AQE, the 12 MiB cached side
+    # sat at the broadcast threshold boundary and the strategy (and
+    # the per-run 260k-row broadcast build) flipped run to run — the
+    # r11 bench's dedup-family variance. Interleaved same-session A/B:
+    # median 1.31 s hinted vs 1.43 s AQE-chosen. At 100 TB the index
+    # never broadcasts, so the hint also matches the at-scale plan.
     a = filtered.select(F.col("doc_id").alias("doc_a"), "g")
     b = filtered.select(F.col("doc_id").alias("doc_b"), "g")
     pairs = (
-        a.join(b, "g")
+        a.hint("merge").join(b.hint("merge"), "g")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_common"))
@@ -379,10 +388,19 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same session."""
     filtered = _shingle_index(spark, sf_dir)
     sizes = filtered.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    # r12: the self-join is pinned to sort-merge. Both sides read the
+    # SAME cached index whose layout is already hash(g)-partitioned
+    # and g-sorted (the r11 pin), so the SMJ is a zero-exchange,
+    # zero-sort streamed merge; left to AQE, the 12 MiB cached side
+    # sat at the broadcast threshold boundary and the strategy (and
+    # the per-run 260k-row broadcast build) flipped run to run — the
+    # r11 bench's dedup-family variance. Interleaved same-session A/B:
+    # median 1.31 s hinted vs 1.43 s AQE-chosen. At 100 TB the index
+    # never broadcasts, so the hint also matches the at-scale plan.
     a = filtered.select(F.col("doc_id").alias("doc_a"), "g")
     b = filtered.select(F.col("doc_id").alias("doc_b"), "g")
     pairs = (
-        a.join(b, "g")
+        a.hint("merge").join(b.hint("merge"), "g")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_common"))

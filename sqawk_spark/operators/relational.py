@@ -1147,42 +1147,40 @@ def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B19 ranking windows — row_number/rank/dense_rank (SQLite ≥3.25
     dialect), per-group top-100.
 
-    l_returnflag has THREE distinct values, so a single window over it
-    is a 3-partition sort — fine at sf0.1, a dead cluster at 100 TB.
-    Exact two-phase top-k instead: phase 1 windows over (flag, salt)
-    — parallelism × SALT — keeping each bucket's top-100 under the
-    SAME total order; any row in the global top-100 ranks ≤ 100 in its
-    own bucket (the rows ahead of it there are a subset of the rows
-    ahead of it globally), so the union of bucket top-100s provably
-    contains the answer, and every row priced above a survivor is also
-    a survivor — rank/dense_rank over candidates equal their global
-    values. Phase 2 runs the original window over ≤ 100×SALT rows per
-    flag."""
-    n_salt = 8
+    l_returnflag has THREE distinct values, so a naive single window
+    over it drags every row into a 3-partition sort — fine at sf0.1,
+    a dead cluster at 100 TB. r11 salted the key for phase 1; r12
+    drops the salt (measured: one exchange instead of two, one window
+    phase less) because Spark 3.5+'s WindowGroupLimit already does
+    the salt's job: the rank-filter plan carries a PARTIAL
+    WindowGroupLimit BEFORE the exchange, so every map task emits at
+    most 100 rows per flag and the flag exchange moves
+    tasks×100×|flags| candidate rows, never the corpus (plan pin in
+    tests/test_plans.py).
+
+    The phase split itself stays, and its correctness argument is the
+    r11 one: any row priced strictly above an rn≤100 survivor has a
+    smaller rn and therefore also survives, so rank/dense_rank
+    computed OVER THE SURVIVORS equal their global values — which is
+    what lets the rn filter run before the w2 windows (the optimizer
+    could not legally push a group limit below them itself)."""
     t = load_tables(spark, sf_dir, ("lineitem",))
     order = (F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
     cols = ("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice")
 
-    salted = t["lineitem"].select(*cols).withColumn(
-        "salt", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(n_salt))
-    )
-    wl = W.partitionBy("l_returnflag", "salt").orderBy(*order)
-    cand = (
-        salted.withColumn("lrn", F.row_number().over(wl))
-        .filter(F.col("lrn") <= 100)
-        .select(*cols)
-    )
-
     w = W.partitionBy("l_returnflag").orderBy(*order)
     w2 = W.partitionBy("l_returnflag").orderBy(F.col("l_extendedprice").desc())
-    return (
-        cand.select(
-            *cols,
-            F.row_number().over(w).alias("rn"),
-            F.rank().over(w2).alias("rnk"),
-            F.dense_rank().over(w2).alias("drnk"),
-        )
+    cand = (
+        t["lineitem"]
+        .select(*cols)
+        .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 100)
+    )
+    return cand.select(
+        *cols,
+        "rn",
+        F.rank().over(w2).alias("rnk"),
+        F.dense_rank().over(w2).alias("drnk"),
     )
 
 

@@ -1113,7 +1113,6 @@ BM25_QUERIES: tuple[tuple[int, str], ...] = (
 )
 _BM25_TERMS = sorted({t for _, q in BM25_QUERIES for t in q.split()})
 _BM25_TOPK = 10
-_BM25_SALT = 8
 
 
 def _bm25_oracle() -> str:
@@ -1201,10 +1200,11 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     once inside the single scan; the earlier explode+isin codegen
     variant was faster per-branch yet forced the second full scan,
     which dominates at corpus scale. df is a vocabulary-sized
-    aggregate broadcast back; stats are a 1-row broadcast. Top-k uses
-    the same exact two-phase salted window as ``window_rank`` — a
-    plain per-query window would funnel each query's full posting
-    list through one partition at 100 TB."""
+    aggregate broadcast back; stats are a 1-row broadcast. Top-k is
+    one per-query ranking window whose row_number filter Spark 3.5+
+    executes with a PARTIAL WindowGroupLimit below the exchange, so
+    each query's partition receives tasks×k candidates, never its
+    full posting list (see window_rank — same r12 de-salting)."""
     compact = _bm25_doc_hits(spark, sf_dir)
     stats = compact.agg(
         F.count(F.lit(1)).alias("n"), F.sum("dl").alias("tt")
@@ -1249,26 +1249,24 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = contrib.groupBy("query_id", "doc_id").agg(
         F.sum("c").alias("score_u")
     )
-    # exact two-phase top-k (window_rank's proof): any global top-k
-    # row is top-k within its salt bucket under the same total order
+    # r12: one plain per-query window replaces the r11 salted
+    # two-phase (same move as window_rank). Spark 3.5+ inserts a
+    # PARTIAL WindowGroupLimit below the exchange for a row_number
+    # filter, so every map task already emits at most k rows per
+    # query_id and the query_id exchange moves tasks×k×|queries|
+    # candidate rows — the map-side truncation the salt used to
+    # provide, minus one exchange and one window phase.
     order = (F.col("score_u").desc(), "doc_id")
-    salted = scored.withColumn(
-        "salt", F.pmod(F.xxhash64("doc_id"), F.lit(_BM25_SALT))
-    )
-    wl = W.partitionBy("query_id", "salt").orderBy(*order)
-    cand = (
-        salted.withColumn("lrn", F.row_number().over(wl))
-        .filter(F.col("lrn") <= _BM25_TOPK)
-    )
     w = W.partitionBy("query_id").orderBy(*order)
     return (
-        cand.select(
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _BM25_TOPK)
+        .select(
             "query_id",
             "doc_id",
             F.round(F.col("score_u") / 1000000.0, 6).alias("bm25"),
-            F.row_number().over(w).alias("rank"),
+            "rank",
         )
-        .filter(F.col("rank") <= _BM25_TOPK)
     )
 
 
@@ -2208,6 +2206,12 @@ def docs_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # what boilerplate IS), so its partial aggregation collapses the
     # stream before the exchange — a repartition("g")-first variant
     # shipped the raw duplicated gram strings and measured slower.
+    # r12: grams are xxhash64'd to 8-byte longs INSIDE the transform
+    # (guide §2.3 "narrower types"), so the DISTINCT exchange and the
+    # g-keyed self-join move longs instead of ~25-byte trigram
+    # strings — the same hashed-id discipline as dedup's shingle
+    # index, with the same documented ~n²/2⁶⁵ collision posture (the
+    # output carries only counts, never the grams).
     t = load_tables(spark, sf_dir, ("documents",))
     toks = t["documents"].select("source", _tokens().alias("t"))
     sg = (
@@ -2216,7 +2220,7 @@ def docs_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(
                 F.expr(
                     "array_distinct(transform(sequence(0, size(t) - 3),"
-                    " i -> concat(t[i], ' ', t[i+1], ' ', t[i+2])))"
+                    " i -> xxhash64(concat(t[i], ' ', t[i+1], ' ', t[i+2]))))"
                 )
             ).alias("g"),
         )

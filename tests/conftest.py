@@ -26,6 +26,26 @@ FULL_ONLY_FILES = {
     "test_affinity_property.py",
     "test_groups_property.py",
     "test_oracle_parity.py",
+    # the 145-golden CLI battery and the sqlite-dbfile roundtrips are
+    # ~7 of the remaining 14 default minutes; the smoke allowlist
+    # below keeps one golden per CLI surface in every run
+    "test_cli.py",
+    "test_dbfile.py",
+}
+
+# always run these even when their file is gated: one representative
+# golden per CLI surface (ingestion, joins, header, affinity, formats,
+# filter clause, DML) so a broken CLI still fails the default run
+CLI_SMOKE_ALWAYS = {
+    "test_fs_global_comma",
+    "test_join_hp_examples",
+    "test_header_row",
+    "test_affinity_integer_default",
+    "test_storage_class_aggregates_mixed",
+    "test_noinput_constant",
+    "test_filter_clause_aggregates",
+    "test_format_json_kv_union",
+    "test_dbfile_roundtrip",
 }
 
 
@@ -36,7 +56,10 @@ def pytest_collection_modifyitems(config, items):
         reason="long-tail battery; set SQAWK_FULL_TESTS=1 to run"
     )
     for item in items:
-        if os.path.basename(str(item.fspath)) in FULL_ONLY_FILES:
+        if (
+            os.path.basename(str(item.fspath)) in FULL_ONLY_FILES
+            and item.name.split("[")[0] not in CLI_SMOKE_ALWAYS
+        ):
             item.add_marker(skip)
 
 

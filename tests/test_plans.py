@@ -278,6 +278,22 @@ def _no_keyed_exchange(p: str) -> bool:
     return len(headers) == len(allowed)
 
 
+def test_window_rank_group_limit_before_single_exchange(spark, sf_dir):
+    """r12: the per-flag top-100 must shuffle candidates, not the
+    corpus — a PARTIAL WindowGroupLimit sits below the one flag-keyed
+    exchange (every map task emits ≤100 rows per flag), and the
+    rank/dense_rank windows reuse that partitioning, so exactly one
+    Exchange appears in the whole plan."""
+    p = plan(spark, sf_dir, "window_rank")
+    tree = p.split("\n\n")[0]
+    assert len(re.findall(r"[+:]- Exchange", tree)) == 1
+    # partial group limit below the exchange: in the formatted tree
+    # the WindowGroupLimit node ids bracket the Exchange id
+    ex = int(re.search(r"[+:]- Exchange \((\d+)\)", tree).group(1))
+    limits = [int(m) for m in re.findall(r"WindowGroupLimit \((\d+)\)", tree)]
+    assert any(lid < ex for lid in limits), (limits, ex)
+
+
 def test_pii_redact_and_filter_chain_are_pure_scans(spark, sf_dir):
     """The scrub and the keep/drop chain are single-scan column
     expressions: no Python eval node, no keyed exchange — at 100 TB
@@ -666,18 +682,23 @@ def test_minhash_verify_is_candidate_only_no_allpairs_join(spark, sf_dir):
     assert len(lt) == 1, lt
 
 
-def test_bm25_is_jvm_side_broadcasts_and_salted_topk(spark, sf_dir):
+def test_bm25_is_jvm_side_broadcasts_and_group_limited_topk(spark, sf_dir):
     """BM25 must stay whole-JVM (no Python), reach the corpus through
     broadcast joins (df/query/stats are all vocabulary- or 1-row
-    sized), and rank through the two-phase salted window — two Window
-    nodes, never a single-partition global sort of the posting
-    lists."""
+    sized), and rank through a group-limited per-query window — a
+    PARTIAL WindowGroupLimit below the query_id exchange (r12: the
+    de-salted window_rank shape), never a single-partition global
+    sort of the posting lists."""
     p = plan(spark, sf_dir, "text_bm25_topk")
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
     assert "CartesianProduct" not in p
-    assert p.count("Window") >= 2  # salted phase + final phase
+    assert "WindowGroupLimit" in p
+    tree = p.split("\n\n")[0]
+    ex = re.search(r"[+:]- Exchange \((\d+)\)", tree)
+    limits = [int(m) for m in re.findall(r"WindowGroupLimit \((\d+)\)", tree)]
+    assert ex and any(lid < int(ex.group(1)) for lid in limits)
 
 
 def test_keep_best_argmax_is_partial_agg_no_window(spark, sf_dir):
