@@ -21,6 +21,15 @@ operators.load_all()
 
 
 def plan(spark, sf_dir, name: str, mode: str = "formatted") -> str:
+    # r12: a prepared-plan handle is the SAME DataFrame every call; if
+    # an earlier test in the session already executed it, its
+    # AdaptiveSparkPlan prints as the finalized plan (AQEShuffleRead /
+    # ReusedExchange / query-stage nodes) and the pins below — written
+    # against the initial plan — misfire. Drop the handle so every
+    # pin inspects a freshly compiled plan.
+    from sqawk_spark.operators.registry import clear_prepared
+
+    clear_prepared(spark)
     df = REGISTRY[name].builder(spark, sf_dir)
     buf = io.StringIO()
     with redirect_stdout(buf):
